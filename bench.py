@@ -1,0 +1,57 @@
+"""Benchmark runner: times the catalog's headline queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+    {"metric": "headline_queries_total", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full plan execution, no
+driver collect cost). A warmup pass on sf0.001 primes the JVM/codegen so the
+timings measure the plan, not JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from data_pipeline_team5_spark.plans.catalog import QUERIES
+from data_pipeline_team5_spark.session import get_spark
+
+WARMUP_SF = "/root/testdata/sf0.001"
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+
+    headline = {n: q for n, q in QUERIES.items() if q.headline}
+
+    for name, q in headline.items():  # JVM/codegen warmup at tiny SF
+        _run(q.fn(spark, WARMUP_SF))
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(headline.items()):
+        t0 = time.perf_counter()
+        _run(q.fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,99 @@
+"""Scalar helpers: exact-decimal aggregation and text normalization.
+
+Why decimals: SUM over DOUBLE is order-dependent in IEEE float arithmetic, so
+a Spark shuffle-order sum and a DuckDB scan-order sum can differ in the last
+ulp and break value-hash comparison. Casting each element to DECIMAL first
+makes the sum exact and order-independent; one final cast to DOUBLE gives both
+engines the same bit pattern. This mirrors how the reference stored money as
+Redshift NUMERIC/BIGINT (daily_parquet_pipeline.py:113-135) while ratios stayed
+FLOAT (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Wide enough for 100 TB-scale money sums (10^36 head-room at scale 2).
+MONEY = "decimal(18,2)"
+RATE = "decimal(8,4)"  # discounts/taxes in [0,1]
+GENERIC = "decimal(28,10)"  # arbitrary double measures (events.value)
+
+
+def dsum(col: str | Column, alias: str, typ: str = MONEY) -> Column:
+    """Exact order-independent SUM: cast each element to DECIMAL, sum, emit DOUBLE.
+
+    Oracle-side equivalent: ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(typ)).cast("double").alias(alias)
+
+
+def davg(col: str | Column, alias: str, typ: str = MONEY) -> Column:
+    """Exact mean: DECIMAL sum cast to DOUBLE divided by COUNT (both engines
+    perform the same single double division)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(typ)).cast("double") / F.count(c)).alias(alias)
+
+
+def dmul_sum(a: str, b: Column | str, alias: str) -> Column:
+    """SUM(a * b) with both factors in DECIMAL (exact product, exact sum)."""
+    ca = F.col(a).cast(MONEY)
+    cb = (F.col(b) if isinstance(b, str) else b).cast(RATE)
+    return F.sum(ca * cb).cast("double").alias(alias)
+
+
+def revenue_expr() -> Column:
+    """TPC-H style revenue term l_extendedprice * (1 - l_discount), exact."""
+    one = F.lit(1).cast(RATE)
+    return F.col("l_extendedprice").cast(MONEY) * (
+        one - F.col("l_discount").cast(RATE)
+    )
+
+
+def charge_expr() -> Column:
+    """l_extendedprice * (1 - l_discount) * (1 + l_tax), exact decimal."""
+    one = F.lit(1).cast(RATE)
+    return (
+        F.col("l_extendedprice").cast(MONEY)
+        * (one - F.col("l_discount").cast(RATE))
+        * (one + F.col("l_tax").cast(RATE))
+    )
+
+
+def to_day(col: str | Column) -> Column:
+    """TIMESTAMP → DATE (session TZ pinned to UTC, so this is TZ-free)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.to_date(c)
+
+
+def norm_text(col: str | Column) -> Column:
+    """Canonical text normalization used by dedup/fingerprint operators:
+    lowercase, strip non-[a-z0-9 ], collapse runs of spaces, trim.
+
+    The regexes are intersection-of-dialects simple so Java regex (Spark) and
+    RE2 (DuckDB) agree; oracle: see plans/dedup.py NORM_SQL.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.lower(c)
+    out = F.regexp_replace(out, "[^a-z0-9 ]", "")
+    out = F.regexp_replace(out, " +", " ")
+    return F.trim(out)
+
+
+# SQL fragments mirrored by the oracle side (kept adjacent for review parity).
+def norm_text_sql(expr: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({expr}), '[^a-z0-9 ]', '', 'g'),"
+        f" ' +', ' ', 'g'))"
+    )
+
+
+def dsum_sql(expr: str, alias: str, typ: str = "DECIMAL(18,2)") -> str:
+    return f"CAST(SUM(CAST({expr} AS {typ})) AS DOUBLE) AS {alias}"
+
+
+def davg_sql(expr: str, alias: str, typ: str = "DECIMAL(18,2)") -> str:
+    return (
+        f"(CAST(SUM(CAST({expr} AS {typ})) AS DOUBLE) / COUNT({expr})) AS {alias}"
+    )

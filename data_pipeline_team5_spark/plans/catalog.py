@@ -1,0 +1,98 @@
+"""Query catalog: the registry behind ``__spark_entry__.queries()``.
+
+Each entry pairs a Spark DataFrame program with an equivalent ANSI-SQL oracle
+(DuckDB dialect) over the same parquet fixtures. The contract (driver-enforced,
+see repo ``__spark_entry__.py``):
+
+- column names identical on both sides (alias every computed column);
+- values bitwise identical (see functions/scalars.py for the decimal policy);
+- ``oracle=None`` marks genuinely non-SQL-expressible operators → the driver
+  runs a weaker rows-only check.
+
+Query families live in sibling modules (reference_parity, windows, dashboards,
+relational, dedup, textops, similarity, streaming_jobs); importing this module
+triggers their registration.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (column-pruned/pushdown-friendly parquet scan)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    headline: bool = False  # included in bench.py's timed set
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    headline: bool = False,
+    tags: tuple[str, ...] = (),
+):
+    """Decorator: add a (spark_fn, oracle_sql) pair to the catalog."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = Query(
+            name=name, fn=fn, oracle=oracle, doc=doc, headline=headline, tags=tags
+        )
+        return fn
+
+    return deco
+
+
+def _load_families() -> None:
+    # Imported for their registration side effects.
+    from data_pipeline_team5_spark.plans import (  # noqa: F401
+        reference_parity,
+    )
+
+    for mod in (
+        "windows_family",
+        "dashboards",
+        "relational",
+        "dedup_family",
+        "text_family",
+        "similarity_family",
+        "streaming_family",
+        "multimodal_family",
+    ):
+        try:
+            __import__(f"data_pipeline_team5_spark.plans.{mod}")
+        except ImportError:
+            pass  # family not built yet (incremental rounds)
+
+
+_load_families()

@@ -1,0 +1,265 @@
+"""Reference-parity queries: the semantics of the two dbt models and the
+ingest normalizations, re-expressed Spark-first on the TPC-H-ish fixtures
+(FIXTURES.md maps box-office concepts → fixture tables: fact rows/day →
+lineitem/orders, movie key → part/customer).
+
+Citations point into /root/reference so parity is checkable:
+- box_office_showrange.sql:1-29  → showrange_daily_agg (A1+A2)
+- box_office_data.sql:1-32       → box_office_pivot (A3/A4/A5, J1 full-outer
+  alignment as MAX(CASE) pivot), union + source-tag projection (O3/P6), global
+  sort (O1)
+- README.md:88,101,133 staging dedup claim → staging_dedup
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.functions.scalars import (
+    dsum,
+    dsum_sql,
+    revenue_expr,
+    to_day,
+)
+from data_pipeline_team5_spark.operators.pivoting import pivot_max_cells
+from data_pipeline_team5_spark.plans.catalog import register, table
+
+
+@register(
+    "showrange_daily_agg",
+    oracle=f"""
+        SELECT CAST(l_shipdate AS DATE) AS show_range,
+               {dsum_sql('l_quantity', 'sum_qty')},
+               {dsum_sql('l_extendedprice', 'sum_sales')},
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_revenue,
+               {dsum_sql('l_discount', 'sum_disc', 'DECIMAL(8,4)')},
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM lineitem
+        GROUP BY CAST(l_shipdate AS DATE)
+        ORDER BY show_range
+    """,
+    doc="A1+A2 (box_office_showrange.sql:6-29): per-day multi-SUM hash agg. "
+    "The reference's manual partial→final two-phase collapses to one groupBy: "
+    "Catalyst's HashAggregate already does partial (map-side) + final across "
+    "the shuffle. Partitioned-by-day parquet at scale makes this a pruned scan.",
+    headline=True,
+    tags=("agg", "reference"),
+)
+def showrange_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(to_day("l_shipdate").alias("show_range"))
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_sales"),
+            F.sum(revenue_expr()).cast("double").alias("sum_revenue"),
+            dsum("l_discount", "sum_disc", "decimal(8,4)"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("show_range")
+    )
+
+
+_FLAGS = ["A", "N", "R"]
+
+
+@register(
+    "box_office_pivot",
+    oracle="""
+        SELECT p.p_brand AS p_brand,
+               CAST(MAX(CASE WHEN l.l_returnflag = 'A' THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS a_max_sales,
+               CAST(MAX(CASE WHEN l.l_returnflag = 'N' THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS n_max_sales,
+               CAST(MAX(CASE WHEN l.l_returnflag = 'R' THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS r_max_sales,
+               CAST(SUM(CASE WHEN l.l_returnflag = 'A' THEN CAST(l.l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS a_sum_qty,
+               CAST(SUM(CASE WHEN l.l_returnflag = 'N' THEN CAST(l.l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS n_sum_qty,
+               CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN CAST(l.l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS r_sum_qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+        ORDER BY p_brand
+    """,
+    doc="A3/A4/A5 + J1 (box_office_data.sql:20-31): long→wide pivot with "
+    "MAX(CASE WHEN …) cells — the reference's N-way full-outer alignment of "
+    "per-day tables on the movie key, here brand × returnflag. Explicit value "
+    "list keeps it a single job (no distinct-collection pass); the dim join is "
+    "broadcast.",
+    headline=True,
+    tags=("pivot", "reference"),
+)
+def box_office_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    return pivot_max_cells(
+        joined,
+        group_key="p_brand",
+        pivot_col="l_returnflag",
+        pivot_values=_FLAGS,
+        cells=[
+            ("max", "l_extendedprice", "max_sales"),
+            ("sum", "l_quantity", "sum_qty"),
+        ],
+    ).orderBy("p_brand")
+
+
+@register(
+    "union_partial_reagg",
+    oracle=f"""
+        SELECT order_day,
+               {dsum_sql('partial_sales', 'total_sales')},
+               CAST(SUM(n_orders) AS BIGINT) AS n_orders
+        FROM (
+            SELECT CAST(o_orderdate AS DATE) AS order_day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS partial_sales,
+                   COUNT(*) AS n_orders
+            FROM orders WHERE o_orderstatus = 'O'
+            GROUP BY CAST(o_orderdate AS DATE)
+            UNION ALL
+            SELECT CAST(o_orderdate AS DATE), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), COUNT(*)
+            FROM orders WHERE o_orderstatus = 'F'
+            GROUP BY CAST(o_orderdate AS DATE)
+            UNION ALL
+            SELECT CAST(o_orderdate AS DATE), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), COUNT(*)
+            FROM orders WHERE o_orderstatus = 'P'
+            GROUP BY CAST(o_orderdate AS DATE)
+        ) base_data
+        GROUP BY order_day
+        ORDER BY order_day
+    """,
+    doc="O3+A2 (box_office_showrange.sql:2-29): N-way UNION ALL of per-branch "
+    "partial aggregates, re-aggregated — the reference's Jinja-looped "
+    "per-table SUMs. unionByName keeps schema alignment; Catalyst pushes the "
+    "final agg through the union.",
+    tags=("union", "agg", "reference"),
+)
+def union_partial_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+
+    def branch(status: str) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderstatus") == status)
+            .groupBy(to_day("o_orderdate").alias("order_day"))
+            .agg(
+                dsum("o_totalprice", "partial_sales"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+
+    base = reduce(DataFrame.unionByName, [branch(s) for s in ("O", "F", "P")])
+    return (
+        base.groupBy("order_day")
+        .agg(
+            dsum("partial_sales", "total_sales"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+        .orderBy("order_day")
+    )
+
+
+@register(
+    "source_tag_union",
+    oracle=f"""
+        SELECT source_table,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {dsum_sql('o_totalprice', 'total_sales')}
+        FROM (
+            SELECT 'orders_open' AS source_table, o_totalprice
+            FROM orders WHERE o_orderstatus = 'O'
+            UNION ALL
+            SELECT 'orders_closed' AS source_table, o_totalprice
+            FROM orders WHERE o_orderstatus <> 'O'
+        ) tagged
+        GROUP BY source_table
+        ORDER BY source_table
+    """,
+    doc="P5+P6 (box_office_data.sql:6-15): column-pruned projection with a "
+    "literal provenance column per union branch ('{{ table_name }}' AS "
+    "source_table). In long format at scale this is input_file_name()/the "
+    "partition column — here reproduced as F.lit per branch.",
+    tags=("projection", "reference"),
+)
+def source_tag_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.lit("orders_open").alias("source_table"), "o_totalprice"
+    )
+    closed = orders.filter(F.col("o_orderstatus") != "O").select(
+        F.lit("orders_closed").alias("source_table"), "o_totalprice"
+    )
+    return (
+        open_.unionByName(closed)
+        .groupBy("source_table")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "total_sales"),
+        )
+        .orderBy("source_table")
+    )
+
+
+@register(
+    "partition_pruned_window_agg",
+    oracle=f"""
+        SELECT CAST(o_orderdate AS DATE) AS order_day,
+               {dsum_sql('o_totalprice', 'total_sales')},
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1998-01-01' AND DATE '1998-01-09'
+        GROUP BY CAST(o_orderdate AS DATE)
+        ORDER BY order_day
+    """,
+    doc="P7 (dbt_dags.py:12-20): the reference's 9-day table-name enumeration "
+    "becomes a date-range filter. On show_range-partitioned parquet this is "
+    "pure partition pruning — the scan never touches other days.",
+    tags=("filter", "reference"),
+)
+def partition_pruned_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    day = to_day("o_orderdate")
+    return (
+        orders.filter(day.between("1998-01-01", "1998-01-09"))
+        .groupBy(day.alias("order_day"))
+        .agg(
+            dsum("o_totalprice", "total_sales"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("order_day")
+    )
+
+
+@register(
+    "staging_dedup",
+    oracle="""
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE) AS order_day,
+               CAST(COUNT(*) AS BIGINT) AS n_dups,
+               CAST(MIN(o_orderkey) AS BIGINT) AS keep_orderkey
+        FROM orders
+        GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+        HAVING COUNT(*) > 1
+        ORDER BY o_custkey, order_day
+    """,
+    doc="README.md:88,101,133 claims staging-layer dedup (중복 제거) but ships no "
+    "code. Engine semantics: exact dedup on the natural key with a "
+    "deterministic survivor (MIN orderkey) — dropDuplicates() keeps an "
+    "arbitrary row, so the keyed-groupBy form is what a reproducible pipeline "
+    "needs. This query surfaces the duplicate groups.",
+    tags=("dedup", "reference"),
+)
+def staging_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            "o_custkey", to_day("o_orderdate").alias("order_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("o_orderkey").alias("keep_orderkey"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .orderBy("o_custkey", "order_day")
+    )

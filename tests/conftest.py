@@ -1,0 +1,34 @@
+"""Shared fixtures: one SparkSession per test run, DuckDB oracle connection."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from data_pipeline_team5_spark.plans.catalog import TABLES
+from data_pipeline_team5_spark.session import get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB connection with the fixture tables registered as views,
+    mirroring the driver's oracle environment."""
+
+    def connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return con
+
+    return connect

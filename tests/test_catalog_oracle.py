@@ -1,0 +1,75 @@
+"""Mini-driver: every catalog query vs its DuckDB oracle at sf0.001.
+
+Replicates the driver's CORRECTNESS gate (row count + column names + order-
+insensitive values) so a green run here predicts a green CORRECTNESS_r{N}.json.
+Comparison is exact for ints/strings/dates and bitwise for doubles — the
+engine's decimal policy (functions/scalars.py) is designed to make that hold.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+
+from data_pipeline_team5_spark.plans.catalog import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _normalize(cols, rows):
+    """Sort columns by name (driver behavior), then rows for order-insensitive
+    comparison."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    out = sorted(
+        tuple(_norm_cell(r[i]) for i in order) for r in rows
+    )
+    return sorted_cols, out
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    q = QUERIES[name]
+    sdf = q.fn(spark, SF_SMALL)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+
+    if q.oracle is None:
+        # Rows-only check (driver parity for non-SQL-expressible ops).
+        assert len(srows) >= 0
+        return
+
+    con = duck(SF_SMALL)
+    res = con.execute(q.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+
+    s_cols, s_norm = _normalize(scols, srows)
+    o_cols, o_norm = _normalize(ocols, orows)
+
+    assert s_cols == o_cols, f"{name}: column names differ"
+    assert len(s_norm) == len(o_norm), (
+        f"{name}: row count {len(s_norm)} vs oracle {len(o_norm)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_norm, o_norm)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first: "
+        f"{mismatches[0]}"
+    )
