@@ -1,0 +1,167 @@
+"""KOFIC box-office JSON ingest: S1 (HTTP JSON scan) + S2 (unwrap) + P1-P4.
+
+The reference fetches the KOFIC daily box-office endpoint and hand-rolls the
+normalization in pandas/CSV string surgery (daily_parquet_pipeline.py:23-82,
+daily_csv_pipeline.py:23-107). Here the whole normalization is ONE declarative
+Spark plan over the raw JSON document:
+
+    raw json text
+      → F.from_json(envelope schema)        (S2: typed unwrap, no .get chains)
+      → F.explode(dailyBoxOfficeList)       (S2: list → rows)
+      → envelope fields broadcast per row   (P2: F.lit-like projection)
+      → withColumnsRenamed(RENAME_MAP)      (P1: bulk rename — names are DATA,
+                                             never date-prefixed identifiers)
+      → substring_index(showRange, '~', 1)  (P3: ''a~b'' → a)
+      → to_date(..., 'yyyyMMdd') / casts    (P4: schema-on-write, §1.2 types)
+
+Unlike the reference, time is a COLUMN (`show_range`), not a table-name/
+column-prefix; storage is parquet partitioned by show_range, so the dbt
+models' 9-table UNION ALL becomes partition pruning (SURVEY.md §1.3).
+
+The HTTP GET itself stays a driver-side fetch for a ~10-row/day API (S1); at
+scale the same schema applies to landed JSON files via spark.read.json, or a
+Spark 4 Python DataSource for parallel API shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# API field → engine column (daily_parquet_pipeline.py:53-72 rename_dict,
+# normalized: no {YYYYMMDD}_ prefix — the date lives in show_range).
+RENAME_MAP = {
+    "rnum": "rank_num",
+    "rank": "ranking",
+    "rankInten": "increase_decrease",
+    "rankOldAndNew": "new_entry",
+    "movieCd": "code",
+    "movieNm": "title",
+    "openDt": "released_date",
+    "salesAmt": "sales",
+    "salesShare": "sales_ratio",
+    "salesInten": "sales_delta",
+    "salesChange": "sales_delta_pct",
+    "salesAcc": "total_sales",
+    "audiCnt": "audience_num",
+    "audiInten": "audience_delta",
+    "audiChange": "audience_delta_pct",
+    "audiAcc": "total_audience_num",
+    "scrnCnt": "screen_num",
+    "showCnt": "screen_show",
+}
+
+# Envelope: boxOfficeResult.{boxofficeType, showRange, dailyBoxOfficeList[]}
+# — every list field arrives as a JSON string (daily_parquet_pipeline.py:34-40).
+_ROW = T.StructType(
+    [T.StructField(f, T.StringType()) for f in RENAME_MAP]
+)
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "boxOfficeResult",
+            T.StructType(
+                [
+                    T.StructField("boxofficeType", T.StringType()),
+                    T.StructField("showRange", T.StringType()),
+                    T.StructField("dailyBoxOfficeList", T.ArrayType(_ROW)),
+                ]
+            ),
+        )
+    ]
+)
+
+_LONG_COLS = [
+    "rank_num",
+    "ranking",
+    "increase_decrease",
+    "code",
+    "sales",
+    "sales_delta",
+    "total_sales",
+    "audience_num",
+    "audience_delta",
+    "total_audience_num",
+    "screen_num",
+    "screen_show",
+]
+_DOUBLE_COLS = ["sales_ratio", "sales_delta_pct", "audience_delta_pct"]
+
+# §1.2 canonical schema: LongType for counts/money (the Parquet-path BIGINT
+# DDL, daily_parquet_pipeline.py:113-135; the CSV path's NUMERIC/INTEGER
+# variant is the documented divergence), DoubleType for ratios, DateType for
+# released_date / show_range.
+BOX_OFFICE_SCHEMA = T.StructType(
+    [
+        T.StructField("show_range", T.DateType(), False),
+        T.StructField("rank_num", T.LongType(), False),
+        T.StructField("ranking", T.LongType(), False),
+        T.StructField("increase_decrease", T.LongType()),
+        T.StructField("new_entry", T.StringType()),
+        T.StructField("code", T.LongType()),
+        T.StructField("title", T.StringType(), False),
+        T.StructField("released_date", T.DateType()),
+        T.StructField("sales", T.LongType()),
+        T.StructField("sales_ratio", T.DoubleType()),
+        T.StructField("sales_delta", T.LongType()),
+        T.StructField("sales_delta_pct", T.DoubleType()),
+        T.StructField("total_sales", T.LongType()),
+        T.StructField("audience_num", T.LongType()),
+        T.StructField("audience_delta", T.LongType()),
+        T.StructField("audience_delta_pct", T.DoubleType()),
+        T.StructField("total_audience_num", T.LongType()),
+        T.StructField("screen_num", T.LongType()),
+        T.StructField("screen_show", T.LongType()),
+        T.StructField("box_office_type", T.StringType()),
+    ]
+)
+
+
+def ingest_box_office_json(
+    spark: SparkSession, raw_json: str | list[str]
+) -> DataFrame:
+    """One KOFIC response document (or several) → typed long-format rows.
+
+    Raises ValueError when the unwrapped list is empty (P8 empty-result guard,
+    daily_csv_pipeline.py:40-42) — the reference aborts the DAG run likewise.
+    """
+    docs = [raw_json] if isinstance(raw_json, str) else list(raw_json)
+    raw = spark.createDataFrame([(d,) for d in docs], ["raw"])
+
+    parsed = raw.select(
+        F.from_json("raw", ENVELOPE_SCHEMA).alias("doc")
+    ).select("doc.boxOfficeResult.*")
+
+    rows = parsed.select(
+        F.col("boxofficeType").alias("box_office_type"),
+        # P3: '20250123~20250123' → '20250123' (substring_index ≡ split[0])
+        F.substring_index("showRange", "~", 1).alias("show_range_raw"),
+        F.explode("dailyBoxOfficeList").alias("r"),
+    )
+
+    renamed = rows.select(
+        "box_office_type",
+        "show_range_raw",
+        *[F.col(f"r.{api}").alias(eng) for api, eng in RENAME_MAP.items()],
+    )
+
+    typed = renamed.select(
+        F.to_date("show_range_raw", "yyyyMMdd").alias("show_range"),
+        *[F.col(c).cast("long").alias(c) for c in _LONG_COLS[:3]],
+        F.col("new_entry"),
+        F.col("code").cast("long").alias("code"),
+        F.col("title"),
+        # openDt arrives as 'yyyy-MM-dd'; to_date's default pattern covers it
+        # (the reference leans on pandas/Redshift 'auto' parsing — P4).
+        F.to_date("released_date").alias("released_date"),
+        *[F.col(c).cast("long").alias(c) for c in _LONG_COLS[4:]],
+        *[F.col(c).cast("double").alias(c) for c in _DOUBLE_COLS],
+        "box_office_type",
+    ).select([f.name for f in BOX_OFFICE_SCHEMA.fields])
+
+    if typed.isEmpty():
+        raise ValueError(
+            "empty dailyBoxOfficeList — aborting ingest (P8 guard)"
+        )
+    return typed

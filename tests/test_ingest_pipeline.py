@@ -1,0 +1,141 @@
+"""Golden ingest + pipeline tests (FIXTURES.md §5): KOFIC-shaped JSON →
+typed long table → showrange/pivot transforms, hand-checked expectations."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.pipeline import (
+    last_n_days,
+    transform_daily,
+    transform_pivot,
+)
+from data_pipeline_team5_spark.sources.ingest import (
+    BOX_OFFICE_SCHEMA,
+    ingest_box_office_json,
+)
+from data_pipeline_team5_spark.sources.writers import write_parquet_partitioned
+
+
+def _movie(rnum, code, title, sales, audi, scrn, new="OLD"):
+    return {
+        "rnum": str(rnum),
+        "rank": str(rnum),
+        "rankInten": "0",
+        "rankOldAndNew": new,
+        "movieCd": str(code),
+        "movieNm": title,
+        "openDt": "2025-01-01",
+        "salesAmt": str(sales),
+        "salesShare": "12.5",
+        "salesInten": "100",
+        "salesChange": "1.5",
+        "salesAcc": str(sales * 10),
+        "audiCnt": str(audi),
+        "audiInten": "5",
+        "audiChange": "0.5",
+        "audiAcc": str(audi * 10),
+        "scrnCnt": str(scrn),
+        "showCnt": str(scrn * 4),
+    }
+
+
+def _doc(day: str, movies) -> str:
+    return json.dumps(
+        {
+            "boxOfficeResult": {
+                "boxofficeType": "일별 박스오피스",
+                "showRange": f"{day}~{day}",
+                "dailyBoxOfficeList": movies,
+            }
+        }
+    )
+
+
+DOC_D1 = _doc(
+    "20250122",
+    [
+        _movie(1, 101, "Movie, With Comma", 1000, 90, 5, new="NEW"),
+        _movie(2, 102, "Second", 800, 70, 4, new="NEW"),
+    ],
+)
+DOC_D2 = _doc(
+    "20250123",
+    [
+        _movie(1, 102, "Second", 900, 80, 4),
+        _movie(2, 103, "Third", 500, 40, 3, new="NEW"),
+    ],
+)
+
+
+def test_ingest_schema_and_values(spark):
+    df = ingest_box_office_json(spark, DOC_D1)
+    # names+types must match §1.2 exactly (nullability is enforced by the
+    # data-quality checks, not the plan schema — from_json output is nullable)
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in BOX_OFFICE_SCHEMA.fields
+    ]
+    rows = {r["code"]: r for r in df.collect()}
+    assert set(rows) == {101, 102}
+    r = rows[101]
+    assert r["show_range"] == datetime.date(2025, 1, 22)  # P3 split + P4 cast
+    assert r["title"] == "Movie, With Comma"  # comma-safe (ref CSV bug fixed)
+    assert r["released_date"] == datetime.date(2025, 1, 1)
+    assert r["sales"] == 1000 and r["total_sales"] == 10000
+    assert r["sales_ratio"] == 12.5 and r["new_entry"] == "NEW"
+    assert r["box_office_type"] == "일별 박스오피스"
+
+
+def test_ingest_empty_guard(spark):
+    with pytest.raises(ValueError, match="empty dailyBoxOfficeList"):
+        ingest_box_office_json(spark, _doc("20250122", []))
+
+
+def test_idempotent_partition_overwrite(spark, tmp_path):
+    path = str(tmp_path / "warehouse")
+    df = ingest_box_office_json(spark, [DOC_D1, DOC_D2])
+    write_parquet_partitioned(df, path)
+    # Re-running one day must NOT duplicate it (the reference's blind-COPY
+    # retry bug) and must not clobber the other day.
+    d1_again = ingest_box_office_json(spark, DOC_D1)
+    write_parquet_partitioned(d1_again, path)
+    out = spark.read.parquet(path)
+    assert out.count() == 4
+    assert out.groupBy("show_range").count().filter("count != 2").count() == 0
+
+
+def test_transform_daily_sums(spark):
+    df = ingest_box_office_json(spark, [DOC_D1, DOC_D2])
+    res = transform_daily(df, ["2025-01-22", "2025-01-23"]).collect()
+    by_day = {r["show_range"].isoformat(): r for r in res}
+    assert by_day["2025-01-22"]["total_sales_sum"] == 1800.0
+    assert by_day["2025-01-23"]["total_audience_sum"] == 120.0
+    assert by_day["2025-01-22"]["screen_show_sum"] == 36.0
+
+
+def test_transform_pivot_null_cells_and_max(spark):
+    df = ingest_box_office_json(spark, [DOC_D1, DOC_D2])
+    res = transform_pivot(df, ["2025-01-22", "2025-01-23"])
+    rows = {r["code"]: r for r in res.collect()}
+    assert set(rows) == {101, 102, 103}
+    # movie 101 absent on day 2 → NULL cell (full-outer alignment, J1)
+    assert rows[101]["20250123_sales"] is None
+    assert rows[101]["20250122_sales"] == 1000.0
+    # movie 102 present both days
+    assert rows[102]["20250122_sales"] == 800.0
+    assert rows[102]["20250123_sales"] == 900.0
+    # global sort O1: title,code ascending
+    titles = [r["title"] for r in res.collect()]
+    assert titles == sorted(titles)
+
+
+def test_last_n_days():
+    assert last_n_days(datetime.date(2025, 1, 23), 3) == [
+        "2025-01-21",
+        "2025-01-22",
+        "2025-01-23",
+    ]
