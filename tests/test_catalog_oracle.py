@@ -18,17 +18,25 @@ from tests.conftest import SF_SMALL
 
 
 def _norm_cell(v):
+    # NULLs map to a sortable sentinel tuple so mixed None/value columns sort
+    # deterministically instead of raising TypeError (sparse pivots, lag()).
+    if v is None:
+        return (0, "")
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return (1, "NaN")
+        return (1, "f", v)
+    if isinstance(v, bool):
+        return (1, "b", v)
+    if isinstance(v, int):
+        return (1, "i", v)
     if isinstance(v, datetime.datetime):
-        return v.isoformat(sep=" ")
+        return (1, v.isoformat(sep=" "))
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        return (1, v.isoformat())
     if isinstance(v, list):
-        return tuple(_norm_cell(x) for x in v)
-    return v
+        return (1, tuple(_norm_cell(x) for x in v))
+    return (1, v)
 
 
 def _normalize(cols, rows):
@@ -50,8 +58,10 @@ def test_query_matches_oracle(name, spark, duck):
     scols = sdf.columns
 
     if q.oracle is None:
-        # Rows-only check (driver parity for non-SQL-expressible ops).
-        assert len(srows) >= 0
+        # Rows-only check (driver parity for non-SQL-expressible ops):
+        # collect() must succeed AND produce at least one row — an empty
+        # result from a rows-only query is almost always a broken plan.
+        assert len(srows) > 0, f"{name}: rows-only query returned 0 rows"
         return
 
     con = duck(SF_SMALL)
