@@ -61,6 +61,31 @@ def charge_expr() -> Column:
     )
 
 
+def exact_corr(
+    n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column, syy: Column
+) -> Column:
+    """Pearson correlation from exact-decimal-sourced moment sums.
+
+    ``F.corr``'s streaming accumulation is order-dependent in IEEE doubles, so
+    a Spark result and a DuckDB result can differ in the last ulp and break
+    value-hash oracle comparison. Instead the five moment sums are accumulated
+    exactly (DECIMAL), cast to DOUBLE once, and the closed form below is one
+    fixed sequence of double ops — identical on both engines (see
+    ``exact_corr_sql`` for the mirrored oracle text).
+    """
+    return (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+
+
+def exact_corr_sql(n: str, sx: str, sy: str, sxy: str, sxx: str, syy: str) -> str:
+    """DuckDB mirror of :func:`exact_corr` — textually the same expression."""
+    return (
+        f"(({n} * {sxy} - {sx} * {sy}) / "
+        f"(sqrt({n} * {sxx} - {sx} * {sx}) * sqrt({n} * {syy} - {sy} * {sy})))"
+    )
+
+
 def to_day(col: str | Column) -> Column:
     """TIMESTAMP → DATE (session TZ pinned to UTC, so this is TZ-free)."""
     c = F.col(col) if isinstance(col, str) else col

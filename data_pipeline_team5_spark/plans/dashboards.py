@@ -1,0 +1,491 @@
+"""Dashboards family (SURVEY.md §2.8 D1-D10, §2.6 O2, §2.4 A6/§2.7 F9): the
+analytics surface the reference pipeline exists to serve.
+
+Reference parity targets: the Preset dashboard specs in
+/root/reference/README.md:160-220 — scatter correlations (D1/D2,
+README.md:164-172), top-10 bar (D3, :174-177), sales~audience mixed chart
+(D4, :183-186), weekday averages (D5, :188-191), last-7-day big number +
+trendline (D6, :193-196), 1-year bubble (D7, :198-201), season × genre bar /
+pivot (D8/D9, :207-215), holiday/genre share pie (D10, :217-220).
+
+Fixture mapping (plans/_facts.py): movie → p_brand, sales → l_extendedprice,
+audience → l_quantity, screens → l_quantity-as-screens on the scatter pair,
+genre → p_type (6 stable values → explicit pivot list, single job).
+
+Scale posture: every query is groupBy-agg over the broadcast-joined fact —
+one shuffle each, map-side partial agg, AQE-coalesced. Correlations use
+exact-decimal moment sums + a closed form (functions/scalars.py:exact_corr)
+so the oracle matches bitwise; Top-K orders carry a deterministic tie-break
+key so both engines pick identical rows at the K boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.functions.scalars import (
+    MONEY,
+    dsum,
+    dsum_sql,
+    exact_corr,
+    exact_corr_sql,
+    to_day,
+)
+from data_pipeline_team5_spark.plans._facts import BRAND_DAILY_SQL, brand_daily
+from data_pipeline_team5_spark.plans.catalog import register, table
+
+_BD = f"WITH brand_daily AS ({BRAND_DAILY_SQL})"
+
+# Stable across all fixture SFs (verified 0.001/0.01/0.1) → explicit pivot
+# value list keeps the pivot a single job (no distinct-collection pass).
+GENRES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+
+
+def _brand_totals_sql(extra: str = "") -> str:
+    return f"""
+        SELECT p.p_brand AS p_brand,
+               {dsum_sql('l.l_quantity', 'screens')},
+               {dsum_sql('l.l_extendedprice', 'sales')},
+               {dsum_sql('l.l_quantity', 'audience')},
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        {extra}
+        GROUP BY p.p_brand
+    """
+
+
+def _brand_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum("l_quantity", "screens"),
+            dsum("l_extendedprice", "sales"),
+            dsum("l_quantity", "audience"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "d1_screens_vs_sales",
+    oracle=f"""
+        SELECT p_brand, screens, sales
+        FROM ({_brand_totals_sql()})
+        ORDER BY p_brand
+    """,
+    doc="D1 (README.md:164-167): scatter points — per-movie (screens, sales) "
+    "pairs. One broadcast join + one hash agg; 25 output rows at any scale.",
+    tags=("dashboard", "agg"),
+)
+def d1_screens_vs_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _brand_totals(spark, sf_dir)
+        .select("p_brand", "screens", "sales")
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "d2_screens_vs_audience",
+    oracle=f"""
+        SELECT p_brand, screens, audience
+        FROM ({_brand_totals_sql()})
+        ORDER BY p_brand
+    """,
+    doc="D2 (README.md:169-172): scatter points — per-movie (screens, "
+    "audience) pairs.",
+    tags=("dashboard", "agg"),
+)
+def d2_screens_vs_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _brand_totals(spark, sf_dir)
+        .select("p_brand", "screens", "audience")
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "dash_corr_matrix",
+    oracle=f"""
+        WITH g AS (
+            -- DECIMAL(19,2): forces DuckDB onto int128 storage so xd*yd
+            -- cannot overflow the int64 fast path (result DECIMAL(38,4)).
+            SELECT p.p_brand,
+                   CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS xd,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS yd
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        ), m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(xd) AS DOUBLE) AS sx,
+                   CAST(SUM(yd) AS DOUBLE) AS sy,
+                   CAST(SUM(xd * yd) AS DOUBLE) AS sxy,
+                   CAST(SUM(xd * xd) AS DOUBLE) AS sxx,
+                   CAST(SUM(yd * yd) AS DOUBLE) AS syy
+            FROM g
+        )
+        SELECT {exact_corr_sql('n', 'sx', 'sy', 'sxy', 'sxx', 'syy')} AS corr_screens_sales,
+               CAST(n AS BIGINT) AS n_points
+        FROM m
+    """,
+    doc="D1/A6/F9 (README.md:164-167 correlation): Pearson r between "
+    "per-movie screens and sales. F.corr's streaming double accumulation is "
+    "order-dependent, so the moments are summed exactly in DECIMAL and the "
+    "closed form is one fixed double-op sequence — bitwise oracle parity "
+    "(functions/scalars.py:exact_corr).",
+    tags=("dashboard", "corr"),
+)
+def dash_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    g = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast(MONEY)).cast(MONEY).alias("xd"),
+            F.sum(F.col("l_extendedprice").cast(MONEY)).cast(MONEY).alias("yd"),
+        )
+    )
+    m = g.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("xd").cast("double").alias("sx"),
+        F.sum("yd").cast("double").alias("sy"),
+        F.sum(F.col("xd") * F.col("yd")).cast("double").alias("sxy"),
+        F.sum(F.col("xd") * F.col("xd")).cast("double").alias("sxx"),
+        F.sum(F.col("yd") * F.col("yd")).cast("double").alias("syy"),
+    )
+    return m.select(
+        exact_corr(
+            F.col("n"), F.col("sx"), F.col("sy"),
+            F.col("sxy"), F.col("sxx"), F.col("syy"),
+        ).alias("corr_screens_sales"),
+        F.col("n").cast("bigint").alias("n_points"),
+    )
+
+
+@register(
+    "d3_top10_sales",
+    oracle=f"""
+        SELECT p_brand, sales, screens
+        FROM ({_brand_totals_sql()})
+        ORDER BY sales DESC, p_brand
+        LIMIT 10
+    """,
+    doc="D3/O2 (README.md:174-177): top-10 movies by sales with screen "
+    "counts. Spark plans TakeOrderedAndProject (per-partition top-10 then "
+    "merge — no global sort). Tie-break on p_brand makes the K boundary "
+    "deterministic across engines.",
+    headline=True,
+    tags=("dashboard", "topk"),
+)
+def d3_top10_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _brand_totals(spark, sf_dir)
+        .select("p_brand", "sales", "screens")
+        .orderBy(F.desc("sales"), "p_brand")
+        .limit(10)
+    )
+
+
+@register(
+    "d4_sales_audience",
+    oracle=f"""
+        SELECT p_brand, sales, audience,
+               sales / audience AS avg_ticket_price
+        FROM ({_brand_totals_sql()})
+        ORDER BY p_brand
+    """,
+    doc="D4/F9 (README.md:183-186): per-movie sales vs audience mixed chart "
+    "+ derived ratio (one double division over exact inputs).",
+    tags=("dashboard", "agg"),
+)
+def d4_sales_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _brand_totals(spark, sf_dir)
+        .select(
+            "p_brand",
+            "sales",
+            "audience",
+            (F.col("sales") / F.col("audience")).alias("avg_ticket_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "d5_weekday_averages",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(l_shipdate AS DATE) AS show_range,
+                   {dsum_sql('l_quantity', 'audience')},
+                   {dsum_sql('l_extendedprice', 'sales')}
+            FROM lineitem
+            GROUP BY 1
+        )
+        SELECT CAST(dayofweek(show_range) + 1 AS INT) AS weekday,
+               CAST(SUM(CAST(sales AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_sales,
+               CAST(SUM(CAST(audience AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_audience,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily
+        GROUP BY 1
+        ORDER BY weekday
+    """,
+    doc="D5/A6 (README.md:188-191): average daily sales/audience per weekday "
+    "(1=Sunday, Spark dayofweek convention; oracle shifts DuckDB's 0-based). "
+    "Two-level agg: exact daily totals, then exact decimal mean over days.",
+    tags=("dashboard", "date"),
+)
+def d5_weekday_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(to_day("l_shipdate").alias("show_range")).agg(
+        dsum("l_quantity", "audience"),
+        dsum("l_extendedprice", "sales"),
+    )
+    return (
+        daily.groupBy(
+            F.dayofweek("show_range").cast("int").alias("weekday")
+        )
+        .agg(
+            (
+                F.sum(F.col("sales").cast(MONEY)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_sales"),
+            (
+                F.sum(F.col("audience").cast(MONEY)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_audience"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("weekday")
+    )
+
+
+@register(
+    "d6_last7_trend",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(l_shipdate AS DATE) AS show_range,
+                   {dsum_sql('l_extendedprice', 'sales')},
+                   {dsum_sql('l_quantity', 'audience')}
+            FROM lineitem
+            GROUP BY 1
+        )
+        SELECT show_range, sales, audience
+        FROM daily
+        WHERE show_range >= (SELECT MAX(show_range) - 6 FROM daily)
+        ORDER BY show_range
+    """,
+    doc="D6/W6 (README.md:193-196): big-number-with-trendline — the last 7 "
+    "calendar days' daily series relative to the data's max day. The max-day "
+    "scalar is a 1-row broadcast join; on day-partitioned storage the filter "
+    "prunes to 7 partitions.",
+    tags=("dashboard", "date"),
+)
+def d6_last7_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(to_day("l_shipdate").alias("show_range")).agg(
+        dsum("l_extendedprice", "sales"),
+        dsum("l_quantity", "audience"),
+    )
+    cutoff = daily.agg(
+        F.date_sub(F.max("show_range"), 6).alias("cutoff")
+    )
+    return (
+        daily.join(F.broadcast(cutoff))
+        .filter(F.col("show_range") >= F.col("cutoff"))
+        .select("show_range", "sales", "audience")
+        .orderBy("show_range")
+    )
+
+
+@register(
+    "d7_year_bubble",
+    oracle=f"""
+        WITH scoped AS (
+            SELECT l.*, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE CAST(l.l_shipdate AS DATE) >=
+                  (SELECT MAX(CAST(l_shipdate AS DATE)) - 364 FROM lineitem)
+        )
+        SELECT p_brand,
+               {dsum_sql('l_extendedprice', 'sales')},
+               {dsum_sql('l_quantity', 'audience')},
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM scoped
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    doc="D7 (README.md:198-201): 1-year bubble chart — 365-day scope from "
+    "the data's max day, 3 metrics per movie. The date filter is pushed to "
+    "the scan (partition pruning on day-partitioned storage).",
+    tags=("dashboard", "date"),
+)
+def d7_year_bubble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cutoff = li.agg(
+        F.date_sub(F.max(to_day("l_shipdate")), 364).alias("cutoff")
+    )
+    return (
+        li.join(F.broadcast(cutoff))
+        .filter(to_day("l_shipdate") >= F.col("cutoff"))
+        .join(F.broadcast(pt), F.col("l_partkey") == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum("l_extendedprice", "sales"),
+            dsum("l_quantity", "audience"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_SEASON_SQL = """CASE WHEN month(CAST(l_shipdate AS DATE)) IN (12, 1, 2) THEN 'winter'
+                      WHEN month(CAST(l_shipdate AS DATE)) IN (3, 4, 5) THEN 'spring'
+                      WHEN month(CAST(l_shipdate AS DATE)) IN (6, 7, 8) THEN 'summer'
+                      ELSE 'fall' END"""
+
+
+def _season_col() -> Column:
+    m = F.month(to_day("l_shipdate"))
+    return (
+        F.when(m.isin(12, 1, 2), "winter")
+        .when(m.isin(3, 4, 5), "spring")
+        .when(m.isin(6, 7, 8), "summer")
+        .otherwise("fall")
+    )
+
+
+@register(
+    "d8_season_genre",
+    oracle=f"""
+        SELECT {_SEASON_SQL} AS season,
+               p.p_type AS genre,
+               {dsum_sql('l.l_quantity', 'audience')}
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+        ORDER BY season, genre
+    """,
+    doc="D8 (README.md:207-210): season × genre audience sums (month→season "
+    "CASE, p_type as the genre dim). One broadcast join + one agg.",
+    tags=("dashboard", "pivot"),
+)
+def d8_season_genre(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            _season_col().alias("season"), F.col("p_type").alias("genre")
+        )
+        .agg(dsum("l_quantity", "audience"))
+        .orderBy("season", "genre")
+    )
+
+
+@register(
+    "d9_season_genre_pivot",
+    oracle=f"""
+        SELECT {_SEASON_SQL} AS season,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN p.p_type = '{g}' THEN CAST(l.l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS {g.lower()}_audience"
+                   for g in GENRES
+               )}
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+        ORDER BY season
+    """,
+    doc="D9 (README.md:212-215): season rows × genre columns pivot table. "
+    "Explicit pivot value list (6 stable genres) → a single partial→final "
+    "HashAggregate, no distinct-collection job.",
+    tags=("dashboard", "pivot"),
+)
+def d9_season_genre_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    wide = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(_season_col().alias("season"))
+        .pivot("p_type", GENRES)
+        .agg(F.sum(F.col("l_quantity").cast(MONEY)).cast("double"))
+    )
+    renamed = wide.select(
+        "season", *[F.col(g).alias(f"{g.lower()}_audience") for g in GENRES]
+    )
+    return renamed.orderBy("season")
+
+
+@register(
+    "d10_genre_share",
+    oracle=f"""
+        WITH g AS (
+            SELECT p.p_type AS genre,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sales_d
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1
+        )
+        SELECT genre,
+               CAST(sales_d AS DOUBLE) AS sales,
+               CAST(sales_d AS DOUBLE) / CAST(SUM(sales_d) OVER () AS DOUBLE) AS share
+        FROM g
+        ORDER BY genre
+    """,
+    doc="D10 (README.md:217-220): share-of-total pie — per-genre sales over "
+    "the grand total via an unpartitioned window sum. Both the numerator and "
+    "the window total stay DECIMAL-exact until one final double division.",
+    tags=("dashboard", "window"),
+)
+def d10_genre_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    g = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(F.col("p_type").alias("genre"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(MONEY))
+            .cast("decimal(28,2)")
+            .alias("sales_d")
+        )
+    )
+    total = F.sum("sales_d").over(Window.partitionBy())
+    return g.select(
+        "genre",
+        F.col("sales_d").cast("double").alias("sales"),
+        (F.col("sales_d").cast("double") / total.cast("double")).alias(
+            "share"
+        ),
+    ).orderBy("genre")
+
+
+@register(
+    "dash_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines — rows-only; the exact
+    # vs approx error bound is asserted in tests/test_dashboards.py.
+    doc="A6 (SURVEY.md §2.4 ⊕): approx_count_distinct (HLL++) next to the "
+    "exact countDistinct per order-month. At 100 TB the approx form avoids "
+    "the exact-distinct expand+reshuffle; the test asserts <5% relative "
+    "error. Rows-only: DuckDB's approx sketch differs by design.",
+    tags=("dashboard", "approx"),
+)
+def dash_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_exact"),
+            # rsd=2%: wider HLL register array, still O(1) state per group —
+            # the scale win over exact distinct (expand + 2nd shuffle) holds.
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n_approx"),
+        )
+        .orderBy("month")
+    )

@@ -1,0 +1,25 @@
+"""Dashboard-family checks beyond the oracle diff.
+
+dash_approx_distinct is rows-only in the driver (HLL sketches differ across
+engines by design) — this test pins down the property that matters: the
+approximate distinct count tracks the exact one within HLL++'s default
+relative-error budget.
+"""
+
+from __future__ import annotations
+
+from data_pipeline_team5_spark.plans.catalog import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def test_approx_distinct_error_bound(spark):
+    rows = QUERIES["dash_approx_distinct"].fn(spark, SF_SMALL).collect()
+    assert rows, "no months in fixture"
+    for r in rows:
+        assert r.n_exact > 0
+        rel_err = abs(r.n_approx - r.n_exact) / r.n_exact
+        # Spark's default rsd is 5%; leave headroom for small-month noise.
+        assert rel_err < 0.10, (
+            f"month {r.month}: approx {r.n_approx} vs exact {r.n_exact} "
+            f"(rel err {rel_err:.3f})"
+        )
