@@ -1,0 +1,147 @@
+"""Join operators (SURVEY.md §2.3): standard joins + the as-of join.
+
+The reference computes exactly one join-shaped thing — the pivot's N-way
+full-outer alignment (box_office_data.sql:1-32, covered by
+operators/pivoting.py) — but the engine ships the standard join surface the
+dashboards/fixtures exercise (inner/left/semi/anti with broadcast hints) plus
+an as-of join, the one temporal operator Spark lacks as a built-in.
+
+As-of join, two implementations with identical semantics (cross-checked in
+tests/test_relational.py):
+
+1. ``asof_join`` — composition of built-in ops: UNION the left ("query") and
+   right ("quote") streams, sort within each key partition by (ts, side,
+   tiebreak), and carry the latest right-side row forward with
+   ``last(..., ignorenulls=True)`` over an unbounded-preceding frame. 100%
+   JVM-side, one shuffle on the key, whole-stage codegen — this is the scale
+   path and the default.
+2. ``asof_join_pandas`` — cogrouped ``applyInPandas`` running
+   ``pd.merge_asof`` per key group (SURVEY.md §2.10's vectorized-UDF
+   surface). Arrow-batched; state is one key group at a time, so executor
+   memory is bounded by the largest single key — fine when keys are users,
+   dangerous when one key dominates (then: salt or fall back to 1).
+
+Both are deterministic under timestamp ties: the right side is ordered by
+(ts, tiebreak_col) and the match takes the greatest such pair ≤ the left ts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"  # 0 = right/quote rows, 1 = left/query rows
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    right_cols: list[str],
+    prefix: str = "matched_",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` in the same key group (exact-ts matches allowed).
+
+    Returns all left columns plus ``prefix+c`` for each c in right_cols
+    (NULL when no prior right row exists).
+    """
+    lcols = left.columns
+    payload = [c for c in right_cols if c not in (key,)]
+
+    shared = {key, ts}  # columns both sides contribute to the union spine
+    r = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias(_SIDE),
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in shared
+        ],
+    )
+    l = left.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(1).alias(_SIDE),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in payload
+        ],
+        *[F.col(c) for c in lcols if c not in shared],
+    )
+    # Order: at an identical timestamp the right row sorts first (side 0),
+    # so an exact-ts right row is visible to the left row — merge_asof's
+    # allow_exact_matches=True semantics. __r_<tiebreak> breaks right-side
+    # ts ties deterministically (greatest wins, being last in the frame).
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, _SIDE, f"__r_{tiebreak}")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = r.unionByName(l).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in payload
+        ],
+    )
+    return filled.filter(F.col(_SIDE) == 1).select(
+        key,
+        *[c for c in lcols if c != key],
+        *[f"{prefix}{c}" for c in payload],
+    )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    right_cols: list[str],
+    prefix: str = "matched_",
+) -> DataFrame:
+    """Same semantics as :func:`asof_join` via cogrouped applyInPandas +
+    ``pd.merge_asof`` (the §2.10 vectorized-Python surface)."""
+    import pandas as pd
+
+    payload = [c for c in right_cols if c != key]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields]
+        + [
+            f"`{prefix}{c}` {right.schema[c].dataType.simpleString()}"
+            for c in payload
+        ]
+    )
+    lcols = left.columns
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        l_sorted = l_pdf.sort_values([ts, tiebreak], kind="mergesort")
+        # Right side sorted by (ts, tiebreak): merge_asof takes the LAST row
+        # ≤ the left ts, so the greatest tiebreak wins on right-side ts ties
+        # — identical to the window composition's ordering.
+        r_base = r_pdf.sort_values([ts, tiebreak], kind="mergesort")
+        # Keep the bare ts as the merge key; payload (which may itself
+        # include ts) rides along under the output prefix.
+        r_sorted = pd.DataFrame({ts: r_base[ts].values})
+        for c in payload:
+            r_sorted[f"{prefix}{c}"] = r_base[c].values
+        if r_sorted.empty:
+            merged = l_sorted.copy()
+            for c in payload:
+                merged[f"{prefix}{c}"] = None
+        else:
+            merged = pd.merge_asof(
+                l_sorted, r_sorted, on=ts, allow_exact_matches=True
+            )
+        return merged[lcols + [f"{prefix}{c}" for c in payload]]
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(merge, schema=out_schema)
+    )

@@ -20,6 +20,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -36,7 +37,21 @@ TABLES = (
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table (column-pruned/pushdown-friendly parquet scan)."""
+    """Read one fixture table (column-pruned/pushdown-friendly parquet scan).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; it is read as nanos-since-epoch (legacy conf) and truncated to
+    microseconds with integer division — bit-identical to how DuckDB/pandas
+    surface the same column (their TIMESTAMP is µs and truncates too).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # `div` is exact long division; going through DOUBLE here could
+        # round the last microsecond.
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

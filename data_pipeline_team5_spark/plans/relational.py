@@ -1,0 +1,238 @@
+"""Relational joins family (SURVEY.md §2.3): the standard join surface plus
+the as-of join, each oracle-checked.
+
+The reference itself contains no JOIN token anywhere (verified in SURVEY §2.3)
+— its only join-shaped computation is the pivot's full-outer alignment. These
+queries give the engine the join surface any user of the analytics layer needs
+(dim rollups, null-preserving lefts, semi/anti membership) and the as-of join
+a training-data/attribution pipeline needs.
+
+Scale posture: dims (region/nation/customer-slice) are broadcast — no shuffle
+on the fact side for the rollup; semi/anti joins let Spark pick broadcast
+null-aware strategies; the as-of join shuffles once on the entity key with
+bounded per-key state (operators/joins.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.functions.scalars import dsum, dsum_sql
+from data_pipeline_team5_spark.operators.joins import asof_join, asof_join_pandas
+from data_pipeline_team5_spark.plans.catalog import register, table
+
+
+@register(
+    "rel_region_rollup",
+    oracle=f"""
+        SELECT r.r_name AS region,
+               n.n_name AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {dsum_sql('o.o_totalprice', 'total_sales')}
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+        ORDER BY region, nation
+    """,
+    doc="Inner-join dim rollup: orders ⋈ customer ⋈ nation ⋈ region → "
+    "revenue per (region, nation). Every dim side is broadcast (customer is "
+    "the largest at ~1.5M rows / SF=1 — still broadcastable; at 100 TB the "
+    "fact never shuffles for this plan, only the final 125-group agg does).",
+    headline=True,
+    tags=("join", "broadcast"),
+)
+def rel_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_sales"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@register(
+    "rel_left_join_counts",
+    oracle=f"""
+        SELECT c.c_custkey AS c_custkey,
+               c.c_mktsegment AS c_mktsegment,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment
+        ORDER BY c_custkey
+    """,
+    doc="Null-preserving LEFT JOIN: every customer kept, zero-order "
+    "customers surface with n_orders=0 / total_spent=0 (COUNT over the "
+    "nullable join column + COALESCE'd exact sum). At scale this is a "
+    "shuffle join on custkey; AQE converts to broadcast when the dim fits.",
+    tags=("join", "left"),
+)
+def rel_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                F.lit(0).cast("decimal(28,2)"),
+            )
+            .cast("double")
+            .alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "rel_semi_join",
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+        )
+        ORDER BY c_custkey
+    """,
+    doc="LEFT SEMI join: customers with ≥1 open order — membership without "
+    "duplication (no fact columns leak through). Plans as a broadcast "
+    "semi-hash join; the build side is the distinct custkeys of the filtered "
+    "fact.",
+    tags=("join", "semi"),
+)
+def rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "rel_anti_join",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+        ORDER BY c_custkey
+    """,
+    doc="LEFT ANTI join: customers with no orders at all — the complement "
+    "membership test (NOT EXISTS).",
+    tags=("join", "anti"),
+)
+def rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").orderBy(
+        "c_custkey"
+    )
+
+
+# Attribution as-of join: every purchase event matched to the user's most
+# recent click at-or-before it. The oracle expresses the same semantics with
+# a window carry-forward (LAST_VALUE ... IGNORE NULLS) — plain ANSI SQL.
+_ASOF_ORACLE = """
+    WITH tagged AS (
+        SELECT user_id, ts,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_q,
+               event_id, value,
+               CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+               CASE WHEN event_type = 'click' THEN ts END AS click_ts
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ), filled AS (
+        SELECT user_id, ts, is_q, event_id, value,
+               LAST_VALUE(click_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, is_q, click_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS matched_event_id,
+               LAST_VALUE(click_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, is_q, click_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS matched_ts
+        FROM tagged
+    )
+    SELECT user_id, event_id, ts, value, matched_event_id, matched_ts
+    FROM filled WHERE is_q = 1
+    ORDER BY user_id, ts, event_id
+"""
+
+
+def _purchases_clicks(spark: SparkSession, sf_dir: str):
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    return purchases, clicks
+
+
+@register(
+    "rel_asof_attribution",
+    oracle=_ASOF_ORACLE,
+    doc="As-of join (composition form, operators/joins.py:asof_join): each "
+    "purchase attributed to the user's latest click at-or-before it. "
+    "UNION + per-key window carry-forward — one shuffle on user_id, fully "
+    "JVM-side; the idiomatic 100 TB plan for temporal alignment.",
+    headline=True,
+    tags=("join", "asof"),
+)
+def rel_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases, clicks = _purchases_clicks(spark, sf_dir)
+    return asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+        right_cols=["event_id", "ts"],
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "rel_asof_attribution_pandas",
+    oracle=_ASOF_ORACLE,
+    doc="As-of join (vectorized-Python form, §2.10): cogrouped applyInPandas "
+    "running pd.merge_asof per user group — Arrow-batched, bounded per-key "
+    "state. Same oracle as the composition form: the two implementations are "
+    "interchangeable and cross-checked.",
+    tags=("join", "asof", "pandas_udf"),
+)
+def rel_asof_attribution_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases, clicks = _purchases_clicks(spark, sf_dir)
+    return asof_join_pandas(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+        right_cols=["event_id", "ts"],
+    ).orderBy("user_id", "ts", "event_id")

@@ -1,0 +1,24 @@
+"""Relational-family checks beyond the oracle diff: the two as-of join
+implementations (JVM window composition vs cogrouped pandas merge_asof) must
+be row-identical — they are advertised as interchangeable."""
+
+from __future__ import annotations
+
+from data_pipeline_team5_spark.plans.catalog import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def test_asof_implementations_agree(spark):
+    a = QUERIES["rel_asof_attribution"].fn(spark, SF_SMALL).collect()
+    b = QUERIES["rel_asof_attribution_pandas"].fn(spark, SF_SMALL).collect()
+    assert len(a) == len(b) > 0
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_asof_unmatched_purchases_are_null(spark):
+    rows = QUERIES["rel_asof_attribution"].fn(spark, SF_SMALL).collect()
+    # A purchase before any click of the same user must yield NULL match,
+    # and every matched click must be at-or-before the purchase.
+    for r in rows:
+        if r.matched_ts is not None:
+            assert r.matched_ts <= r.ts
