@@ -1,0 +1,200 @@
+"""Text-analysis operators for LLM training-data pipelines (north star ⊕).
+
+The reference stores documents only as VARCHAR columns (SURVEY.md §1.2); a
+100 TB training-data pipeline additionally needs per-document language ID,
+quality scoring, token statistics, and fingerprints (BASELINE.json north
+star). Everything here is JVM-side ``pyspark.sql.functions`` — tokenization
+via ``split``, set ops via ``array_distinct``/``filter``, hashes via
+``md5``/``aggregate`` folds — so the hot path never leaves whole-stage
+codegen, and every operator has a DuckDB-expressible oracle (the ``*_SQL``
+fragments kept adjacent).
+
+Scale notes:
+- all operators are embarrassingly row-parallel (no shuffle at all): at
+  100 TB they run map-side inside the parquet scan stage.
+- per-doc dedup of tokens/shingles uses ``array_distinct`` (in-memory,
+  per-row) — never ``.distinct()`` (a shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.functions.scalars import norm_text, norm_text_sql
+
+# Marker stopwords per language for the n-gram/marker language-ID heuristic.
+# Order = deterministic argmax tiebreak order (first wins on equal counts).
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of", "and", "in", "to", "is"]),
+    ("de", ["der", "die", "das", "und", "ist", "ein"]),
+    ("fr", ["le", "la", "les", "et", "est", "une"]),
+    ("es", ["el", "los", "las", "y", "es", "una"]),
+]
+
+MOD = 1_000_000_007  # rolling-hash modulus (fits BIGINT with 31x steps)
+
+
+def tokens_expr(col: str | Column) -> Column:
+    """Whitespace tokens of the normalized text (single-space separated)."""
+    return F.split(norm_text(col), " ")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"string_split({norm_text_sql(expr)}, ' ')"
+
+
+def token_count(col: str | Column) -> Column:
+    """Token count over normalized text — the BPE-free budget estimator."""
+    return F.size(tokens_expr(col))
+
+
+def shingles_expr(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles of a token array (per-row, no shuffle).
+
+    Docs shorter than ``n`` tokens contribute their whole text as the single
+    shingle so no document silently drops out of dedup.
+    """
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + j) for j in range(n)]
+        ),
+    )
+    whole = F.array(F.concat_ws(" ", tokens))
+    return F.array_distinct(F.when(F.size(tokens) >= n, gram).otherwise(whole))
+
+
+def shingles_sql(tok: str, n: int = 3) -> str:
+    """DuckDB mirror of :func:`shingles_expr` (1-indexed lists, range is
+    end-exclusive so ``range(1, len+1-(n-1))`` visits the same positions)."""
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    parts = parts.replace("t[i+0]", "t[i]")
+    return (
+        f"list_distinct(CASE WHEN len({tok}) >= {n} THEN "
+        f"list_transform(range(1, len({tok}) - {n - 2}), "
+        f"i -> {parts.replace('t[', f'({tok})[')}) "
+        f"ELSE [array_to_string({tok}, ' ')] END)"
+    )
+
+
+def quality_exprs(tokens: Column) -> dict[str, Column]:
+    """Quality-signal columns: token count, uniqueness, stopword ratio, and
+    a fixed linear score. One arithmetic sequence, mirrored textually by
+    :func:`quality_sql`, so both engines produce bit-identical doubles.
+    """
+    all_stops = sorted({w for _, ws in LANG_MARKERS for w in ws})
+    n_tok = F.size(tokens)
+    n_uniq = F.size(F.array_distinct(tokens))
+    n_stop = F.size(F.filter(tokens, lambda t: t.isin(*all_stops)))
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    uniq_ratio = n_uniq.cast("double") / n_tok.cast("double")
+    len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    quality = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * uniq_ratio
+    )
+    return {
+        "n_tokens": n_tok,
+        "uniq_ratio": uniq_ratio,
+        "stop_ratio": stop_ratio,
+        "quality": quality,
+    }
+
+
+def quality_sql(tok: str) -> dict[str, str]:
+    all_stops = sorted({w for _, ws in LANG_MARKERS for w in ws})
+    inlist = ", ".join(f"'{w}'" for w in all_stops)
+    n_tok = f"len({tok})"
+    n_uniq = f"len(list_distinct({tok}))"
+    n_stop = f"len(list_filter({tok}, t -> t IN ({inlist})))"
+    stop_ratio = f"(CAST({n_stop} AS DOUBLE) / CAST({n_tok} AS DOUBLE))"
+    uniq_ratio = f"(CAST({n_uniq} AS DOUBLE) / CAST({n_tok} AS DOUBLE))"
+    len_score = f"least(CAST({n_tok} AS DOUBLE) / 100.0, 1.0)"
+    quality = (
+        f"(0.4 * {len_score} + 0.3 * (1.0 - {stop_ratio})"
+        f" + 0.3 * {uniq_ratio})"
+    )
+    return {
+        "n_tokens": n_tok,
+        "uniq_ratio": uniq_ratio,
+        "stop_ratio": stop_ratio,
+        "quality": quality,
+    }
+
+
+def lang_id_expr(tokens: Column) -> Column:
+    """Marker-word language ID: count each language's marker hits, take the
+    first language with the (weakly) highest non-zero count, else 'und'.
+    The when-chain order IS the tiebreak — mirrored in :func:`lang_id_sql`.
+    """
+    # NB: F.filter lambdas must be unary — a second (defaulted) parameter
+    # makes PySpark pass the element *index* into it.
+    def marker_count(ws: list[str]) -> Column:
+        return F.size(F.filter(tokens, lambda t: t.isin(*ws)))
+
+    counts = {lang: marker_count(ws) for lang, ws in LANG_MARKERS}
+    expr = F.lit("und")
+    # Build the chain back-to-front so the first language wins ties.
+    for lang, _ in reversed(LANG_MARKERS):
+        cond = counts[lang] > 0
+        for other, _ in LANG_MARKERS:
+            if other != lang:
+                cond = cond & (counts[lang] >= counts[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_id_sql(tok: str) -> str:
+    def cnt(ws: list[str]) -> str:
+        inlist = ", ".join(f"'{w}'" for w in ws)
+        return f"len(list_filter({tok}, t -> t IN ({inlist})))"
+
+    counts = {lang: cnt(ws) for lang, ws in LANG_MARKERS}
+    whens = []
+    for lang, _ in LANG_MARKERS:
+        conds = [f"{counts[lang]} > 0"] + [
+            f"{counts[lang]} >= {counts[o]}"
+            for o, _ in LANG_MARKERS
+            if o != lang
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"(CASE {' '.join(whens)} ELSE 'und' END)"
+
+
+def fingerprint_md5(col: str | Column) -> Column:
+    """Content fingerprint: md5 hex of the normalized text (exact-dup key)."""
+    return F.md5(norm_text(col))
+
+
+def fingerprint_md5_sql(expr: str) -> str:
+    return f"md5({norm_text_sql(expr)})"
+
+
+def rolling_hash(tokens: Column) -> Column:
+    """Order-sensitive rolling hash over the token stream:
+    ``acc' = (acc * 31 + len(tok) * 17 + ascii(tok[0])) % 1e9+7``.
+
+    A left-to-right fold (``F.aggregate``) seeded with 0 — the DuckDB mirror
+    prepends the seed so ``list_reduce`` performs the identical sequence
+    (ADVICE round 1: never rely on list_reduce's first-element seeding).
+    """
+    vals = F.transform(
+        tokens,
+        lambda t: (F.length(t) * F.lit(17) + F.ascii(t)).cast("long"),
+    )
+    return F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(31) + x) % F.lit(MOD),
+    )
+
+
+def rolling_hash_sql(tok: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({tok}, t -> CAST(length(t) * 17 + ascii(t) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {MOD})"
+    )

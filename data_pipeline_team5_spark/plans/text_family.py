@@ -1,0 +1,159 @@
+"""Text-analysis family (north star ⊕, SURVEY.md §7 M6): language ID,
+quality scoring, token statistics, fingerprints over ``documents``.
+
+The reference has no text operators (its documents are opaque VARCHARs,
+SURVEY.md §1.2); this family supplies what an LLM training-data pipeline
+needs at 100 TB. Every query is shuffle-free row-parallel map work except
+the corpus rollup (one hash agg on a low-cardinality key) — the cheapest
+possible shapes at scale. All four are fully SQL-expressible, so each gets
+a bitwise DuckDB oracle (the Spark expressions and SQL fragments are built
+from the same constants in operators/textops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.functions.scalars import norm_text_sql
+from data_pipeline_team5_spark.operators.textops import (
+    fingerprint_md5,
+    fingerprint_md5_sql,
+    lang_id_expr,
+    lang_id_sql,
+    quality_exprs,
+    quality_sql,
+    rolling_hash,
+    rolling_hash_sql,
+    tokens_expr,
+)
+from data_pipeline_team5_spark.plans.catalog import register, table
+
+# Shared oracle CTE: documents with their normalized-token arrays.
+_TOKS = f"""
+WITH toks AS (
+    SELECT doc_id, lang, source, n_chars,
+           string_split({norm_text_sql('text')}, ' ') AS t
+    FROM documents
+)
+"""
+
+_Q = quality_sql("t")
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+        {_TOKS}
+        SELECT doc_id,
+               CAST({_Q['n_tokens']} AS INT) AS n_tokens,
+               {_Q['uniq_ratio']} AS uniq_ratio,
+               {_Q['stop_ratio']} AS stop_ratio,
+               {_Q['quality']} AS quality
+        FROM toks
+        ORDER BY doc_id
+    """,
+    doc="⊕ text quality scoring: token count, uniqueness ratio, stopword "
+    "ratio, and a fixed linear score per document. Shuffle-free map work — "
+    "runs inside the scan stage at any scale.",
+    headline=True,
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    q = quality_exprs(toks)
+    return docs.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        q["uniq_ratio"].alias("uniq_ratio"),
+        q["stop_ratio"].alias("stop_ratio"),
+        q["quality"].alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+        {_TOKS}
+        SELECT doc_id, lang AS decl_lang, {lang_id_sql('t')} AS pred_lang
+        FROM toks
+        ORDER BY doc_id
+    """,
+    doc="⊕ language ID: marker-stopword count argmax with a deterministic "
+    "when-chain tiebreak (operators/textops.py LANG_MARKERS). Declared lang "
+    "kept alongside for agreement analysis.",
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("decl_lang"),
+        lang_id_expr(toks).alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               {fingerprint_md5_sql('text')} AS fp_md5,
+               {rolling_hash_sql('t')} AS fp_roll
+        FROM (SELECT doc_id, text, string_split({norm_text_sql('text')}, ' ') AS t
+              FROM documents) d
+        ORDER BY doc_id
+    """,
+    doc="⊕ document fingerprinting: md5 of normalized text (exact-dup key) "
+    "plus an order-sensitive rolling hash over the token stream "
+    "(operators/textops.py:rolling_hash; both folds seeded identically per "
+    "round-1 ADVICE on list_reduce).",
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    return docs.select(
+        "doc_id",
+        fingerprint_md5("text").alias("fp_md5"),
+        rolling_hash(toks).alias("fp_roll"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_corpus_stats",
+    oracle=f"""
+        {_TOKS}
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               SUM(CAST(len(t) AS BIGINT)) AS sum_tokens,
+               CAST(SUM(CAST(len(t) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+               SUM(n_chars) AS sum_chars
+        FROM toks
+        GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+    doc="⊕ corpus rollup per (lang, source): doc counts and integer-exact "
+    "token/char totals (avg = one double division — bitwise stable). One "
+    "hash agg on a 100-key space; partial aggregation makes it map-side "
+    "at 100 TB.",
+    tags=("text", "rollup"),
+)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    n_tok = F.size(toks).cast("long")
+    return (
+        docs.select("lang", "source", "n_chars", n_tok.alias("n_tok"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias(
+                "avg_tokens"
+            ),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "source")
+    )
