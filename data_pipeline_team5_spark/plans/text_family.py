@@ -61,9 +61,11 @@ _Q = quality_sql("t")
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    toks = tokens_expr("text")
-    q = quality_exprs(toks)
-    return docs.select(
+    # Tokens projected once — inlining the normalize+split chain at every
+    # use site multiplies codegen compile time (see operators/dedup.py).
+    toked = docs.select("doc_id", tokens_expr("text").alias("_t"))
+    q = quality_exprs(F.col("_t"))
+    return toked.select(
         "doc_id",
         q["n_tokens"].alias("n_tokens"),
         q["uniq_ratio"].alias("uniq_ratio"),
@@ -87,11 +89,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    toks = tokens_expr("text")
-    return docs.select(
+    toked = docs.select(
+        "doc_id", "lang", tokens_expr("text").alias("_t")
+    )
+    return toked.select(
         "doc_id",
         F.col("lang").alias("decl_lang"),
-        lang_id_expr(toks).alias("pred_lang"),
+        lang_id_expr(F.col("_t")).alias("pred_lang"),
     ).orderBy("doc_id")
 
 
@@ -113,11 +117,15 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    toks = tokens_expr("text")
-    return docs.select(
+    toked = docs.select(
         "doc_id",
         fingerprint_md5("text").alias("fp_md5"),
-        rolling_hash(toks).alias("fp_roll"),
+        tokens_expr("text").alias("_t"),
+    )
+    return toked.select(
+        "doc_id",
+        "fp_md5",
+        rolling_hash(F.col("_t")).alias("fp_roll"),
     ).orderBy("doc_id")
 
 
@@ -142,8 +150,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    toks = tokens_expr("text")
-    n_tok = F.size(toks).cast("long")
+    n_tok = F.size(tokens_expr("text")).cast("long")
     return (
         docs.select("lang", "source", "n_chars", n_tok.alias("n_tok"))
         .groupBy("lang", "source")
