@@ -38,17 +38,22 @@ def cosine_expr(a: Column, b: Column) -> Column:
 
 
 # Oracle-side fragments (DuckDB lambdas) kept adjacent for review parity.
+# The seed 0.0 is prepended so list_reduce performs exactly the fold
+# F.aggregate does (seed + x1 + x2 + …): without it DuckDB seeds with the
+# first element (different op sequence, and an error on empty lists).
 def dot_sql(a: str, b: str) -> str:
     return (
-        f"list_reduce(list_transform(list_zip("
-        f"CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), p -> p[1] * p[2]),"
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip("
+        f"CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), p -> p[1] * p[2])),"
         f" (acc, x) -> acc + x)"
     )
 
 
 def norm_sql(a: str) -> str:
     return (
-        f"sqrt(list_reduce(list_transform(CAST({a} AS DOUBLE[]), x -> x * x),"
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(CAST({a} AS DOUBLE[]), x -> x * x)),"
         f" (acc, x) -> acc + x))"
     )
 

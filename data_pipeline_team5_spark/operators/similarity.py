@@ -1,0 +1,242 @@
+"""Similarity search over embedding columns (north star ⊕): brute-force
+cosine top-k as the correctness baseline, random-hyperplane LSH and IVF
+partition-probe as the 100 TB scale paths.
+
+The reference has no vector surface at all (SURVEY.md §1.2: no array types);
+this family supplies ANN plumbing for training-data pipelines. All math is
+JVM-side higher-order functions (functions/vectors.py — sequential folds
+that match the DuckDB oracle bitwise); hyperplanes/centroids ride in as
+small broadcast DataFrames, never as literal expression trees (keeps codegen
+compact) and never as driver-side loops.
+
+Scale notes:
+- brute force is O(|corpus| × |queries|) — correct, broadcast-join shaped,
+  and the right choice when the query set is small; it is the *oracle*, not
+  the scale path.
+- LSH: corpus is bucketed once (L tables × b sign bits); a query touches
+  only its L buckets → cost |corpus| × L / 2^b per query in expectation.
+- IVF: corpus is partitioned by nearest centroid; a query probes its
+  ``nprobe`` nearest partitions → cost |corpus| × nprobe / nlist. Centroids
+  here come from any upstream step (per-label means in the catalog query;
+  k-means at scale) — the operator takes them as data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.functions.vectors import cosine_expr, dot_expr
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: every query against every corpus vector.
+
+    ``queries`` must be small (it is broadcast); the corpus side streams
+    through one pass. Deterministic tiebreak (cosine DESC, vec_id ASC).
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    pairs = c.join(
+        F.broadcast(q), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "vec_id",
+        cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        pairs.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= k)
+    )
+
+
+def hyperplane_df(spark, dim: int, tables: int, bits: int, seed: int = 7):
+    """Deterministic random hyperplanes as a (table, bit, plane) DataFrame.
+
+    Generated with a seeded ``numpy`` RNG and shipped as *data* (broadcast),
+    not as literal expression trees — 1000+ literals in a lambda would blow
+    up codegen the same way inlined token chains did (operators/dedup.py).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = [
+        (t, b, [float(x) for x in rng.standard_normal(dim)])
+        for t in range(tables)
+        for b in range(bits)
+    ]
+    return spark.createDataFrame(
+        rows, "tbl INT, bit INT, plane ARRAY<DOUBLE>"
+    )
+
+
+def lsh_bucket(
+    vectors: DataFrame,
+    planes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bucket every vector per LSH table: bucket = Σ (dot(v, plane_b)
+    > 0) << b. One broadcast join + one groupBy — a single pass over the
+    corpus regardless of L × b."""
+    keyed = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    signs = keyed.join(F.broadcast(planes)).select(
+        "vec_id",
+        "tbl",
+        F.when(dot_expr(F.col("v"), F.col("plane")) > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("sgn"),
+        "bit",
+    )
+    # F.shiftleft only takes a literal shift — the SQL form shifts by column.
+    return signs.groupBy("vec_id", "tbl").agg(
+        F.sum(F.expr("shiftleft(CAST(sgn AS BIGINT), bit)")).alias("bucket")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via multi-table sign-LSH: candidates share a bucket in ≥1
+    table; exact cosine re-ranks candidates only."""
+    cb = lsh_bucket(corpus, planes, id_col, vec_col)
+    qb = lsh_bucket(queries, planes, id_col, vec_col).withColumnRenamed(
+        "vec_id", "q_id"
+    )
+    cand = (
+        qb.join(cb, ["tbl", "bucket"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "q_id")
+        .join(c, "vec_id")
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= k)
+    )
+
+
+def centroids_by(
+    vectors: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group centroid via posexplode + per-dimension mean, reassembled
+    into an array — the IVF list-building step (k-means update at scale is
+    this exact shape iterated).
+
+    Elements are quantized with ``floor(x·1e7)`` (exact on doubles, no
+    rounding ties — engines disagree on decimal tie rounding) and summed as
+    integers, so the mean is shuffle-order-independent and bitwise equal to
+    the DuckDB oracle. 1e-7 quantization is below float32's own precision,
+    so the centroid loses nothing the input ever had.
+    """
+    exploded = vectors.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    q = F.floor(F.col("x").cast("double") * F.lit(1e7)).cast("long")
+    dim_means = exploded.groupBy("grp", "pos").agg(
+        (
+            F.sum(q).cast("double") / F.lit(1e7) / F.count("x")
+        ).alias("m")
+    )
+    return dim_means.groupBy("grp").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ),
+            lambda s: s.m,
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: assign corpus vectors to their nearest centroid (one
+    broadcast pass), route each query to its ``nprobe`` nearest lists, and
+    search only those lists. Search cost ≈ |corpus| × nprobe / nlist."""
+
+    def assign(df: DataFrame, out: str, n: int) -> DataFrame:
+        scored = df.join(F.broadcast(centroids)).select(
+            df["*"],
+            F.col("grp"),
+            cosine_expr(F.col(vec_col), F.col("centroid")).alias("_c"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("_c"), F.asc("grp"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .select(df["*"], F.col("grp").alias(out))
+        )
+
+    c_assigned = assign(corpus, "list_id", 1)
+    q_assigned = assign(queries, "list_id", nprobe)
+    q = q_assigned.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        "list_id",
+    )
+    c = c_assigned.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        "list_id",
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= k)
+    )

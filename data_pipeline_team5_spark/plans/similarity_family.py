@@ -1,0 +1,157 @@
+"""Similarity family (north star ⊕): cosine top-k search over the
+``embeddings`` fixture — brute force (the correctness baseline, bitwise
+DuckDB oracle), per-label centroids (the IVF list-building step, bitwise
+oracle in long format), and the two scale paths (multi-table sign-LSH and
+IVF partition probe, deterministic rows-only with pytest recall checks in
+tests/test_similarity.py).
+
+Query set = the first ``N_QUERIES`` vectors — a stand-in for "embed these
+new documents and find their neighbors"; the corpus side is the full table
+and is never collected or crossed against itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.functions.vectors import cosine_sql
+from data_pipeline_team5_spark.operators.similarity import (
+    centroids_by,
+    cosine_topk,
+    hyperplane_df,
+    ivf_topk,
+    lsh_topk,
+)
+from data_pipeline_team5_spark.plans.catalog import register, table
+
+N_QUERIES = 5
+TOP_K = 10
+DIM = 64
+
+
+def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < N_QUERIES)
+
+
+@register(
+    "knn_brute_force",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+            WHERE vec_id < {N_QUERIES}
+        ),
+        pairs AS (
+            SELECT q.q_id, c.vec_id,
+                   {cosine_sql('q.q_vec', 'c.embedding')} AS cosine
+            FROM q JOIN embeddings c ON c.vec_id <> q.q_id
+        )
+        SELECT q_id, vec_id, cosine, rank_k FROM (
+            SELECT q_id, vec_id, cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY cosine DESC, vec_id
+                   ) AS INT) AS rank_k
+            FROM pairs
+        ) WHERE rank_k <= {TOP_K}
+        ORDER BY q_id, rank_k
+    """,
+    doc="⊕ brute-force cosine top-k (k=10, 5 query vectors): the exact "
+    "baseline every ANN variant is measured against. Broadcast the query "
+    "side, one streaming pass over the corpus; cosines are sequential "
+    "double folds (functions/vectors.py) so the oracle matches bitwise.",
+    headline=True,
+    tags=("similarity", "knn"),
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, _queries(spark, sf_dir), k=TOP_K)
+    return out.withColumn(
+        "rank_k", F.col("rank_k").cast("int")
+    ).orderBy("q_id", "rank_k")
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+        SELECT label,
+               pos,
+               CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1e7) AS BIGINT))
+                    AS DOUBLE) / 1e7 / COUNT(x) AS dim_mean
+        FROM (
+            SELECT label,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   unnest(embedding) AS x
+            FROM embeddings
+        )
+        GROUP BY label, pos
+        ORDER BY label, pos
+    """,
+    doc="⊕ per-label centroids in long (label, pos, dim_mean) format — the "
+    "IVF list-building / k-means-update step as one posexplode + hash agg. "
+    "Elements are floor-quantized at 1e-7 (exact, tie-free — decimal casts "
+    "tie-round differently across engines) and summed as integers, so the "
+    "mean is shuffle-order-free and the oracle matches bitwise; the "
+    "array-shaped variant used by knn_ivf is "
+    "operators/similarity.py:centroids_by.",
+    tags=("similarity", "centroid"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    q = F.floor(F.col("x").cast("double") * F.lit(1e7)).cast("long")
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(
+            (F.sum(q).cast("double") / F.lit(1e7) / F.count("x")).alias(
+                "dim_mean"
+            )
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@register(
+    "knn_lsh",
+    oracle=None,  # hyperplane signatures not SQL-expressible; deterministic
+    doc="⊕ ANN top-k via multi-table sign-LSH (24 tables × 6 bits, seeded "
+    "hyperplanes shipped as a broadcast DataFrame): candidates share a "
+    "bucket in ≥1 table, exact cosine re-ranks candidates only — per-query "
+    "cost |corpus|×L/2^b instead of |corpus|. The fixture vectors are "
+    "near-random (hardest ANN case: top-10 cosines ≈ 0.3-0.5), so this "
+    "parameterization deliberately sits at recall 0.66 / ~1/3-of-corpus "
+    "scanned; pytest pins recall vs knn_brute_force "
+    "(operators/similarity.py:lsh_topk).",
+    tags=("similarity", "knn", "lsh"),
+)
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    planes = hyperplane_df(spark, DIM, tables=24, bits=6, seed=7)
+    out = lsh_topk(emb, _queries(spark, sf_dir), planes, k=TOP_K)
+    return out.withColumn(
+        "rank_k", F.col("rank_k").cast("int")
+    ).orderBy("q_id", "rank_k")
+
+
+@register(
+    "knn_ivf",
+    oracle=None,  # centroid assignment not SQL-expressible; deterministic
+    doc="⊕ ANN top-k via IVF partition probe: corpus vectors assigned to "
+    "their nearest per-label centroid once, each query probes its nprobe=5 "
+    "nearest lists — per-query cost |corpus|×nprobe/nlist. Centroids are "
+    "data (here per-label means over weakly-clustered fixtures → recall "
+    "0.72; k-means at scale), so the operator is index-agnostic "
+    "(operators/similarity.py:ivf_topk).",
+    tags=("similarity", "knn", "ivf"),
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cents = centroids_by(emb, "label")
+    out = ivf_topk(
+        emb, _queries(spark, sf_dir), cents, k=TOP_K, nprobe=5
+    )
+    return out.withColumn(
+        "rank_k", F.col("rank_k").cast("int")
+    ).orderBy("q_id", "rank_k")

@@ -1,0 +1,66 @@
+"""Similarity-family invariants beyond the oracle gate: ANN recall against
+the brute-force baseline, and centroid-array/long-format agreement.
+
+The fixture embeddings are near-random 64-dim vectors (top-10 neighbor
+cosines ≈ 0.3-0.5) — the hardest ANN regime — so the pinned recalls are the
+honest cost/recall tradeoff of each index, not a showcase number. Seeds are
+fixed, so recall is deterministic at a given scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.operators.similarity import (
+    centroids_by,
+    cosine_topk,
+    hyperplane_df,
+    ivf_topk,
+    lsh_topk,
+)
+from data_pipeline_team5_spark.plans.catalog import table
+from tests.conftest import SF_MEDIUM
+
+
+def _pairs(df) -> set[tuple[int, int]]:
+    return {(r.q_id, r.vec_id) for r in df.collect()}
+
+
+def test_ann_recall_vs_brute_force(spark):
+    emb = table(spark, SF_MEDIUM, "embeddings").cache()
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = _pairs(cosine_topk(emb, q, k=10))
+    assert len(bf) == 50  # 5 queries × k=10, no short lists
+
+    planes = hyperplane_df(spark, 64, tables=24, bits=6, seed=7)
+    lsh = _pairs(lsh_topk(emb, q, planes, k=10))
+    assert len(bf & lsh) / len(bf) >= 0.6  # measured 0.66, deterministic
+
+    cents = centroids_by(emb, "label")
+    ivf = _pairs(ivf_topk(emb, q, cents, k=10, nprobe=5))
+    assert len(bf & ivf) / len(bf) >= 0.6  # measured 0.72, deterministic
+    emb.unpersist()
+
+
+def test_centroid_array_matches_long_format(spark):
+    emb = table(spark, SF_MEDIUM, "embeddings")
+    arrays = {r.grp: r.centroid for r in centroids_by(emb, "label").collect()}
+    long_rows = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("x").cast("double") * F.lit(1e7)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.lit(1e7)
+                / F.count("x")
+            ).alias("m")
+        )
+        .collect()
+    )
+    for r in long_rows:
+        assert arrays[r.label][r.pos] == r.m
+    assert all(len(v) == 64 for v in arrays.values())
