@@ -1,0 +1,167 @@
+"""Streaming family (SURVEY.md §2.9): event-time windows, watermarked
+dedup, and the idempotent upsert sink over the ``events`` fixture, each
+drained with ``Trigger.AvailableNow`` (streaming/jobs.py).
+
+Because a drain processes the whole fixture, every job is batch-equivalent
+— so these streaming operators get full bitwise DuckDB oracles, not
+rows-only checks: tumbling ≡ GROUP BY date_trunc, sliding ≡ a 7-way
+day-shift expansion, session windows ≡ gaps-and-islands, watermarked dedup
+of a doubled stream ≡ the original table, and the foreachBatch upsert sink
+read back ≡ per-day counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_pipeline_team5_spark.plans.catalog import register
+from data_pipeline_team5_spark.streaming.jobs import (
+    dedup_within_watermark,
+    drain_to_memory,
+    read_events_stream,
+    session_windows,
+    sliding_7d,
+    tumbling_daily,
+    upsert_daily,
+)
+
+SCRATCH = "/root/repo/.scratch"
+
+_QSUM_SQL = "CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6"
+
+
+@register(
+    "stream_tumbling_daily",
+    oracle=f"""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {_QSUM_SQL} AS value_sum
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="§2.9 tumbling 1-day windows per event_type with a 1-day watermark "
+    "— the streaming form of the reference's one-table-per-day layout "
+    "(daily_parquet_pipeline.py:174 cron). Batch-equivalent under an "
+    "AvailableNow drain, so the oracle is a plain date_trunc GROUP BY "
+    "(streaming/jobs.py:tumbling_daily).",
+    headline=True,
+    tags=("streaming", "window"),
+)
+def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = drain_to_memory(tumbling_daily(read_events_stream(spark, sf_dir)))
+    return out.orderBy("day_start", "event_type")
+
+
+@register(
+    "stream_sliding_7d",
+    oracle=f"""
+        SELECT date_trunc('day', ts) - (k * INTERVAL 1 DAY) AS win_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {_QSUM_SQL} AS value_sum
+        FROM events, range(7) t(k)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="§2.9 ⊕ sliding 7-day/1-day windows per event_type — the D6/W6 "
+    "trendline recomputed as events arrive. Each event lands in 7 windows; "
+    "the oracle mirrors that via a 7-way day-shift expansion "
+    "(streaming/jobs.py:sliding_7d).",
+    tags=("streaming", "window"),
+)
+def stream_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = drain_to_memory(sliding_7d(read_events_stream(spark, sf_dir)))
+    return out.orderBy("win_start", "event_type")
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 6 HOUR AS session_end,
+               COUNT(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+    doc="§2.9 ⊕ per-user session windows (6-hour gap): events merge while "
+    "consecutive gaps stay under the gap; end = last event + gap. The "
+    "oracle is the equivalent gaps-and-islands SQL — new session exactly "
+    "when the gap is ≥ 6h, matching session_window's half-open merge rule "
+    "(streaming/jobs.py:session_windows).",
+    tags=("streaming", "session"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = drain_to_memory(
+        session_windows(read_events_stream(spark, sf_dir), gap="6 hours")
+    )
+    return out.orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        ORDER BY event_id
+    """,
+    doc="§2.9 stateful dedup: the input stream is doubled (self-union) and "
+    "dropDuplicatesWithinWatermark(event_id) must return exactly the "
+    "original — the streaming staging-dedup the reference claims "
+    "(README.md:88,101) but never built. State = one key per event within "
+    "the 1-day horizon (streaming/jobs.py:dedup_within_watermark).",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = drain_to_memory(
+        dedup_within_watermark(read_events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+    return out.orderBy("event_id")
+
+
+@register(
+    "stream_upsert_daily",
+    oracle="""
+        SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="§2.9 upsert sink: foreachBatch + dynamic partition overwrite keyed "
+    "on event day — a replayed batch converges instead of duplicating "
+    "(fixes the reference's blind COPY re-run bug, "
+    "daily_csv_pipeline.py:164-169 + retries). The check reads the sink "
+    "back and compares per-day counts (streaming/jobs.py:upsert_daily).",
+    tags=("streaming", "sink"),
+)
+def stream_upsert_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{SCRATCH}/upsert_daily/{tag}"
+    written = upsert_daily(spark, read_events_stream(spark, sf_dir), path)
+    return (
+        written.groupBy("event_date")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("event_date")
+    )

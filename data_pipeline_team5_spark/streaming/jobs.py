@@ -1,0 +1,179 @@
+"""Streaming jobs over the ``events`` fixture: tumbling/sliding/session
+windows, watermarked dedup, and the idempotent foreachBatch upsert sink.
+
+Each job builds a streaming plan and drains it with ``Trigger.AvailableNow``
+into a memory sink (or through ``foreachBatch``), returning the result as a
+DataFrame — which makes every job batch-equivalent and therefore
+DuckDB-oracle-checkable: with all data in one drain, event-time windows
+close deterministically.
+
+Watermarks are declared on every stateful job. Under AvailableNow-drains
+they bound state size (the production concern at 100 TB/day: without a
+watermark, window and dedup state grows forever); they do not drop rows
+here because nothing is late within a single drain. Window aggregations use
+``complete`` output mode so tail windows (those the final watermark hasn't
+passed) are still emitted — in a 24×7 deployment you'd run ``append`` and
+accept that the open tail emits on the next drain.
+
+Scale notes:
+- window aggs shuffle once on (window, key); per-key state is one row per
+  open window — bounded by the watermark horizon, not by history.
+- ``dropDuplicatesWithinWatermark`` keeps one state row per key within the
+  horizon; at 100 TB/day horizon×rate sizes the state store, so the dedup
+  key should be the compact event_id, never the payload.
+- the foreachBatch sink reuses the batch writer's dynamic partition
+  overwrite (sources/writers.py) — a retried/replayed micro-batch converges
+  instead of duplicating, fixing the reference's blind-COPY re-run bug.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.sources.writers import (
+    write_parquet_partitioned,
+)
+
+# Raw parquet schema: ts is TIMESTAMP(NANOS) physically, surfaced as BIGINT
+# nanos via the legacy conf (same contract as plans/catalog.py:table).
+_EVENTS_NANOS_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+_RUN_IDS = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture; ts truncated to µs with
+    exact integer division (bit-identical to DuckDB's nanos→µs read)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def drain_to_memory(
+    stream: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming plan to completion (AvailableNow) into a memory sink
+    and return the sink's table. Unique sink names keep repeated catalog
+    invocations in one session independent."""
+    name = f"stream_sink_{next(_RUN_IDS)}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.table(name)
+
+
+def _qsum(col: str, alias: str):
+    """Order-free exact sum of doubles: floor-quantize at 1e-6 (tie-free on
+    both engines — see operators/similarity.py:centroids_by) and sum longs."""
+    q = F.floor(F.col(col) * F.lit(1e6)).cast("long")
+    return (F.sum(q).cast("double") / F.lit(1e6)).alias(alias)
+
+
+def tumbling_daily(events: DataFrame) -> DataFrame:
+    """1-day tumbling windows per event_type — the streaming form of the
+    reference's one-table-per-day layout (each window IS one day's table)."""
+    agg = (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _qsum("value", "value_sum"),
+        )
+    )
+    return agg.select(
+        F.col("win.start").alias("day_start"),
+        "event_type",
+        "n_events",
+        "value_sum",
+    )
+
+
+def sliding_7d(events: DataFrame) -> DataFrame:
+    """7-day windows sliding by 1 day per event_type — the streaming form of
+    the dashboard trendline (README.md:193-196 / W6) recomputed daily."""
+    agg = (
+        events.withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "7 days", "1 day").alias("win"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), _qsum("value", "value_sum"))
+    )
+    return agg.select(
+        F.col("win.start").alias("win_start"),
+        "event_type",
+        "n_events",
+        "value_sum",
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "6 hours") -> DataFrame:
+    """Per-user session windows: events merge while consecutive gaps stay
+    under ``gap``; window end = last event + gap (Spark semantics, mirrored
+    exactly by the gaps-and-islands oracle in plans/streaming_family.py)."""
+    agg = (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return agg.select(
+        "user_id",
+        F.col("win.start").alias("session_start"),
+        F.col("win.end").alias("session_end"),
+        "n_events",
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Stateful exact dedup on event_id within the watermark horizon — the
+    streaming staging-dedup the reference claims but never built. The input
+    is doubled (self-union) so the operator demonstrably removes real
+    duplicates; output = the original stream."""
+    doubled = events.union(events)
+    return (
+        doubled.withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+def upsert_daily(
+    spark: SparkSession, events: DataFrame, path: str
+) -> DataFrame:
+    """foreachBatch idempotent daily upsert: each micro-batch is written
+    with dynamic partition overwrite keyed on event day, so replaying a
+    batch converges (SURVEY.md §2.9 upsert row). Returns the sink read
+    back as a batch DataFrame."""
+    with_day = events.withColumn("event_date", F.to_date("ts"))
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        write_parquet_partitioned(batch_df, path, partition_by="event_date")
+
+    # Checkpoint lives OUTSIDE the data path (a sibling dir) so the readback
+    # scan sees only parquet; a fresh checkpoint per run makes the rerun
+    # reprocess everything — which the dynamic-overwrite sink absorbs
+    # idempotently (that convergence is the point).
+    q = (
+        with_day.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", f"{path}_checkpoint_{next(_RUN_IDS)}"
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(path)
