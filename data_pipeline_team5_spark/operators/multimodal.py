@@ -1,0 +1,162 @@
+"""Multimodal column plumbing (north star ⊕): opaque ``BinaryType`` payloads
+with typed metadata, processed by Arrow-batched ``mapInPandas`` operators.
+
+The model: image/audio/video payloads are **opaque binary columns** next to
+a typed metadata struct (format, width, height, n_bytes); all Spark-side
+plumbing — schema, partitioning, Arrow batch shape, UDTF-style frame
+fan-out — is real and tested. The *codec* step is the only stub: this
+container has no image/audio libraries, so ``decode_blob`` raises
+``NotImplementedError`` for the PIL backend and offers a clearly-marked
+deterministic fake backend so downstream feature logic stays exercisable
+end-to-end.
+
+The fixture "payloads" are the documents' UTF-8 bytes (deterministic, and —
+by design — reproducible in SQL, so even the mapInPandas path gets bitwise
+DuckDB oracles: the Python fn must produce exactly what the SQL predicts).
+
+Scale notes:
+- mapInPandas streams Arrow record batches: per-task memory is one batch
+  (spark.sql.execution.arrow.maxRecordsPerBatch), not one partition — safe
+  for multi-MB payload rows if the batch size is lowered accordingly.
+- feature extraction is embarrassingly parallel map work: no shuffle at any
+  corpus size; frame fan-out multiplies rows map-side (generator output),
+  so downstream ops see a plain DataFrame and repartition as usual.
+- never collect payloads to the driver; metadata-only queries should prune
+  the blob column (columnar parquet makes that free).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FRAME_BYTES = 64  # fixed "frame" chunk size for the video-style fan-out
+FRAME_STRIDE = 4  # sample every 4th frame
+
+FEATURE_SCHEMA = (
+    "doc_id BIGINT, n_bytes BIGINT, checksum STRING, "
+    "width INT, height INT"
+)
+FRAME_SCHEMA = "doc_id BIGINT, frame_idx BIGINT, frame_md5 STRING"
+DECODE_SCHEMA = "doc_id BIGINT, mean_byte DOUBLE, p_printable DOUBLE"
+
+
+def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Turn a document table into a multimodal-shaped table: an opaque
+    ``blob BINARY`` payload plus a typed metadata struct — the storage
+    model a real pipeline would have straight from ingest."""
+    n = F.length(F.col(text_col))
+    meta = F.struct(
+        F.lit("fake/raw").alias("format"),
+        (F.lit(64) + n % 512).cast("int").alias("width"),
+        (F.lit(64) + (n * 7) % 512).cast("int").alias("height"),
+    )
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "UTF-8").alias("blob"),
+        meta.alias("meta"),
+    )
+
+
+def decode_blob(blob: bytes, backend: str = "pil"):
+    """Decode an image payload. ``pil`` is the real path and is STUBBED in
+    this container (no imaging libs baked in); ``fake`` is a deterministic
+    stand-in that treats the raw bytes as the pixel buffer, keeping every
+    downstream feature computation testable."""
+    if backend == "pil":
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "image decode requires PIL, which is not available in this "
+                "container; use backend='fake' for the deterministic stub"
+            ) from e
+        raise NotImplementedError(
+            "real decode path reserved for environments with imaging libs"
+        )
+    if backend == "fake":
+        return blob  # the payload bytes ARE the fake pixel buffer
+    raise ValueError(f"unknown decode backend: {backend}")
+
+
+def extract_features(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched metadata/feature extraction: byte length + md5 checksum
+    computed in Python over the binary column, metadata passed through.
+    Output is exactly SQL-predictable, so the whole Arrow path is
+    oracle-checked (plans/multimodal_family.py)."""
+    flat = blobs.select(
+        "doc_id", "blob", F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["blob"].map(len),
+                    "checksum": pdf["blob"].map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                }
+            )
+
+    return flat.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(blobs: DataFrame) -> DataFrame:
+    """UDTF-style frame fan-out: split each payload into fixed 64-byte
+    "frames", keep every 4th, emit (doc_id, frame_idx, frame_md5) — the
+    video-frame-sampling shape (1 input row → many output rows, map-side)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sums = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n_frames = (len(blob) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    chunk = blob[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sums.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": sums}
+            )
+
+    return blobs.select("doc_id", "blob").mapInPandas(batches, FRAME_SCHEMA)
+
+
+def decode_features(blobs: DataFrame) -> DataFrame:
+    """Features over the *decoded* payload via the fake backend: mean byte
+    value and printable-byte ratio — the shape a real brightness/contrast
+    extractor would have once a codec is available."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            means, printable = [], []
+            for blob in pdf["blob"]:
+                buf = decode_blob(bytes(blob), backend="fake")
+                means.append(sum(buf) / len(buf) if buf else 0.0)
+                printable.append(
+                    sum(32 <= b < 127 for b in buf) / len(buf)
+                    if buf
+                    else 0.0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mean_byte": means,
+                    "p_printable": printable,
+                }
+            )
+
+    return blobs.select("doc_id", "blob").mapInPandas(
+        batches, DECODE_SCHEMA
+    )

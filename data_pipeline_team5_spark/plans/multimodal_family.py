@@ -1,0 +1,91 @@
+"""Multimodal family (north star ⊕): binary payload columns + typed
+metadata, with feature extraction and frame sampling running through
+Arrow-batched ``mapInPandas`` (operators/multimodal.py).
+
+Oracle strategy: the fixture payloads are the documents' UTF-8 bytes (pure
+ASCII at every scale factor — verified), so the mapInPandas outputs are
+SQL-predictable and the Arrow path itself gets bitwise DuckDB oracles: a
+wrong batch shape, dtype, or slicing bug in the Python operators breaks the
+hash match. The fake-decode features are rows-only (float reduction order
+in Python vs SQL is not contractual).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_pipeline_team5_spark.operators.multimodal import (
+    FRAME_BYTES,
+    FRAME_STRIDE,
+    attach_blob,
+    decode_features,
+    extract_features,
+    sample_frames,
+)
+from data_pipeline_team5_spark.plans.catalog import register, table
+
+
+@register(
+    "mm_blob_features",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS checksum,
+               CAST(64 + length(text) % 512 AS INT) AS width,
+               CAST(64 + (length(text) * 7) % 512 AS INT) AS height
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="⊕ multimodal feature extraction: binary payload + metadata struct "
+    "→ (n_bytes, md5 checksum, width, height) computed in Python over "
+    "Arrow batches (operators/multimodal.py:extract_features). The oracle "
+    "predicts the mapInPandas output exactly, so the Arrow plumbing itself "
+    "is hash-checked. Shuffle-free map work at any corpus size.",
+    headline=True,
+    tags=("multimodal", "mapInPandas"),
+)
+def mm_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return extract_features(attach_blob(docs)).orderBy("doc_id")
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+        SELECT doc_id,
+               i AS frame_idx,
+               md5(substr(text, CAST(i * {FRAME_BYTES} + 1 AS BIGINT),
+                          {FRAME_BYTES})) AS frame_md5
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(0, (length(text) + {FRAME_BYTES - 1})
+                                   // {FRAME_BYTES})) AS i
+            FROM documents
+        )
+        WHERE i % {FRAME_STRIDE} = 0
+        ORDER BY doc_id, frame_idx
+    """,
+    doc="⊕ video-style frame sampling: each payload splits into fixed "
+    f"{FRAME_BYTES}-byte frames, every {FRAME_STRIDE}th is kept — a "
+    "UDTF-style 1→N fan-out inside mapInPandas (map-side row explosion, "
+    "no shuffle; operators/multimodal.py:sample_frames). Payloads are "
+    "ASCII so the byte-slicing oracle is exact.",
+    tags=("multimodal", "frames"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return sample_frames(attach_blob(docs)).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "mm_decode_features",
+    oracle=None,  # float reductions in Python; deterministic rows-only
+    doc="⊕ decoded-payload features (mean byte value, printable ratio) via "
+    "the clearly-marked fake decode backend — the real PIL path is stubbed "
+    "behind NotImplementedError because this container ships no imaging "
+    "libs (operators/multimodal.py:decode_blob). Deterministic rows-only.",
+    tags=("multimodal", "decode"),
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return decode_features(attach_blob(docs)).orderBy("doc_id")
