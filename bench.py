@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -29,7 +30,10 @@ def _run(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    # Parse the scale factor from the basename only ('…/sf0.1' → 0.1);
+    # an 'sf' elsewhere in the path must not confuse it.
+    m = re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
+    sf = m.group(1) if m else sf_dir
     spark = get_spark(app_name="bench")
 
     headline = {n: q for n, q in QUERIES.items() if q.headline}
@@ -48,7 +52,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": float(sf) if m else sf,
     }
     print(json.dumps(out))
 

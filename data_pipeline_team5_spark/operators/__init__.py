@@ -3,10 +3,10 @@
 pivoting    — long→wide pivot with controlled cell naming (A3-A5, J1)
 windows     — rank/lag/cumsum derivations of the API's precomputed fields (W1-W6)
 joins       — broadcast/semi/anti/full-outer/as-of join helpers (§2.3)
-topk        — global and per-group top-k (O2)
-dedup       — exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding near-dup
-similarity  — brute-force and LSH-bucketed cosine top-k over embeddings
-textops     — language-ID, quality scoring, token counts, fingerprints
-multimodal  — binary-column plumbing + Pandas-UDF decode/feature stubs
-sessionize  — gaps-and-islands sessionization (batch analogue of session_window)
+topk        — global (TakeOrderedAndProject) and per-group top-k (O2/O4)
+dedup       — exact survivor, n-gram Jaccard, MinHash-LSH, SimHash (⊕)
+similarity  — brute-force / LSH / IVF cosine top-k over embeddings (⊕)
+textops     — language-ID, quality scoring, token counts, fingerprints (⊕)
+multimodal  — binary payload columns + Arrow-batched decode/feature stubs (⊕)
+sessionize  — gaps-and-islands sessionization (batch ≡ session_window)
 """

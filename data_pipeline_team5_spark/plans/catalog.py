@@ -103,11 +103,18 @@ def _load_families() -> None:
         "similarity_family",
         "streaming_family",
         "multimodal_family",
+        "sessionize_family",
     ):
+        fq = f"data_pipeline_team5_spark.plans.{mod}"
         try:
-            __import__(f"data_pipeline_team5_spark.plans.{mod}")
-        except ImportError:
-            pass  # family not built yet (incremental rounds)
+            __import__(fq)
+        except ImportError as e:
+            # Only swallow "this family module does not exist yet"; a broken
+            # import INSIDE an existing family must fail loudly, or the
+            # catalog silently shrinks and correctness coverage drops.
+            if e.name == fq:
+                continue
+            raise
 
 
 _load_families()

@@ -213,8 +213,11 @@ def source_tag_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY order_day
     """,
     doc="P7 (dbt_dags.py:12-20): the reference's 9-day table-name enumeration "
-    "becomes a date-range filter. On show_range-partitioned parquet this is "
-    "pure partition pruning — the scan never touches other days.",
+    "becomes a date-range filter. NOTE: the fixture stores o_orderdate as an "
+    "unpartitioned TIMESTAMP, so this query's day-cast filter relies on "
+    "row-group skipping only; the real P7 idiom — filtering a DATE partition "
+    "column directly so the range reaches PartitionFilters — is exercised "
+    "against genuinely partitioned output in tests/test_partition_pruning.py.",
     tags=("filter", "reference"),
 )
 def partition_pruned_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,6 +25,8 @@ Spark 4 Python DataSource for parallel API shards.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -123,10 +125,29 @@ def ingest_box_office_json(
 ) -> DataFrame:
     """One KOFIC response document (or several) → typed long-format rows.
 
-    Raises ValueError when the unwrapped list is empty (P8 empty-result guard,
-    daily_csv_pipeline.py:40-42) — the reference aborts the DAG run likewise.
+    P8 empty-result guard (daily_csv_pipeline.py:40-42): every document is
+    validated *driver-side with plain json* before the plan is built — the
+    docs are in driver memory anyway (10-row/day API), so this costs no
+    Spark job, keeps the returned plan fully lazy (it previously ran an
+    eager ``isEmpty()`` that re-executed the whole parse on write), and is
+    per-document: a malformed or empty day in a multi-day batch raises
+    naming that day instead of silently dropping out of the explode.
     """
     docs = [raw_json] if isinstance(raw_json, str) else list(raw_json)
+    bad: list[str] = []
+    for i, d in enumerate(docs):
+        try:
+            body = json.loads(d).get("boxOfficeResult") or {}
+        except (TypeError, ValueError):
+            bad.append(f"doc[{i}]: malformed JSON")
+            continue
+        day = (body.get("showRange") or f"doc[{i}]").split("~")[0]
+        if not body.get("dailyBoxOfficeList"):
+            bad.append(f"{day}: empty dailyBoxOfficeList")
+    if bad:
+        raise ValueError(
+            "aborting ingest (P8 guard) — " + "; ".join(bad)
+        )
     raw = spark.createDataFrame([(d,) for d in docs], ["raw"])
 
     parsed = raw.select(
@@ -160,8 +181,4 @@ def ingest_box_office_json(
         "box_office_type",
     ).select([f.name for f in BOX_OFFICE_SCHEMA.fields])
 
-    if typed.isEmpty():
-        raise ValueError(
-            "empty dailyBoxOfficeList — aborting ingest (P8 guard)"
-        )
     return typed

@@ -49,3 +49,16 @@ def ctas(df: DataFrame, table_name: str) -> None:
     """S9: dbt '+materialized: table' (dbt_project.yml:32-36) — an eager
     CREATE OR REPLACE TABLE AS SELECT into the session catalog."""
     df.write.mode("overwrite").saveAsTable(table_name)
+
+
+def create_if_not_exists(df: DataFrame, table_name: str) -> None:
+    """S6: the reference's ``create_redshift_table`` DDL
+    (daily_csv_pipeline.py:118-154, daily_parquet_pipeline.py:105-141 —
+    a 20-column typed CREATE TABLE IF NOT EXISTS before every load).
+
+    ``mode("ignore")`` is Spark's native if-not-exists: it creates the table
+    with ``df``'s schema (and writes ``df``) only when absent, and is a
+    no-op otherwise — schema comes from the DataFrame, not a hand-kept DDL
+    string, so it can never drift the way the reference's dual CSV/Parquet
+    DDLs did (SURVEY.md §1.2 type-variant divergence)."""
+    df.write.mode("ignore").saveAsTable(table_name)
