@@ -104,6 +104,7 @@ def _load_families() -> None:
         "streaming_family",
         "multimodal_family",
         "sessionize_family",
+        "ingest_family",
     ):
         fq = f"data_pipeline_team5_spark.plans.{mod}"
         try:

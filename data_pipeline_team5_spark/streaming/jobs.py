@@ -29,6 +29,7 @@ Scale notes:
 from __future__ import annotations
 
 import itertools
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -163,16 +164,16 @@ def upsert_daily(
     def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
         write_parquet_partitioned(batch_df, path, partition_by="event_date")
 
-    # Checkpoint lives OUTSIDE the data path (a sibling dir) so the readback
-    # scan sees only parquet; a fresh checkpoint per run makes the rerun
-    # reprocess everything — which the dynamic-overwrite sink absorbs
-    # idempotently (that convergence is the point).
+    # Checkpoint lives OUTSIDE the data path (so the readback scan sees only
+    # parquet) and is unique per invocation ACROSS processes (a reused
+    # checkpoint marks the source as already processed → zero batches, an
+    # empty sink). A fresh checkpoint makes each run reprocess everything —
+    # which the dynamic-overwrite sink absorbs idempotently (the point).
+    ckpt = tempfile.mkdtemp(prefix="upsert_ckpt_")
     q = (
         with_day.writeStream.foreachBatch(write_batch)
         .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", f"{path}_checkpoint_{next(_RUN_IDS)}"
-        )
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()
