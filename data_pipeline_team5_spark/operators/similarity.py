@@ -23,6 +23,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -149,6 +151,30 @@ def lsh_topk(
         scored.withColumn("rank_k", F.row_number().over(w))
         .filter(F.col("rank_k") <= k)
     )
+
+
+def cosine_pandas_udf():
+    """Scalar Arrow-vectorized cosine (§2.10): the numpy/BLAS drop-in for
+    :func:`functions.vectors.cosine_expr` on hot paths where a JVM fold is
+    measurably slower than one Arrow transfer + BLAS.
+
+    NOT used by oracle-checked queries: BLAS reassociates the reduction, so
+    results can differ from the sequential fold in the last ulp —
+    tests/test_similarity.py pins the two within 1e-12 relative error.
+    """
+    import numpy as np
+
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a))
+        for i, (x, y) in enumerate(zip(a, b)):
+            xv = np.asarray(x, dtype=np.float64)
+            yv = np.asarray(y, dtype=np.float64)
+            out[i] = np.dot(xv, yv) / (
+                np.sqrt(np.dot(xv, xv)) * np.sqrt(np.dot(yv, yv))
+            )
+        return pd.Series(out)
+
+    return F.pandas_udf(_cos, "double")
 
 
 def centroids_by(

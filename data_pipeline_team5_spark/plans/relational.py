@@ -136,17 +136,25 @@ def rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, c_name
         FROM customer c
         WHERE NOT EXISTS (
-            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND CAST(o.o_orderdate AS DATE) >= DATE '2000-07-01'
         )
         ORDER BY c_custkey
     """,
-    doc="LEFT ANTI join: customers with no orders at all — the complement "
-    "membership test (NOT EXISTS).",
+    doc="LEFT ANTI join: customers with no orders since mid-2000 — the complement "
+    "membership test (NOT EXISTS). The recency scope keeps the result "
+    "non-trivial on the fixtures (every customer has *some* order), so the "
+    "oracle verifies real survivors, not just an empty set.",
     tags=("join", "anti"),
 )
 def rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    o = table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") >= F.lit("2000-07-01").cast("date"))
+        .select("o_custkey")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").orderBy(
         "c_custkey"
     )

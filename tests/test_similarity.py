@@ -42,6 +42,33 @@ def test_ann_recall_vs_brute_force(spark):
     emb.unpersist()
 
 
+def test_pandas_udf_cosine_matches_jvm_fold(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_team5_spark.functions.vectors import cosine_expr
+    from data_pipeline_team5_spark.operators.similarity import (
+        cosine_pandas_udf,
+    )
+
+    emb = table(spark, SF_MEDIUM, "embeddings")
+    a = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea")
+    )
+    b = emb.filter(F.col("vec_id").between(50, 99)).select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, a.ia + 50 == b.ib)
+    cos_udf = cosine_pandas_udf()
+    both = pairs.select(
+        cosine_expr(F.col("ea"), F.col("eb")).alias("jvm"),
+        cos_udf("ea", "eb").alias("arrow"),
+    ).collect()
+    assert len(both) == 50
+    for r in both:
+        # BLAS reassociates the sum — identical to the fold within 1e-12.
+        assert abs(r.jvm - r.arrow) <= 1e-12 * max(1.0, abs(r.jvm))
+
+
 def test_centroid_array_matches_long_format(spark):
     emb = table(spark, SF_MEDIUM, "embeddings")
     arrays = {r.grp: r.centroid for r in centroids_by(emb, "label").collect()}
