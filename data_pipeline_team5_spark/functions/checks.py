@@ -1,0 +1,68 @@
+"""Data-quality checks — the dbt tests the reference *claimed* but never
+shipped (README.md:144-148 "dbt의 테스트 기능을 활용하여 데이터 무결성을 자동으로
+확인" — aspirational; its tests/ dir holds only .gitkeep, SURVEY.md §5).
+
+Each check is one aggregate job returning the violation count, composed into
+``run_checks`` for a dbt-`schema.yml`-like declarative suite. At scale these
+are partial-aggregated scans — the cheapest possible verification shape; run
+them post-write on the day's partition, not the whole table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def count_nulls(df: DataFrame, cols: Sequence[str]) -> dict[str, int]:
+    """dbt ``not_null``: violations per column, one job for all columns."""
+    row = df.agg(
+        *[
+            F.count(F.when(F.col(c).isNull(), 1)).alias(c)
+            for c in cols
+        ]
+    ).collect()[0]
+    return row.asDict()
+
+
+def count_duplicate_keys(df: DataFrame, key_cols: Sequence[str]) -> int:
+    """dbt ``unique`` (composite): number of keys appearing more than once."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+
+
+def count_unaccepted(
+    df: DataFrame, col: str, accepted: Sequence[str], allow_null: bool = True
+) -> int:
+    """dbt ``accepted_values``: rows outside the accepted set."""
+    cond = ~F.col(col).isin(list(accepted))
+    if allow_null:
+        cond = cond & F.col(col).isNotNull()
+    else:
+        cond = cond | F.col(col).isNull()
+    return df.filter(cond).count()
+
+
+def run_checks(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    unique: Sequence[Sequence[str]] = (),
+    accepted_values: dict[str, Sequence[str]] | None = None,
+) -> dict[str, int]:
+    """Declarative suite: returns {check_name: violation_count}; all zeros
+    means the table passes its schema contract."""
+    out: dict[str, int] = {}
+    if not_null:
+        for c, n in count_nulls(df, not_null).items():
+            out[f"not_null:{c}"] = n
+    for keys in unique:
+        out[f"unique:{','.join(keys)}"] = count_duplicate_keys(df, keys)
+    for c, vals in (accepted_values or {}).items():
+        out[f"accepted_values:{c}"] = count_unaccepted(df, c, vals)
+    return out

@@ -140,6 +140,37 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_profile",
+    oracle=f"""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS first_ts,
+               {_QSUM_SQL} AS value_sum
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    doc="§2.9 ⊕ custom stateful operator via applyInPandasWithState: a "
+    "per-user running profile (count, first-seen, running sum) held in "
+    "explicit integer group state across micro-batches — state scales with "
+    "user cardinality, not event volume. After an AvailableNow drain the "
+    "profile equals the batch GROUP BY, which the oracle checks bitwise "
+    "(streaming/stateful.py:user_profile_stateful).",
+    tags=("streaming", "stateful", "pandas"),
+)
+def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.streaming.stateful import (
+        user_profile_stateful,
+    )
+
+    out = drain_to_memory(
+        user_profile_stateful(read_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    return out.orderBy("user_id")
+
+
+@register(
     "stream_upsert_daily",
     oracle="""
         SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_events

@@ -1,0 +1,85 @@
+"""Property-based tests (SURVEY.md §5.4) over generated inputs:
+
+1. unpivot(pivot(x)) == x modulo NULL cells — the pivot loses nothing;
+2. re-aggregating per-day partial sums equals the direct aggregate —
+   the A1/A2 two-level law the reference's box_office_showrange.sql
+   hand-implements (exact because sums run in DECIMAL).
+
+Each hypothesis example spins Spark jobs, so examples are few but the
+generated shapes (duplicate keys, absent days, negative values) cover the
+edges fixtures can't.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.functions.scalars import dsum
+from data_pipeline_team5_spark.operators.pivoting import pivot_max_cells
+
+DAYS = ["20250101", "20250102", "20250103"]
+KEYS = ["k1", "k2", "k3", "k4"]
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(KEYS),
+        st.sampled_from(DAYS),
+        st.integers(min_value=-10_000, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=rows_strategy)
+@_SETTINGS
+def test_pivot_unpivot_roundtrip(spark, rows):
+    df = spark.createDataFrame(rows, "title STRING, day STRING, sales LONG")
+    # MAX is the reference's cell combiner (box_office_data.sql:24-27):
+    # collapse duplicates first so the round-trip target is well-defined.
+    long = df.groupBy("title", "day").agg(F.max("sales").alias("sales"))
+    wide = pivot_max_cells(
+        df.withColumn("code", F.lit(0)),
+        group_key=["title", "code"],
+        pivot_col="day",
+        pivot_values=DAYS,
+        cells=[("max", "sales", "sales")],
+    )
+    stack_expr = ", ".join(f"'{d}', `{d}_sales`" for d in DAYS)
+    unpivoted = wide.selectExpr(
+        "title", f"stack({len(DAYS)}, {stack_expr}) AS (day, sales)"
+    ).filter(F.col("sales").isNotNull())
+    assert sorted(map(tuple, long.collect())) == sorted(
+        map(tuple, unpivoted.collect())
+    )
+
+
+@given(rows=rows_strategy)
+@_SETTINGS
+def test_partial_reagg_equals_direct(spark, rows):
+    df = spark.createDataFrame(rows, "title STRING, day STRING, sales LONG")
+    direct = {
+        (r.day, r.total) for r in
+        df.groupBy("day").agg(dsum("sales", "total")).collect()
+    }
+    # per-(day, title) partials — the reference's per-table inner SUM —
+    # then the outer re-SUM (box_office_showrange.sql:6-15, 20-29)
+    partial = df.groupBy("day", "title").agg(
+        F.sum(F.col("sales").cast("decimal(18,2)")).alias("p")
+    )
+    reagg = {
+        (r.day, r.total) for r in
+        partial.groupBy("day")
+        .agg(F.sum("p").cast("double").alias("total"))
+        .collect()
+    }
+    assert direct == reagg
