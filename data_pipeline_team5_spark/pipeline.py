@@ -57,6 +57,54 @@ def daily_ingest(
     write_parquet_partitioned(df, warehouse_path, partition_by="show_range")
 
 
+def daily_pipeline(
+    spark: SparkSession,
+    raw_json: str | list[str],
+    warehouse_path: str,
+    dates: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """The whole reference DAG surface as one data-dependent run
+    (daily_parquet_pipeline.py:183-214 tasks 1-5 + both dbt models):
+
+      1-3. ingest + idempotent partitioned write (S1-S5, the DDL step S6 is
+           subsumed — parquet layout IS the schema, see
+           sources/writers.py:create_if_not_exists for the catalog-table
+           form);
+      4.   data-quality gate — the dbt tests the reference claimed
+           (functions/checks.py); violations abort before transforms, which
+           is what 'dbt test' between load and model runs would have done;
+      5.   both transforms over the freshly written partitions.
+
+    Ordering is data dependency (each step consumes the previous step's
+    output), not the reference's clock coupling (dbt at 00:05 hoping the
+    00:00 ingest finished — SURVEY.md §3.2).
+    """
+    from data_pipeline_team5_spark.functions.checks import run_checks
+
+    run_with_retry(
+        lambda: daily_ingest(spark, raw_json, warehouse_path)
+    )
+    stored = spark.read.parquet(warehouse_path)
+    violations = run_checks(
+        stored,
+        not_null=["title", "show_range", "rank_num"],
+        unique=[["code", "show_range"]],
+        accepted_values={"new_entry": ["NEW", "OLD"]},
+    )
+    bad = {k: v for k, v in violations.items() if v}
+    if bad:
+        raise ValueError(f"data-quality gate failed: {bad}")
+    if dates is None:
+        days = sorted(
+            r.show_range for r in stored.select("show_range").distinct().collect()
+        )
+        dates = [d.isoformat() for d in days]
+    return {
+        "daily": transform_daily(stored, dates),
+        "pivot": transform_pivot(stored, dates),
+    }
+
+
 def transform_daily(df: DataFrame, dates: list[str]) -> DataFrame:
     """box_office_showrange semantics on the long table: date-scope filter
     (P7 → partition pruning) + per-day multi-SUM (A1/A2)."""

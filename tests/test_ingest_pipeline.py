@@ -139,3 +139,52 @@ def test_last_n_days():
         "2025-01-22",
         "2025-01-23",
     ]
+
+
+def test_daily_pipeline_end_to_end(spark, tmp_path):
+    """X1-X5 composed: ingest → write → quality gate → both transforms."""
+    from data_pipeline_team5_spark.pipeline import daily_pipeline
+
+    out = daily_pipeline(
+        spark, [DOC_D1, DOC_D2], str(tmp_path / "wh")
+    )
+    daily = {r.show_range: r.total_sales_sum for r in out["daily"].collect()}
+    assert daily[datetime.date(2025, 1, 22)] == 1800.0
+    assert daily[datetime.date(2025, 1, 23)] == 1400.0
+    pivot = out["pivot"].collect()
+    assert len(pivot) == 3  # movies 101, 102, 103 full-outer aligned
+    by_code = {r.code: r for r in pivot}
+    assert by_code[101]["20250123_sales"] is None  # absent day → NULL cell
+    assert by_code[102]["20250122_sales"] == 800
+    assert by_code[102]["20250123_sales"] == 900
+
+
+def test_daily_pipeline_quality_gate_fires(spark, tmp_path):
+    """A duplicate (code, show_range) must abort before transforms."""
+    from data_pipeline_team5_spark.pipeline import daily_pipeline
+
+    dup = _doc(
+        "20250122",
+        [
+            _movie(1, 101, "A", 100, 1, 1),
+            _movie(2, 101, "A again", 200, 2, 2),
+        ],
+    )
+    with pytest.raises(ValueError, match="data-quality gate"):
+        daily_pipeline(spark, dup, str(tmp_path / "wh2"))
+
+
+def test_to_json_roundtrip_stability(spark):
+    """F8: to_json(from_json(x)) re-serializes the envelope losslessly for
+    the fields the schema names (the XCom transport the engine eliminates
+    but still supports)."""
+    from data_pipeline_team5_spark.sources.ingest import ENVELOPE_SCHEMA
+
+    df = spark.createDataFrame([(DOC_D1,)], ["raw"])
+    parsed = df.select(F.from_json("raw", ENVELOPE_SCHEMA).alias("doc"))
+    back = parsed.select(F.to_json("doc").alias("j"))
+    reparsed = back.select(F.from_json("j", ENVELOPE_SCHEMA).alias("doc2"))
+    assert (
+        parsed.select("doc").collect()[0][0]
+        == reparsed.select("doc2").collect()[0][0]
+    )
