@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.functions.scalars import norm_text, norm_text_sql
+from data_pipeline_team5_spark.functions.vectors import cosine_sql, norm_expr, dot_expr
 from data_pipeline_team5_spark.operators.dedup import (
     dedup_exact,
     doc_shingles,
@@ -122,6 +123,65 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(sh, num_perm=32, seed=42)
     cand = lsh_candidate_pairs(sig, num_perm=32, bands=8, max_bucket=50)
     return verify_jaccard(cand, sh, JACCARD_T).orderBy("doc_a", "doc_b")
+
+
+COSINE_T = 0.35  # upper tail of the fixture's near-random vectors; a real
+# corpus puts true near-dups at >= 0.9 and this query's shape is unchanged.
+
+
+@register(
+    "embedding_cosine_neardup",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        )
+        SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {cosine_sql('a.v', 'b.v')} AS cosine
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {cosine_sql('a.v', 'b.v')} >= {COSINE_T}
+        ORDER BY a.label, vec_a, vec_b
+    """,
+    doc="⊕ embedding-cosine near-dup pairs, the fifth north-star dedup "
+    "method: candidates are blocked on the coarse-quantizer cell (the "
+    "fixture's `label`, i.e. a precomputed IVF assignment) so the "
+    "self-join is per-cell, never all-pairs — at 100 TB each cell is one "
+    "shuffle partition and the exact-cosine verify touches within-cell "
+    "pairs only (multi-probe across adjacent cells raises recall; the "
+    "unblocked variant is knn_brute_force). Norms are projected once per "
+    "row before the join, not recomputed per pair; cosines use the "
+    "sequential-fold policy (functions/vectors.py) so the DuckDB oracle "
+    "matches bitwise.",
+    tags=("dedup", "neardup", "embedding"),
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    # One norm per row, computed before the join fans rows into pairs.
+    emb = emb.withColumn("nrm", norm_expr(F.col("v")))
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = dot_expr(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_T)
+        .orderBy("label", "vec_a", "vec_b")
+    )
 
 
 @register(
