@@ -20,8 +20,18 @@ from pyspark.sql import DataFrame
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """S3: header CSV encode — quoting-correct by construction."""
-    df.write.option("header", True).mode(mode).csv(path)
+    """S3: header CSV encode — quoting-correct by construction.
+
+    escape='"' selects RFC-4180 quote doubling (``""``) instead of Spark's
+    default backslash escaping, matching readers.read_csv_table and what
+    DuckDB/pandas/Redshift COPY parse without extra options."""
+    (
+        df.write.option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .mode(mode)
+        .csv(path)
+    )
 
 
 def write_parquet_partitioned(
