@@ -105,6 +105,7 @@ def _load_families() -> None:
         "multimodal_family",
         "sessionize_family",
         "ingest_family",
+        "grouping_family",
     ):
         fq = f"data_pipeline_team5_spark.plans.{mod}"
         try:
