@@ -9,4 +9,5 @@ similarity  — brute-force / LSH / IVF cosine top-k over embeddings (⊕)
 textops     — language-ID, quality scoring, token counts, fingerprints (⊕)
 multimodal  — binary payload columns + Arrow-batched decode/feature stubs (⊕)
 sessionize  — gaps-and-islands sessionization (batch ≡ session_window)
+skew        — deterministic salting: sharded exact distinct, hot-key joins
 """

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.functions.scalars import dsum, dsum_sql
+from data_pipeline_team5_spark.operators.skew import salted_distinct
 from data_pipeline_team5_spark.plans.catalog import register, table
 
 
@@ -157,3 +158,32 @@ def setops_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("churned").alias("cohort"), "o_custkey"
     )
     return both.unionByName(churned).orderBy("cohort", "o_custkey")
+
+
+@register(
+    "salted_distinct_per_priority",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY priority
+    """,
+    doc="Exact per-key COUNT(DISTINCT) under aggregation-state skew: 5 hot "
+    "priority keys, each holding a huge distinct-customer set at scale. "
+    "The distinct domain is hash-sharded 16 ways so no single reducer "
+    "materializes a hot key's whole value set; shard counts add exactly "
+    "because the shards partition the domain (operators/skew.py:"
+    "salted_distinct). Oracle = the plain COUNT(DISTINCT) — salting is "
+    "semantics-preserving. AQE skew-join splitting can't fix this case; "
+    "this is the pattern that does at 100 TB.",
+    tags=("agg", "distinct", "skew"),
+)
+def salted_distinct_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    out = salted_distinct(
+        o, ["o_orderpriority"], "o_custkey", "n_custs", n=16
+    )
+    return out.select(
+        F.col("o_orderpriority").alias("priority"), "n_custs"
+    ).orderBy("priority")
