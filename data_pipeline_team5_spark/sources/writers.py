@@ -61,6 +61,33 @@ def ctas(df: DataFrame, table_name: str) -> None:
     df.write.mode("overwrite").saveAsTable(table_name)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str | list[str],
+    buckets: int = 32,
+) -> None:
+    """Materialize a table hash-bucketed (and sorted) on its join key.
+
+    Two tables bucketed on the same key with the same bucket count join
+    with ZERO shuffle on either side — Spark's sort-merge join reads the
+    co-located buckets directly (tests/test_bucketed_join.py asserts the
+    plan has no Exchange). This is the storage layout for the repeated
+    big-big joins of a 100 TB pipeline (fact ⋈ fact, e.g. orders ⋈
+    lineitem every day): pay the bucketing shuffle once at write time,
+    never again at read time. Bucket count is fixed at write — size it to
+    target-SF partition volume (buckets ≈ table_bytes / 128 MB).
+    """
+    keys = [key] if isinstance(key, str) else key
+    (
+        df.write.bucketBy(buckets, *keys)
+        .sortBy(*keys)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def create_if_not_exists(df: DataFrame, table_name: str) -> None:
     """S6: the reference's ``create_redshift_table`` DDL
     (daily_csv_pipeline.py:118-154, daily_parquet_pipeline.py:105-141 —
