@@ -24,7 +24,7 @@ from data_pipeline_team5_spark.functions.scalars import (
     revenue_expr,
     to_day,
 )
-from data_pipeline_team5_spark.operators.pivoting import pivot_max_cells
+from data_pipeline_team5_spark.operators.pivoting import pivot_max_cells, unpivot
 from data_pipeline_team5_spark.plans.catalog import register, table
 
 
@@ -270,3 +270,56 @@ def staging_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_dups") > 1)
         .orderBy("o_custkey", "order_day")
     )
+
+
+@register(
+    "unpivot_daily_metrics",
+    oracle="""
+        WITH wide AS (
+            SELECT CAST(l_shipdate AS DATE) AS show_range,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_sales,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)
+                       AS sum_disc
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) >= DATE '1998-11-01'
+            GROUP BY 1
+        )
+        SELECT show_range, metric, value FROM (
+            SELECT show_range, 'sum_qty' AS metric, sum_qty AS value
+            FROM wide
+            UNION ALL
+            SELECT show_range, 'sum_sales', sum_sales FROM wide
+            UNION ALL
+            SELECT show_range, 'sum_disc', sum_disc FROM wide
+        )
+        ORDER BY show_range, metric
+    """,
+    doc="Long→wide→long closure: the inverse of the box_office_data pivot "
+    "(box_office_data.sql:20-31 goes wide; a consumer charting tool wants "
+    "long back). Spark's built-in unpivot is a zero-shuffle row generator "
+    "— the plan is scan → agg → generate, no extra exchange "
+    "(operators/pivoting.py:unpivot). Metric columns are uniform DOUBLE "
+    "via the decimal-exact sum policy so the stack needs no casts.",
+    tags=("pivot", "unpivot", "reference"),
+)
+def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    wide = (
+        li.filter(to_day("l_shipdate") >= F.lit("1998-11-01"))
+        .groupBy(to_day("l_shipdate").alias("show_range"))
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_sales"),
+            dsum("l_discount", "sum_disc", "decimal(8,4)"),
+        )
+    )
+    return unpivot(
+        wide,
+        ["show_range"],
+        ["sum_qty", "sum_sales", "sum_disc"],
+        var_name="metric",
+        value_name="value",
+    ).orderBy("show_range", "metric")
