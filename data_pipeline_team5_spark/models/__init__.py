@@ -1,0 +1,103 @@
+"""dbt-style SQL models executed natively on Spark.
+
+The reference's transform layer is authored as Jinja-templated SQL models
+run by dbt against Redshift (`box_office_data.sql`, `box_office_showrange.sql`
++ `dbt_project.yml` vars). A user switching engines keeps that authoring
+model here: models are SQL text with a tiny var-substitution step (the X4
+dynamic query builder), executed by ``spark.sql`` over registered views, and
+optionally materialized (`+materialized: table` ≡ CTAS, S9).
+
+Semantics are identical to the DataFrame-API pipeline
+(`pipeline.transform_daily` / `transform_pivot`) — asserted by
+tests/test_sql_models.py — so SQL-first and DataFrame-first users see the
+same results from the same engine. Catalyst compiles both to the same
+physical shape: one partial→final HashAggregate; the generated MAX(CASE)
+cell list mirrors the reference's Jinja loop (box_office_data.sql:23-29)
+with a bounded, plan-time-known column list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_pipeline_team5_spark.sources.writers import ctas
+
+_DSUM = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
+
+# box_office_showrange.sql:6-29 on the long table: the Jinja per-table
+# UNION ALL + re-agg collapses to one GROUP BY over the date-scoped scan.
+SHOWRANGE_MODEL = """
+SELECT show_range,
+       {sums}
+FROM {source}
+WHERE show_range IN ({date_list})
+GROUP BY show_range
+ORDER BY show_range
+"""
+
+_SHOWRANGE_SUMS = [
+    ("sales", "total_sales_sum"),
+    ("total_sales", "acc_sales_sum"),
+    ("audience_num", "total_audience_sum"),
+    ("total_audience_num", "acc_audience_sum"),
+    ("screen_num", "screen_num_sum"),
+    ("screen_show", "screen_show_sum"),
+]
+
+# box_office_data.sql:20-31: GROUP BY movie key, one MAX(CASE) cell per
+# (date × metric); NULL where the movie did not chart that day.
+DATA_MODEL = """
+SELECT title, code,
+       {cells}
+FROM {source}
+WHERE show_range IN ({date_list})
+GROUP BY title, code
+ORDER BY title, code
+"""
+
+_DATA_METRICS = ["sales", "total_sales", "audience_num", "total_audience_num"]
+
+_CELL = (
+    "CAST(MAX(CASE WHEN date_format(show_range, 'yyyyMMdd') = '{day}' "
+    "THEN CAST({metric} AS DECIMAL(18,2)) END) AS DOUBLE) AS `{day}_{metric}`"
+)
+
+
+def render_showrange(dates: list[str], source: str = "box_office_daily") -> str:
+    """Render the showrange model for an ISO date list (X4/X5 vars)."""
+    sums = ",\n       ".join(
+        _DSUM.format(col=c, alias=a) for c, a in _SHOWRANGE_SUMS
+    )
+    date_list = ", ".join(f"DATE '{d}'" for d in dates)
+    return SHOWRANGE_MODEL.format(
+        sums=sums, source=source, date_list=date_list
+    )
+
+
+def render_data(dates: list[str], source: str = "box_office_daily") -> str:
+    """Render the pivot model: the reference's Jinja loop emitting one
+    MAX(CASE) per (day × metric) becomes this Python loop."""
+    cells = ",\n       ".join(
+        _CELL.format(day=d.replace("-", ""), metric=m)
+        for m in _DATA_METRICS
+        for d in dates
+    )
+    date_list = ", ".join(f"DATE '{d}'" for d in dates)
+    return DATA_MODEL.format(cells=cells, source=source, date_list=date_list)
+
+
+def run_model(
+    spark: SparkSession,
+    sql: str,
+    source_df: DataFrame,
+    source_name: str = "box_office_daily",
+    materialize_as: str | None = None,
+) -> DataFrame:
+    """Execute one rendered model over ``source_df`` registered as a view;
+    ``materialize_as`` gives dbt's `+materialized: table` (CTAS)."""
+    source_df.createOrReplaceTempView(source_name)
+    out = spark.sql(sql)
+    if materialize_as:
+        ctas(out, materialize_as)
+        out = spark.table(materialize_as)
+    return out

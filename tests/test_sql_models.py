@@ -1,0 +1,55 @@
+"""SQL-model surface ≡ DataFrame-API pipeline: the rendered dbt-style models
+(models/__init__.py) must produce exactly the rows of transform_daily /
+transform_pivot over the same ingested data — the SQL-first and
+DataFrame-first interfaces are the same engine."""
+
+from __future__ import annotations
+
+from data_pipeline_team5_spark.models import (
+    render_data,
+    render_showrange,
+    run_model,
+)
+from data_pipeline_team5_spark.pipeline import transform_daily, transform_pivot
+from data_pipeline_team5_spark.sources.ingest import ingest_box_office_json
+from tests.test_ingest_pipeline import DOC_D1, DOC_D2
+
+DATES = ["2025-01-22", "2025-01-23"]
+
+
+def _long_table(spark):
+    return ingest_box_office_json(spark, [DOC_D1, DOC_D2])
+
+
+def test_showrange_model_matches_dataframe_api(spark):
+    df = _long_table(spark)
+    sql_out = run_model(spark, render_showrange(DATES), df)
+    api_out = transform_daily(df, DATES)
+    assert sql_out.columns == api_out.columns
+    assert sorted(map(tuple, sql_out.collect())) == sorted(
+        map(tuple, api_out.collect())
+    )
+
+
+def test_data_model_matches_dataframe_api(spark):
+    df = _long_table(spark)
+    sql_out = run_model(spark, render_data(DATES), df)
+    api_out = transform_pivot(df, DATES)
+    assert sql_out.columns == api_out.columns
+    rows_sql = sorted(map(tuple, sql_out.collect()))
+    rows_api = sorted(map(tuple, api_out.collect()))
+    assert rows_sql == rows_api
+    # the pivot's full-outer semantics: a movie absent on a day is NULL there
+    assert any(None in r for r in rows_sql)
+
+
+def test_model_ctas_materialization(spark):
+    df = _long_table(spark)
+    out = run_model(
+        spark,
+        render_showrange(DATES),
+        df,
+        materialize_as="t_model_showrange",
+    )
+    assert spark.table("t_model_showrange").count() == out.count() > 0
+    spark.sql("DROP TABLE IF EXISTS t_model_showrange")
