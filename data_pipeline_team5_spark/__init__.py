@@ -15,6 +15,7 @@ Layout:
     functions  — deterministic scalar/vector helpers shared by operators
     operators  — one module per SURVEY.md §2 operator family
     plans      — the named-query catalog (Spark fn + DuckDB oracle SQL pairs)
+    models     — dbt-style SQL models executed natively via spark.sql
     streaming  — Structured Streaming jobs (SURVEY.md §2.9)
     pipeline   — the batch runner replacing the reference's Airflow DAGs
 """

@@ -198,3 +198,27 @@ def rolling_hash_sql(tok: str) -> str:
         f"list_transform({tok}, t -> CAST(length(t) * 17 + ascii(t) AS BIGINT))), "
         f"(acc, x) -> (acc * 31 + x) % {MOD})"
     )
+
+
+# GPT-2-style pretokenizer, simplified to the syntax Java regex and RE2
+# (DuckDB) share: contraction suffixes, space-prefixed letter runs, digit
+# runs, punctuation runs. This is the "BPE-ish" token counter — it matches
+# the segmentation a byte-pair tokenizer starts from, so its counts track
+# LLM token budgets far better than whitespace counts do.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_tokens_expr(col: str | Column) -> Column:
+    """BPE-ish pretokens of the raw text (group 0: whole-match extraction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    return F.size(bpe_tokens_expr(col))
+
+
+def bpe_count_sql(expr: str) -> str:
+    """DuckDB mirror; RE2 handles the same pattern text identically."""
+    escaped = BPE_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({expr}, '{escaped}', 0))"

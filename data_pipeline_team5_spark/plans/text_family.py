@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.functions.scalars import norm_text_sql
 from data_pipeline_team5_spark.operators.textops import (
+    bpe_count_sql,
+    bpe_token_count,
     fingerprint_md5,
     fingerprint_md5_sql,
     lang_id_expr,
@@ -164,3 +166,30 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "text_bpe_token_counts",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+                   AS n_ws,
+               CAST({bpe_count_sql('text')} AS INT) AS n_bpe
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="⊕ token budgeting per doc: whitespace count vs the BPE-ish "
+    "pretokenizer count (operators/textops.py:BPE_PATTERN — the GPT-2 "
+    "pretokenization shape, shared verbatim by Java regex and DuckDB's "
+    "RE2). Both are per-row JVM expressions: a full-corpus token budget is "
+    "one codegen'd scan, no shuffle until the final rollup.",
+    tags=("text", "tokens"),
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("int")
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws"),
+        bpe_token_count("text").cast("int").alias("n_bpe"),
+    ).orderBy("doc_id")
