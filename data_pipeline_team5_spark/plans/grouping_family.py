@@ -49,6 +49,7 @@ from data_pipeline_team5_spark.plans.catalog import register, table
     "reference would need a UNION of three queries for. grouping_id() "
     "disambiguates a real NULL key from a subtotal row; dims broadcast, "
     "the Expand runs over ~125 partial groups, not input rows.",
+    headline=True,
     tags=("agg", "rollup", "grouping"),
 )
 def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
