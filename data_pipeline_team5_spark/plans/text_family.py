@@ -193,3 +193,40 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.alias("n_ws"),
         bpe_token_count("text").cast("int").alias("n_bpe"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_length_quantiles",
+    oracle="""
+        SELECT lang,
+               CAST(quantile_cont(n_chars, 0.25) AS DOUBLE) AS p25,
+               CAST(quantile_cont(n_chars, 0.50) AS DOUBLE) AS p50,
+               CAST(quantile_cont(n_chars, 0.75) AS DOUBLE) AS p75,
+               CAST(quantile_cont(n_chars, 0.95) AS DOUBLE) AS p95
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="⊕ per-language doc-length quantiles for corpus quality cutoffs "
+    "(drop the sub-p25 / super-p95 tails). Spark's exact `percentile` and "
+    "DuckDB's quantile_cont share the lower+(upper-lower)*frac linear "
+    "interpolation at position p*(n-1), so values match bitwise. Exact "
+    "percentile holds the group's values — fine on a ~10-key lang "
+    "dimension; for high-cardinality keys switch to percentile_approx "
+    "(t-digest sketch, bounded state; see dash_approx_distinct for the "
+    "same exact-vs-sketch tradeoff).",
+    tags=("text", "quantile"),
+)
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    qs = [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+    return (
+        docs.groupBy("lang")
+        .agg(
+            *[
+                F.percentile("n_chars", F.lit(p)).alias(a)
+                for p, a in qs
+            ]
+        )
+        .orderBy("lang")
+    )

@@ -211,3 +211,38 @@ def o4_daily_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_num") <= 10)
         .orderBy("show_range", "rank_num", "p_brand")
     )
+
+
+@register(
+    "w7_rank_statistics",
+    oracle=f"""
+        {_BD}
+        SELECT show_range, p_brand,
+               CAST(DENSE_RANK() OVER w AS INT) AS drank,
+               PERCENT_RANK() OVER w AS prank,
+               CAST(NTILE(4) OVER w AS INT) AS quartile
+        FROM brand_daily
+        WINDOW w AS (PARTITION BY show_range ORDER BY sales DESC, p_brand)
+        ORDER BY show_range, drank, p_brand
+    """,
+    doc="W1 companions: dense_rank (no gaps after ties), percent_rank "
+    "(both engines compute (rank-1)/(n-1) in double — bitwise identical), "
+    "and sales quartiles via ntile(4). Same single window shuffle as "
+    "w1_rank_in_day; the deterministic p_brand tiebreak makes ntile's "
+    "row-number-based buckets engine-independent.",
+    tags=("window", "rank"),
+)
+def w7_rank_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    bd = brand_daily(spark, sf_dir).select("show_range", "p_brand", "sales")
+    w = Window.partitionBy("show_range").orderBy(
+        F.desc("sales"), F.asc("p_brand")
+    )
+    return bd.select(
+        "show_range",
+        "p_brand",
+        F.dense_rank().over(w).cast("int").alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    ).orderBy("show_range", "drank", "p_brand")
