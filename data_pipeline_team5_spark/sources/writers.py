@@ -16,7 +16,8 @@ object storage alike.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -99,3 +100,40 @@ def create_if_not_exists(df: DataFrame, table_name: str) -> None:
     string, so it can never drift the way the reference's dual CSV/Parquet
     DDLs did (SURVEY.md §1.2 type-variant divergence)."""
     df.write.mode("ignore").saveAsTable(table_name)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_by: str = "show_range",
+    target_mb: int = 128,
+    days: list | None = None,
+) -> None:
+    """Maintenance: rewrite a partitioned parquet dataset with right-sized
+    files.
+
+    Daily micro-batch ingest (10 rows/day here; one small file per
+    executor-partition at scale) accretes small files that tax the
+    InMemoryFileIndex listing and make scan tasks IO-bound — the classic
+    100 TB operational failure the reference never hits at its data size
+    but claims to design for. One file per partition-value-per-
+    ``target_mb`` is restored by repartitioning on the partition column
+    before a dynamic-overwrite write: each day's rewrite replaces only
+    that day (idempotent, backfill-safe, same path as
+    write_parquet_partitioned).
+    """
+    df = spark.read.parquet(path)
+    if days is not None:
+        df = df.where(F.col(partition_by).isin(list(days)))
+    # Shuffle-partition count from the scan's own size estimate.
+    total_bytes = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    n_parts = max(1, total_bytes // (target_mb * 1024 * 1024))
+    # localCheckpoint materializes the scoped rows and cuts the lineage to
+    # the source files — without it Spark (correctly) refuses to overwrite
+    # a path it is still reading from. Compaction rewrites every byte it
+    # touches anyway, so the materialization is not extra work; scope it
+    # with ``days`` to keep each maintenance run bounded.
+    compacted = df.localCheckpoint().repartition(n_parts, partition_by)
+    write_parquet_partitioned(compacted, path, partition_by=partition_by)
