@@ -160,3 +160,45 @@ def decode_features(blobs: DataFrame) -> DataFrame:
     return blobs.select("doc_id", "blob").mapInPandas(
         batches, DECODE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id BIGINT, resized BINARY, out_w BIGINT, out_h BIGINT"
+)
+
+
+def resize_blob(blobs: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Resize plumbing: per-payload downsample to a fixed (out_w × out_h)
+    grid via deterministic strided byte sampling — the stand-in for a real
+    bilinear resize (gated like decode_blob: no imaging libs in this
+    container; a PIL-backed branch drops in behind the same schema).
+
+    The Spark-side contract is the real thing: Arrow-batched mapInPandas,
+    BINARY in → BINARY out with typed output dims, one map-side pass, rows
+    never fan out. Payloads shorter than the target grid pad with zero
+    bytes, so output size is schema-constant — the property a downstream
+    fixed-shape feature extractor relies on.
+    """
+    n_out = out_w * out_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = []
+            for blob in pdf["blob"]:
+                b = bytes(blob)
+                if len(b) >= n_out:
+                    stride = len(b) // n_out
+                    out = bytes(b[i * stride] for i in range(n_out))
+                else:
+                    out = b + b"\x00" * (n_out - len(b))
+                resized.append(out)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized": resized,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                }
+            )
+
+    return blobs.select("doc_id", "blob").mapInPandas(batches, RESIZE_SCHEMA)

@@ -46,3 +46,22 @@ def test_frame_fanout_counts(spark):
         n_frames = (n + 63) // 64
         expect = (n_frames + 3) // 4  # every 4th frame, starting at 0
         assert per_doc.get(doc_id, 0) == expect
+
+
+def test_resize_is_fixed_shape_and_deterministic(spark):
+    from data_pipeline_team5_spark.operators.multimodal import (
+        attach_blob,
+        resize_blob,
+    )
+    from data_pipeline_team5_spark.plans.catalog import table
+    from tests.conftest import SF_SMALL
+
+    docs = table(spark, SF_SMALL, "documents").limit(20)
+    blobs = attach_blob(docs)
+    out = resize_blob(blobs, out_w=8, out_h=8)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r.resized) == 64 for r in rows)  # schema-constant size
+    assert all((r.out_w, r.out_h) == (8, 8) for r in rows)
+    again = {r.doc_id: bytes(r.resized) for r in resize_blob(blobs).collect()}
+    assert all(bytes(r.resized) == again[r.doc_id] for r in rows)
