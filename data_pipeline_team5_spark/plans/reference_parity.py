@@ -323,3 +323,56 @@ def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_name="metric",
         value_name="value",
     ).orderBy("show_range", "metric")
+
+
+@register(
+    "scd2_snapshot",
+    oracle="""
+        WITH cur AS (
+            SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
+        ),
+        changed AS (
+            SELECT k FROM cur WHERE k % 7 = 0 AND seg <> 'MACHINERY'
+        )
+        SELECT k, seg,
+               DATE '1995-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to
+        FROM cur WHERE k NOT IN (SELECT k FROM changed)
+        UNION ALL
+        SELECT c.k, c.seg, DATE '1995-01-01', DATE '1996-01-01'
+        FROM cur c JOIN changed ch ON c.k = ch.k
+        UNION ALL
+        SELECT ch.k, 'MACHINERY', DATE '1996-01-01', CAST(NULL AS DATE)
+        FROM changed ch
+        ORDER BY k, valid_from
+    """,
+    doc="dbt snapshot ≡ SCD2 merge — the feature the reference scaffolds "
+    "but never builds (dbt_project/snapshots/ holds only .gitkeep). "
+    "Customers load as the 1995 open dimension; a deterministic update "
+    "batch (every 7th key moves to MACHINERY) closes changed rows at the "
+    "as-of date and inserts new open versions; unchanged keys pass "
+    "through untouched (operators/scd2.py:scd2_apply — joins/unions on "
+    "the business key only, facts never rewrite). Idempotence is pinned "
+    "by tests/test_scd2.py.",
+    tags=("scd2", "dbt", "reference"),
+)
+def scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.scd2 import scd2_apply
+
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg")
+    )
+    dim = c.select(
+        "k",
+        "seg",
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    upd = c.select(
+        "k",
+        F.when(F.col("k") % 7 == 0, F.lit("MACHINERY"))
+        .otherwise(F.col("seg"))
+        .alias("seg"),
+    )
+    out = scd2_apply(dim, upd, "k", ["seg"], "1996-01-01")
+    return out.orderBy("k", "valid_from")
