@@ -13,8 +13,14 @@ import math
 
 import pytest
 
+import os
+
 from data_pipeline_team5_spark.plans.catalog import QUERIES
 from tests.conftest import SF_SMALL
+
+# Default sf0.001 for speed; the driver gate runs sf0.01 — sweep that with
+#   ORACLE_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_catalog_oracle.py
+ORACLE_SF = os.environ.get("ORACLE_SF_DIR", SF_SMALL)
 
 
 def _norm_cell(v):
@@ -53,7 +59,7 @@ def _normalize(cols, rows):
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, duck):
     q = QUERIES[name]
-    sdf = q.fn(spark, SF_SMALL)
+    sdf = q.fn(spark, ORACLE_SF)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
 
@@ -64,7 +70,7 @@ def test_query_matches_oracle(name, spark, duck):
         assert len(srows) > 0, f"{name}: rows-only query returned 0 rows"
         return
 
-    con = duck(SF_SMALL)
+    con = duck(ORACLE_SF)
     res = con.execute(q.oracle)
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
