@@ -49,14 +49,32 @@ def count_unaccepted(
     return df.filter(cond).count()
 
 
+def count_orphans(
+    df: DataFrame, col: str, parent: DataFrame, parent_col: str
+) -> int:
+    """dbt ``relationships``: non-null FK values with no matching parent row.
+
+    Left-anti join on the key — Spark broadcasts the smaller side; at scale
+    project the parent to its key column first (as callers here do) so the
+    build side is key-only.
+    """
+    child = df.select(F.col(col).alias("_fk")).filter(
+        F.col("_fk").isNotNull()
+    )
+    keys = parent.select(F.col(parent_col).alias("_fk")).distinct()
+    return child.join(keys, "_fk", "left_anti").count()
+
+
 def run_checks(
     df: DataFrame,
     not_null: Sequence[str] = (),
     unique: Sequence[Sequence[str]] = (),
     accepted_values: dict[str, Sequence[str]] | None = None,
+    relationships: Sequence[tuple[str, DataFrame, str]] = (),
 ) -> dict[str, int]:
     """Declarative suite: returns {check_name: violation_count}; all zeros
-    means the table passes its schema contract."""
+    means the table passes its schema contract. ``relationships`` entries
+    are (fk_col, parent_df, parent_col) — dbt's fourth built-in test."""
     out: dict[str, int] = {}
     if not_null:
         for c, n in count_nulls(df, not_null).items():
@@ -65,4 +83,8 @@ def run_checks(
         out[f"unique:{','.join(keys)}"] = count_duplicate_keys(df, keys)
     for c, vals in (accepted_values or {}).items():
         out[f"accepted_values:{c}"] = count_unaccepted(df, c, vals)
+    for fk, parent, pcol in relationships:
+        out[f"relationships:{fk}->{pcol}"] = count_orphans(
+            df, fk, parent, pcol
+        )
     return out

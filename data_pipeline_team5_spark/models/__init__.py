@@ -20,7 +20,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_pipeline_team5_spark.sources.writers import ctas
+from data_pipeline_team5_spark.sources.writers import (
+    ctas,
+    write_parquet_partitioned,
+)
 
 _DSUM = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
 
@@ -101,3 +104,41 @@ def run_model(
         ctas(out, materialize_as)
         out = spark.table(materialize_as)
     return out
+
+
+def run_model_incremental(
+    spark: SparkSession,
+    render,
+    source_df: DataFrame,
+    target_path: str,
+    dates: list[str],
+    partition_by: str = "show_range",
+) -> list[str]:
+    """dbt `+materialized: incremental`: process only dates absent from the
+    target, append them as partitions; returns the dates actually run.
+
+    dbt's incremental filter is `WHERE date > (SELECT max(date) FROM this)`;
+    the partition-set difference used here is its gap-tolerant superset
+    (a backfilled hole in the middle still gets processed). The write is
+    the idempotent dynamic partition overwrite, so re-running a date
+    converges instead of duplicating — at 100 TB each daily run touches
+    one partition of the target, never rewrites history.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = {
+            str(r[0])
+            for r in spark.read.parquet(target_path)
+            .select(partition_by)
+            .distinct()
+            .collect()
+        }
+    except AnalysisException:  # first run: target does not exist yet
+        existing = set()
+    new_dates = [d for d in dates if d not in existing]
+    if not new_dates:
+        return []
+    out = run_model(spark, render(new_dates), source_df)
+    write_parquet_partitioned(out, target_path, partition_by=partition_by)
+    return new_dates

@@ -73,3 +73,22 @@ def test_checks_fire_on_violations(spark):
     assert results["not_null:code"] == 1
     assert results["unique:code,day"] == 1
     assert results["accepted_values:new_entry"] == 1
+
+
+def test_relationships_check_counts_orphans(spark):
+    from data_pipeline_team5_spark.functions.checks import run_checks
+    from data_pipeline_team5_spark.plans.catalog import table
+    from tests.conftest import SF_SMALL
+
+    orders = table(spark, SF_SMALL, "orders")
+    customer = table(spark, SF_SMALL, "customer")
+    ok = run_checks(
+        orders, relationships=[("o_custkey", customer, "c_custkey")]
+    )
+    assert ok == {"relationships:o_custkey->c_custkey": 0}
+    # remove some parents → orphans surface
+    broken = customer.filter("c_custkey % 5 != 0")
+    bad = run_checks(
+        orders, relationships=[("o_custkey", broken, "c_custkey")]
+    )
+    assert bad["relationships:o_custkey->c_custkey"] > 0

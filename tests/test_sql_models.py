@@ -53,3 +53,28 @@ def test_model_ctas_materialization(spark):
     )
     assert spark.table("t_model_showrange").count() == out.count() > 0
     spark.sql("DROP TABLE IF EXISTS t_model_showrange")
+
+
+def test_incremental_model_processes_only_new_dates(spark, tmp_path):
+    from data_pipeline_team5_spark.models import run_model_incremental
+
+    df = _long_table(spark)
+    target = str(tmp_path / "showrange_incr")
+
+    ran = run_model_incremental(
+        spark, render_showrange, df, target, ["2025-01-22"]
+    )
+    assert ran == ["2025-01-22"]
+    assert spark.read.parquet(target).count() == 1
+
+    # second run with both dates: only the new one processes
+    ran = run_model_incremental(spark, render_showrange, df, target, DATES)
+    assert ran == ["2025-01-23"]
+    out = spark.read.parquet(target)
+    assert out.count() == 2
+
+    # third run: nothing new, nothing touched
+    assert run_model_incremental(
+        spark, render_showrange, df, target, DATES
+    ) == []
+    assert spark.read.parquet(target).count() == 2
