@@ -222,3 +222,45 @@ def bpe_count_sql(expr: str) -> str:
     """DuckDB mirror; RE2 handles the same pattern text identically."""
     escaped = BPE_PATTERN.replace("'", "''")
     return f"len(regexp_extract_all({expr}, '{escaped}', 0))"
+
+
+# Minimal valence lexicons (hand-picked common English sentiment words) —
+# the M6 "sentiment via text analysis" surface. A production run swaps in a
+# full lexicon (VADER-style) behind the same expressions; the Spark shape
+# (per-row array_filter counts, no UDF, no shuffle) is what matters here.
+POS_WORDS = sorted(
+    {
+        "good", "great", "excellent", "best", "love", "happy", "wonderful",
+        "amazing", "positive", "success", "win", "beautiful", "enjoy",
+        "perfect", "favorite", "nice", "superb", "brilliant",
+    }
+)
+NEG_WORDS = sorted(
+    {
+        "bad", "terrible", "worst", "hate", "awful", "sad", "horrible",
+        "negative", "failure", "lose", "ugly", "poor", "wrong", "broken",
+        "disappointing", "boring", "annoying", "painful",
+    }
+)
+
+
+def sentiment_exprs(tokens: Column) -> dict[str, Column]:
+    """Lexicon sentiment: positive/negative hit counts and the polarity
+    score (pos − neg) / tokens ∈ [−1, 1]; one double division, mirrored
+    textually by :func:`sentiment_sql` for bitwise oracle parity."""
+    n_tok = F.size(tokens)
+    n_pos = F.size(F.filter(tokens, lambda t: t.isin(*POS_WORDS)))
+    n_neg = F.size(F.filter(tokens, lambda t: t.isin(*NEG_WORDS)))
+    polarity = (n_pos - n_neg).cast("double") / n_tok.cast("double")
+    return {"n_pos": n_pos, "n_neg": n_neg, "polarity": polarity}
+
+
+def sentiment_sql(tok: str) -> dict[str, str]:
+    pos = ", ".join(f"'{w}'" for w in POS_WORDS)
+    neg = ", ".join(f"'{w}'" for w in NEG_WORDS)
+    n_pos = f"len(list_filter({tok}, t -> t IN ({pos})))"
+    n_neg = f"len(list_filter({tok}, t -> t IN ({neg})))"
+    polarity = (
+        f"(CAST({n_pos} - {n_neg} AS DOUBLE) / CAST(len({tok}) AS DOUBLE))"
+    )
+    return {"n_pos": n_pos, "n_neg": n_neg, "polarity": polarity}

@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from data_pipeline_team5_spark.functions.scalars import norm_text_sql
 from data_pipeline_team5_spark.operators.textops import (
     bpe_count_sql,
+    sentiment_exprs,
+    sentiment_sql,
     bpe_token_count,
     fingerprint_md5,
     fingerprint_md5_sql,
@@ -230,3 +232,37 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_S = sentiment_sql("t")
+
+
+@register(
+    "text_sentiment",
+    oracle=f"""
+        {_TOKS}
+        SELECT doc_id,
+               CAST({_S['n_pos']} AS INT) AS n_pos,
+               CAST({_S['n_neg']} AS INT) AS n_neg,
+               {_S['polarity']} AS polarity
+        FROM toks
+        ORDER BY doc_id
+    """,
+    doc="⊕ lexicon sentiment per doc (M6 'sentiment/text analysis'): "
+    "positive/negative hit counts over the normalized tokens and the "
+    "(pos-neg)/tokens polarity. Pure per-row array_filter counts inside "
+    "codegen - no UDF, no shuffle; swap a full valence lexicon in behind "
+    "the same expressions at production scale "
+    "(operators/textops.py:sentiment_exprs).",
+    tags=("text", "sentiment"),
+)
+def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens_expr("text").alias("_t"))
+    s = sentiment_exprs(F.col("_t"))
+    return toked.select(
+        "doc_id",
+        s["n_pos"].cast("int").alias("n_pos"),
+        s["n_neg"].cast("int").alias("n_neg"),
+        s["polarity"].alias("polarity"),
+    ).orderBy("doc_id")
