@@ -145,3 +145,52 @@ def asof_join_pandas(
         .cogroup(right.groupBy(key))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    ts_col: str,
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Interval-containment (range) join, Spark-first: point ts ∈
+    [start, end) — as a bucketized EQUI-join, never a theta join.
+
+    Expressed naively (``points.join(intervals, (ts >= start) & (ts <
+    end))``) Spark must plan BroadcastNestedLoopJoin — every point probes
+    every interval, O(|points|·|intervals|), the classic range-join scale
+    killer. Instead each interval explodes to the 1-day buckets it covers
+    (``F.sequence`` — interval spans are short relative to the bucket, so
+    the fan-out is small and bounded), points hash to their single bucket,
+    and the join runs as a shuffled/broadcast HASH join on the bucket key
+    with the exact containment as a post-filter. A point's bucket is
+    unique, so no dedup pass is needed. This is the same
+    bucket-the-candidates pattern as the shingle/LSH/IVF joins
+    (operators/dedup.py, similarity.py) applied to time ranges.
+    """
+    bucket = "__rj_bucket"
+    p = points.withColumn(bucket, F.date_trunc("day", F.col(ts_col)))
+    iv = intervals.withColumn(
+        bucket,
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col(start_col)),
+                # end is exclusive: a zero-width tail on the bucket border
+                # must not add a bucket
+                F.date_trunc(
+                    "day",
+                    F.col(end_col) - F.expr("INTERVAL 1 MICROSECOND"),
+                ),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, bucket)
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop(bucket)
+    )

@@ -244,3 +244,63 @@ def rel_asof_attribution_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="event_id",
         right_cols=["event_id", "ts"],
     ).orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "rel_range_join",
+    oracle="""
+        WITH campaigns AS (
+            SELECT i AS campaign_id,
+                   CAST(DATE '2024-01-01' + CAST(i AS INTEGER) AS TIMESTAMP)
+                       AS start_ts,
+                   CAST(DATE '2024-01-01' + CAST(i AS INTEGER) AS TIMESTAMP)
+                       + INTERVAL 36 HOUR AS end_ts
+            FROM range(20) t(i)
+        )
+        SELECT c.campaign_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(28,10))) AS DOUBLE)
+                   AS sum_value
+        FROM events e
+        JOIN campaigns c
+          ON e.ts >= c.start_ts AND e.ts < c.end_ts
+        GROUP BY c.campaign_id
+        ORDER BY campaign_id
+    """,
+    doc="Range (interval-containment) join: events attributed to 20 "
+    "deterministic 36-hour campaign windows. The oracle states the naive "
+    "theta join; the Spark plan is the bucketized equi-join "
+    "(operators/joins.py:range_join_bucketed) — intervals explode to "
+    "their covered day buckets, points hash-join on their single bucket, "
+    "exact containment filters after. Hash join + post-filter replaces "
+    "the O(points x intervals) nested loop; the plan-invariant test "
+    "verifies no CartesianProduct/BNLJ-shaped fallback survives.",
+    tags=("join", "range"),
+)
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.joins import range_join_bucketed
+
+    ev = table(spark, sf_dir, "events").select("ts", "value")
+    campaigns = spark.range(20).select(
+        F.col("id").alias("campaign_id"),
+        F.to_timestamp(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int"))
+        ).alias("start_ts"),
+        (
+            F.to_timestamp(
+                F.date_add(
+                    F.lit("2024-01-01").cast("date"), F.col("id").cast("int")
+                )
+            )
+            + F.expr("INTERVAL 36 HOURS")
+        ).alias("end_ts"),
+    )
+    joined = range_join_bucketed(ev, "ts", campaigns, "start_ts", "end_ts")
+    return (
+        joined.groupBy("campaign_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value", "decimal(28,10)"),
+        )
+        .orderBy("campaign_id")
+    )
