@@ -188,3 +188,34 @@ def salted_distinct_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("o_orderpriority").alias("priority"), "n_custs"
     ).orderBy("priority")
+
+
+@register(
+    "sketch_weekly_distinct",
+    oracle=None,  # DataSketches binary HLL not expressible in DuckDB SQL
+    doc="Mergeable-sketch rollup — THE 100 TB distinct-count architecture: "
+    "each day aggregates once into a tiny HLL sketch (DataSketches, "
+    "hll_sketch_agg); any date-range distinct is then a UNION of stored "
+    "sketches (hll_union_agg), never a rescan of raw events. Here: daily "
+    "user sketches merged to weeks, exact recount alongside for "
+    "validation (affordable at test SF only; pytest pins relative error "
+    "< 2%). Unlike approx_count_distinct's one-shot estimate, these "
+    "sketches are storable and re-mergeable across jobs and days.",
+    tags=("sketch", "hll", "distinct"),
+)
+def sketch_weekly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("ts", "user_id")
+    day = F.to_date("ts").alias("day")
+    daily = ev.groupBy(day).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    week = F.date_trunc("week", "day").cast("date").alias("week")
+    merged = daily.groupBy(week).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_hll")
+    )
+    exact = ev.groupBy(
+        F.date_trunc("week", F.to_date("ts")).cast("date").alias("week")
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        merged.join(exact, "week")
+        .select("week", "n_exact", "n_hll")
+        .orderBy("week")
+    )

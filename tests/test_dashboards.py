@@ -23,3 +23,13 @@ def test_approx_distinct_error_bound(spark):
             f"month {r.month}: approx {r.n_approx} vs exact {r.n_exact} "
             f"(rel err {rel_err:.3f})"
         )
+
+
+def test_hll_sketch_rollup_error_bound(spark):
+    from data_pipeline_team5_spark.plans.catalog import QUERIES
+    from tests.conftest import SF_MEDIUM
+
+    rows = QUERIES["sketch_weekly_distinct"].fn(spark, SF_MEDIUM).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r.n_hll - r.n_exact) / r.n_exact < 0.02, r
