@@ -137,3 +137,38 @@ def compact_partitions(
     # with ``days`` to keep each maintenance run bounded.
     compacted = df.localCheckpoint().repartition(n_parts, partition_by)
     write_parquet_partitioned(compacted, path, partition_by=partition_by)
+
+
+def retention_sweep(
+    spark: SparkSession,
+    path: str,
+    keep_days: int,
+    as_of: str,
+    partition_by: str = "show_range",
+) -> list[str]:
+    """Maintenance: drop partitions older than ``keep_days`` before
+    ``as_of``; returns the partition values removed.
+
+    The reference accretes one Redshift table per day forever (no retention
+    anywhere in its DAGs); at 100 TB unbounded history is a storage and
+    file-listing liability. Partition dirs are removed wholesale — an O(1)
+    metadata operation per partition, no data rewrite — and the cutoff
+    arithmetic runs driver-side on the partition VALUES (tiny), never on
+    row data.
+    """
+    import datetime
+    import shutil
+
+    cutoff = datetime.date.fromisoformat(as_of) - datetime.timedelta(
+        days=keep_days
+    )
+    removed: list[str] = []
+    values = [
+        str(r[0])
+        for r in spark.read.parquet(path).select(partition_by).distinct().collect()
+    ]
+    for v in values:
+        if datetime.date.fromisoformat(v) < cutoff:
+            shutil.rmtree(f"{path}/{partition_by}={v}", ignore_errors=True)
+            removed.append(v)
+    return sorted(removed)

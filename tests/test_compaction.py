@@ -69,3 +69,23 @@ def test_scoped_compaction_touches_only_given_days(spark, tmp_path):
     assert other_files_before == other_files_after  # untouched days intact
     day_files = [f for f in _parquet_files(path) if f"show_range={day}" in f]
     assert len(day_files) == 1
+
+
+def test_retention_sweep_drops_only_expired_days(spark, tmp_path):
+    from data_pipeline_team5_spark.sources.writers import retention_sweep
+
+    path = str(tmp_path / "ret")
+    _fragmented(spark, path)
+    all_days = sorted(
+        str(r[0])
+        for r in spark.read.parquet(path).select("show_range").distinct().collect()
+    )
+    removed = retention_sweep(spark, path, keep_days=3, as_of="1998-08-02")
+    kept = sorted(
+        str(r[0])
+        for r in spark.read.parquet(path).select("show_range").distinct().collect()
+    )
+    assert removed == [d for d in all_days if d < "1998-07-30"]
+    assert kept == [d for d in all_days if d >= "1998-07-30"]
+    # idempotent: second sweep removes nothing
+    assert retention_sweep(spark, path, keep_days=3, as_of="1998-08-02") == []

@@ -83,3 +83,31 @@ def test_partial_reagg_equals_direct(spark, rows):
         .collect()
     }
     assert direct == reagg
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "hot"]),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@_SETTINGS
+def test_salted_distinct_equals_exact(spark, rows):
+    from data_pipeline_team5_spark.operators.skew import salted_distinct
+
+    df = spark.createDataFrame(rows, ["k", "v"])
+    exact = {
+        r["k"]: r["nd"]
+        for r in df.groupBy("k")
+        .agg(F.countDistinct("v").alias("nd"))
+        .collect()
+    }
+    salted = {
+        r["k"]: r["nd"]
+        for r in salted_distinct(df, ["k"], "v", "nd", n=4).collect()
+    }
+    assert salted == exact
