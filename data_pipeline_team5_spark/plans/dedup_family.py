@@ -198,3 +198,65 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = doc_shingles(docs, "doc_id", "text")
     sim = simhash(sh)
     return simhash_pairs(sim, max_hamming=7).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+        {_SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)},
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM shing a
+            JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+            JOIN sizes sa ON a.doc_id = sa.doc_id
+            JOIN sizes sb ON b.doc_id = sb.doc_id
+            GROUP BY 1, 2
+            HAVING CAST(COUNT(*) AS DOUBLE) /
+                   CAST((MIN(sa.n) + MIN(sb.n) - COUNT(*)) AS DOUBLE)
+                   >= {JACCARD_T}
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, lab) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a
+        )
+        SELECT node AS doc_id,
+               MIN(lab) AS group_id,
+               (node = MIN(lab)) AS is_survivor
+        FROM reach
+        GROUP BY node
+        ORDER BY doc_id
+    """,
+    doc="⊕ pairs → dedup GROUPS: connected components of the exact-Jaccard "
+    "near-dup graph via iterative min-label propagation "
+    "(operators/components.py — O(diameter) distributed rounds, "
+    "localCheckpoint-truncated lineage; the prompt-level 'iterative "
+    "algorithm' case). group_id = the component's minimum doc_id; "
+    "is_survivor marks the one document kept per group — the row a "
+    "training-data pipeline actually filters on. Oracle = transitive "
+    "closure by recursive CTE over the same pair set.",
+    tags=("dedup", "components", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, "doc_id", "text")
+    pairs = jaccard_pairs(sh, JACCARD_T).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("group_id"),
+        (F.col("id") == F.col("component")).alias("is_survivor"),
+    ).orderBy("doc_id")
