@@ -196,3 +196,44 @@ def stream_upsert_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .orderBy("event_date")
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts
+            FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+                   value AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT v.user_id AS user_id, v.view_ts, p.purchase_ts, p.purchase_value
+        FROM v JOIN p
+          ON v.user_id = p.user_id
+         AND p.purchase_ts > v.view_ts
+         AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+        ORDER BY user_id, view_ts, purchase_ts
+    """,
+    doc="§2.9 stream-stream join: purchases attributed to the same user's "
+    "views within the preceding hour, both sides watermarked and the join "
+    "event-time-bounded so buffered state expires (the two conditions "
+    "that keep a stream-stream join runnable forever; "
+    "streaming/jobs.py:view_purchase_attribution). Batch-equivalent under "
+    "an AvailableNow drain — the oracle is the plain time-bounded theta "
+    "join over the full fixture.",
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.streaming.jobs import (
+        drain_to_memory,
+        read_events_stream,
+        view_purchase_attribution,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    joined = view_purchase_attribution(ev)
+    out = drain_to_memory(joined, output_mode="append")
+    return out.orderBy("user_id", "view_ts", "purchase_ts")

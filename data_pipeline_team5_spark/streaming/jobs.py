@@ -178,3 +178,51 @@ def upsert_daily(
     )
     q.awaitTermination()
     return spark.read.parquet(path)
+
+
+def view_purchase_attribution(
+    events: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase attributed to the same
+    user's views in the preceding ``horizon``.
+
+    Both sides carry watermarks and the join condition bounds event time,
+    so Spark can expire buffered rows: view-side state is bounded by
+    (watermark + horizon), purchase-side by the watermark — the two
+    requirements that make a stream-stream join runnable forever at
+    100 TB/day. Without the time bound the state store would grow without
+    limit (Spark refuses unbounded stream-stream joins in append mode for
+    exactly this reason).
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 day")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    return views.join(
+        purchases,
+        F.expr(
+            f"""
+            v_user = p_user
+            AND purchase_ts > view_ts
+            AND purchase_ts <= view_ts + INTERVAL {horizon}
+            """
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
