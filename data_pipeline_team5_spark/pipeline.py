@@ -144,3 +144,42 @@ def transform_pivot(df: DataFrame, dates: list[str]) -> DataFrame:
         ],
     )
     return wide.orderBy("title", "code")
+
+
+def main(argv: list[str] | None = None) -> int:
+    """Operational entry point — the engine's replacement for the
+    reference's Airflow cron (`schedule_interval='0 0 * * *'`,
+    daily_parquet_pipeline.py:174): cron this module instead.
+
+        python -m data_pipeline_team5_spark.pipeline \\
+            --input day1.json [day2.json ...] --warehouse /data/box_office
+
+    Each --input file is one KOFIC-shaped response document; the run
+    ingests all of them, applies the quality gate, executes both
+    transforms, and prints one JSON summary line (row counts per output).
+    """
+    import argparse
+    import json as _json
+    import sys as _sys
+
+    from data_pipeline_team5_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(prog="data_pipeline_team5_spark.pipeline")
+    ap.add_argument("--input", nargs="+", required=True,
+                    help="KOFIC-shaped JSON document file(s), one per day")
+    ap.add_argument("--warehouse", required=True,
+                    help="partitioned parquet root for the long table")
+    ap.add_argument("--dates", nargs="*", default=None,
+                    help="ISO dates to transform (default: all ingested)")
+    args = ap.parse_args(argv)
+
+    docs = [open(p).read() for p in args.input]
+    spark = get_spark(app_name="daily_pipeline")
+    outputs = daily_pipeline(spark, docs, args.warehouse, dates=args.dates)
+    summary = {name: df.count() for name, df in outputs.items()}
+    print(_json.dumps({"status": "ok", "rows": summary}))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via tests.main()
+    raise SystemExit(main())

@@ -188,3 +188,21 @@ def test_to_json_roundtrip_stability(spark):
         parsed.select("doc").collect()[0][0]
         == reparsed.select("doc2").collect()[0][0]
     )
+
+
+def test_cli_main_runs_pipeline(spark, tmp_path, capsys):
+    import json
+
+    from data_pipeline_team5_spark.pipeline import main
+
+    p1 = tmp_path / "d1.json"
+    p2 = tmp_path / "d2.json"
+    p1.write_text(DOC_D1)
+    p2.write_text(DOC_D2)
+    wh = str(tmp_path / "wh")
+    rc = main(["--input", str(p1), str(p2), "--warehouse", wh])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "ok"
+    assert out["rows"]["daily"] == 2  # two ingested days
+    assert out["rows"]["pivot"] == 3  # three distinct movies
