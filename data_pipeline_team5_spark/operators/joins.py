@@ -171,6 +171,10 @@ def range_join_bucketed(
     """
     bucket = "__rj_bucket"
     p = points.withColumn(bucket, F.date_trunc("day", F.col(ts_col)))
+    # Empty/inverted intervals match nothing — and must be dropped BEFORE
+    # the sequence: F.sequence(a, b) with b < a generates a DESCENDING
+    # range, which would fabricate buckets for an inverted interval.
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     iv = intervals.withColumn(
         bucket,
         F.explode(

@@ -63,7 +63,19 @@ def salted_join(
     across all n salt values, and the join runs on (key, salt) — a hot
     probe key now lands on n tasks. Build-side cost is n× its (small but
     not broadcastable) size; keep ``n`` modest.
+
+    Only probe-preserving join types are valid: under right/full outer an
+    unmatched build row would surface once per replica (n duplicates), so
+    those are rejected — swap the sides instead.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "semi",
+               "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: join type '{how}' would duplicate unmatched "
+            f"build rows across salt replicas; use one of {sorted(allowed)}"
+            " (or swap probe/build)"
+        )
     cols = spread_cols or [c for c in probe.columns if c != key]
     salt_expr: Column = (
         F.pmod(F.hash(*cols), F.lit(n)) if cols else F.lit(0)

@@ -22,3 +22,24 @@ def test_asof_unmatched_purchases_are_null(spark):
     for r in rows:
         if r.matched_ts is not None:
             assert r.matched_ts <= r.ts
+
+
+def test_range_join_ignores_inverted_intervals(spark):
+    import datetime
+
+    from data_pipeline_team5_spark.operators.joins import range_join_bucketed
+
+    T = datetime.datetime
+    pts = spark.createDataFrame(
+        [(T(2024, 1, 5, 12),)], ["ts"]
+    )
+    ivs = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 5), T(2024, 1, 6)),    # valid: matches
+            (2, T(2024, 1, 6), T(2024, 1, 5)),    # inverted: must not
+            (3, T(2024, 1, 5), T(2024, 1, 5)),    # empty: must not
+        ],
+        ["iv_id", "start_ts", "end_ts"],
+    )
+    out = range_join_bucketed(pts, "ts", ivs, "start_ts", "end_ts")
+    assert [r.iv_id for r in out.collect()] == [1]

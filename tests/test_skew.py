@@ -52,3 +52,12 @@ def test_salted_join_left_keeps_unmatched(spark):
     out = salted_join(probe, build, "k", n=4, how="left")
     assert out.count() == probe.count()
     assert out.filter(F.col("w").isNotNull()).count() == 0
+
+
+def test_salted_join_rejects_build_preserving_types(spark):
+    import pytest
+
+    probe = _skewed(spark)
+    build = spark.createDataFrame([("hot", 1)], ["k", "w"])
+    with pytest.raises(ValueError, match="duplicate unmatched build"):
+        salted_join(probe, build, "k", how="full_outer")
