@@ -168,7 +168,13 @@ def retention_sweep(
         for r in spark.read.parquet(path).select(partition_by).distinct().collect()
     ]
     for v in values:
-        if datetime.date.fromisoformat(v) < cutoff:
+        try:
+            day = datetime.date.fromisoformat(v)
+        except ValueError:
+            # non-date partition value (e.g. the Hive null-partition dir):
+            # never age-based-deleted
+            continue
+        if day < cutoff:
             shutil.rmtree(f"{path}/{partition_by}={v}", ignore_errors=True)
             removed.append(v)
     return sorted(removed)
