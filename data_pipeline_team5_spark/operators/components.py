@@ -64,5 +64,12 @@ def connected_components(
         n_changed = updated.filter(F.col("_chg")).count()
         labels = updated.drop("_chg")
         if n_changed == 0:
-            break
-    return labels
+            return labels
+    # Silent partial labels would split one component into several
+    # "groups", each with its own false survivor — fail loudly instead.
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        f"({n_changed} labels still changing) — the graph diameter exceeds "
+        "max_iter; raise max_iter or switch to the large-star/small-star "
+        "variant for long-chain graphs"
+    )

@@ -48,15 +48,26 @@ def asof_join(
     Returns all left columns plus ``prefix+c`` for each c in right_cols
     (NULL when no prior right row exists).
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
     payload = [c for c in right_cols if c not in (key,)]
+    # The whole right payload travels as ONE struct: filling each column
+    # independently with last(ignorenulls) would back-fill a NULL field of
+    # the matched row from an OLDER right row, stitching a composite row
+    # that never existed (and diverging from merge_asof semantics).
+    payload_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload]
+    )
+    tb_t = right.schema[tiebreak].dataType
 
     shared = {key, ts}  # columns both sides contribute to the union spine
     r = right.select(
         F.col(key),
         F.col(ts),
         F.lit(0).alias(_SIDE),
-        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__r_payload"),
+        F.col(tiebreak).alias("__r_tb"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in lcols
@@ -67,32 +78,30 @@ def asof_join(
         F.col(key),
         F.col(ts),
         F.lit(1).alias(_SIDE),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-            for c in payload
-        ],
+        F.lit(None).cast(payload_t).alias("__r_payload"),
+        F.lit(None).cast(tb_t).alias("__r_tb"),
         *[F.col(c) for c in lcols if c not in shared],
     )
     # Order: at an identical timestamp the right row sorts first (side 0),
     # so an exact-ts right row is visible to the left row — merge_asof's
-    # allow_exact_matches=True semantics. __r_<tiebreak> breaks right-side
-    # ts ties deterministically (greatest wins, being last in the frame).
+    # allow_exact_matches=True semantics. __r_tb breaks right-side ts ties
+    # deterministically (greatest wins, being last in the frame).
     w = (
         Window.partitionBy(key)
-        .orderBy(ts, _SIDE, f"__r_{tiebreak}")
+        .orderBy(ts, _SIDE, "__r_tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = r.unionByName(l).select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in payload
-        ],
+        F.last("__r_payload", ignorenulls=True).over(w).alias("__match"),
     )
     return filled.filter(F.col(_SIDE) == 1).select(
         key,
         *[c for c in lcols if c != key],
-        *[f"{prefix}{c}" for c in payload],
+        *[
+            F.col(f"__match.{c}").alias(f"{prefix}{c}")
+            for c in payload
+        ],
     )
 
 
@@ -120,7 +129,10 @@ def asof_join_pandas(
     lcols = left.columns
 
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
-        l_sorted = l_pdf.sort_values([ts, tiebreak], kind="mergesort")
+        # merge_asof only needs the LEFT side ordered by the merge key; the
+        # tiebreak is a right-side concept (the left may not even carry the
+        # column).
+        l_sorted = l_pdf.sort_values([ts], kind="mergesort")
         # Right side sorted by (ts, tiebreak): merge_asof takes the LAST row
         # ≤ the left ts, so the greatest tiebreak wins on right-side ts ties
         # — identical to the window composition's ordering.

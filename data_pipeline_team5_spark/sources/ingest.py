@@ -137,11 +137,20 @@ def ingest_box_office_json(
     bad: list[str] = []
     for i, d in enumerate(docs):
         try:
-            body = json.loads(d).get("boxOfficeResult") or {}
+            doc = json.loads(d)
         except (TypeError, ValueError):
             bad.append(f"doc[{i}]: malformed JSON")
             continue
-        day = (body.get("showRange") or f"doc[{i}]").split("~")[0]
+        # Valid JSON that is not an object (list/string/number/null), or a
+        # non-object boxOfficeResult, is just as malformed for this API.
+        if not isinstance(doc, dict):
+            bad.append(f"doc[{i}]: not a JSON object")
+            continue
+        body = doc.get("boxOfficeResult") or {}
+        if not isinstance(body, dict):
+            bad.append(f"doc[{i}]: boxOfficeResult is not an object")
+            continue
+        day = str(body.get("showRange") or f"doc[{i}]").split("~")[0]
         if not body.get("dailyBoxOfficeList"):
             bad.append(f"{day}: empty dailyBoxOfficeList")
     if bad:

@@ -74,7 +74,13 @@ def read_json_landed(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
         ).alias("_doc"),
     )
-    is_bad = F.col(f"_doc.{corrupt_col}").isNotNull()
+    # A line can fail two ways: the corrupt column is set (malformed JSON
+    # object), or the whole struct is NULL (blank line, a literal `null`) —
+    # without the isNull arm those lines would land in `good` as fabricated
+    # all-NULL rows.
+    is_bad = (
+        F.col("_doc").isNull() | F.col(f"_doc.{corrupt_col}").isNotNull()
+    )
     good = parsed.filter(~is_bad).select(
         *[F.col(f"_doc.{f.name}") for f in schema.fields]
     )

@@ -135,7 +135,20 @@ def compact_partitions(
     # a path it is still reading from. Compaction rewrites every byte it
     # touches anyway, so the materialization is not extra work; scope it
     # with ``days`` to keep each maintenance run bounded.
-    compacted = df.localCheckpoint().repartition(n_parts, partition_by)
+    checkpointed = df.localCheckpoint()
+    # Repartitioning on the partition column ALONE would route each day to
+    # one task → one file per day regardless of size (an oversized day
+    # stays oversized). A deterministic salt in [0, files-per-day) lets a
+    # big day fan out to ~target_mb files while a small day stays at one.
+    n_values = checkpointed.select(partition_by).distinct().count()
+    files_per_value = max(1, n_parts // max(1, n_values))
+    data_cols = [c for c in checkpointed.columns if c != partition_by]
+    salt = F.pmod(F.hash(*data_cols), F.lit(files_per_value))
+    compacted = (
+        checkpointed.withColumn("_salt", salt)
+        .repartition(max(n_parts, n_values), partition_by, "_salt")
+        .drop("_salt")
+    )
     write_parquet_partitioned(compacted, path, partition_by=partition_by)
 
 

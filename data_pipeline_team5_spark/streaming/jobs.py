@@ -29,6 +29,7 @@ Scale notes:
 from __future__ import annotations
 
 import itertools
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -170,13 +171,18 @@ def upsert_daily(
     # empty sink). A fresh checkpoint makes each run reprocess everything —
     # which the dynamic-overwrite sink absorbs idempotently (the point).
     ckpt = tempfile.mkdtemp(prefix="upsert_ckpt_")
-    q = (
-        with_day.writeStream.foreachBatch(write_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            with_day.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # One-shot drain: the checkpoint has no replay value once the query
+        # terminates, and a leaked dir per scheduled run accumulates forever.
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(path)
 
 

@@ -67,3 +67,30 @@ def test_dedup_exact_survivor_is_min_and_idempotent(spark):
     # idempotent: dedup of the dedup'd table is a no-op
     assert dedup_exact(out, ["_key"], "doc_id").count() == out.count()
     out.unpersist()
+
+
+def test_components_raise_on_non_convergence(spark):
+    import pytest
+
+    from data_pipeline_team5_spark.operators.components import (
+        connected_components,
+    )
+
+    # a 5-node chain has diameter 4 > max_iter=2
+    verts = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, edges, max_iter=2)
+    done = connected_components(verts, edges, max_iter=10)
+    assert {r.component for r in done.collect()} == {0}
+
+
+def test_lsh_rejects_indivisible_bands(spark):
+    import pytest
+
+    from data_pipeline_team5_spark.operators.dedup import lsh_candidate_pairs
+
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_candidate_pairs(None, num_perm=32, bands=5)

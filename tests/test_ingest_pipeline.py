@@ -206,3 +206,15 @@ def test_cli_main_runs_pipeline(spark, tmp_path, capsys):
     assert out["status"] == "ok"
     assert out["rows"]["daily"] == 2  # two ingested days
     assert out["rows"]["pivot"] == 3  # three distinct movies
+
+
+def test_ingest_guard_rejects_non_object_json(spark):
+    import pytest
+
+    from data_pipeline_team5_spark.sources.ingest import (
+        ingest_box_office_json,
+    )
+
+    for bad in ("[]", '"x"', "3", "null", '{"boxOfficeResult": []}'):
+        with pytest.raises(ValueError, match="P8 guard"):
+            ingest_box_office_json(spark, bad)

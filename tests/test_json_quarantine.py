@@ -42,3 +42,18 @@ def test_clean_input_has_empty_quarantine(spark, tmp_path):
     good, quarantine = read_json_landed(spark, str(p), SCHEMA)
     assert good.count() == 2
     assert quarantine.count() == 0
+
+
+def test_blank_and_null_lines_are_quarantined(spark, tmp_path):
+    p = tmp_path / "holes.jsonl"
+    p.write_text(
+        '{"code": 1, "title": "ok", "sales": 1}\n'
+        "\n"
+        "null\n"
+        '{"code": 2, "title": "ok2", "sales": 2}'
+    )
+    good, quarantine = read_json_landed(spark, str(p), SCHEMA)
+    assert sorted(r.code for r in good.collect()) == [1, 2]
+    # neither the blank nor the `null` line may surface as an all-NULL row
+    assert good.filter("code IS NULL").count() == 0
+    assert quarantine.count() == 2

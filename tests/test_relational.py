@@ -43,3 +43,27 @@ def test_range_join_ignores_inverted_intervals(spark):
     )
     out = range_join_bucketed(pts, "ts", ivs, "start_ts", "end_ts")
     assert [r.iv_id for r in out.collect()] == [1]
+
+
+def test_asof_null_field_not_backfilled_from_older_row(spark):
+    """A NULL field in the matched right row must stay NULL — filling each
+    payload column independently would stitch a composite of two rows."""
+    from data_pipeline_team5_spark.operators.joins import (
+        asof_join,
+        asof_join_pandas,
+    )
+
+    left = spark.createDataFrame([(1, 3)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, 1, 10, 1.0), (1, 2, 20, None)],
+        "k BIGINT, ts BIGINT, rid BIGINT, amount DOUBLE",
+    )
+    for impl in (asof_join, asof_join_pandas):
+        out = impl(
+            left, right, key="k", ts="ts", tiebreak="rid",
+            right_cols=["rid", "amount"],
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["matched_rid"] == 20
+        assert r["matched_amount"] is None, impl.__name__
