@@ -1,0 +1,71 @@
+"""Reproducible sampling for training-data pipelines.
+
+``df.sample``/``sampleBy`` draw from a partition-seeded RNG: results change
+whenever partitioning changes (a repartition, a different file split, a
+cluster resize), which silently breaks the holy rule of dataset curation —
+the same document must land in the same split on every run. These operators
+derive the decision from a HASH OF THE ROW KEY instead: fully deterministic
+across partitionings, engines and reruns, pure per-row JVM expressions
+(md5 → first 8 hex chars → integer bucket in [0, 10000)), and exactly
+mirrored in SQL for the DuckDB oracles.
+
+Scale: shuffle-free row-parallel map work; the split column costs one
+projection and prunes into the scan's filters when selecting one split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000  # basis-point resolution for fractions
+
+
+def hash_bucket(key: Column | str) -> Column:
+    """Deterministic bucket in [0, BUCKETS) from the row key: first 8 hex
+    chars of md5 — engine-independent (md5 text is canonical)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % BUCKETS
+    )
+
+
+def hash_bucket_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`hash_bucket`."""
+    return (
+        f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::UBIGINT"
+        f" % {BUCKETS})"
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float
+) -> DataFrame:
+    """Keep rows whose key-bucket falls under ``fraction`` — the same rows
+    on every run, every partitioning, every engine."""
+    return df.filter(hash_bucket(key) < int(fraction * BUCKETS))
+
+
+def split_assign(
+    df: DataFrame,
+    key: str,
+    val_frac: float = 0.01,
+    test_frac: float = 0.01,
+    col_name: str = "split",
+) -> DataFrame:
+    """Append a train/val/test assignment column from the key hash.
+
+    Buckets [0, val) → val, [val, val+test) → test, rest → train. Adding
+    documents to the corpus never moves an existing document between
+    splits (its bucket depends only on its own key) — the property that
+    keeps eval sets stable as a 100 TB corpus grows.
+    """
+    b = hash_bucket(key)
+    v = int(val_frac * BUCKETS)
+    t = v + int(test_frac * BUCKETS)
+    return df.withColumn(
+        col_name,
+        F.when(b < v, "val").when(b < t, "test").otherwise("train"),
+    )

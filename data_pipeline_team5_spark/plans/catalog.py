@@ -106,6 +106,7 @@ def _load_families() -> None:
         "sessionize_family",
         "ingest_family",
         "grouping_family",
+        "sampling_family",
     ):
         fq = f"data_pipeline_team5_spark.plans.{mod}"
         try:

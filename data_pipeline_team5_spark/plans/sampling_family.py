@@ -1,0 +1,92 @@
+"""Sampling family (north star ⊕): reproducible corpus sampling and
+train/val/test splitting over ``documents``.
+
+The decisions derive from md5-of-key buckets (operators/sampling.py), not
+Spark's partition-seeded RNG — so the oracle is bitwise and, more
+importantly, so a rerun / repartition / engine switch never reassigns a
+document. Both queries are shuffle-free map work until the tiny final
+rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.operators.sampling import (
+    deterministic_sample,
+    hash_bucket_sql,
+    split_assign,
+)
+from data_pipeline_team5_spark.plans.catalog import register, table
+
+SAMPLE_FRAC = 0.10
+VAL_FRAC = 0.05
+TEST_FRAC = 0.05
+
+
+@register(
+    "sample_stratified_counts",
+    oracle=f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM documents
+        WHERE {hash_bucket_sql('doc_id')} < {int(SAMPLE_FRAC * 10_000)}
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="⊕ reproducible 10% corpus sample, summarized per language "
+    "(count + id checksum proves the exact same documents were chosen). "
+    "Hash-of-key sampling, not sample(): partition-seeded RNG reassigns "
+    "rows whenever partitioning changes — the silent eval-set-drift bug "
+    "of large corpora (operators/sampling.py:deterministic_sample).",
+    tags=("sampling", "reproducible"),
+)
+def sample_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sampled = deterministic_sample(docs, "doc_id", SAMPLE_FRAC)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+        SELECT CASE
+                 WHEN {hash_bucket_sql('doc_id')} < {int(VAL_FRAC * 10_000)}
+                   THEN 'val'
+                 WHEN {hash_bucket_sql('doc_id')}
+                      < {int(VAL_FRAC * 10_000) + int(TEST_FRAC * 10_000)}
+                   THEN 'test'
+                 ELSE 'train'
+               END AS split,
+               lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY split, lang
+    """,
+    doc="⊕ train/val/test assignment (5%/5%/90%) from the key hash, "
+    "rolled up per (split, lang). Growing the corpus never moves an "
+    "existing document between splits — its bucket depends only on its "
+    "own key — which is what keeps a 100 TB corpus's eval sets stable "
+    "across ingestion runs (operators/sampling.py:split_assign).",
+    tags=("sampling", "split"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    assigned = split_assign(
+        docs, "doc_id", val_frac=VAL_FRAC, test_frac=TEST_FRAC
+    )
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )

@@ -111,3 +111,23 @@ def test_salted_distinct_equals_exact(spark, rows):
         for r in salted_distinct(df, ["k"], "v", "nd", n=4).collect()
     }
     assert salted == exact
+
+
+def test_split_assignment_stable_under_corpus_growth(spark):
+    """Adding documents must never move an existing doc between splits."""
+    from data_pipeline_team5_spark.operators.sampling import split_assign
+    from data_pipeline_team5_spark.plans.catalog import table
+    from tests.conftest import SF_SMALL
+
+    docs = table(spark, SF_SMALL, "documents").select("doc_id")
+    small = docs.filter("doc_id < 100")
+    full_assign = {
+        r.doc_id: r.split for r in split_assign(docs, "doc_id").collect()
+    }
+    small_assign = {
+        r.doc_id: r.split for r in split_assign(small, "doc_id").collect()
+    }
+    assert small_assign == {
+        k: v for k, v in full_assign.items() if k < 100
+    }
+    assert set(full_assign.values()) == {"train", "val", "test"}
