@@ -90,3 +90,71 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+TOKEN_BUDGET = 2048
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+        WITH sized AS (
+            SELECT lang, doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tok
+            FROM documents
+        ),
+        placed AS (
+            SELECT lang, doc_id, n_tok,
+                   CAST(COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // {TOKEN_BUDGET} AS BIGINT) AS bin_id
+            FROM sized
+        )
+        SELECT lang, bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+        FROM placed
+        GROUP BY lang, bin_id
+        ORDER BY lang, bin_id
+    """,
+    doc="⊕ sequence packing: documents concatenated into ~2048-token "
+    "training bins per language — linear packing by running token count "
+    "(a doc goes to the bin where its start offset falls). One window "
+    "cumsum per language partition + one rollup; deterministic doc_id "
+    "order makes bins reproducible run-over-run. At 100 TB each language "
+    "partition packs independently (no global coordination), which is "
+    "what makes the window form scale where a greedy bin-packer (serial "
+    "state) cannot.",
+    tags=("sampling", "packing"),
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok")
+    sized = docs.select("lang", "doc_id", n_tok)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = sized.select(
+        "lang",
+        "doc_id",
+        "n_tok",
+        (
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+            / F.lit(TOKEN_BUDGET)
+        )
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return (
+        placed.groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin_id")
+    )
