@@ -34,6 +34,8 @@ def connected_components(
     """(id) + (src, dst) undirected edges → (id, component) with component
     = min id in the connected component. Isolated vertices map to
     themselves."""
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
     both = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(

@@ -135,8 +135,12 @@ def asof_join_pandas(
         l_sorted = l_pdf.sort_values([ts], kind="mergesort")
         # Right side sorted by (ts, tiebreak): merge_asof takes the LAST row
         # ≤ the left ts, so the greatest tiebreak wins on right-side ts ties
-        # — identical to the window composition's ordering.
-        r_base = r_pdf.sort_values([ts, tiebreak], kind="mergesort")
+        # — identical to the window composition's ordering, including NULL
+        # tiebreaks: na_position='first' mirrors Spark's NULLS FIRST (a
+        # NULL tiebreak loses the tie on both implementations).
+        r_base = r_pdf.sort_values(
+            [ts, tiebreak], kind="mergesort", na_position="first"
+        )
         # Keep the bare ts as the merge key; payload (which may itself
         # include ts) rides along under the output prefix.
         r_sorted = pd.DataFrame({ts: r_base[ts].values})

@@ -21,6 +21,13 @@ from pyspark.sql import functions as F
 BUCKETS = 10_000  # basis-point resolution for fractions
 
 
+def frac_to_buckets(fraction: float) -> int:
+    """Bucket threshold for a fraction — round, don't truncate: float
+    products like 0.043*10000 == 429.999... would otherwise land one
+    bucket short and systematically under-draw by a basis point."""
+    return int(round(fraction * BUCKETS))
+
+
 def hash_bucket(key: Column | str) -> Column:
     """Deterministic bucket in [0, BUCKETS) from the row key: first 8 hex
     chars of md5 — engine-independent (md5 text is canonical)."""
@@ -45,7 +52,7 @@ def deterministic_sample(
 ) -> DataFrame:
     """Keep rows whose key-bucket falls under ``fraction`` — the same rows
     on every run, every partitioning, every engine."""
-    return df.filter(hash_bucket(key) < int(fraction * BUCKETS))
+    return df.filter(hash_bucket(key) < frac_to_buckets(fraction))
 
 
 def split_assign(
@@ -63,8 +70,8 @@ def split_assign(
     keeps eval sets stable as a 100 TB corpus grows.
     """
     b = hash_bucket(key)
-    v = int(val_frac * BUCKETS)
-    t = v + int(test_frac * BUCKETS)
+    v = frac_to_buckets(val_frac)
+    t = v + frac_to_buckets(test_frac)
     return df.withColumn(
         col_name,
         F.when(b < v, "val").when(b < t, "test").otherwise("train"),

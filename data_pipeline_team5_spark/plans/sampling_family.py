@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.operators.sampling import (
     deterministic_sample,
+    frac_to_buckets,
     hash_bucket_sql,
     split_assign,
 )
@@ -32,7 +33,7 @@ TEST_FRAC = 0.05
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(doc_id) AS BIGINT) AS id_checksum
         FROM documents
-        WHERE {hash_bucket_sql('doc_id')} < {int(SAMPLE_FRAC * 10_000)}
+        WHERE {hash_bucket_sql('doc_id')} < {frac_to_buckets(SAMPLE_FRAC)}
         GROUP BY lang
         ORDER BY lang
     """,
@@ -60,10 +61,10 @@ def sample_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "split_train_val_test",
     oracle=f"""
         SELECT CASE
-                 WHEN {hash_bucket_sql('doc_id')} < {int(VAL_FRAC * 10_000)}
+                 WHEN {hash_bucket_sql('doc_id')} < {frac_to_buckets(VAL_FRAC)}
                    THEN 'val'
                  WHEN {hash_bucket_sql('doc_id')}
-                      < {int(VAL_FRAC * 10_000) + int(TEST_FRAC * 10_000)}
+                      < {frac_to_buckets(VAL_FRAC) + frac_to_buckets(TEST_FRAC)}
                    THEN 'test'
                  ELSE 'train'
                END AS split,
@@ -73,7 +74,7 @@ def sample_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         ORDER BY split, lang
     """,
-    doc="⊕ train/val/test assignment (5%/5%/90%) from the key hash, "
+    doc="⊕ train/val/test assignment (90% train / 5% val / 5% test) from the key hash, "
     "rolled up per (split, lang). Growing the corpus never moves an "
     "existing document between splits — its bucket depends only on its "
     "own key — which is what keeps a 100 TB corpus's eval sets stable "

@@ -146,7 +146,12 @@ def ingest_box_office_json(
         if not isinstance(doc, dict):
             bad.append(f"doc[{i}]: not a JSON object")
             continue
-        body = doc.get("boxOfficeResult") or {}
+        body = doc.get("boxOfficeResult")
+        if body is None:
+            bad.append(f"doc[{i}]: missing boxOfficeResult")
+            continue
+        # isinstance BEFORE any falsy-coercion: `[] or {}` would turn a
+        # list-typed boxOfficeResult into {} and misreport it as empty.
         if not isinstance(body, dict):
             bad.append(f"doc[{i}]: boxOfficeResult is not an object")
             continue

@@ -138,16 +138,30 @@ def compact_partitions(
     checkpointed = df.localCheckpoint()
     # Repartitioning on the partition column ALONE would route each day to
     # one task → one file per day regardless of size (an oversized day
-    # stays oversized). A deterministic salt in [0, files-per-day) lets a
-    # big day fan out to ~target_mb files while a small day stays at one.
-    n_values = checkpointed.select(partition_by).distinct().count()
-    files_per_value = max(1, n_parts // max(1, n_values))
+    # stays oversized). The file count must be sized PER DAY from that
+    # day's volume — a corpus-average salt would fragment small days into
+    # tiny files while leaving huge days over target. Per-day bytes are
+    # estimated from row share of the scan's size estimate.
+    counts = checkpointed.groupBy(partition_by).count()
+    rows_total = sum(r["count"] for r in counts.collect()) or 1
+    bytes_per_row = total_bytes / rows_total
+    target_bytes = target_mb * 1024 * 1024
+    files = counts.select(
+        partition_by,
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("count") * F.lit(bytes_per_row) / F.lit(target_bytes)),
+        )
+        .cast("int")
+        .alias("_files"),
+    )
     data_cols = [c for c in checkpointed.columns if c != partition_by]
-    salt = F.pmod(F.hash(*data_cols), F.lit(files_per_value))
+    row_hash = F.hash(*data_cols) if data_cols else F.lit(0)
     compacted = (
-        checkpointed.withColumn("_salt", salt)
-        .repartition(max(n_parts, n_values), partition_by, "_salt")
-        .drop("_salt")
+        checkpointed.join(F.broadcast(files), partition_by)
+        .withColumn("_salt", F.pmod(row_hash, F.col("_files")))
+        .repartition(max(n_parts, 1), partition_by, "_salt")
+        .drop("_salt", "_files")
     )
     write_parquet_partitioned(compacted, path, partition_by=partition_by)
 

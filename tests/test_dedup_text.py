@@ -94,3 +94,16 @@ def test_lsh_rejects_indivisible_bands(spark):
 
     with pytest.raises(ValueError, match="divisible"):
         lsh_candidate_pairs(None, num_perm=32, bands=5)
+
+
+def test_components_reject_nonpositive_max_iter(spark):
+    import pytest
+
+    from data_pipeline_team5_spark.operators.components import (
+        connected_components,
+    )
+
+    verts = spark.createDataFrame([(1,)], ["id"])
+    edges = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(verts, edges, max_iter=0)

@@ -218,3 +218,18 @@ def test_ingest_guard_rejects_non_object_json(spark):
     for bad in ("[]", '"x"', "3", "null", '{"boxOfficeResult": []}'):
         with pytest.raises(ValueError, match="P8 guard"):
             ingest_box_office_json(spark, bad)
+
+
+def test_ingest_guard_names_non_object_box_office_result(spark):
+    import pytest
+
+    from data_pipeline_team5_spark.sources.ingest import (
+        ingest_box_office_json,
+    )
+
+    with pytest.raises(ValueError, match="not an object"):
+        ingest_box_office_json(spark, '{"boxOfficeResult": [1]}')
+    with pytest.raises(ValueError, match="not an object"):
+        ingest_box_office_json(spark, '{"boxOfficeResult": []}')
+    with pytest.raises(ValueError, match="missing boxOfficeResult"):
+        ingest_box_office_json(spark, '{"other": 1}')

@@ -67,3 +67,22 @@ def test_asof_null_field_not_backfilled_from_older_row(spark):
         r = out[0]
         assert r["matched_rid"] == 20
         assert r["matched_amount"] is None, impl.__name__
+
+
+def test_asof_null_tiebreak_loses_tie_in_both_impls(spark):
+    from data_pipeline_team5_spark.operators.joins import (
+        asof_join,
+        asof_join_pandas,
+    )
+
+    left = spark.createDataFrame([(1, 3)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, 2, None, 5.0), (1, 2, 7, 9.0)],
+        "k BIGINT, ts BIGINT, rid BIGINT, amount DOUBLE",
+    )
+    for impl in (asof_join, asof_join_pandas):
+        out = impl(
+            left, right, key="k", ts="ts", tiebreak="rid",
+            right_cols=["rid", "amount"],
+        ).collect()
+        assert out[0]["matched_amount"] == 9.0, impl.__name__

@@ -61,3 +61,10 @@ def test_salted_join_rejects_build_preserving_types(spark):
     build = spark.createDataFrame([("hot", 1)], ["k", "w"])
     with pytest.raises(ValueError, match="duplicate unmatched build"):
         salted_join(probe, build, "k", how="full_outer")
+
+
+def test_frac_to_buckets_rounds_not_truncates():
+    from data_pipeline_team5_spark.operators.sampling import frac_to_buckets
+
+    assert frac_to_buckets(0.043) == 430  # 0.043*10000 == 429.999...
+    assert frac_to_buckets(0.10) == 1000
