@@ -10,4 +10,7 @@ textops     — language-ID, quality scoring, token counts, fingerprints (⊕)
 multimodal  — binary payload columns + Arrow-batched decode/feature stubs (⊕)
 sessionize  — gaps-and-islands sessionization (batch ≡ session_window)
 skew        — deterministic salting: sharded exact distinct, hot-key joins
+components  — connected components (pairs → dedup groups), iterative (⊕)
+scd2        — SCD2 snapshot merge (the dbt snapshots the reference scaffolds)
+sampling    — reproducible hash-of-key samples, splits, sequence packing (⊕)
 """
