@@ -111,6 +111,51 @@ def lsh_bucket(
     )
 
 
+def _margin_probes(
+    queries: DataFrame,
+    planes: DataFrame,
+    m: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(q_id, tbl, bucket) probe rows: the exact bucket plus, per table,
+    the ``m`` single-bit flips of the smallest-|margin| bits."""
+    keyed = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("v")
+    )
+    signs = keyed.join(F.broadcast(planes)).select(
+        "q_id",
+        "tbl",
+        "bit",
+        # python F.shiftleft takes a literal shift; the SQL form shifts by
+        # column (same workaround as lsh_bucket)
+        F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("mask"),
+        dot_expr(F.col("v"), F.col("plane")).alias("dot"),
+    )
+    per_tbl = signs.groupBy("q_id", "tbl").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.col("mask")).otherwise(F.lit(0))
+        ).alias("bucket"),
+        # bits ordered by |margin| ascending: the flip candidates
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct(F.abs("dot").alias("m"), "mask"))
+            ),
+            1,
+            m,
+        ).alias("weak"),
+    )
+    probes = F.concat(
+        F.array(F.col("bucket")),
+        F.transform(
+            "weak", lambda w: F.col("bucket").bitwiseXOR(w["mask"])
+        ),
+    )
+    return per_tbl.select(
+        "q_id", "tbl", F.explode(probes).alias("bucket")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -118,13 +163,25 @@ def lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """ANN top-k via multi-table sign-LSH: candidates share a bucket in ≥1
-    table; exact cosine re-ranks candidates only."""
+    table; exact cosine re-ranks candidates only.
+
+    ``multiprobe=m`` additionally probes, per table, the ``m`` buckets
+    reached by flipping the query's weakest sign bits — the bits whose
+    hyperplane margin |dot(q, plane)| was smallest, i.e. where a near
+    neighbor most plausibly landed on the other side (query-directed
+    multiprobe, Lv et al., VLDB'07). Probing is on the tiny QUERY side
+    only; the corpus index is untouched, so the cost is (1+m)× more
+    candidate-bucket lookups, not another corpus pass or more tables.
+    """
     cb = lsh_bucket(corpus, planes, id_col, vec_col)
     qb = lsh_bucket(queries, planes, id_col, vec_col).withColumnRenamed(
         "vec_id", "q_id"
     )
+    if multiprobe:
+        qb = _margin_probes(queries, planes, multiprobe, id_col, vec_col)
     cand = (
         qb.join(cb, ["tbl", "bucket"])
         .filter(F.col("q_id") != F.col("vec_id"))

@@ -117,19 +117,25 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_lsh",
     oracle=None,  # hyperplane signatures not SQL-expressible; deterministic
     doc="⊕ ANN top-k via multi-table sign-LSH (24 tables × 6 bits, seeded "
-    "hyperplanes shipped as a broadcast DataFrame): candidates share a "
-    "bucket in ≥1 table, exact cosine re-ranks candidates only — per-query "
-    "cost |corpus|×L/2^b instead of |corpus|. The fixture vectors are "
-    "near-random (hardest ANN case: top-10 cosines ≈ 0.3-0.5), so this "
-    "parameterization deliberately sits at recall 0.66 / ~1/3-of-corpus "
-    "scanned; pytest pins recall vs knn_brute_force "
-    "(operators/similarity.py:lsh_topk).",
+    "hyperplanes shipped as a broadcast DataFrame) with query-directed "
+    "multiprobe: besides its exact bucket, each query probes the bucket "
+    "reached by flipping its weakest sign bit (smallest hyperplane "
+    "margin — where a near neighbor most plausibly fell on the other "
+    "side). Candidates share a probed bucket in ≥1 table; exact cosine "
+    "re-ranks candidates only. The fixture vectors are near-random "
+    "(hardest ANN case: top-10 cosines ≈ 0.3-0.5): measured recall 0.88 "
+    "at 54% of corpus scanned (0.66/33% without multiprobe, 1.0/92% with "
+    "blind Hamming-1 probing — margin-direction is the better frontier); "
+    "pytest pins both recalls vs knn_brute_force "
+    "(operators/similarity.py:lsh_topk/_margin_probes).",
     tags=("similarity", "knn", "lsh"),
 )
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     planes = hyperplane_df(spark, DIM, tables=24, bits=6, seed=7)
-    out = lsh_topk(emb, _queries(spark, sf_dir), planes, k=TOP_K)
+    out = lsh_topk(
+        emb, _queries(spark, sf_dir), planes, k=TOP_K, multiprobe=1
+    )
     return out.withColumn(
         "rank_k", F.col("rank_k").cast("int")
     ).orderBy("q_id", "rank_k")
