@@ -88,3 +88,23 @@ def run_checks(
             df, fk, parent, pcol
         )
     return out
+
+
+def check_freshness(
+    df: DataFrame, ts_col: str, max_lag_days: int, as_of: str
+) -> int:
+    """dbt source-freshness: days the newest row lags behind ``as_of``
+    beyond the allowed window (0 = fresh). The reference's clock-coupled
+    DAGs had no freshness gate at all — dbt ran at 00:05 hoping the 00:00
+    ingest had landed (SURVEY.md §3.2); this is the data-dependent check
+    that replaces that hope. One MAX aggregate — map-side at any scale."""
+    row = df.agg(F.max(F.col(ts_col)).alias("mx")).collect()[0]
+    if row["mx"] is None:
+        return max_lag_days + 1  # empty source: maximally stale
+    import datetime
+
+    newest = row["mx"]
+    if isinstance(newest, datetime.datetime):
+        newest = newest.date()
+    lag = (datetime.date.fromisoformat(as_of) - newest).days
+    return max(0, lag - max_lag_days)

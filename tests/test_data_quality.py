@@ -92,3 +92,16 @@ def test_relationships_check_counts_orphans(spark):
         orders, relationships=[("o_custkey", broken, "c_custkey")]
     )
     assert bad["relationships:o_custkey->c_custkey"] > 0
+
+
+def test_freshness_check(spark):
+    from data_pipeline_team5_spark.functions.checks import check_freshness
+    from data_pipeline_team5_spark.plans.catalog import table
+    from tests.conftest import SF_SMALL
+
+    orders = table(spark, SF_SMALL, "orders")
+    # sf0.001 fixture orders end 2001-08-01
+    assert check_freshness(orders, "o_orderdate", 2, "2001-08-02") == 0
+    assert check_freshness(orders, "o_orderdate", 2, "2001-08-09") == 6
+    empty = orders.filter("1=0")
+    assert check_freshness(empty, "o_orderdate", 2, "2001-08-02") > 0

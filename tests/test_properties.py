@@ -131,3 +131,23 @@ def test_split_assignment_stable_under_corpus_growth(spark):
         k: v for k, v in full_assign.items() if k < 100
     }
     assert set(full_assign.values()) == {"train", "val", "test"}
+
+
+def test_sequence_packing_conserves_tokens_and_bins_are_contiguous(spark):
+    from data_pipeline_team5_spark.plans.catalog import QUERIES
+    from tests.conftest import SF_SMALL
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    out = QUERIES["pack_training_sequences"].fn(spark, SF_SMALL)
+    rows = out.collect()
+    # token conservation: packing moves every token into exactly one bin
+    docs = QUERIES["text_bpe_token_counts"].fn(spark, SF_SMALL)
+    total_ws = docs.agg(F.sum("n_ws")).collect()[0][0]
+    assert sum(r.bin_tokens for r in rows) == total_ws
+    # bins are contiguous 0..max per language (linear packing leaves no gaps)
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.bin_id)
+    for lang, bins in by_lang.items():
+        assert sorted(bins) == list(range(len(bins))), lang
