@@ -266,3 +266,60 @@ def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         s["n_neg"].cast("int").alias("n_neg"),
         s["polarity"].alias("polarity"),
     ).orderBy("doc_id")
+
+
+_KEEP_LANGS = ("en", "de", "fr", "es")  # drop zh: no zh stopword lexicon yet
+_MIN_QUALITY = 0.55
+_LEN_LO, _LEN_HI = 120, 600  # n_chars cutoffs ≈ the p10/p90 band
+
+
+@register(
+    "curation_funnel",
+    oracle=f"""
+        {_TOKS}
+        SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
+            SELECT '1_raw' AS stage, COUNT(*) AS n_docs FROM toks
+            UNION ALL
+            SELECT '2_lang', COUNT(*) FROM toks
+            WHERE lang IN {_KEEP_LANGS!r}
+            UNION ALL
+            SELECT '3_quality', COUNT(*) FROM toks
+            WHERE lang IN {_KEEP_LANGS!r}
+              AND {_Q['quality']} >= {_MIN_QUALITY}
+            UNION ALL
+            SELECT '4_length', COUNT(*) FROM toks
+            WHERE lang IN {_KEEP_LANGS!r}
+              AND {_Q['quality']} >= {_MIN_QUALITY}
+              AND n_chars BETWEEN {_LEN_LO} AND {_LEN_HI}
+        )
+        ORDER BY stage
+    """,
+    doc="⊕ the curation funnel — the composed keep/drop decision a "
+    "training-data pipeline actually ships: language allowlist → quality "
+    "score floor → length band, reported as per-stage survivor counts "
+    "(the numbers a data card publishes). Single scan: the stages are "
+    "conditional counts over one pass, not four scans — F.sum(when) per "
+    "stage keeps it one map-side aggregate at 100 TB.",
+    tags=("text", "curation"),
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "lang", "n_chars", tokens_expr("text").alias("_t")
+    )
+    q = quality_exprs(F.col("_t"))
+    lang_ok = F.col("lang").isin(*_KEEP_LANGS)
+    qual_ok = lang_ok & (q["quality"] >= _MIN_QUALITY)
+    len_ok = qual_ok & F.col("n_chars").between(_LEN_LO, _LEN_HI)
+    counted = toked.agg(
+        F.count(F.lit(1)).alias("1_raw"),
+        F.sum(lang_ok.cast("long")).alias("2_lang"),
+        F.sum(qual_ok.cast("long")).alias("3_quality"),
+        F.sum(len_ok.cast("long")).alias("4_length"),
+    )
+    return (
+        counted.unpivot([], ["1_raw", "2_lang", "3_quality", "4_length"],
+                        "stage", "n_docs")
+        .select("stage", F.col("n_docs").cast("bigint").alias("n_docs"))
+        .orderBy("stage")
+    )
