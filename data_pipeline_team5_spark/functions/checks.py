@@ -98,13 +98,12 @@ def check_freshness(
     DAGs had no freshness gate at all — dbt ran at 00:05 hoping the 00:00
     ingest had landed (SURVEY.md §3.2); this is the data-dependent check
     that replaces that hope. One MAX aggregate — map-side at any scale."""
-    row = df.agg(F.max(F.col(ts_col)).alias("mx")).collect()[0]
+    # cast at the source: string/timestamp ts columns all surface as DATE
+    row = df.agg(F.max(F.col(ts_col).cast("date")).alias("mx")).collect()[0]
     if row["mx"] is None:
         return max_lag_days + 1  # empty source: maximally stale
     import datetime
 
     newest = row["mx"]
-    if isinstance(newest, datetime.datetime):
-        newest = newest.date()
     lag = (datetime.date.fromisoformat(as_of) - newest).days
     return max(0, lag - max_lag_days)

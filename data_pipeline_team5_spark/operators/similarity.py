@@ -85,6 +85,33 @@ def hyperplane_df(spark, dim: int, tables: int, bits: int, seed: int = 7):
     )
 
 
+def _plane_signs(
+    vectors: DataFrame, planes: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per (vector, table, bit): the bit mask and the signed margin — the
+    ONE definition of the sign convention shared by corpus bucketing and
+    query-side multiprobe (a second copy could silently diverge and
+    collapse recall with no error)."""
+    keyed = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    return keyed.join(F.broadcast(planes)).select(
+        "vec_id",
+        "tbl",
+        # python F.shiftleft takes a literal shift; the SQL form shifts by
+        # column
+        F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("mask"),
+        dot_expr(F.col("v"), F.col("plane")).alias("dot"),
+    )
+
+
+def _bucket_agg():
+    """bucket = Σ mask over bits whose margin is positive."""
+    return F.sum(
+        F.when(F.col("dot") > 0, F.col("mask")).otherwise(F.lit(0))
+    ).alias("bucket")
+
+
 def lsh_bucket(
     vectors: DataFrame,
     planes: DataFrame,
@@ -94,21 +121,8 @@ def lsh_bucket(
     """Sign-bucket every vector per LSH table: bucket = Σ (dot(v, plane_b)
     > 0) << b. One broadcast join + one groupBy — a single pass over the
     corpus regardless of L × b."""
-    keyed = vectors.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-    )
-    signs = keyed.join(F.broadcast(planes)).select(
-        "vec_id",
-        "tbl",
-        F.when(dot_expr(F.col("v"), F.col("plane")) > 0, F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("sgn"),
-        "bit",
-    )
-    # F.shiftleft only takes a literal shift — the SQL form shifts by column.
-    return signs.groupBy("vec_id", "tbl").agg(
-        F.sum(F.expr("shiftleft(CAST(sgn AS BIGINT), bit)")).alias("bucket")
-    )
+    signs = _plane_signs(vectors, planes, id_col, vec_col)
+    return signs.groupBy("vec_id", "tbl").agg(_bucket_agg())
 
 
 def _margin_probes(
@@ -120,22 +134,11 @@ def _margin_probes(
 ) -> DataFrame:
     """(q_id, tbl, bucket) probe rows: the exact bucket plus, per table,
     the ``m`` single-bit flips of the smallest-|margin| bits."""
-    keyed = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("v")
-    )
-    signs = keyed.join(F.broadcast(planes)).select(
-        "q_id",
-        "tbl",
-        "bit",
-        # python F.shiftleft takes a literal shift; the SQL form shifts by
-        # column (same workaround as lsh_bucket)
-        F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("mask"),
-        dot_expr(F.col("v"), F.col("plane")).alias("dot"),
+    signs = _plane_signs(queries, planes, id_col, vec_col).withColumnRenamed(
+        "vec_id", "q_id"
     )
     per_tbl = signs.groupBy("q_id", "tbl").agg(
-        F.sum(
-            F.when(F.col("dot") > 0, F.col("mask")).otherwise(F.lit(0))
-        ).alias("bucket"),
+        _bucket_agg(),
         # bits ordered by |margin| ascending: the flip candidates
         F.slice(
             F.array_sort(
@@ -177,11 +180,13 @@ def lsh_topk(
     candidate-bucket lookups, not another corpus pass or more tables.
     """
     cb = lsh_bucket(corpus, planes, id_col, vec_col)
-    qb = lsh_bucket(queries, planes, id_col, vec_col).withColumnRenamed(
-        "vec_id", "q_id"
+    qb = (
+        _margin_probes(queries, planes, multiprobe, id_col, vec_col)
+        if multiprobe
+        else lsh_bucket(queries, planes, id_col, vec_col).withColumnRenamed(
+            "vec_id", "q_id"
+        )
     )
-    if multiprobe:
-        qb = _margin_probes(queries, planes, multiprobe, id_col, vec_col)
     cand = (
         qb.join(cb, ["tbl", "bucket"])
         .filter(F.col("q_id") != F.col("vec_id"))

@@ -311,11 +311,13 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_ok = F.col("lang").isin(*_KEEP_LANGS)
     qual_ok = lang_ok & (q["quality"] >= _MIN_QUALITY)
     len_ok = qual_ok & F.col("n_chars").between(_LEN_LO, _LEN_HI)
+    # coalesce: a global F.sum over zero rows is NULL, but the oracle's
+    # filtered COUNT(*) is 0 — an empty day's funnel must publish zeros.
     counted = toked.agg(
         F.count(F.lit(1)).alias("1_raw"),
-        F.sum(lang_ok.cast("long")).alias("2_lang"),
-        F.sum(qual_ok.cast("long")).alias("3_quality"),
-        F.sum(len_ok.cast("long")).alias("4_length"),
+        F.coalesce(F.sum(lang_ok.cast("long")), F.lit(0)).alias("2_lang"),
+        F.coalesce(F.sum(qual_ok.cast("long")), F.lit(0)).alias("3_quality"),
+        F.coalesce(F.sum(len_ok.cast("long")), F.lit(0)).alias("4_length"),
     )
     return (
         counted.unpivot([], ["1_raw", "2_lang", "3_quality", "4_length"],

@@ -33,3 +33,16 @@ def test_hll_sketch_rollup_error_bound(spark):
     assert len(rows) > 0
     for r in rows:
         assert abs(r.n_hll - r.n_exact) / r.n_exact < 0.02, r
+
+
+def test_curation_funnel_empty_input_publishes_zeros(spark, tmp_path):
+    from data_pipeline_team5_spark.plans.catalog import QUERIES, table
+    from tests.conftest import SF_SMALL
+
+    # real query over an empty documents fixture: stages must be 0, not NULL
+    empty = table(spark, SF_SMALL, "documents").limit(0)
+    empty.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = QUERIES["curation_funnel"].fn(spark, str(tmp_path)).collect()
+    assert [(r.stage, r.n_docs) for r in rows] == [
+        ("1_raw", 0), ("2_lang", 0), ("3_quality", 0), ("4_length", 0)
+    ]

@@ -105,3 +105,13 @@ def test_freshness_check(spark):
     assert check_freshness(orders, "o_orderdate", 2, "2001-08-09") == 6
     empty = orders.filter("1=0")
     assert check_freshness(empty, "o_orderdate", 2, "2001-08-02") > 0
+
+
+def test_freshness_handles_string_dates(spark):
+    from data_pipeline_team5_spark.functions.checks import check_freshness
+
+    df = spark.createDataFrame(
+        [("2026-08-10",), ("2026-08-12",)], ["ingest_date"]
+    )
+    assert check_freshness(df, "ingest_date", 2, "2026-08-13") == 0
+    assert check_freshness(df, "ingest_date", 2, "2026-08-20") == 6

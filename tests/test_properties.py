@@ -145,6 +145,10 @@ def test_sequence_packing_conserves_tokens_and_bins_are_contiguous(spark):
     docs = QUERIES["text_bpe_token_counts"].fn(spark, SF_SMALL)
     total_ws = docs.agg(F.sum("n_ws")).collect()[0][0]
     assert sum(r.bin_tokens for r in rows) == total_ws
+    # contiguity below holds only while no single doc exceeds the budget
+    # (a >2048-token doc legitimately skips a bin) — assert the fixture
+    # precondition so a regenerated fixture fails loudly here, not there
+    assert docs.agg(F.max("n_ws")).collect()[0][0] <= 2048
     # bins are contiguous 0..max per language (linear packing leaves no gaps)
     by_lang = {}
     for r in rows:
