@@ -52,6 +52,9 @@ def asof_join(
 
     lcols = left.columns
     payload = [c for c in right_cols if c not in (key,)]
+    # An unknown-time right row can never be "the most recent prior quote";
+    # unfiltered it would sort NULLS FIRST and leak into every match.
+    right = right.filter(F.col(ts).isNotNull())
     # The whole right payload travels as ONE struct: filling each column
     # independently with last(ignorenulls) would back-fill a NULL field of
     # the matched row from an OLDER right row, stitching a composite row
@@ -129,6 +132,13 @@ def asof_join_pandas(
     lcols = left.columns
 
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        # A NULL left ts can never match any right row; merge_asof refuses
+        # null merge keys outright, so route those rows around the merge
+        # with NULL matches — the same output the window implementation
+        # produces for them.
+        null_ts = l_pdf[l_pdf[ts].isna()].copy()
+        l_pdf = l_pdf[l_pdf[ts].notna()]
+        r_pdf = r_pdf[r_pdf[ts].notna()]  # unknown-time quotes never match
         # merge_asof only needs the LEFT side ordered by the merge key; the
         # tiebreak is a right-side concept (the left may not even carry the
         # column).
@@ -154,6 +164,10 @@ def asof_join_pandas(
             merged = pd.merge_asof(
                 l_sorted, r_sorted, on=ts, allow_exact_matches=True
             )
+        if len(null_ts):
+            for c in payload:
+                null_ts[f"{prefix}{c}"] = None
+            merged = pd.concat([merged, null_ts], ignore_index=True)
         return merged[lcols + [f"{prefix}{c}" for c in payload]]
 
     return (

@@ -56,9 +56,13 @@ def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
         (F.lit(64) + n % 512).cast("int").alias("width"),
         (F.lit(64) + (n * 7) % 512).cast("int").alias("height"),
     )
+    # NULL text → empty payload: the Arrow batch fns receive bytes, never
+    # None (len/md5/bytes of None would kill the whole task).
     return df.select(
         "doc_id",
-        F.encode(F.col(text_col), "UTF-8").alias("blob"),
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8").alias(
+            "blob"
+        ),
         meta.alias("meta"),
     )
 

@@ -45,6 +45,17 @@ def scd2_apply(
     means the open/current row). ``updates``: (key, *tracked). Returns the
     merged history with the same schema.
     """
+    # Duplicate update keys would fan out the merge join and write a
+    # contradictory history (a key both kept-open and closed, twice
+    # inserted) — refuse ambiguous input loudly.
+    n_dup = (
+        updates.groupBy(key).count().filter(F.col("count") > 1).count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"scd2_apply: updates contain {n_dup} duplicate key(s); "
+            "deduplicate the batch (one row per key) before merging"
+        )
     as_of_d = F.lit(as_of).cast("date")
     closed = dim.filter(F.col("valid_to").isNotNull())
     open_rows = dim.filter(F.col("valid_to").isNull()).alias("cur")

@@ -31,6 +31,20 @@ from pyspark.sql import functions as F
 from data_pipeline_team5_spark.functions.vectors import cosine_expr, dot_expr
 
 
+def _rerank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared exact rerank: top-k per query with the repo-wide
+    deterministic tiebreak (cosine DESC, vec_id ASC) — one definition so a
+    tiebreak change can never diverge between the brute-force baseline and
+    the ANN paths."""
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank_k", F.row_number().over(w))
+        .filter(F.col("rank_k") <= k)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -56,13 +70,7 @@ def cosine_topk(
         "vec_id",
         cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
     )
-    w = Window.partitionBy("q_id").orderBy(
-        F.desc("cosine"), F.asc("vec_id")
-    )
-    return (
-        pairs.withColumn("rank_k", F.row_number().over(w))
-        .filter(F.col("rank_k") <= k)
-    )
+    return _rerank_topk(pairs, k)
 
 
 def hyperplane_df(spark, dim: int, tables: int, bits: int, seed: int = 7):
@@ -208,11 +216,7 @@ def lsh_topk(
             cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank_k", F.row_number().over(w))
-        .filter(F.col("rank_k") <= k)
-    )
+    return _rerank_topk(scored, k)
 
 
 def cosine_pandas_udf():
@@ -228,13 +232,17 @@ def cosine_pandas_udf():
 
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
         out = np.empty(len(a))
+        dens = np.empty(len(a))
         for i, (x, y) in enumerate(zip(a, b)):
             xv = np.asarray(x, dtype=np.float64)
             yv = np.asarray(y, dtype=np.float64)
-            out[i] = np.dot(xv, yv) / (
-                np.sqrt(np.dot(xv, xv)) * np.sqrt(np.dot(yv, yv))
-            )
-        return pd.Series(out)
+            den = np.sqrt(np.dot(xv, xv)) * np.sqrt(np.dot(yv, yv))
+            dens[i] = den
+            out[i] = np.dot(xv, yv) / den if den else 0.0
+        # zero-norm → NULL (nullable Float64), matching the JVM fold where
+        # x/0.0 is NULL in Spark SQL — a NaN here would silently poison
+        # downstream comparisons instead
+        return pd.Series(pd.array(out, dtype="Float64")).mask(dens == 0.0)
 
     return F.pandas_udf(_cos, "double")
 
@@ -313,6 +321,10 @@ def ivf_topk(
         F.col(vec_col).alias("c_vec"),
         "list_id",
     )
+    # No distinct: each corpus vector lives in exactly ONE list
+    # (assign(..., 1) is row_number == 1), so a (q_id, vec_id) pair occurs
+    # at most once — a dedup here would only add a full extra shuffle of
+    # every scored pair.
     scored = (
         c.join(F.broadcast(q), "list_id")
         .filter(F.col("q_id") != F.col("vec_id"))
@@ -321,10 +333,5 @@ def ivf_topk(
             "vec_id",
             cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
         )
-        .distinct()
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank_k", F.row_number().over(w))
-        .filter(F.col("rank_k") <= k)
-    )
+    return _rerank_topk(scored, k)

@@ -21,11 +21,16 @@ from pyspark.sql import functions as F
 
 
 def global_topk(
-    df: DataFrame, order_by: Column | str, k: int
+    df: DataFrame, order_by: Column | str, k: int, tiebreak: str | None = None
 ) -> DataFrame:
-    """O2: global top-k → ``TakeOrderedAndProject`` (no full sort)."""
+    """O2: global top-k → ``TakeOrderedAndProject`` (no full sort).
+
+    Pass ``tiebreak`` whenever ties at the k boundary are possible: without
+    it, which tied row survives depends on partition arrival order — the
+    nondeterminism the repo's oracle policy forbids everywhere else."""
     col = F.col(order_by) if isinstance(order_by, str) else order_by
-    return df.orderBy(col.desc()).limit(k)
+    order = [col.desc()] + ([F.asc(tiebreak)] if tiebreak else [])
+    return df.orderBy(*order).limit(k)
 
 
 def grouped_topk(
@@ -38,6 +43,9 @@ def grouped_topk(
 ) -> DataFrame:
     """O4: per-group top-k via rank ≤ k (ties kept — matching the daily
     chart semantics where rank 10 ties are all charted)."""
+    # rank() ties share a rank (all rank-10 ties chart), so no tiebreak is
+    # needed for determinism of the SET; add one to order_cols if a
+    # deterministic ORDER also matters downstream.
     w = Window.partitionBy(group_col).orderBy(F.desc(order_col))
     rank_fn = F.dense_rank() if dense else F.rank()
     return (

@@ -166,6 +166,7 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = drain_to_memory(
         user_profile_stateful(read_events_stream(spark, sf_dir)),
         output_mode="update",
+        unique_keys=["user_id"],
     )
     return out.orderBy("user_id")
 
@@ -189,7 +190,9 @@ def stream_upsert_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"{SCRATCH}/upsert_daily/{tag}"
+    # _v2: the sink layout gained a _batch partition level; a dir
+    # written under the old scheme must not be mixed into
+    path = f"{SCRATCH}/upsert_daily_v2/{tag}"
     written = upsert_daily(spark, read_events_stream(spark, sf_dir), path)
     return (
         written.groupBy("event_date")

@@ -62,11 +62,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def drain_to_memory(
-    stream: DataFrame, output_mode: str = "complete"
+    stream: DataFrame,
+    output_mode: str = "complete",
+    unique_keys: list[str] | None = None,
 ) -> DataFrame:
     """Run a streaming plan to completion (AvailableNow) into a memory sink
     and return the sink's table. Unique sink names keep repeated catalog
-    invocations in one session independent."""
+    invocations in one session independent.
+
+    ``unique_keys``: for update-mode queries the memory sink APPENDS each
+    batch's updates — if the drain ever splits into multiple micro-batches
+    a key re-emitted in a later batch would surface twice (stale + current
+    row). Callers that rely on one-row-per-key declare it here and get a
+    loud failure instead of silently stale results."""
     name = f"stream_sink_{next(_RUN_IDS)}"
     q = (
         stream.writeStream.format("memory")
@@ -76,7 +84,22 @@ def drain_to_memory(
         .start()
     )
     q.awaitTermination()
-    return stream.sparkSession.table(name)
+    out = stream.sparkSession.table(name)
+    if unique_keys:
+        n_dup = (
+            out.groupBy(*unique_keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        if n_dup:
+            raise RuntimeError(
+                f"memory sink holds {n_dup} duplicated key(s) — the drain "
+                "ran as multiple micro-batches and update-mode output "
+                "appended stale rows; re-drain from one batch or switch "
+                "the sink to an upsert (foreachBatch) form"
+            )
+    return out
 
 
 def _qsum(col: str, alias: str):
@@ -162,8 +185,17 @@ def upsert_daily(
     back as a batch DataFrame."""
     with_day = events.withColumn("event_date", F.to_date("ts"))
 
-    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        write_parquet_partitioned(batch_df, path, partition_by="event_date")
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Partition by (event_date, batch id): a REPLAYED batch overwrites
+        # exactly its own partitions (idempotent), while a later batch that
+        # touches the same day writes beside, not over, earlier batches —
+        # plain per-day dynamic overwrite would silently drop batch 1's
+        # day-D rows when batch 2 also carries day D.
+        write_parquet_partitioned(
+            batch_df.withColumn("_batch", F.lit(batch_id)),
+            path,
+            partition_by=["event_date", "_batch"],
+        )
 
     # Checkpoint lives OUTSIDE the data path (so the readback scan sees only
     # parquet) and is unique per invocation ACROSS processes (a reused
@@ -183,7 +215,7 @@ def upsert_daily(
         # One-shot drain: the checkpoint has no replay value once the query
         # terminates, and a leaked dir per scheduled run accumulates forever.
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.read.parquet(path)
+    return spark.read.parquet(path).drop("_batch")
 
 
 def view_purchase_attribution(
