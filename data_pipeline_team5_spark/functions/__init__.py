@@ -14,7 +14,6 @@ ANSI-SQL oracle (DuckDB) while staying JVM-side / codegen-friendly:
 from data_pipeline_team5_spark.functions.scalars import (
     dsum,
     davg,
-    dmul_sum,
     norm_text,
     to_day,
 )
@@ -23,7 +22,6 @@ from data_pipeline_team5_spark.functions.vectors import cosine_expr, dot_expr
 __all__ = [
     "dsum",
     "davg",
-    "dmul_sum",
     "norm_text",
     "to_day",
     "cosine_expr",

@@ -14,7 +14,9 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Wide enough for 100 TB-scale money sums (10^36 head-room at scale 2).
+# 16 integer digits per element; Spark widens SUM accumulators to
+# decimal(28,2) (10^26) — ample for any daily partition's money sum. For
+# multi-year global totals over 100 TB, cast through GENERIC instead.
 MONEY = "decimal(18,2)"
 RATE = "decimal(8,4)"  # discounts/taxes in [0,1]
 GENERIC = "decimal(28,10)"  # arbitrary double measures (events.value)
@@ -35,12 +37,6 @@ def davg(col: str | Column, alias: str, typ: str = MONEY) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return (F.sum(c.cast(typ)).cast("double") / F.count(c)).alias(alias)
 
-
-def dmul_sum(a: str, b: Column | str, alias: str) -> Column:
-    """SUM(a * b) with both factors in DECIMAL (exact product, exact sum)."""
-    ca = F.col(a).cast(MONEY)
-    cb = (F.col(b) if isinstance(b, str) else b).cast(RATE)
-    return F.sum(ca * cb).cast("double").alias(alias)
 
 
 def revenue_expr() -> Column:
@@ -97,7 +93,7 @@ def norm_text(col: str | Column) -> Column:
     lowercase, strip non-[a-z0-9 ], collapse runs of spaces, trim.
 
     The regexes are intersection-of-dialects simple so Java regex (Spark) and
-    RE2 (DuckDB) agree; oracle: see plans/dedup.py NORM_SQL.
+    RE2 (DuckDB) agree; oracle: see norm_text_sql below.
     """
     c = F.col(col) if isinstance(col, str) else col
     out = F.lower(c)

@@ -52,3 +52,31 @@ BRAND_DAILY_SQL = """
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1, 2
 """
+
+
+# Gaps-and-islands session oracle (6-hour gap) — the ONE definition both
+# sessionize_batch and stream_session_windows pin against, so the
+# batch ≡ streaming session contract cannot silently fork.
+SESSION_ORACLE_SQL = """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 6 HOUR AS session_end,
+               COUNT(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """

@@ -45,8 +45,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     surface the same column (their TIMESTAMP is µs and truncates too).
     """
     if name == "events":
+        # The legacy flag is needed only while the reader resolves the
+        # schema; restore it immediately so an unrelated later read of a
+        # TIMESTAMP(NANOS) file in the same session keeps Spark's default
+        # behavior (verified: execution after restore still works — the
+        # conversion is captured at read time).
+        prior = spark.conf.get(
+            "spark.sql.legacy.parquet.nanosAsLong", "false"
+        )
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
         # `div` is exact long division; going through DOUBLE here could
         # round the last microsecond.
         return df.withColumn(

@@ -32,10 +32,7 @@ from data_pipeline_team5_spark.functions.scalars import (
     exact_corr_sql,
     to_day,
 )
-from data_pipeline_team5_spark.plans._facts import BRAND_DAILY_SQL, brand_daily
 from data_pipeline_team5_spark.plans.catalog import register, table
-
-_BD = f"WITH brand_daily AS ({BRAND_DAILY_SQL})"
 
 # Stable across all fixture SFs (verified 0.001/0.01/0.1) → explicit pivot
 # value list keeps the pivot a single job (no distinct-collection pass).
@@ -150,8 +147,15 @@ def dash_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.sum(F.col("l_quantity").cast(MONEY)).cast(MONEY).alias("xd"),
-            F.sum(F.col("l_extendedprice").cast(MONEY)).cast(MONEY).alias("yd"),
+            # widen the per-brand sums to decimal(19,2) — the oracle's
+            # type; narrowing back to (18,2) would overflow-to-NULL a
+            # ~10^16 brand sum in non-ANSI mode while DuckDB kept computing
+            F.sum(F.col("l_quantity").cast(MONEY))
+            .cast("decimal(19,2)")
+            .alias("xd"),
+            F.sum(F.col("l_extendedprice").cast(MONEY))
+            .cast("decimal(19,2)")
+            .alias("yd"),
         )
     )
     m = g.agg(

@@ -10,34 +10,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from data_pipeline_team5_spark.operators.sessionize import sessionize
+from data_pipeline_team5_spark.plans._facts import SESSION_ORACLE_SQL
 from data_pipeline_team5_spark.plans.catalog import register, table
 
 
 @register(
     "sessionize_batch",
-    oracle="""
-        WITH flagged AS (
-            SELECT user_id, ts,
-                   CASE WHEN lag(ts) OVER w IS NULL
-                             OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
-                        THEN 1 ELSE 0 END AS new_s
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        ),
-        sess AS (
-            SELECT user_id, ts,
-                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-            FROM flagged
-        )
-        SELECT user_id,
-               MIN(ts) AS session_start,
-               MAX(ts) + INTERVAL 6 HOUR AS session_end,
-               COUNT(*) AS n_events
-        FROM sess
-        GROUP BY user_id, sid
-        ORDER BY user_id, session_start
-    """,
+    oracle=SESSION_ORACLE_SQL,
     doc="Batch gaps-and-islands sessionization (6-hour gap) over events — "
     "identical semantics to stream_session_windows, one shuffle on "
     "user_id, two window passes (operators/sessionize.py:sessionize).",

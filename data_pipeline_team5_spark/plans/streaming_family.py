@@ -16,6 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from data_pipeline_team5_spark.plans._facts import SESSION_ORACLE_SQL
 from data_pipeline_team5_spark.plans.catalog import register
 from data_pipeline_team5_spark.streaming.jobs import (
     dedup_within_watermark,
@@ -80,29 +81,7 @@ def stream_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_windows",
-    oracle="""
-        WITH flagged AS (
-            SELECT user_id, ts,
-                   CASE WHEN lag(ts) OVER w IS NULL
-                             OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
-                        THEN 1 ELSE 0 END AS new_s
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        ),
-        sess AS (
-            SELECT user_id, ts,
-                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-            FROM flagged
-        )
-        SELECT user_id,
-               MIN(ts) AS session_start,
-               MAX(ts) + INTERVAL 6 HOUR AS session_end,
-               COUNT(*) AS n_events
-        FROM sess
-        GROUP BY user_id, sid
-        ORDER BY user_id, session_start
-    """,
+    oracle=SESSION_ORACLE_SQL,
     doc="§2.9 ⊕ per-user session windows (6-hour gap): events merge while "
     "consecutive gaps stay under the gap; end = last event + gap. The "
     "oracle is the equivalent gaps-and-islands SQL — new session exactly "

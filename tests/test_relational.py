@@ -4,6 +4,8 @@ be row-identical — they are advertised as interchangeable."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_pipeline_team5_spark.plans.catalog import QUERIES
 from tests.conftest import SF_SMALL
 
@@ -86,3 +88,19 @@ def test_asof_null_tiebreak_loses_tie_in_both_impls(spark):
             right_cols=["rid", "amount"],
         ).collect()
         assert out[0]["matched_amount"] == 9.0, impl.__name__
+
+
+def test_davg_matches_oracle_formula(spark):
+    """davg = decimal-exact sum cast to double, divided by count — pin the
+    exported helper against the formula its docstring promises."""
+    from data_pipeline_team5_spark.functions.scalars import davg
+    from data_pipeline_team5_spark.plans.catalog import table
+    from tests.conftest import SF_SMALL
+
+    o = table(spark, SF_SMALL, "orders")
+    got = o.agg(davg("o_totalprice", "m")).collect()[0]["m"]
+    parts = o.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        F.count("o_totalprice").alias("n"),
+    ).collect()[0]
+    assert got == float(parts["s"]) / parts["n"]
