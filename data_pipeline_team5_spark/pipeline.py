@@ -32,11 +32,17 @@ log = logging.getLogger(__name__)
 
 def run_with_retry(fn: Callable[[], None], retries: int = 1, delay_s: float = 1.0) -> None:
     """X3: the DAG-level ``retries: 1`` policy at job granularity (task-level
-    retry is Spark's own scheduler)."""
+    retry is Spark's own scheduler).
+
+    ValueError is treated as deterministic input validation (the P8 guard,
+    quality gates) and propagates immediately — retrying it only re-fails
+    identically while telling the operator the failure was transient."""
     for attempt in range(retries + 1):
         try:
             fn()
             return
+        except ValueError:
+            raise
         except Exception:
             if attempt == retries:
                 raise
@@ -47,6 +53,12 @@ def run_with_retry(fn: Callable[[], None], retries: int = 1, delay_s: float = 1.
 def last_n_days(end: date, n: int = 9) -> list[str]:
     """X4: dbt_dags.py:12-20 — yesterday-8 … yesterday as ISO strings."""
     return [(end - timedelta(days=i)).isoformat() for i in range(n - 1, -1, -1)]
+
+
+def _day_of(doc: dict) -> str:
+    """ISO day of one validated KOFIC doc ('20250123~…' → '2025-01-23')."""
+    raw = str(doc["boxOfficeResult"]["showRange"]).split("~")[0]
+    return f"{raw[0:4]}-{raw[4:6]}-{raw[6:8]}"
 
 
 def daily_ingest(
@@ -84,7 +96,25 @@ def daily_pipeline(
     run_with_retry(
         lambda: daily_ingest(spark, raw_json, warehouse_path)
     )
-    stored = spark.read.parquet(warehouse_path)
+    # Scope everything downstream to the partitions THIS run wrote: the
+    # quality gate over the whole warehouse would let one bad historical
+    # partition wedge every future daily run, and would pay full-history
+    # scans for per-day checks (functions/checks.py says: check the day's
+    # partition). Day values come driver-side from the already-validated
+    # docs — no extra Spark job.
+    import json as _json
+
+    docs_list = [raw_json] if isinstance(raw_json, str) else list(raw_json)
+    ingested_days = sorted(
+        {
+            _day_of(_json.loads(d)) for d in docs_list
+        }
+    )
+    stored = spark.read.parquet(warehouse_path).filter(
+        F.col("show_range").isin(
+            [date.fromisoformat(d) for d in ingested_days]
+        )
+    )
     violations = run_checks(
         stored,
         not_null=["title", "show_range", "rank_num"],
@@ -95,10 +125,7 @@ def daily_pipeline(
     if bad:
         raise ValueError(f"data-quality gate failed: {bad}")
     if dates is None:
-        days = sorted(
-            r.show_range for r in stored.select("show_range").distinct().collect()
-        )
-        dates = [d.isoformat() for d in days]
+        dates = ingested_days
     return {
         "daily": transform_daily(stored, dates),
         "pivot": transform_pivot(stored, dates),
@@ -172,8 +199,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dates", nargs="*", default=None,
                     help="ISO dates to transform (default: all ingested)")
     args = ap.parse_args(argv)
+    if not args.dates:
+        args.dates = None  # bare --dates must mean 'default', not isin([])
 
-    docs = [open(p).read() for p in args.input]
+    from pathlib import Path
+
+    docs = [Path(p).read_text() for p in args.input]
     spark = get_spark(app_name="daily_pipeline")
     outputs = daily_pipeline(spark, docs, args.warehouse, dates=args.dates)
     summary = {name: df.count() for name, df in outputs.items()}

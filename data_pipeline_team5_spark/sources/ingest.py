@@ -156,8 +156,17 @@ def ingest_box_office_json(
             bad.append(f"doc[{i}]: boxOfficeResult is not an object")
             continue
         day = str(body.get("showRange") or f"doc[{i}]").split("~")[0]
-        if not body.get("dailyBoxOfficeList"):
+        rows_ = body.get("dailyBoxOfficeList")
+        if not rows_:
             bad.append(f"{day}: empty dailyBoxOfficeList")
+            continue
+        # A truthy non-list (or list of non-objects) would pass a bare
+        # truthiness check and then silently become NULL/zero rows in
+        # from_json+explode — the exact silent drop this guard exists for.
+        if not isinstance(rows_, list) or not all(
+            isinstance(r, dict) for r in rows_
+        ):
+            bad.append(f"{day}: dailyBoxOfficeList is not a list of objects")
     if bad:
         raise ValueError(
             "aborting ingest (P8 guard) — " + "; ".join(bad)

@@ -28,6 +28,10 @@ def read_csv_table(
     )
     if schema is not None:
         reader = reader.schema(schema)
+    else:
+        # without a schema every column would silently read as STRING
+        # (lexicographic dates, garbage sums); infer types instead
+        reader = reader.option("inferSchema", True)
     return reader.csv(path)
 
 

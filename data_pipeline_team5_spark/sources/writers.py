@@ -142,18 +142,25 @@ def compact_partitions(
     # day's volume — a corpus-average salt would fragment small days into
     # tiny files while leaving huge days over target. Per-day bytes are
     # estimated from row share of the scan's size estimate.
-    counts = checkpointed.groupBy(partition_by).count()
-    rows_total = sum(r["count"] for r in counts.collect()) or 1
+    # One aggregation job: collect the per-day counts, derive the per-day
+    # file budget driver-side, and ship the tiny result back as a literal
+    # frame (re-using the `counts` plan in the join would re-run the
+    # aggregate a second time).
+    count_rows = checkpointed.groupBy(partition_by).count().collect()
+    rows_total = sum(r["count"] for r in count_rows) or 1
     bytes_per_row = total_bytes / rows_total
     target_bytes = target_mb * 1024 * 1024
-    files = counts.select(
-        partition_by,
-        F.greatest(
-            F.lit(1),
-            F.ceil(F.col("count") * F.lit(bytes_per_row) / F.lit(target_bytes)),
-        )
-        .cast("int")
-        .alias("_files"),
+    files = spark.createDataFrame(
+        [
+            (
+                r[partition_by],
+                max(1, -(-int(r["count"] * bytes_per_row) // target_bytes)),
+            )
+            for r in count_rows
+        ],
+        schema=checkpointed.select(partition_by).schema.add(
+            "_files", "integer"
+        ),
     )
     data_cols = [c for c in checkpointed.columns if c != partition_by]
     row_hash = F.hash(*data_cols) if data_cols else F.lit(0)
@@ -186,6 +193,12 @@ def retention_sweep(
     import datetime
     import shutil
 
+    if "://" in path:
+        raise ValueError(
+            "retention_sweep deletes via the local filesystem only; for "
+            "object stores drive deletion through the store's API "
+            f"(got {path!r})"
+        )
     cutoff = datetime.date.fromisoformat(as_of) - datetime.timedelta(
         days=keep_days
     )
@@ -202,6 +215,14 @@ def retention_sweep(
             # never age-based-deleted
             continue
         if day < cutoff:
-            shutil.rmtree(f"{path}/{partition_by}={v}", ignore_errors=True)
+            try:
+                shutil.rmtree(f"{path}/{partition_by}={v}")
+            except FileNotFoundError:
+                continue  # already gone — not this sweep's removal
+            except OSError as e:
+                # Never report a partition as removed when it was not.
+                raise OSError(
+                    f"retention_sweep failed deleting {partition_by}={v}"
+                ) from e
             removed.append(v)
     return sorted(removed)
