@@ -78,3 +78,43 @@ def test_incremental_model_processes_only_new_dates(spark, tmp_path):
         spark, render_showrange, df, target, DATES
     ) == []
     assert spark.read.parquet(target).count() == 2
+
+
+def test_render_rejects_bad_input():
+    import pytest
+
+    with pytest.raises(ValueError):
+        render_showrange([])  # empty → invalid SQL otherwise
+    with pytest.raises(ValueError):
+        render_showrange(["2025-01-22') OR 1=1 --"])  # injection attempt
+    with pytest.raises(ValueError):
+        render_showrange(DATES, source="bad-name; DROP TABLE x")
+
+
+def test_run_model_rejects_shadowing_materialization(spark):
+    import pytest
+
+    df = _long_table(spark)
+    with pytest.raises(ValueError, match="shadow"):
+        run_model(
+            spark,
+            render_showrange(DATES),
+            df,
+            materialize_as="box_office_daily",
+        )
+
+
+def test_incremental_reports_only_materialized_dates(spark, tmp_path):
+    from data_pipeline_team5_spark.models import run_model_incremental
+
+    df = _long_table(spark)
+    target = str(tmp_path / "incr2")
+    # a date with no source rows must stay eligible, not be declared done
+    ran = run_model_incremental(
+        spark, render_showrange, df, target, ["2025-01-22", "2030-01-01"]
+    )
+    assert ran == ["2025-01-22"]
+    ran2 = run_model_incremental(
+        spark, render_showrange, df, target, ["2025-01-22", "2030-01-01"]
+    )
+    assert ran2 == []  # still no source rows for 2030 → nothing ran again
