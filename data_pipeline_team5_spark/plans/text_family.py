@@ -139,9 +139,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         {_TOKS}
         SELECT lang, source,
                COUNT(*) AS n_docs,
-               SUM(CAST(len(t) AS BIGINT)) AS sum_tokens,
+               CAST(SUM(CAST(len(t) AS BIGINT)) AS BIGINT) AS sum_tokens,
                CAST(SUM(CAST(len(t) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_tokens,
-               SUM(n_chars) AS sum_chars
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM toks
         GROUP BY lang, source
         ORDER BY lang, source

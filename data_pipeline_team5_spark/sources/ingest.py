@@ -155,7 +155,18 @@ def ingest_box_office_json(
         if not isinstance(body, dict):
             bad.append(f"doc[{i}]: boxOfficeResult is not an object")
             continue
-        day = str(body.get("showRange") or f"doc[{i}]").split("~")[0]
+        # showRange is load-bearing downstream: it becomes the show_range
+        # partition value and pipeline._day_of indexes it unconditionally
+        # after the write. A doc without a parseable 8-digit day must be
+        # rejected HERE, before anything is written, as a named validation
+        # error — not as a bare KeyError between write and transform.
+        day = str(body.get("showRange") or "").split("~")[0]
+        if not (len(day) == 8 and day.isascii() and day.isdigit()):
+            bad.append(
+                f"doc[{i}]: missing or malformed showRange "
+                f"(want 'yyyyMMdd~...', got {body.get('showRange')!r})"
+            )
+            continue
         rows_ = body.get("dailyBoxOfficeList")
         if not rows_:
             bad.append(f"{day}: empty dailyBoxOfficeList")

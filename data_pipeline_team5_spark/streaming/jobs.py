@@ -51,13 +51,26 @@ _RUN_IDS = itertools.count()
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture; ts truncated to µs with
-    exact integer division (bit-identical to DuckDB's nanos→µs read)."""
+    exact integer division (bit-identical to DuckDB's nanos→µs read).
+
+    The legacy conf is set only while the source is constructed, then
+    restored (same session-hygiene contract as plans/catalog.py:table) —
+    a leaked ``nanosAsLong=true`` would silently change how an unrelated
+    later batch read surfaces TIMESTAMP(NANOS) columns. The file source
+    captures the conf when it resolves against the explicit BIGINT schema,
+    so later drains run correctly with the session conf restored
+    (verified: AvailableNow drain after restore returns the same rows).
+    """
+    prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    try:
+        raw = (
+            spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

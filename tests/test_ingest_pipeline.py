@@ -233,3 +233,24 @@ def test_ingest_guard_names_non_object_box_office_result(spark):
         ingest_box_office_json(spark, '{"boxOfficeResult": []}')
     with pytest.raises(ValueError, match="missing boxOfficeResult"):
         ingest_box_office_json(spark, '{"other": 1}')
+
+
+def test_ingest_guard_rejects_bad_show_range(spark):
+    """A doc without a parseable yyyyMMdd showRange must die in the P8
+    guard (named error, pre-write) — pipeline._day_of indexes showRange
+    unconditionally after the write, so the guard owns this invariant."""
+    import json as _json
+
+    movies = [_movie(1, 101, "A", 100, 1, 1)]
+
+    def doc_with(show_range) -> str:
+        body = {"boxofficeType": "일별", "dailyBoxOfficeList": movies}
+        if show_range is not None:
+            body["showRange"] = show_range
+        return _json.dumps({"boxOfficeResult": body})
+
+    for bad in (None, "", "2025012~20250123", "2025-01-23", "²0250123"):
+        with pytest.raises(ValueError, match="showRange"):
+            ingest_box_office_json(spark, doc_with(bad))
+    # the happy path still passes
+    ingest_box_office_json(spark, doc_with("20250123~20250123"))

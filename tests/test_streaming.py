@@ -10,6 +10,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
+from data_pipeline_team5_spark.plans.catalog import table
 from data_pipeline_team5_spark.streaming.jobs import (
     dedup_within_watermark,
     drain_to_memory,
@@ -45,7 +46,10 @@ def test_upsert_sink_is_idempotent(spark):
 
 
 def test_dedup_removes_all_doubles(spark):
-    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    # table() handles the TIMESTAMP(NANOS) legacy conf; a bare
+    # spark.read.parquet here only ever worked while the streaming reader
+    # leaked nanosAsLong=true into the session (fixed — see below).
+    events = table(spark, SF_SMALL, "events")
     n = events.count()
     deduped = drain_to_memory(
         dedup_within_watermark(read_events_stream(spark, SF_SMALL)),
@@ -53,3 +57,21 @@ def test_dedup_removes_all_doubles(spark):
     )
     assert deduped.count() == n
     assert deduped.select("event_id").distinct().count() == n
+
+
+def test_stream_reader_restores_session_conf(spark):
+    """read_events_stream needs the nanosAsLong legacy conf while the
+    source resolves, but must NOT leak it: a later unrelated batch read of
+    a TIMESTAMP(NANOS) file in the same session would silently change
+    semantics (the batch reader in plans/catalog.py got the same fix)."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key, "false")
+    stream = read_events_stream(spark, SF_SMALL)
+    assert spark.conf.get(key, "false") == prior
+    # The restored conf must not break the drain itself: the source captured
+    # the flag at resolution time.
+    out = drain_to_memory(
+        stream.groupBy("event_type").count(), output_mode="complete"
+    )
+    assert out.count() > 0
+    assert spark.conf.get(key, "false") == prior
