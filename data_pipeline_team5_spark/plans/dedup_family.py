@@ -3,11 +3,22 @@ claimed-but-unimplemented staging dedup): exact survivor selection plus the
 near-dup ladder (exact n-gram Jaccard, MinHash-LSH, SimHash) over
 ``documents``.
 
-Oracle strategy: exact dedup and inverted-index Jaccard are fully
-SQL-expressible → bitwise DuckDB oracles. MinHash-LSH and SimHash sketches
-are not reasonably SQL-expressible → rows-only driver checks, but both are
-deterministic (fixed seeds) and pytest cross-checks LSH recall against the
-exact-Jaccard pair set (tests/test_dedup_text.py).
+Oracle strategy: every query here has a bitwise DuckDB oracle.
+
+- exact dedup / inverted-index Jaccard / components: directly expressible.
+- MinHash-LSH: the pipeline ENDS in exact-Jaccard verification, so its
+  output is the exact ≥-threshold pair set restricted to LSH candidates;
+  with full recall (pigeonhole-free but pinned empirically — see the
+  recall == 1.0 test in tests/test_dedup_text.py) that equals the plain
+  exact-Jaccard pair set, so the ngram oracle is ALSO the LSH oracle. The
+  oracle thereby doubles as a recall gate: a banding miss at driver scale
+  flips the row red instead of hiding in a rows-only check.
+- SimHash: the published output (hamming distances) depends on the shingle
+  hash, so the catalog query runs the sketch on an md5-derived 48-bit hash
+  DuckDB reproduces bit-for-bit (operators/dedup.py:md5_hash48) and the
+  oracle recomputes the whole sketch in SQL — a true bitwise check at any
+  SF. Production presets keep the cheaper xxhash64 (hash choice doesn't
+  change the operator's semantics, only the exact pair sample).
 """
 
 from __future__ import annotations
@@ -22,6 +33,7 @@ from data_pipeline_team5_spark.operators.dedup import (
     doc_shingles,
     jaccard_pairs,
     lsh_candidate_pairs,
+    md5_hash48,
     minhash_signatures,
     simhash,
     simhash_pairs,
@@ -73,26 +85,32 @@ def dedup_exact_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
 
 
+# The exact ≥-threshold Jaccard pair set. Oracle for ngram_jaccard_neardup
+# AND minhash_lsh_neardup: LSH verification ends in exact Jaccard over
+# candidates, so with full recall the two queries' outputs are equal sets.
+_JACCARD_PAIRS_SQL = f"""
+    {_SHINGLES},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shing a JOIN shing b
+          ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST((sa.n + sb.n - inter) AS DOUBLE)
+               AS jaccard
+    FROM pairs
+    JOIN sizes sa ON pairs.doc_a = sa.doc_id
+    JOIN sizes sb ON pairs.doc_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / CAST((sa.n + sb.n - inter) AS DOUBLE)
+          >= {JACCARD_T}
+    ORDER BY doc_a, doc_b
+"""
+
+
 @register(
     "ngram_jaccard_neardup",
-    oracle=f"""
-        {_SHINGLES},
-        pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-            FROM shing a JOIN shing b
-              ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b,
-               CAST(inter AS DOUBLE) / CAST((sa.n + sb.n - inter) AS DOUBLE)
-                   AS jaccard
-        FROM pairs
-        JOIN sizes sa ON pairs.doc_a = sa.doc_id
-        JOIN sizes sb ON pairs.doc_b = sb.doc_id
-        WHERE CAST(inter AS DOUBLE) / CAST((sa.n + sb.n - inter) AS DOUBLE)
-              >= {JACCARD_T}
-        ORDER BY doc_a, doc_b
-    """,
+    oracle=_JACCARD_PAIRS_SQL,
     doc="⊕ exact n-gram (3-shingle) Jaccard near-dup pairs via an inverted "
     "shingle index — candidates share ≥1 shingle (bucket join), never "
     "all-pairs (operators/dedup.py:jaccard_pairs). At 100 TB add the "
@@ -108,7 +126,12 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_lsh_neardup",
-    oracle=None,  # sketch not SQL-expressible; deterministic rows-only
+    # Exact oracle: the pipeline's last stage is exact-Jaccard verification,
+    # so its output is deterministic and — with full LSH recall, pinned in
+    # tests/test_dedup_text.py — equals the plain exact-Jaccard pair set.
+    # The driver row therefore ALSO gates recall: a banding miss at driver
+    # SF shows up as a red row, not a hidden rows-only pass.
+    oracle=_JACCARD_PAIRS_SQL,
     doc="⊕ MinHash(32 perms) + LSH(8 bands × 4 rows) near-dup pairs, "
     "verified with exact Jaccard ≥ 0.6 over candidates only — the 100 TB "
     "scale path: signature cost is one pass, pairing touches same-bucket "
@@ -184,19 +207,56 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SQL twin of operators/dedup.py:simhash over the md5-derived 48-bit hash
+# (md5_hash48): per-bit ±1 vote sums, sign-packed, then brute all-pairs
+# Hamming in the oracle (the Spark side is block-joined, but pigeonhole
+# completeness at Hamming ≤ 7 makes the two pair sets provably equal).
+_SIM_BITS = 48
+_SIM_H48_SQL = "CAST(('0x' || substr(md5(s), 21, 12)) AS BIGINT)"
+_SIM_VOTES = ",\n               ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(_SIM_BITS)
+)
+_SIM_PACK = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIM_BITS)
+)
+
+
 @register(
     "simhash_neardup",
-    oracle=None,  # sketch not SQL-expressible; deterministic rows-only
+    oracle=f"""
+        {_SHINGLES},
+        hs AS (
+            SELECT doc_id, {_SIM_H48_SQL} AS h FROM shing
+        ),
+        votes AS (
+            SELECT doc_id,
+               {_SIM_VOTES}
+            FROM hs GROUP BY doc_id
+        ),
+        sim AS (
+            SELECT doc_id, CAST({_SIM_PACK} AS BIGINT) AS sh FROM votes
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 7
+        ORDER BY doc_a, doc_b
+    """,
     doc="⊕ 48-bit SimHash near-dup pairs, Hamming ≤ 7, blocked on 8 × "
     "6-bit chunks (pigeonhole guarantees full recall at Hamming ≤ 7 — "
     "no missed pairs at this threshold). One shuffle for the "
-    "signature, one equi-join for pairing (operators/dedup.py:simhash*).",
+    "signature, one equi-join for pairing (operators/dedup.py:simhash*). "
+    "This catalog instance runs the sketch on the md5-derived hash both "
+    "engines compute identically, so the oracle re-derives the ENTIRE "
+    "sketch in SQL and checks it bitwise; production presets keep "
+    "xxhash64 (hash choice changes only the sample, not the semantics).",
     tags=("dedup", "neardup", "simhash"),
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "doc_id", "text")
-    sim = simhash(sh)
+    sim = simhash(sh, hash_expr=md5_hash48("s"))
     return simhash_pairs(sim, max_hamming=7).orderBy("doc_a", "doc_b")
 
 
