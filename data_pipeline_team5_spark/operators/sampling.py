@@ -15,7 +15,7 @@ projection and prunes into the scan's filters when selecting one split.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000  # basis-point resolution for fractions
@@ -75,4 +75,70 @@ def split_assign(
     return df.withColumn(
         col_name,
         F.when(b < v, "val").when(b < t, "test").otherwise("train"),
+    )
+
+
+PACK_SHARD_DOCS = 128  # order-key range per shard; >1 shard even at sf0.001
+
+
+def pack_bins(
+    df: DataFrame,
+    order_key: str,
+    size_col: str,
+    budget: int,
+    partition_cols: tuple[str, ...] = ("lang",),
+    shard_docs: int = PACK_SHARD_DOCS,
+) -> DataFrame:
+    """Assign each row to its linear-packing bin: ``bin_id = floor(prefix
+    sum of sizes before this row / budget)`` within each partition, rows
+    ordered by ``order_key``.
+
+    Two-level prefix sum, NOT one window per partition value: a single
+    ``Window.partitionBy(lang)`` serializes an entire language (possibly
+    most of a 100 TB corpus) through one task's sort (VERDICT r2 #4). Here
+    the cumsum runs per (partition, shard) — shard = ``order_key div
+    shard_docs``, monotonic in the order key, so shard order IS key order —
+    then a per-shard total table (one row per shard, tiny) is prefix-summed
+    and broadcast-joined back as each shard's starting offset. Both window
+    passes are bounded (shard_docs rows; #shards rows), every stage is
+    fully parallel across shards, and the result is bit-identical to the
+    single-window form (pinned in tests/test_properties.py).
+
+    Bin arithmetic stays in BIGINT (``div``) end to end — a double-typed
+    division would silently round once corpus token counts pass 2^53.
+    """
+    parts = list(partition_cols)
+    shard = F.expr(f"{order_key} div {int(shard_docs)}")
+    sized = df.withColumn("_shard", shard)
+    w_local = (
+        Window.partitionBy(*parts, "_shard")
+        .orderBy(order_key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = sized.withColumn(
+        "_local_before",
+        F.coalesce(F.sum(size_col).over(w_local), F.lit(0)).cast("long"),
+    )
+    totals = sized.groupBy(*parts, "_shard").agg(
+        F.sum(size_col).cast("long").alias("_shard_tot")
+    )
+    w_shard = (
+        Window.partitionBy(*parts)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *parts,
+        "_shard",
+        F.coalesce(F.sum("_shard_tot").over(w_shard), F.lit(0))
+        .cast("long")
+        .alias("_shard_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), [*parts, "_shard"])
+        .withColumn(
+            "bin_id",
+            F.expr(f"(_shard_off + _local_before) div {int(budget)}"),
+        )
+        .drop("_shard", "_local_before", "_shard_off")
     )

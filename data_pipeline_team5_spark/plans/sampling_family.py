@@ -17,6 +17,7 @@ from data_pipeline_team5_spark.operators.sampling import (
     deterministic_sample,
     frac_to_buckets,
     hash_bucket_sql,
+    pack_bins,
     split_assign,
 )
 from data_pipeline_team5_spark.plans.catalog import register, table
@@ -121,35 +122,24 @@ TOKEN_BUDGET = 2048
     """,
     doc="⊕ sequence packing: documents concatenated into ~2048-token "
     "training bins per language — linear packing by running token count "
-    "(a doc goes to the bin where its start offset falls). One window "
-    "cumsum per language partition + one rollup; deterministic doc_id "
-    "order makes bins reproducible run-over-run. At 100 TB each language "
-    "partition packs independently (no global coordination), which is "
-    "what makes the window form scale where a greedy bin-packer (serial "
-    "state) cannot.",
+    "(a doc goes to the bin where its start offset falls), deterministic "
+    "doc_id order so bins are reproducible run-over-run. The prefix sum is "
+    "the TWO-LEVEL form (operators/sampling.py:pack_bins, VERDICT r2 #4): "
+    "cumsum per (lang, doc_id-range shard) in parallel, then a tiny "
+    "per-shard offset table broadcast back — no single task ever sorts a "
+    "whole language, which is what survives an 80%-English 100 TB corpus "
+    "where the naive per-lang window serializes most of the data through "
+    "one reducer. Bit-identical to the single-window form (pinned in "
+    "tests/test_properties.py).",
+    headline=True,
     tags=("sampling", "packing"),
 )
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok")
     sized = docs.select("lang", "doc_id", n_tok)
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    placed = sized.select(
-        "lang",
-        "doc_id",
-        "n_tok",
-        (
-            F.coalesce(F.sum("n_tok").over(w), F.lit(0))
-            / F.lit(TOKEN_BUDGET)
-        )
-        .cast("bigint")
-        .alias("bin_id"),
+    placed = pack_bins(
+        sized, order_key="doc_id", size_col="n_tok", budget=TOKEN_BUDGET
     )
     return (
         placed.groupBy("lang", "bin_id")

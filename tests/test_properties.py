@@ -155,3 +155,40 @@ def test_sequence_packing_conserves_tokens_and_bins_are_contiguous(spark):
         by_lang.setdefault(r.lang, []).append(r.bin_id)
     for lang, bins in by_lang.items():
         assert sorted(bins) == list(range(len(bins))), lang
+
+
+def test_pack_bins_two_level_equals_single_window(spark):
+    """The scale-safe two-level prefix sum must be bit-identical to the
+    naive one-window-per-language form it replaces (VERDICT r2 #4), with a
+    shard size small enough that the fixture spans several shards."""
+    from pyspark.sql import Window
+
+    from data_pipeline_team5_spark.operators.sampling import pack_bins
+    from data_pipeline_team5_spark.plans.catalog import table
+    from tests.conftest import SF_SMALL
+
+    docs = table(spark, SF_SMALL, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok")
+    sized = docs.select("lang", "doc_id", n_tok)
+
+    two_level = pack_bins(
+        sized, "doc_id", "n_tok", budget=512, shard_docs=64
+    )
+    # the fixture must actually exercise the shard merge
+    n_shards = sized.select(
+        (F.col("doc_id") / 64).cast("long")
+    ).distinct().count()
+    assert n_shards > 1
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = sized.withColumn(
+        "_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    ).withColumn("bin_id", F.expr("_before div 512")).drop("_before")
+
+    lhs = {(r.lang, r.doc_id): r.bin_id for r in two_level.collect()}
+    rhs = {(r.lang, r.doc_id): r.bin_id for r in naive.collect()}
+    assert lhs == rhs
