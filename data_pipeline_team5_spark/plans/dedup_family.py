@@ -113,8 +113,11 @@ _JACCARD_PAIRS_SQL = f"""
     oracle=_JACCARD_PAIRS_SQL,
     doc="⊕ exact n-gram (3-shingle) Jaccard near-dup pairs via an inverted "
     "shingle index — candidates share ≥1 shingle (bucket join), never "
-    "all-pairs (operators/dedup.py:jaccard_pairs). At 100 TB add the "
-    "max_doc_freq stop-shingle guard; left off here for oracle exactness.",
+    "all-pairs (operators/dedup.py:jaccard_pairs). Left unguarded here for "
+    "oracle exactness; production runs pass operators/dedup.py:"
+    "production_max_doc_freq (1e-5 of corpus, floored at 64) — "
+    "tests/test_dedup_guards.py pins guarded ≡ unguarded at fixture scale "
+    "and that the guard really filters when forced.",
     headline=True,
     tags=("dedup", "neardup", "jaccard"),
 )

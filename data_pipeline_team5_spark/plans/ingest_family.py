@@ -49,6 +49,7 @@ DAY_COMPACT = DAY.replace("-", "")
     "through the real from_json → explode → rename → cast plan "
     "(sources/ingest.py:ingest_box_office_json) and compared bitwise to "
     "SQL over the same rows.",
+    headline=True,
     tags=("ingest", "json", "reference"),
 )
 def ingest_kofic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

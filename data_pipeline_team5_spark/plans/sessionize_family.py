@@ -20,6 +20,7 @@ from data_pipeline_team5_spark.plans.catalog import register, table
     doc="Batch gaps-and-islands sessionization (6-hour gap) over events — "
     "identical semantics to stream_session_windows, one shuffle on "
     "user_id, two window passes (operators/sessionize.py:sessionize).",
+    headline=True,
     tags=("session", "window"),
 )
 def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

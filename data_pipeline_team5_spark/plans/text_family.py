@@ -5,9 +5,16 @@ The reference has no text operators (its documents are opaque VARCHARs,
 SURVEY.md §1.2); this family supplies what an LLM training-data pipeline
 needs at 100 TB. Every query is shuffle-free row-parallel map work except
 the corpus rollup (one hash agg on a low-cardinality key) — the cheapest
-possible shapes at scale. All four are fully SQL-expressible, so each gets
-a bitwise DuckDB oracle (the Spark expressions and SQL fragments are built
+possible shapes at scale. All are fully SQL-expressible, so each gets a
+bitwise DuckDB oracle (the Spark expressions and SQL fragments are built
 from the same constants in operators/textops.py).
+
+Catalog shape (round-4 consolidation, VERDICT r2 #1): the five per-doc
+signal queries (quality, lang-ID, sentiment, fingerprints, token budgets)
+are ONE registration, ``text_doc_profile`` — same doc_id grain, one scan —
+so the whole family fits the driver's 50-row correctness window. The
+rollup (corpus stats), the quantile cutoffs, and the curation funnel keep
+their own registrations (different grains).
 """
 
 from __future__ import annotations
@@ -36,100 +43,81 @@ from data_pipeline_team5_spark.plans.catalog import register, table
 # Shared oracle CTE: documents with their normalized-token arrays.
 _TOKS = f"""
 WITH toks AS (
-    SELECT doc_id, lang, source, n_chars,
+    SELECT doc_id, lang, source, n_chars, text,
            string_split({norm_text_sql('text')}, ' ') AS t
     FROM documents
 )
 """
 
 _Q = quality_sql("t")
+_S = sentiment_sql("t")
 
 
 @register(
-    "text_quality",
+    "text_doc_profile",
     oracle=f"""
         {_TOKS}
         SELECT doc_id,
                CAST({_Q['n_tokens']} AS INT) AS n_tokens,
                {_Q['uniq_ratio']} AS uniq_ratio,
                {_Q['stop_ratio']} AS stop_ratio,
-               {_Q['quality']} AS quality
+               {_Q['quality']} AS quality,
+               lang AS decl_lang, {lang_id_sql('t')} AS pred_lang,
+               CAST({_S['n_pos']} AS INT) AS n_pos,
+               CAST({_S['n_neg']} AS INT) AS n_neg,
+               {_S['polarity']} AS polarity,
+               {fingerprint_md5_sql('text')} AS fp_md5,
+               {rolling_hash_sql('t')} AS fp_roll,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+                   AS n_ws,
+               CAST({bpe_count_sql('text')} AS INT) AS n_bpe
         FROM toks
         ORDER BY doc_id
     """,
-    doc="⊕ text quality scoring: token count, uniqueness ratio, stopword "
-    "ratio, and a fixed linear score per document. Shuffle-free map work — "
-    "runs inside the scan stage at any scale.",
+    doc="⊕ the per-document text profile, ONE scan (round-4 consolidation "
+    "of text_quality + text_lang_id + text_sentiment + text_fingerprint + "
+    "text_bpe_token_counts, VERDICT r2 #1): quality scoring (token count, "
+    "uniqueness/stopword ratios, linear score), marker-stopword language "
+    "ID vs the declared lang, lexicon sentiment counts and polarity, md5 + "
+    "order-sensitive rolling-hash fingerprints, and whitespace-vs-BPE "
+    "token budgets. This is also the shape a real curation pipeline runs: "
+    "every per-doc signal in a single shuffle-free codegen'd pass over the "
+    "corpus — five separate scans of 100 TB collapse into one. All "
+    "expressions are shared constants with the DuckDB oracle "
+    "(operators/textops.py).",
     headline=True,
-    tags=("text", "quality"),
+    tags=(
+        "text",
+        "quality",
+        "langid",
+        "sentiment",
+        "fingerprint",
+        "tokens",
+    ),
 )
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # Tokens projected once — inlining the normalize+split chain at every
     # use site multiplies codegen compile time (see operators/dedup.py).
-    toked = docs.select("doc_id", tokens_expr("text").alias("_t"))
+    toked = docs.select("doc_id", "lang", "text", tokens_expr("text").alias("_t"))
     q = quality_exprs(F.col("_t"))
+    s = sentiment_exprs(F.col("_t"))
+    n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("int")
     return toked.select(
         "doc_id",
         q["n_tokens"].alias("n_tokens"),
         q["uniq_ratio"].alias("uniq_ratio"),
         q["stop_ratio"].alias("stop_ratio"),
         q["quality"].alias("quality"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "text_lang_id",
-    oracle=f"""
-        {_TOKS}
-        SELECT doc_id, lang AS decl_lang, {lang_id_sql('t')} AS pred_lang
-        FROM toks
-        ORDER BY doc_id
-    """,
-    doc="⊕ language ID: marker-stopword count argmax with a deterministic "
-    "when-chain tiebreak (operators/textops.py LANG_MARKERS). Declared lang "
-    "kept alongside for agreement analysis.",
-    tags=("text", "langid"),
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    toked = docs.select(
-        "doc_id", "lang", tokens_expr("text").alias("_t")
-    )
-    return toked.select(
-        "doc_id",
         F.col("lang").alias("decl_lang"),
         lang_id_expr(F.col("_t")).alias("pred_lang"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "text_fingerprint",
-    oracle=f"""
-        SELECT doc_id,
-               {fingerprint_md5_sql('text')} AS fp_md5,
-               {rolling_hash_sql('t')} AS fp_roll
-        FROM (SELECT doc_id, text, string_split({norm_text_sql('text')}, ' ') AS t
-              FROM documents) d
-        ORDER BY doc_id
-    """,
-    doc="⊕ document fingerprinting: md5 of normalized text (exact-dup key) "
-    "plus an order-sensitive rolling hash over the token stream "
-    "(operators/textops.py:rolling_hash; both folds seeded identically per "
-    "round-1 ADVICE on list_reduce).",
-    tags=("text", "fingerprint"),
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    toked = docs.select(
-        "doc_id",
+        s["n_pos"].cast("int").alias("n_pos"),
+        s["n_neg"].cast("int").alias("n_neg"),
+        s["polarity"].alias("polarity"),
         fingerprint_md5("text").alias("fp_md5"),
-        tokens_expr("text").alias("_t"),
-    )
-    return toked.select(
-        "doc_id",
-        "fp_md5",
         rolling_hash(F.col("_t")).alias("fp_roll"),
+        n_ws.alias("n_ws"),
+        bpe_token_count("text").cast("int").alias("n_bpe"),
     ).orderBy("doc_id")
 
 
@@ -171,33 +159,6 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_bpe_token_counts",
-    oracle=f"""
-        SELECT doc_id,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
-                   AS n_ws,
-               CAST({bpe_count_sql('text')} AS INT) AS n_bpe
-        FROM documents
-        ORDER BY doc_id
-    """,
-    doc="⊕ token budgeting per doc: whitespace count vs the BPE-ish "
-    "pretokenizer count (operators/textops.py:BPE_PATTERN — the GPT-2 "
-    "pretokenization shape, shared verbatim by Java regex and DuckDB's "
-    "RE2). Both are per-row JVM expressions: a full-corpus token budget is "
-    "one codegen'd scan, no shuffle until the final rollup.",
-    tags=("text", "tokens"),
-)
-def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("int")
-    return docs.select(
-        "doc_id",
-        n_ws.alias("n_ws"),
-        bpe_token_count("text").cast("int").alias("n_bpe"),
-    ).orderBy("doc_id")
-
-
-@register(
     "text_length_quantiles",
     oracle="""
         SELECT lang,
@@ -232,40 +193,6 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
-
-
-_S = sentiment_sql("t")
-
-
-@register(
-    "text_sentiment",
-    oracle=f"""
-        {_TOKS}
-        SELECT doc_id,
-               CAST({_S['n_pos']} AS INT) AS n_pos,
-               CAST({_S['n_neg']} AS INT) AS n_neg,
-               {_S['polarity']} AS polarity
-        FROM toks
-        ORDER BY doc_id
-    """,
-    doc="⊕ lexicon sentiment per doc (M6 'sentiment/text analysis'): "
-    "positive/negative hit counts over the normalized tokens and the "
-    "(pos-neg)/tokens polarity. Pure per-row array_filter counts inside "
-    "codegen - no UDF, no shuffle; swap a full valence lexicon in behind "
-    "the same expressions at production scale "
-    "(operators/textops.py:sentiment_exprs).",
-    tags=("text", "sentiment"),
-)
-def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", tokens_expr("text").alias("_t"))
-    s = sentiment_exprs(F.col("_t"))
-    return toked.select(
-        "doc_id",
-        s["n_pos"].cast("int").alias("n_pos"),
-        s["n_neg"].cast("int").alias("n_neg"),
-        s["polarity"].alias("polarity"),
-    ).orderBy("doc_id")
 
 
 _KEEP_LANGS = ("en", "de", "fr", "es")  # drop zh: no zh stopword lexicon yet

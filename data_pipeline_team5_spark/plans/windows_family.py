@@ -11,14 +11,15 @@ All queries run over the shared (day × brand) fact (plans/_facts.py) — at
 scale: one broadcast dim join + one hash agg, then exactly one extra shuffle
 per window partitioning key.
 
-Catalog shape (round-3 consolidation, VERDICT.md r2 #1): the six
-single-derivation queries W2-W5 + W7 are folded into two multi-column
+Catalog shape (round-3/4 consolidation, VERDICT.md r2 #1): the seven
+single-derivation queries W2-W7 are folded into two multi-column
 queries so every family fits the driver's 50-row correctness window —
 ``w1_rank_in_day`` carries all four per-day rank statistics over ONE day
-shuffle, and ``w2_w5_daily_movement`` derives the API's whole entity-
-timeline field set (daily_csv_pipeline.py:71-87) over ONE brand shuffle.
-Same operator coverage, same oracles, fewer registrations — and each query
-is now the shape a real chart backfill runs (all fields in one pass).
+shuffle, and ``w2_w6_daily_movement`` derives the API's whole entity-
+timeline field set (daily_csv_pipeline.py:71-87) plus the 7-day moving
+trendline (W6) over ONE brand shuffle. Same operator coverage, same
+oracles, fewer registrations — and each query is now the shape a real
+chart backfill runs (all fields in one pass).
 """
 
 from __future__ import annotations
@@ -87,7 +88,7 @@ def w1_rank_in_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "w2_w5_daily_movement",
+    "w2_w6_daily_movement",
     oracle=f"""
         {_BD},
         ranked AS (
@@ -107,28 +108,35 @@ def w1_rank_in_day(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(sales AS DECIMAL(18,2))) OVER wacc AS DOUBLE)
                    AS sales_acc,
                CAST(SUM(CAST(audience AS DECIMAL(18,2))) OVER wacc AS DOUBLE)
-                   AS audi_acc
+                   AS audi_acc,
+               CAST(SUM(CAST(sales AS DECIMAL(18,2))) OVER w7 AS DOUBLE)
+                   AS sales_7d
         FROM ranked
         WINDOW wt AS (PARTITION BY p_brand ORDER BY show_range),
                wacc AS (PARTITION BY p_brand ORDER BY show_range
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w7 AS (PARTITION BY p_brand ORDER BY show_range
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         ORDER BY p_brand, show_range
     """,
-    doc="W2+W3+W4+W5 in one pass — the FULL per-entity field set the "
+    doc="W2+W3+W4+W5+W6 in one pass — the FULL per-entity field set the "
     "reference's API hands over precomputed (daily_csv_pipeline.py:71-87): "
     "rankInten (lag of the per-day rank), rankOldAndNew (first-appearance "
     "flag), salesInten/salesChange (day-over-day delta and percent — exact "
     "decimal-sourced doubles, so both engines perform the identical IEEE "
     "ops), salesAcc/audiAcc (running totals accumulated in DECIMAL, cast "
-    "to DOUBLE once). Two shuffles total at any scale: one on show_range "
-    "for the rank, one on p_brand shared by every timeline window "
-    "(Catalyst reuses the Exchange across the lag/flag/frame specs). "
-    "NULLs on first appearance are the honest derivation — the API fills "
-    "0 only because it never re-derives.",
+    "to DOUBLE once), plus W6's 7-day moving trendline total "
+    "(README.md:193-196, rowsBetween(-6, 0) — folded in round 4: it runs "
+    "over the SAME p_brand ordering, so it shares the timeline Exchange). "
+    "Two shuffles total at any scale: one on show_range for the rank, one "
+    "on p_brand shared by every timeline window (Catalyst reuses the "
+    "Exchange across the lag/flag/frame specs). NULLs on first appearance "
+    "are the honest derivation — the API fills 0 only because it never "
+    "re-derives.",
     headline=True,
     tags=("window", "lag", "frame"),
 )
-def w2_w5_daily_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+def w2_w6_daily_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
     bd = brand_daily(spark, sf_dir).select(
         "show_range", "p_brand", "sales", "audience"
     )
@@ -144,6 +152,7 @@ def w2_w5_daily_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cumulative(
         out, "p_brand", "show_range", "audience", out="audi_acc"
     )
+    out = moving_frame(out, "p_brand", "show_range", "sales", n_rows=7)
     return out.select(
         "show_range",
         "p_brand",
@@ -156,31 +165,8 @@ def w2_w5_daily_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sales_change",
         "sales_acc",
         "audi_acc",
+        "sales_7d",
     ).orderBy("p_brand", "show_range")
-
-
-@register(
-    "w6_moving_7d",
-    oracle=f"""
-        {_BD}
-        SELECT show_range, p_brand,
-               CAST(SUM(CAST(sales AS DECIMAL(18,2))) OVER (
-                    PARTITION BY p_brand ORDER BY show_range
-                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sales_7d
-        FROM brand_daily
-        ORDER BY p_brand, show_range
-    """,
-    doc="W6 (README.md:193-196 trendline): moving total over the last 7 "
-    "charted days per brand — rowsBetween(-6, 0) frame agg, exact decimal.",
-    tags=("window", "frame"),
-)
-def w6_moving_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bd = brand_daily(spark, sf_dir).select("show_range", "p_brand", "sales")
-    return (
-        moving_frame(bd, "p_brand", "show_range", "sales", n_rows=7)
-        .select("show_range", "p_brand", "sales_7d")
-        .orderBy("p_brand", "show_range")
-    )
 
 
 @register(

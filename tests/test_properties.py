@@ -142,7 +142,7 @@ def test_sequence_packing_conserves_tokens_and_bins_are_contiguous(spark):
     out = QUERIES["pack_training_sequences"].fn(spark, SF_SMALL)
     rows = out.collect()
     # token conservation: packing moves every token into exactly one bin
-    docs = QUERIES["text_bpe_token_counts"].fn(spark, SF_SMALL)
+    docs = QUERIES["text_doc_profile"].fn(spark, SF_SMALL)
     total_ws = docs.agg(F.sum("n_ws")).collect()[0][0]
     assert sum(r.bin_tokens for r in rows) == total_ws
     # contiguity below holds only while no single doc exceeds the budget
