@@ -79,6 +79,16 @@ def split_assign(
 
 
 PACK_SHARD_DOCS = 128  # order-key range per shard; >1 shard even at sf0.001
+# Production shard size (ADVICE r4): shard_docs must SCALE WITH THE CORPUS.
+# The level-2 pass funnels #shards ≈ n_docs/shard_docs rows per partition
+# value through one task's window sort, and the offsets table is joined back
+# to every row — with shard_docs=128 a 1e9-doc corpus would mean ~8M offset
+# rows (fine as a join side, fatal as a forced broadcast; the join below is
+# left to AQE for exactly that reason). At 2^20 docs/shard a 1e9-doc corpus
+# has ~1000 shards/language: both window passes stay bounded. If #shards
+# itself outgrows one task (~1e12 docs/partition value), the same scheme
+# nests to three levels — shard the shards.
+PACK_SHARD_DOCS_PRODUCTION = 1 << 20
 
 
 def pack_bins(
@@ -93,16 +103,31 @@ def pack_bins(
     sum of sizes before this row / budget)`` within each partition, rows
     ordered by ``order_key``.
 
+    Precondition: ``order_key`` must be a UNIQUE, non-negative integral
+    column per partition value (``doc_id`` satisfies this). Integral because
+    the shard key is ``order_key div shard_docs`` (the name is interpolated
+    into the expression verbatim); unique because a duplicated key makes the
+    exclusive-prefix cumsum order — and hence ``bin_id`` — nondeterministic
+    across runs, defeating reproducible packing. Callers with non-unique
+    keys must pre-compose a unique one (e.g. ``order_key * K + dup_rank``).
+
     Two-level prefix sum, NOT one window per partition value: a single
     ``Window.partitionBy(lang)`` serializes an entire language (possibly
     most of a 100 TB corpus) through one task's sort (VERDICT r2 #4). Here
     the cumsum runs per (partition, shard) — shard = ``order_key div
     shard_docs``, monotonic in the order key, so shard order IS key order —
-    then a per-shard total table (one row per shard, tiny) is prefix-summed
-    and broadcast-joined back as each shard's starting offset. Both window
-    passes are bounded (shard_docs rows; #shards rows), every stage is
+    then a per-shard total table (one row per shard) is prefix-summed and
+    joined back as each shard's starting offset. Both window passes are
+    bounded (≤ shard_docs rows; ≈ n_docs/shard_docs rows), every stage is
     fully parallel across shards, and the result is bit-identical to the
     single-window form (pinned in tests/test_properties.py).
+
+    Sizing (ADVICE r4): the default ``shard_docs`` suits tests/fixtures;
+    production passes ``PACK_SHARD_DOCS_PRODUCTION`` (or ~sqrt(n_docs)) so
+    the offsets table stays small relative to the corpus. The offsets join
+    is deliberately NOT hint-broadcast — at production shard sizes it is
+    broadcast-sized and AQE picks that plan; at degenerate shard sizes a
+    forced broadcast would blow the driver.
 
     Bin arithmetic stays in BIGINT (``div``) end to end — a double-typed
     division would silently round once corpus token counts pass 2^53.
@@ -135,7 +160,7 @@ def pack_bins(
         .alias("_shard_off"),
     )
     return (
-        local.join(F.broadcast(offsets), [*parts, "_shard"])
+        local.join(offsets, [*parts, "_shard"])
         .withColumn(
             "bin_id",
             F.expr(f"(_shard_off + _local_before) div {int(budget)}"),

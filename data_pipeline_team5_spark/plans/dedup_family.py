@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from data_pipeline_team5_spark.functions.scalars import norm_text, norm_text_sql
 from data_pipeline_team5_spark.functions.vectors import cosine_sql, norm_expr, dot_expr
 from data_pipeline_team5_spark.operators.dedup import (
+    PRODUCTION_MAX_BUCKET,
     dedup_exact,
     doc_shingles,
     jaccard_pairs,
@@ -138,7 +139,7 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="⊕ MinHash(32 perms) + LSH(8 bands × 4 rows) near-dup pairs, "
     "verified with exact Jaccard ≥ 0.6 over candidates only — the 100 TB "
     "scale path: signature cost is one pass, pairing touches same-bucket "
-    "docs only, degenerate buckets capped at 50 "
+    "docs only, degenerate buckets capped at PRODUCTION_MAX_BUCKET "
     "(operators/dedup.py:minhash_signatures/lsh_candidate_pairs). pytest "
     "checks recall == 1.0 vs the exact-Jaccard oracle pairs at this scale.",
     tags=("dedup", "neardup", "lsh"),
@@ -147,7 +148,11 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "doc_id", "text")
     sig = minhash_signatures(sh, num_perm=32, seed=42)
-    cand = lsh_candidate_pairs(sig, num_perm=32, bands=8, max_bucket=50)
+    # PRODUCTION_MAX_BUCKET (not a literal): the catalog query and the
+    # tested production preset must tune together (ADVICE r4).
+    cand = lsh_candidate_pairs(
+        sig, num_perm=32, bands=8, max_bucket=PRODUCTION_MAX_BUCKET
+    )
     return verify_jaccard(cand, sh, JACCARD_T).orderBy("doc_a", "doc_b")
 
 
