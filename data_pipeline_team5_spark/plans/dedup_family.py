@@ -27,9 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.functions.scalars import norm_text, norm_text_sql
-from data_pipeline_team5_spark.functions.vectors import cosine_sql, norm_expr, dot_expr
+from data_pipeline_team5_spark.functions.vectors import cosine_sql
 from data_pipeline_team5_spark.operators.dedup import (
     PRODUCTION_MAX_BUCKET,
+    PRODUCTION_MAX_CELL,
+    cosine_cell_pairs,
     dedup_exact,
     doc_shingles,
     jaccard_pairs,
@@ -177,40 +179,29 @@ COSINE_T = 0.35  # upper tail of the fixture's near-random vectors; a real
     doc="⊕ embedding-cosine near-dup pairs, the fifth north-star dedup "
     "method: candidates are blocked on the coarse-quantizer cell (the "
     "fixture's `label`, i.e. a precomputed IVF assignment) so the "
-    "self-join is per-cell, never all-pairs — at 100 TB each cell is one "
-    "shuffle partition and the exact-cosine verify touches within-cell "
-    "pairs only (multi-probe across adjacent cells raises recall; the "
-    "unblocked variant is knn_brute_force). Norms are projected once per "
-    "row before the join, not recomputed per pair; cosines use the "
-    "sequential-fold policy (functions/vectors.py) so the DuckDB oracle "
+    "self-join is per-cell, never all-pairs — and cells past "
+    "PRODUCTION_MAX_CELL are sub-quantized with axis-aligned sign bits "
+    "(operators/dedup.py:cosine_cell_candidates, VERDICT r4 #2 — the "
+    "embedding analogue of lsh_candidate_pairs' max_bucket), so a skewed "
+    "junk cluster can never make one task materialize ~n²/2 pairs at "
+    "100 TB. Fixture cells sit far below the cap at every SF (pinned in "
+    "tests/test_dedup_guards.py), so the exact DuckDB oracle is provably "
+    "unaffected. Norms are projected once per row before the join; cosines "
+    "use the sequential-fold policy (functions/vectors.py) so the oracle "
     "matches bitwise.",
     tags=("dedup", "neardup", "embedding"),
 )
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id",
-        "label",
+        F.col("label").alias("cell"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
-    # One norm per row, computed before the join fans rows into pairs.
-    emb = emb.withColumn("nrm", norm_expr(F.col("v")))
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = dot_expr(F.col("a.v"), F.col("b.v")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        cosine_cell_pairs(emb, COSINE_T, max_cell=PRODUCTION_MAX_CELL)
         .select(
-            F.col("a.label").alias("label"),
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
+            F.col("cell").alias("label"), "vec_a", "vec_b", "cosine"
         )
-        .filter(F.col("cosine") >= COSINE_T)
         .orderBy("label", "vec_a", "vec_b")
     )
 
