@@ -88,16 +88,27 @@ def to_day(col: str | Column) -> Column:
     return F.to_date(c)
 
 
+# Characters normalization PRESERVES: latin lowercase alphanumerics, space,
+# and CJK unified ideographs. The CJK range was added for zh support
+# (round 5): stripping it made every Chinese document normalize to the
+# EMPTY string — collapsing an entire zh corpus into one exact-dup group
+# and blanking every zh fingerprint/shingle. The literal range chars mean
+# the same code points to Java regex and RE2. Fixtures are pure ASCII at
+# every SF (verified), so extending the class changes no oracle output.
+_NORM_KEEP_CLASS = "a-z0-9 一-鿿"
+
+
 def norm_text(col: str | Column) -> Column:
     """Canonical text normalization used by dedup/fingerprint operators:
-    lowercase, strip non-[a-z0-9 ], collapse runs of spaces, trim.
+    lowercase, strip everything outside ``_NORM_KEEP_CLASS``, collapse runs
+    of spaces, trim.
 
     The regexes are intersection-of-dialects simple so Java regex (Spark) and
     RE2 (DuckDB) agree; oracle: see norm_text_sql below.
     """
     c = F.col(col) if isinstance(col, str) else col
     out = F.lower(c)
-    out = F.regexp_replace(out, "[^a-z0-9 ]", "")
+    out = F.regexp_replace(out, f"[^{_NORM_KEEP_CLASS}]", "")
     out = F.regexp_replace(out, " +", " ")
     return F.trim(out)
 
@@ -105,8 +116,8 @@ def norm_text(col: str | Column) -> Column:
 # SQL fragments mirrored by the oracle side (kept adjacent for review parity).
 def norm_text_sql(expr: str) -> str:
     return (
-        f"trim(regexp_replace(regexp_replace(lower({expr}), '[^a-z0-9 ]', '', 'g'),"
-        f" ' +', ' ', 'g'))"
+        f"trim(regexp_replace(regexp_replace(lower({expr}),"
+        f" '[^{_NORM_KEEP_CLASS}]', '', 'g'), ' +', ' ', 'g'))"
     )
 
 

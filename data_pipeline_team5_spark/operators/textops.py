@@ -32,6 +32,20 @@ LANG_MARKERS: list[tuple[str, list[str]]] = [
     ("es", ["el", "los", "las", "y", "es", "una"]),
 ]
 
+# Chinese (VERDICT r4 next-round #5): zh text is not whitespace-tokenized,
+# so token-EQUALITY markers can never fire — a zh "token" is a whole run of
+# characters. Markers are therefore the most common zh function-word
+# CHARACTERS, matched INSIDE tokens with an (unanchored) regex char class;
+# Java regex and DuckDB's RE2 both treat the literal UTF-8 class
+# identically. These chars don't join the quality stop list (token-equality
+# there — they would be dead entries), so quality/stop_ratio are unchanged.
+ZH_MARKERS = ["的", "了", "是", "在", "我", "有", "和", "不", "人", "这"]
+ZH_MARKER_CLASS = "[" + "".join(ZH_MARKERS) + "]"
+# zh goes LAST in the tiebreak chain: a genuinely zh doc has CJK in nearly
+# every token (count ≈ n_tokens, dwarfing any latin marker count), while a
+# latin doc quoting one zh word must not flip wholesale to zh on a tie.
+LANG_ID_ORDER = [lang for lang, _ in LANG_MARKERS] + ["zh"]
+
 MOD = 1_000_000_007  # rolling-hash modulus (fits BIGINT with 31x steps)
 
 
@@ -126,9 +140,13 @@ def quality_sql(tok: str) -> dict[str, str]:
 
 
 def lang_id_expr(tokens: Column) -> Column:
-    """Marker-word language ID: count each language's marker hits, take the
-    first language with the (weakly) highest non-zero count, else 'und'.
-    The when-chain order IS the tiebreak — mirrored in :func:`lang_id_sql`.
+    """Marker language ID: count each language's marker hits, take the
+    first language (in ``LANG_ID_ORDER``) with the (weakly) highest
+    non-zero count, else 'und'. Latin languages count token-equality
+    marker-word hits; zh counts tokens CONTAINING a zh function-word
+    character (``ZH_MARKER_CLASS`` — see its comment for why equality
+    can't work without a zh tokenizer). The when-chain order IS the
+    tiebreak — mirrored in :func:`lang_id_sql`.
     """
     # NB: F.filter lambdas must be unary — a second (defaulted) parameter
     # makes PySpark pass the element *index* into it.
@@ -136,11 +154,14 @@ def lang_id_expr(tokens: Column) -> Column:
         return F.size(F.filter(tokens, lambda t: t.isin(*ws)))
 
     counts = {lang: marker_count(ws) for lang, ws in LANG_MARKERS}
+    counts["zh"] = F.size(
+        F.filter(tokens, lambda t: t.rlike(ZH_MARKER_CLASS))
+    )
     expr = F.lit("und")
     # Build the chain back-to-front so the first language wins ties.
-    for lang, _ in reversed(LANG_MARKERS):
+    for lang in reversed(LANG_ID_ORDER):
         cond = counts[lang] > 0
-        for other, _ in LANG_MARKERS:
+        for other in LANG_ID_ORDER:
             if other != lang:
                 cond = cond & (counts[lang] >= counts[other])
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
@@ -153,11 +174,15 @@ def lang_id_sql(tok: str) -> str:
         return f"len(list_filter({tok}, t -> t IN ({inlist})))"
 
     counts = {lang: cnt(ws) for lang, ws in LANG_MARKERS}
+    counts["zh"] = (
+        f"len(list_filter({tok}, t -> "
+        f"regexp_matches(t, '{ZH_MARKER_CLASS}')))"
+    )
     whens = []
-    for lang, _ in LANG_MARKERS:
+    for lang in LANG_ID_ORDER:
         conds = [f"{counts[lang]} > 0"] + [
             f"{counts[lang]} >= {counts[o]}"
-            for o, _ in LANG_MARKERS
+            for o in LANG_ID_ORDER
             if o != lang
         ]
         whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")

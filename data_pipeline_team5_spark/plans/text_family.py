@@ -195,7 +195,10 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KEEP_LANGS = ("en", "de", "fr", "es")  # drop zh: no zh stopword lexicon yet
+# zh included since round 5: the lang-ID heuristic gained a zh marker
+# lexicon (operators/textops.py:ZH_MARKERS), so a multilingual corpus no
+# longer silently drops Chinese at the allowlist stage (VERDICT r4 #5).
+_KEEP_LANGS = ("en", "de", "fr", "es", "zh")
 _MIN_QUALITY = 0.55
 _LEN_LO, _LEN_HI = 120, 600  # n_chars cutoffs ≈ the p10/p90 band
 

@@ -107,3 +107,62 @@ def test_components_reject_nonpositive_max_iter(spark):
     edges = spark.createDataFrame([], "src BIGINT, dst BIGINT")
     with pytest.raises(ValueError, match="max_iter"):
         connected_components(verts, edges, max_iter=0)
+
+
+# --- zh support (round 5) ---------------------------------------------------
+# Real Chinese is not whitespace-tokenized; these pin that (a) normalization
+# PRESERVES CJK instead of blanking the document, (b) the marker-char
+# language ID detects zh, and (c) the Spark expressions and their DuckDB SQL
+# mirrors agree on non-ASCII inputs too (the oracle gate only ever feeds
+# them ASCII fixtures).
+
+_ZH_TEXTS = [
+    ("z1", "我有一个梦想。这是一个关于自由的梦想!"),  # real zh, no spaces
+    ("z2", "the cat sat on the mat and the dog is here"),  # plain en
+    ("z3", "der Hund und die Katze ist ein Tier"),  # plain de
+    ("z4", "data 的 pipeline 了 spark 是 training 在"),  # zh-function-word mix
+]
+
+
+def test_norm_text_preserves_cjk_and_zh_lang_id(spark, duck):
+    from data_pipeline_team5_spark.functions.scalars import (
+        norm_text,
+        norm_text_sql,
+    )
+    from data_pipeline_team5_spark.operators.textops import (
+        lang_id_expr,
+        lang_id_sql,
+        tokens_expr,
+    )
+
+    df = spark.createDataFrame(_ZH_TEXTS, "doc_id STRING, text STRING")
+    got = {
+        r.doc_id: (r.norm, r.pred)
+        for r in df.select(
+            "doc_id",
+            norm_text("text").alias("norm"),
+            lang_id_expr(tokens_expr("text")).alias("pred"),
+        ).collect()
+    }
+    # CJK content survives normalization (punctuation still stripped)
+    assert got["z1"][0] != ""
+    assert "梦想" in got["z1"][0]
+    assert got["z1"][1] == "zh"
+    assert got["z2"][1] == "en"
+    assert got["z3"][1] == "de"
+    assert got["z4"][1] == "zh"
+
+    # DuckDB mirror agrees on every row, non-ASCII included
+    con = duck("/root/testdata/sf0.001")
+    values = ", ".join(
+        "('" + d + "', '" + t.replace("'", "''") + "')"
+        for d, t in _ZH_TEXTS
+    )
+    sql = f"""
+        SELECT doc_id, {norm_text_sql('text')} AS norm,
+               {lang_id_sql(f"string_split({norm_text_sql('text')}, ' ')")}
+                   AS pred
+        FROM (VALUES {values}) AS v(doc_id, text)
+    """
+    for row in con.sql(sql).fetchall():
+        assert got[row[0]] == (row[1], row[2]), row
