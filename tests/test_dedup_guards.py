@@ -141,3 +141,39 @@ def test_max_cell_guard_is_noop_when_cells_fit(spark):
         cosine_cell_candidates(emb, max_cell=max_cn).count()
         == cosine_cell_candidates(emb).count()
     )
+
+
+def test_production_preset_matches_catalog_twins_at_fixture_scale(spark):
+    """The shipped preset (pipeline.neardup_production_pairs) must equal its
+    unguarded oracle-shaped catalog twins wherever the guards are no-ops —
+    the property that makes the preset oracle-grade while carrying the
+    100 TB guards (VERDICT r4 #4)."""
+    from data_pipeline_team5_spark.pipeline import neardup_production_pairs
+    from data_pipeline_team5_spark.plans.catalog import QUERIES
+
+    docs = table(spark, SF_SMALL, "documents")
+    for method, twin in (
+        ("jaccard", "ngram_jaccard_neardup"),
+        ("lsh", "minhash_lsh_neardup"),
+    ):
+        preset = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 12))
+            for r in neardup_production_pairs(
+                docs, threshold=JACCARD_T, method=method
+            ).collect()
+        }
+        catalog = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 12))
+            for r in QUERIES[twin].fn(spark, SF_SMALL).collect()
+        }
+        assert preset == catalog, method
+
+
+def test_production_preset_rejects_unknown_method(spark):
+    import pytest
+
+    from data_pipeline_team5_spark.pipeline import neardup_production_pairs
+
+    docs = table(spark, SF_SMALL, "documents")
+    with pytest.raises(ValueError, match="unknown near-dup method"):
+        neardup_production_pairs(docs, method="bogus")
