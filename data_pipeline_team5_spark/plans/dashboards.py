@@ -18,10 +18,12 @@ exact-decimal moment sums + a closed form (functions/scalars.py:exact_corr)
 so the oracle matches bitwise; Top-K orders carry a deterministic tie-break
 key so both engines pick identical rows at the K boundary.
 
-Catalog shape (round-3 consolidation, VERDICT.md r2 #1): D1/D2/D4/D7 are
-one per-movie panel query (``dash_movie_panel`` — same group key, one scan
-instead of four) and D8 rides inside D9 (the pivot's pre-aggregate IS the
-long form). Ten dashboards, eight registrations, identical semantics.
+Catalog shape (round-3 + round-5 consolidation, VERDICT r2 #1 / r4 #2):
+D1/D2/D4/D7 are one per-movie panel query (``dash_movie_panel`` — same
+group key, one scan instead of four) and D8/D9/D10 are one genre-grain
+panel (``d9_d10_genre_panel`` — the pivot's pre-aggregate IS D8's long
+form, and D10's share rides the same scan). Ten dashboards, seven
+registrations, identical semantics.
 """
 
 from __future__ import annotations
@@ -39,9 +41,6 @@ from data_pipeline_team5_spark.functions.scalars import (
 )
 from data_pipeline_team5_spark.plans.catalog import register, table
 
-# Stable across all fixture SFs (verified 0.001/0.01/0.1) → explicit pivot
-# value list keeps the pivot a single job (no distinct-collection pass).
-GENRES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
 
 
 def _brand_totals_sql(extra: str = "") -> str:
@@ -346,78 +345,79 @@ def _season_col() -> Column:
     )
 
 
-@register(
-    "d9_season_genre_pivot",
-    oracle=f"""
-        SELECT {_SEASON_SQL} AS season,
-               {", ".join(
-                   f"CAST(SUM(CASE WHEN p.p_type = '{g}' THEN CAST(l.l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS {g.lower()}_audience"
-                   for g in GENRES
-               )}
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        GROUP BY 1
-        ORDER BY season
-    """,
-    doc="D8+D9 (README.md:207-215): season rows × genre columns pivot "
-    "table. D8's long-form season × genre aggregate IS this plan's "
-    "pre-pivot hash aggregate (the pivot is a projection over it) — "
-    "consolidated per VERDICT r2 #1. Explicit pivot value list (6 stable "
-    "genres) → a single partial→final HashAggregate, no "
-    "distinct-collection job.",
-    tags=("dashboard", "pivot"),
-)
-def d9_season_genre_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    pt = table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    wide = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .groupBy(_season_col().alias("season"))
-        .pivot("p_type", GENRES)
-        .agg(F.sum(F.col("l_quantity").cast(MONEY)).cast("double"))
-    )
-    renamed = wide.select(
-        "season", *[F.col(g).alias(f"{g.lower()}_audience") for g in GENRES]
-    )
-    return renamed.orderBy("season")
+SEASONS = ["winter", "spring", "summer", "fall"]
 
 
 @register(
-    "d10_genre_share",
+    "d9_d10_genre_panel",
     oracle=f"""
-        WITH g AS (
+        WITH cell AS (
             SELECT p.p_type AS genre,
+                   {_SEASON_SQL} AS season,
+                   CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS aud_d,
                    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sales_d
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-            GROUP BY 1
+            GROUP BY 1, 2
+        ), wide AS (
+            SELECT genre,
+                   {", ".join(
+                       f"CAST(SUM(CASE WHEN season = '{s}' THEN aud_d END) AS DOUBLE) AS {s}_audience"
+                       for s in SEASONS
+                   )},
+                   CAST(SUM(sales_d) AS DECIMAL(38,2)) AS sales_d
+            FROM cell
+            GROUP BY genre
         )
         SELECT genre,
+               {", ".join(f"{s}_audience" for s in SEASONS)},
                CAST(sales_d AS DOUBLE) AS sales,
                CAST(sales_d AS DOUBLE) / CAST(SUM(sales_d) OVER () AS DOUBLE) AS share
-        FROM g
+        FROM wide
         ORDER BY genre
     """,
-    doc="D10 (README.md:217-220): share-of-total pie — per-genre sales over "
-    "the grand total via an unpartitioned window sum. Both the numerator and "
-    "the window total stay DECIMAL-exact until one final double division.",
-    tags=("dashboard", "window"),
+    doc="D8+D9+D10 (README.md:207-220) in one genre-grain panel (round-5 "
+    "consolidation of d9_season_genre_pivot + d10_genre_share, VERDICT "
+    "r4 #2): genre rows × season audience columns (the season × genre "
+    "pivot table, transposed to the genre grain D10 needs) plus "
+    "per-genre sales and share-of-total. D8's long-form season × genre "
+    "aggregate IS the (genre, season) pre-pivot hash aggregate; the "
+    "pivot is conditional sums over its 24 rows; D10's share is an "
+    "unpartitioned window sum over the 6-row result. One fact scan and "
+    "one map-side-partial shuffle to 24 groups replaces the two full "
+    "scans the separate queries cost — the better plan at 100 TB. "
+    "DECIMAL-exact until the final double casts/division.",
+    tags=("dashboard", "pivot", "window"),
 )
-def d10_genre_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d9_d10_genre_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_extendedprice"
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"
     )
     pt = table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    g = (
+    cell = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .groupBy(F.col("p_type").alias("genre"))
+        .groupBy(F.col("p_type").alias("genre"), _season_col().alias("season"))
         .agg(
+            F.sum(F.col("l_quantity").cast(MONEY))
+            .cast("decimal(28,2)")
+            .alias("aud_d"),
             F.sum(F.col("l_extendedprice").cast(MONEY))
             .cast("decimal(28,2)")
-            .alias("sales_d")
+            .alias("sales_d"),
         )
     )
+    wide = cell.groupBy("genre").agg(
+        *[
+            F.sum(F.when(F.col("season") == s, F.col("aud_d")))
+            .cast("double")
+            .alias(f"{s}_audience")
+            for s in SEASONS
+        ],
+        F.sum("sales_d").cast("decimal(38,2)").alias("sales_d"),
+    )
     total = F.sum("sales_d").over(Window.partitionBy())
-    return g.select(
+    return wide.select(
         "genre",
+        *[f"{s}_audience" for s in SEASONS],
         F.col("sales_d").cast("double").alias("sales"),
         (F.col("sales_d").cast("double") / total.cast("double")).alias(
             "share"

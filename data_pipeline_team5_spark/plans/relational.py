@@ -65,28 +65,52 @@ def rel_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rel_left_join_counts",
-    oracle=f"""
-        SELECT c.c_custkey AS c_custkey,
-               c.c_mktsegment AS c_mktsegment,
-               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
-               CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
-        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-        GROUP BY c.c_custkey, c.c_mktsegment
+    "rel_join_panel",
+    oracle="""
+        WITH lj AS (
+            SELECT c.c_custkey AS c_custkey,
+                   c.c_mktsegment AS c_mktsegment,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey, c.c_mktsegment
+        )
+        SELECT lj.c_custkey, lj.c_mktsegment, lj.n_orders, lj.total_spent,
+               CAST(CASE WHEN EXISTS (
+                   SELECT 1 FROM orders o
+                   WHERE o.o_custkey = lj.c_custkey AND o.o_orderstatus = 'O'
+               ) THEN 1 ELSE 0 END AS INT) AS has_open_order,
+               CAST(CASE WHEN NOT EXISTS (
+                   SELECT 1 FROM orders o
+                   WHERE o.o_custkey = lj.c_custkey
+                     AND CAST(o.o_orderdate AS DATE) >= DATE '2000-07-01'
+               ) THEN 1 ELSE 0 END AS INT) AS no_recent_order
+        FROM lj
         ORDER BY c_custkey
     """,
-    doc="Null-preserving LEFT JOIN: every customer kept, zero-order "
-    "customers surface with n_orders=0 / total_spent=0 (COUNT over the "
-    "nullable join column + COALESCE'd exact sum). At scale this is a "
-    "shuffle join on custkey; AQE converts to broadcast when the dim fits.",
-    tags=("join", "left"),
+    doc="Join panel over one build side (customer) exercising the three "
+    "outer/membership join types in a single per-customer result "
+    "(round-5 consolidation of rel_left_join_counts + rel_semi_anti, "
+    "VERDICT r4 #2 — semantics of both preserved column-for-column): "
+    "n_orders/total_spent from a null-preserving LEFT OUTER join (every "
+    "customer kept; zero-order customers surface as 0/0 via COUNT over "
+    "the nullable join column + COALESCE'd exact sum); has_open_order "
+    "from a LEFT SEMI join against open orders (membership without "
+    "duplication — no fact columns leak through); no_recent_order from a "
+    "LEFT ANTI join against mid-2000+ orders (NOT EXISTS — the recency "
+    "scope keeps real survivors in the result, not an empty set). The "
+    "physical plan contains all three join operators (asserted in "
+    "tests/test_plan_invariants.py). At scale: one shuffle join on "
+    "custkey for the aggregate; the flag joins are semi/anti hash joins "
+    "AQE converts to broadcast when the distinct-key sides fit.",
+    tags=("join", "left", "semi", "anti"),
 )
-def rel_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rel_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_totalprice"
     )
-    return (
+    lj = (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
@@ -98,41 +122,7 @@ def rel_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_spent"),
         )
-        .orderBy("c_custkey")
     )
-
-
-@register(
-    "rel_semi_anti",
-    oracle="""
-        SELECT 'semi_open_order' AS membership, c_custkey, c_mktsegment
-        FROM customer c
-        WHERE EXISTS (
-            SELECT 1 FROM orders o
-            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
-        )
-        UNION ALL
-        SELECT 'anti_no_recent', c_custkey, c_mktsegment
-        FROM customer c
-        WHERE NOT EXISTS (
-            SELECT 1 FROM orders o
-            WHERE o.o_custkey = c.c_custkey
-              AND CAST(o.o_orderdate AS DATE) >= DATE '2000-07-01'
-        )
-        ORDER BY membership, c_custkey
-    """,
-    doc="LEFT SEMI + LEFT ANTI membership in one tagged union "
-    "(consolidated per VERDICT r2 #1, semantics unchanged): "
-    "'semi_open_order' = customers with ≥1 open order (membership without "
-    "duplication — no fact columns leak through; plans as a broadcast "
-    "semi-hash join over the filtered fact's distinct custkeys); "
-    "'anti_no_recent' = customers with no orders since mid-2000 (NOT "
-    "EXISTS — the recency scope keeps the result non-trivial on the "
-    "fixtures, so the oracle verifies real survivors, not an empty set).",
-    tags=("join", "semi", "anti"),
-)
-def rel_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o_open = table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "O"
     )
@@ -141,19 +131,37 @@ def rel_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.to_date("o_orderdate") >= F.lit("2000-07-01").cast("date"))
         .select("o_custkey")
     )
-    semi = c.join(o_open, c.c_custkey == o_open.o_custkey, "left_semi").select(
-        F.lit("semi_open_order").alias("membership"),
-        "c_custkey",
-        "c_mktsegment",
+    semi = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .join(o_open, F.col("c_custkey") == o_open.o_custkey, "left_semi")
+        .select(F.col("c_custkey").alias("semi_key"))
     )
-    anti = c.join(
-        o_recent, c.c_custkey == o_recent.o_custkey, "left_anti"
-    ).select(
-        F.lit("anti_no_recent").alias("membership"),
-        "c_custkey",
-        "c_mktsegment",
+    anti = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .join(o_recent, F.col("c_custkey") == o_recent.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("anti_key"))
     )
-    return semi.unionAll(anti).orderBy("membership", "c_custkey")
+    return (
+        lj.join(semi, lj.c_custkey == semi.semi_key, "left")
+        .join(anti, lj.c_custkey == anti.anti_key, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "n_orders",
+            "total_spent",
+            F.when(F.col("semi_key").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("has_open_order"),
+            F.when(F.col("anti_key").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("no_recent_order"),
+        )
+        .orderBy("c_custkey")
+    )
 
 
 # Attribution as-of join: every purchase event matched to the user's most

@@ -13,8 +13,9 @@ Catalog shape (round-4 consolidation, VERDICT r2 #1): the five per-doc
 signal queries (quality, lang-ID, sentiment, fingerprints, token budgets)
 are ONE registration, ``text_doc_profile`` — same doc_id grain, one scan —
 so the whole family fits the driver's 50-row correctness window. The
-rollup (corpus stats), the quantile cutoffs, and the curation funnel keep
-their own registrations (different grains).
+rollup (corpus stats — which since round 5 also carries the per-group
+length-quantile cutoffs) and the curation funnel keep their own
+registrations (different grains).
 """
 
 from __future__ import annotations
@@ -121,6 +122,9 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_QUANTILES = ((0.25, "p25_chars"), (0.50, "p50_chars"), (0.75, "p75_chars"), (0.95, "p95_chars"))
+
+
 @register(
     "text_corpus_stats",
     oracle=f"""
@@ -129,16 +133,29 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_docs,
                CAST(SUM(CAST(len(t) AS BIGINT)) AS BIGINT) AS sum_tokens,
                CAST(SUM(CAST(len(t) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_tokens,
-               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               {", ".join(
+                   f"CAST(quantile_cont(n_chars, {p}) AS DOUBLE) AS {a}"
+                   for p, a in _QUANTILES
+               )}
         FROM toks
         GROUP BY lang, source
         ORDER BY lang, source
     """,
-    doc="⊕ corpus rollup per (lang, source): doc counts and integer-exact "
-    "token/char totals (avg = one double division — bitwise stable). One "
-    "hash agg on a 100-key space; partial aggregation makes it map-side "
-    "at 100 TB.",
-    tags=("text", "rollup"),
+    doc="⊕ corpus rollup per (lang, source): doc counts, integer-exact "
+    "token/char totals (avg = one double division — bitwise stable), and "
+    "the doc-length quantile cutoffs (p25/p50/p75/p95 of n_chars) a "
+    "curation pipeline derives its length band from — one hash agg on a "
+    "~100-key space instead of two corpus scans (round-5 consolidation of "
+    "the former text_length_quantiles registration, VERDICT r4 #2). "
+    "Spark's exact `percentile` and DuckDB's quantile_cont share the "
+    "lower+(upper-lower)*frac interpolation at position p*(n-1), so "
+    "values match bitwise. Exact percentile holds the group's values — "
+    "fine on a low-cardinality (lang, source) key; for high-cardinality "
+    "keys switch to percentile_approx (t-digest sketch, bounded state; "
+    "see dash_approx_distinct for the same exact-vs-sketch tradeoff). "
+    "Partial aggregation keeps the sums map-side at 100 TB.",
+    tags=("text", "rollup", "quantile"),
 )
 def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -153,45 +170,12 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_tokens"
             ),
             F.sum("n_chars").alias("sum_chars"),
-        )
-        .orderBy("lang", "source")
-    )
-
-
-@register(
-    "text_length_quantiles",
-    oracle="""
-        SELECT lang,
-               CAST(quantile_cont(n_chars, 0.25) AS DOUBLE) AS p25,
-               CAST(quantile_cont(n_chars, 0.50) AS DOUBLE) AS p50,
-               CAST(quantile_cont(n_chars, 0.75) AS DOUBLE) AS p75,
-               CAST(quantile_cont(n_chars, 0.95) AS DOUBLE) AS p95
-        FROM documents
-        GROUP BY lang
-        ORDER BY lang
-    """,
-    doc="⊕ per-language doc-length quantiles for corpus quality cutoffs "
-    "(drop the sub-p25 / super-p95 tails). Spark's exact `percentile` and "
-    "DuckDB's quantile_cont share the lower+(upper-lower)*frac linear "
-    "interpolation at position p*(n-1), so values match bitwise. Exact "
-    "percentile holds the group's values — fine on a ~10-key lang "
-    "dimension; for high-cardinality keys switch to percentile_approx "
-    "(t-digest sketch, bounded state; see dash_approx_distinct for the "
-    "same exact-vs-sketch tradeoff).",
-    tags=("text", "quantile"),
-)
-def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    qs = [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
-    return (
-        docs.groupBy("lang")
-        .agg(
             *[
                 F.percentile("n_chars", F.lit(p)).alias(a)
-                for p, a in qs
-            ]
+                for p, a in _QUANTILES
+            ],
         )
-        .orderBy("lang")
+        .orderBy("lang", "source")
     )
 
 

@@ -39,10 +39,17 @@ from data_pipeline_team5_spark.sources.writers import (
     write_parquet_partitioned,
 )
 
-# Raw parquet schema: ts is TIMESTAMP(NANOS) physically, surfaced as BIGINT
-# nanos via the legacy conf (same contract as plans/catalog.py:table).
+# Raw parquet schemas by the fixture's physical ts type (sniffed from the
+# footer, plans/catalog.py:events_ts_unit — the generator has shipped both
+# vintages): TIMESTAMP(NANOS) surfaces as BIGINT nanos via the legacy conf;
+# timestamp[us] reads directly as µs TIMESTAMP (the explicit LTZ schema
+# keeps the column type identical across both paths).
 _EVENTS_NANOS_SCHEMA = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+_EVENTS_MICROS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
 )
 
@@ -61,6 +68,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     so later drains run correctly with the session conf restored
     (verified: AvailableNow drain after restore returns the same rows).
     """
+    from data_pipeline_team5_spark.plans.catalog import events_ts_unit
+
+    if events_ts_unit(f"{sf_dir}/events.parquet") != "timestamp[ns]":
+        return (
+            spark.readStream.schema(_EVENTS_MICROS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:

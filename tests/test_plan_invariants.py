@@ -27,3 +27,15 @@ def test_plan_has_no_scale_killers(name, spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for op in FORBIDDEN:
         assert op not in plan, f"{name}: {op} in physical plan"
+
+
+def test_rel_join_panel_has_all_three_join_types(spark):
+    """rel_join_panel consolidates the left/semi/anti join surface into one
+    query (VERDICT r4 #2); its physical plan must actually contain all
+    three join operators — if Catalyst ever rewrites one away (e.g. a
+    future optimization folds the semi join into an aggregate), the panel
+    would silently stop evidencing that join type."""
+    df = QUERIES["rel_join_panel"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for join_type in ("LeftOuter", "LeftSemi", "LeftAnti"):
+        assert join_type in plan, f"{join_type} missing from rel_join_panel plan"
