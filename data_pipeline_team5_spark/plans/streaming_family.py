@@ -168,7 +168,19 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_upsert_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    # Sink identity = fixture identity, not just the sf name: the sink
+    # intentionally persists across runs (replaying a batch must converge,
+    # not duplicate — that is the upsert contract), but a REGENERATED
+    # fixture is a different source, and day partitions the new data never
+    # touches would otherwise survive as stale rows (seen in round 5 when
+    # the driver rewrote testdata with a new ts encoding). mtime+size of
+    # events.parquet in the tag keeps replays convergent while retiring
+    # sinks of dead fixture vintages.
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+        f"-{int(st.st_mtime)}-{st.st_size}"
+    )
     # _v2: the sink layout gained a _batch partition level; a dir
     # written under the old scheme must not be mixed into
     path = f"{SCRATCH}/upsert_daily_v2/{tag}"

@@ -83,7 +83,9 @@ def w1_rank_in_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percent_rank().over(wtb).alias("prank"),
             F.ntile(4).over(wtb).cast("int").alias("quartile"),
         )
-        .orderBy("show_range", "rank_num", "p_brand")
+        # fact-grain output + order-insensitive driver compare → no final
+        # global sort (it would add a full range Exchange on top of the
+        # one show_range Exchange the windows share)
     )
 
 
@@ -166,7 +168,7 @@ def w2_w6_daily_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sales_acc",
         "audi_acc",
         "sales_7d",
-    ).orderBy("p_brand", "show_range")
+    )  # fact-grain output: no final global sort (see w1_rank_in_day)
 
 
 @register(

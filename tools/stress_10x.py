@@ -1,0 +1,126 @@
+"""10×-sf0.1 stress harness: measures headline queries two orders of
+magnitude above the driver's correctness SF (SCALING.md's "100× spread"
+section; VERDICT r4 #6 asked for the consolidated round-4 headliners).
+
+Builds a 10×-replicated copy of the sf0.1 fixtures in /tmp (driver-side
+pyarrow concat — no Spark job), then times the target queries at sf0.1 and
+at 10×-sf0.1 with bench.py's methodology (noop sink, warmup, min-of-N
+interleaved passes) and prints SCALING.md-ready table rows.
+
+Replication semantics (chosen so each query's scaling shape is honest, not
+fabricated):
+
+- ``lineitem``/``orders``: plain 10× concat — group cardinality (brands,
+  days, regions) unchanged, matching the round-2 stress method, so added
+  input is pure map-side scan work.
+- ``documents``: 10× with ``doc_id`` re-keyed per replica (offset by
+  max+1) — preserves pack_bins' unique-order-key precondition and keeps
+  split/sample hash work realistic. Near-dup queries are still EXCLUDED:
+  identical replicated text would fabricate quadratic candidate pairs.
+- ``events``: 10× with ``event_id``/``user_id`` re-keyed per replica —
+  entity count scales 10×, so per-user session/window state stays bounded
+  (the honest shape for sessionize/streaming; plain duplication would
+  instead create 10 identical rows per timestamp per user).
+- dims (region nation customer supplier part embeddings): copied as-is.
+
+Usage: python tools/stress_10x.py [query ...]   (default: the round-4/5
+consolidated headliners). Env: STRESS_DIR, SPARK_GRAFT_BENCH_PASSES.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.1"
+STRESS_DIR = os.environ.get("STRESS_DIR", "/tmp/stress_10x_sf0.1")
+REPLICAS = 10
+
+DEFAULT_QUERIES = [
+    "w2_w6_daily_movement",
+    "text_doc_profile",
+    "pack_training_sequences",
+    "sessionize_batch",
+    "ingest_kofic_roundtrip",
+    "dash_movie_panel",
+]
+
+PLAIN_10X = ("lineitem", "orders")
+REKEYED_10X = {"documents": ["doc_id"], "events": ["event_id", "user_id"]}
+AS_IS = ("region", "nation", "customer", "supplier", "part", "embeddings")
+
+
+def _replicate(name: str, rekey: list[str] | None) -> None:
+    t = pq.read_table(f"{SF_DIR}/{name}.parquet")
+    offsets = {c: pc.max(t[c]).as_py() + 1 for c in (rekey or [])}
+    parts = []
+    for r in range(REPLICAS):
+        part = t
+        for c, off in offsets.items():
+            idx = part.schema.get_field_index(c)
+            part = part.set_column(
+                idx, c, pc.add(part[c], pa.scalar(r * off, part[c].type))
+            )
+        parts.append(part)
+    pq.write_table(pa.concat_tables(parts), f"{STRESS_DIR}/{name}.parquet")
+
+
+def build() -> None:
+    if os.path.isdir(STRESS_DIR) and os.path.exists(
+        f"{STRESS_DIR}/.complete"
+    ):
+        return
+    os.makedirs(STRESS_DIR, exist_ok=True)
+    for name in PLAIN_10X:
+        _replicate(name, None)
+    for name, keys in REKEYED_10X.items():
+        _replicate(name, keys)
+    for name in AS_IS:
+        pq.write_table(
+            pq.read_table(f"{SF_DIR}/{name}.parquet"),
+            f"{STRESS_DIR}/{name}.parquet",
+        )
+    open(f"{STRESS_DIR}/.complete", "w").close()
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from data_pipeline_team5_spark.plans.catalog import QUERIES
+    from data_pipeline_team5_spark.session import get_spark
+
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    build()
+    spark = get_spark(app_name="stress10x")
+
+    def run(fn, sf_dir):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    for n in names:  # warmup: prime JVM/codegen at tiny SF
+        run(QUERIES[n].fn, "/root/testdata/sf0.001")
+
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    raw: dict[tuple[str, str], list[float]] = {}
+    for _ in range(passes):  # interleaved, same rationale as bench.py
+        for n in names:
+            for tag, d in (("sf0.1", SF_DIR), ("10x", STRESS_DIR)):
+                t0 = time.perf_counter()
+                run(QUERIES[n].fn, d)
+                raw.setdefault((n, tag), []).append(
+                    time.perf_counter() - t0
+                )
+
+    print("| query | sf0.1 (s) | 10×-sf0.1 (s) | ratio at 10× data |")
+    print("|---|---|---|---|")
+    for n in names:
+        a = min(raw[(n, "sf0.1")])
+        b = min(raw[(n, "10x")])
+        print(f"| {n} | {a:.2f} | {b:.2f} | {b / a:.1f}× |")
+
+
+if __name__ == "__main__":
+    main()
