@@ -160,7 +160,8 @@ def rel_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("no_recent_order"),
         )
-        .orderBy("c_custkey")
+        # customer-grain output (millions of rows at scale) + order-
+        # insensitive driver compare → no final global sort
     )
 
 
