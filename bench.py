@@ -18,7 +18,10 @@ import re
 import sys
 import time
 
-from data_pipeline_team5_spark.pipeline import bench_neardup_production
+from data_pipeline_team5_spark.pipeline import (
+    bench_neardup_incremental,
+    bench_neardup_production,
+)
 from data_pipeline_team5_spark.plans.catalog import QUERIES
 from data_pipeline_team5_spark.session import get_spark
 
@@ -27,7 +30,10 @@ WARMUP_SF = "/root/testdata/sf0.001"
 # Timed entries that are pipeline presets, not catalog queries (no oracle
 # row — their catalog twins carry that): measured so the guarded production
 # paths have round-over-round numbers too (VERDICT r4 #4).
-EXTRAS = {"neardup_production_lsh": bench_neardup_production}
+EXTRAS = {
+    "neardup_production_lsh": bench_neardup_production,
+    "neardup_incremental_lsh": bench_neardup_incremental,
+}
 
 
 def _run(df) -> None:

@@ -237,6 +237,72 @@ def bench_neardup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_production_pairs(docs, method="lsh")
 
 
+def bench_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed bench entry (bench.py EXTRAS): the incremental daily-ingest
+    near-dup shape — 1/3 of the documents fixture arriving as the new batch
+    against the other 2/3 as the indexed corpus, production bucket cap on."""
+    from data_pipeline_team5_spark.operators.dedup import (
+        PRODUCTION_MAX_BUCKET,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return neardup_incremental_pairs(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        max_bucket=PRODUCTION_MAX_BUCKET,
+    )
+
+
+def neardup_incremental_pairs(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    num_perm: int = 32,
+    bands: int = 8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs for an INCREMENTAL batch against an existing corpus:
+    every returned ``(doc_a, doc_b, jaccard)`` pair touches at least one
+    new doc; index-vs-index pairs are never generated (they were found when
+    those docs were themselves the new batch).
+
+    This is the daily-ingest shape at 100 TB: signature cost is one pass
+    over the NEW docs plus a bucket-key join probe into the index — the
+    corpus is never re-paired. Verification recomputes shingles only for
+    docs that appear in a candidate pair (verify_jaccard is semi-join
+    shaped: linear in candidates, not corpus size). In a deployed pipeline
+    ``index_docs``' signatures would come from a stored signature table
+    rather than being recomputed — pass precomputed signatures directly to
+    operators/dedup.py:incremental_lsh_candidates for that.
+
+    Equivalence contract (pinned in tests/test_incremental_neardup.py):
+    full-corpus pairs == within(index) ∪ incremental(new vs index), and
+    every incremental pair touches a new doc.
+    """
+    from data_pipeline_team5_spark.operators.dedup import (
+        doc_shingles,
+        incremental_lsh_candidates,
+        minhash_signatures,
+        verify_jaccard,
+    )
+
+    new_sh = doc_shingles(new_docs, id_col, text_col)
+    idx_sh = doc_shingles(index_docs, id_col, text_col)
+    cand = incremental_lsh_candidates(
+        minhash_signatures(new_sh, num_perm=num_perm),
+        minhash_signatures(idx_sh, num_perm=num_perm),
+        num_perm=num_perm,
+        bands=bands,
+        max_bucket=max_bucket,
+    )
+    return verify_jaccard(cand, new_sh.unionByName(idx_sh), threshold)
+
+
 def main(argv: list[str] | None = None) -> int:
     """Operational entry point — the engine's replacement for the
     reference's Airflow cron (`schedule_interval='0 0 * * *'`,

@@ -1,0 +1,105 @@
+"""Incremental near-dup (daily-ingest shape): the equivalence contract that
+makes batch-at-a-time dedup trustworthy at 100 TB.
+
+Splitting the corpus into (index, new) and running the incremental path
+must reproduce EXACTLY the full-corpus result restricted to pairs touching
+the new batch — if it over-generates, downstream drops good docs; if it
+under-generates, dups leak into training data. Both directions are pinned
+here, plus the combined-membership bucket cap and the never-index-vs-index
+guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.operators.dedup import (
+    doc_shingles,
+    incremental_lsh_candidates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    verify_jaccard,
+)
+from data_pipeline_team5_spark.pipeline import neardup_incremental_pairs
+from data_pipeline_team5_spark.plans.catalog import table
+from data_pipeline_team5_spark.plans.dedup_family import JACCARD_T
+from tests.conftest import SF_SMALL
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def _split(spark):
+    docs = table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    index = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    return docs, index, new
+
+
+def test_incremental_equals_full_run_restricted_to_new(spark):
+    docs, index, new = _split(spark)
+    new_ids = {r.doc_id for r in new.collect()}
+
+    sh = doc_shingles(docs, "doc_id", "text")
+    full = _pairs(
+        verify_jaccard(
+            lsh_candidate_pairs(minhash_signatures(sh)), sh, JACCARD_T
+        )
+    )
+    full_touching_new = {
+        p for p in full if p[0] in new_ids or p[1] in new_ids
+    }
+
+    inc = _pairs(
+        neardup_incremental_pairs(new, index, threshold=JACCARD_T)
+    )
+    assert inc == full_touching_new
+    assert full_touching_new, "fixture produced no cross-batch pairs"
+    # and the decomposition covers the full run: within(index) ∪ inc
+    idx_sh = doc_shingles(index, "doc_id", "text")
+    within_idx = _pairs(
+        verify_jaccard(
+            lsh_candidate_pairs(minhash_signatures(idx_sh)),
+            idx_sh,
+            JACCARD_T,
+        )
+    )
+    assert within_idx | inc == full
+
+
+def test_incremental_never_pairs_index_with_index(spark):
+    _, index, new = _split(spark)
+    new_ids = {r.doc_id for r in new.collect()}
+    cand = incremental_lsh_candidates(
+        minhash_signatures(doc_shingles(new, "doc_id", "text")),
+        minhash_signatures(doc_shingles(index, "doc_id", "text")),
+    )
+    for a, b in _pairs(cand):
+        assert a in new_ids or b in new_ids
+        assert a < b
+
+
+def test_combined_bucket_cap_matches_full_recompute(spark):
+    """max_bucket counts index+new membership together, so capping behaves
+    exactly as a full recompute over the union would — forced here with a
+    degenerate corpus (identical text → every doc in one bucket per band)."""
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same text for every single document here").alias("text"),
+    )
+    index = docs.filter(F.col("doc_id") < 15)
+    new = docs.filter(F.col("doc_id") >= 15)
+    capped = incremental_lsh_candidates(
+        minhash_signatures(doc_shingles(new, "doc_id", "text")),
+        minhash_signatures(doc_shingles(index, "doc_id", "text")),
+        max_bucket=10,  # combined size is 20 > 10 → every bucket dropped
+    )
+    assert capped.count() == 0
+    uncapped = incremental_lsh_candidates(
+        minhash_signatures(doc_shingles(new, "doc_id", "text")),
+        minhash_signatures(doc_shingles(index, "doc_id", "text")),
+    )
+    # 5 new docs: 5×15 cross + C(5,2) within = 85 pairs touching new
+    assert uncapped.count() == 85
