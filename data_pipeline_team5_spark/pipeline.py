@@ -237,6 +237,73 @@ def bench_neardup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_production_pairs(docs, method="lsh")
 
 
+def build_signature_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus's MinHash signature table — the stored index
+    the incremental near-dup path probes daily.
+
+    One pass over the corpus (shingle stream → map-side partial mins → one
+    groupBy shuffle), then a plain parquet write: ``num_perm`` BIGINT
+    columns per doc, ~256 bytes/doc at num_perm=32 — a 1e10-doc corpus
+    indexes in ~2.5 TB, independent of document length. ``mode="append"``
+    lets each daily batch fold its own signatures into the index after
+    being deduped (the natural upkeep loop: probe, dedup, append).
+    """
+    from data_pipeline_team5_spark.operators.dedup import (
+        doc_shingles,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(
+        doc_shingles(docs, id_col, text_col), num_perm=num_perm
+    )
+    sig.write.mode(mode).parquet(path)
+
+
+def neardup_incremental_against_index(
+    new_docs: DataFrame,
+    index_sig_path: str,
+    index_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    num_perm: int = 32,
+    bands: int = 8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The deployed form of ``neardup_incremental_pairs``: index signatures
+    come from the stored table (built by ``build_signature_index``) instead
+    of being recomputed, so the daily cost is one pass over the NEW batch
+    plus the bucket-key probe. ``index_docs`` is still needed for the exact
+    verification stage, which reads only candidate docs (semi-join shaped).
+    Bitwise-equal to the recompute form (tests/test_incremental_neardup.py).
+    """
+    from data_pipeline_team5_spark.operators.dedup import (
+        doc_shingles,
+        incremental_lsh_candidates,
+        minhash_signatures,
+        verify_jaccard,
+    )
+
+    spark = new_docs.sparkSession
+    new_sh = doc_shingles(new_docs, id_col, text_col)
+    cand = incremental_lsh_candidates(
+        minhash_signatures(new_sh, num_perm=num_perm),
+        spark.read.parquet(index_sig_path),
+        num_perm=num_perm,
+        bands=bands,
+        max_bucket=max_bucket,
+    )
+    idx_sh = doc_shingles(index_docs, id_col, text_col)
+    return verify_jaccard(cand, new_sh.unionByName(idx_sh), threshold)
+
+
 def bench_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timed bench entry (bench.py EXTRAS): the incremental daily-ingest
     near-dup shape — 1/3 of the documents fixture arriving as the new batch

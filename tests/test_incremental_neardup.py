@@ -103,3 +103,25 @@ def test_combined_bucket_cap_matches_full_recompute(spark):
     )
     # 5 new docs: 5×15 cross + C(5,2) within = 85 pairs touching new
     assert uncapped.count() == 85
+
+
+def test_stored_index_form_matches_recompute_form(spark, tmp_path):
+    """build_signature_index → neardup_incremental_against_index must be
+    bitwise-equal to the all-recompute form: a signature that survives a
+    parquet round-trip differently would silently change candidates."""
+    from data_pipeline_team5_spark.pipeline import (
+        build_signature_index,
+        neardup_incremental_against_index,
+    )
+
+    _, index, new = _split(spark)
+    idx_path = str(tmp_path / "sig_index")
+    build_signature_index(index, idx_path)
+
+    via_store = neardup_incremental_against_index(
+        new, idx_path, index, threshold=JACCARD_T
+    )
+    recompute = neardup_incremental_pairs(new, index, threshold=JACCARD_T)
+    rows_a = sorted(tuple(r) for r in via_store.collect())
+    rows_b = sorted(tuple(r) for r in recompute.collect())
+    assert rows_a == rows_b and rows_a
