@@ -21,6 +21,7 @@ import time
 from data_pipeline_team5_spark.pipeline import (
     bench_neardup_incremental,
     bench_neardup_production,
+    bench_training_curation,
 )
 from data_pipeline_team5_spark.plans.catalog import QUERIES
 from data_pipeline_team5_spark.session import get_spark
@@ -33,6 +34,7 @@ WARMUP_SF = "/root/testdata/sf0.001"
 EXTRAS = {
     "neardup_production_lsh": bench_neardup_production,
     "neardup_incremental_lsh": bench_neardup_incremental,
+    "training_curation": bench_training_curation,
 }
 
 

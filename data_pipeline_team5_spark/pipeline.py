@@ -237,6 +237,119 @@ def bench_neardup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_production_pairs(docs, method="lsh")
 
 
+def curate_training_data(
+    docs: DataFrame,
+    token_budget: int = 2048,
+    neardup_threshold: float = 0.6,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """The end-to-end training-data curation a 100 TB corpus run ships,
+    composed from the engine's tested stages into ONE lazy plan:
+
+    1. **filter** — language allowlist + quality floor + length band
+       (the curation_funnel's exact constants, plans/text_family.py);
+    2. **exact dedup** — one survivor per normalized-prefix md5 key
+       (dedup_exact_survivor's key);
+    3. **near-dup removal** — guarded production Jaccard pairs →
+       connected components → keep each group's min-id representative;
+    4. **split** — hash-stable train/val/test assignment (eval sets never
+       move as the corpus grows);
+    5. **pack** — two-level prefix-sum packing into ``token_budget`` bins
+       per (split, lang).
+
+    Returns doc-grain assignments ``(doc_id, lang, split, bin_id, n_tok)``.
+    Every stage is the same code the catalog queries/tests exercise, so the
+    composition inherits their oracles and guards; the pipeline-level
+    invariants (survivors really satisfy the filters, no residual exact or
+    near dup pairs, bins conserve tokens, determinism) are pinned in
+    tests/test_training_curation.py. Scale posture: stages 1-2 are one scan
+    + one keyed shuffle; stage 3 is the banded/guarded pair path (never
+    all-pairs); stages 4-5 are hash work + the bounded two-level window.
+
+    ``n_docs`` sizes the stop-shingle guard (pass a known corpus count to
+    skip the counting job, as in neardup_production_pairs).
+    """
+    from data_pipeline_team5_spark.functions.scalars import norm_text
+    from data_pipeline_team5_spark.operators.components import (
+        connected_components,
+    )
+    from data_pipeline_team5_spark.operators.dedup import dedup_exact
+    from data_pipeline_team5_spark.operators.sampling import (
+        pack_bins,
+        split_assign,
+    )
+    from data_pipeline_team5_spark.operators.textops import (
+        quality_exprs,
+        tokens_expr,
+    )
+    from data_pipeline_team5_spark.plans.text_family import (
+        _KEEP_LANGS,
+        _LEN_HI,
+        _LEN_LO,
+        _MIN_QUALITY,
+    )
+
+    # 1. filter (single scan, shuffle-free)
+    toked = docs.select(
+        "doc_id", "lang", "n_chars", "text", tokens_expr("text").alias("_t")
+    )
+    q = quality_exprs(F.col("_t"))
+    kept = toked.filter(
+        F.col("lang").isin(*_KEEP_LANGS)
+        & (q["quality"] >= _MIN_QUALITY)
+        & F.col("n_chars").between(_LEN_LO, _LEN_HI)
+    ).drop("_t")
+
+    # 2. exact dedup (deterministic survivor: min doc_id per content key)
+    key = F.md5(F.substring(norm_text("text"), 1, 40))
+    uniq = dedup_exact(kept.withColumn("_key", key), ["_key"], "doc_id").drop(
+        "_key"
+    )
+    # Materialize the filtered+deduped corpus once: four downstream
+    # consumers (the stop-shingle count, pair generation, component
+    # vertices, the survivor join) would otherwise each re-run the
+    # regex-heavy quality filter — 4 corpus passes instead of 1. A real
+    # run materializes this layer anyway (it IS the curated corpus).
+    uniq = uniq.localCheckpoint()
+    if n_docs is None:
+        n_docs = uniq.count()
+
+    # 3. near-dup groups → one representative per component
+    pairs = neardup_production_pairs(
+        uniq, threshold=neardup_threshold, method="jaccard", n_docs=n_docs
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(
+        uniq.select("doc_id"), pairs, id_col="doc_id"
+    )
+    survivors = uniq.join(
+        comp.filter(F.col("id") == F.col("component")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+    )
+
+    # 4.-5. split + pack
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok")
+    sized = split_assign(
+        survivors.select("doc_id", "lang", n_tok), "doc_id"
+    )
+    packed = pack_bins(
+        sized,
+        order_key="doc_id",
+        size_col="n_tok",
+        budget=token_budget,
+        partition_cols=("split", "lang"),
+    )
+    return packed.select("doc_id", "lang", "split", "bin_id", "n_tok")
+
+
+def bench_training_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed bench entry (bench.py EXTRAS): the full curation pipeline over
+    the documents fixture — the engine's end-to-end production story."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate_training_data(docs)
+
+
 def build_signature_index(
     docs: DataFrame,
     path: str,
