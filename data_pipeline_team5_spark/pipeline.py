@@ -241,6 +241,7 @@ def curate_training_data(
     docs: DataFrame,
     token_budget: int = 2048,
     neardup_threshold: float = 0.6,
+    neardup_method: str = "jaccard",
     n_docs: int | None = None,
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
@@ -314,9 +315,16 @@ def curate_training_data(
     if n_docs is None:
         n_docs = uniq.count()
 
-    # 3. near-dup groups → one representative per component
+    # 3. near-dup groups → one representative per component.
+    # "jaccard" (inverted index + doc-freq guard) gives exact pairs and is
+    # the default; "lsh" (banded MinHash + bucket cap + exact verify) is
+    # the cheaper path once the shingle-pair stream outgrows the index
+    # approach — both guarded presets, same downstream semantics.
     pairs = neardup_production_pairs(
-        uniq, threshold=neardup_threshold, method="jaccard", n_docs=n_docs
+        uniq,
+        threshold=neardup_threshold,
+        method=neardup_method,
+        n_docs=n_docs,
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     comp = connected_components(
         uniq.select("doc_id"), pairs, id_col="doc_id"

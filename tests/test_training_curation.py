@@ -87,3 +87,23 @@ def test_packing_and_splits_are_consistent_and_deterministic(spark):
     # determinism: a second independent run builds the identical assignment
     again = sorted(tuple(r) for r in _run(spark)[1].collect())
     assert again == sorted(tuple(r) for r in rows)
+
+
+def test_lsh_method_agrees_with_jaccard_method(spark):
+    """At fixture SF the guarded LSH path finds the same near-dup pairs as
+    the exact inverted-index path (recall==1.0 there, pinned separately),
+    so the two curation variants must produce identical assignments."""
+    docs = table(spark, SF_SMALL, "documents")
+    a = sorted(
+        tuple(r)
+        for r in curate_training_data(
+            docs, neardup_threshold=THRESH, neardup_method="jaccard"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in curate_training_data(
+            docs, neardup_threshold=THRESH, neardup_method="lsh"
+        ).collect()
+    )
+    assert a == b
