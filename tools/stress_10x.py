@@ -15,8 +15,14 @@ fabricated):
   input is pure map-side scan work.
 - ``documents``: 10× with ``doc_id`` re-keyed per replica (offset by
   max+1) — preserves pack_bins' unique-order-key precondition and keeps
-  split/sample hash work realistic. Near-dup queries are still EXCLUDED:
-  identical replicated text would fabricate quadratic candidate pairs.
+  split/sample hash work realistic — and with a per-replica tag token
+  interleaved every 2 words. doc_shingles uses 3-gram shingles, so after
+  interleaving EVERY shingle contains the replica tag: cross-replica
+  Jaccard is exactly 0 (no fabricated quadratic pair stream), while exact
+  within-replica duplicates keep Jaccard 1 (identical mutation). This is
+  what makes near-dup/curation queries honestly measurable at 10×, which
+  plain duplication cannot do (the round-2 stress excluded them for that
+  reason). Token count inflates ~1.5× — stated with the numbers.
 - ``events``: 10× with ``event_id``/``user_id`` re-keyed per replica —
   entity count scales 10×, so per-user session/window state stays bounded
   (the honest shape for sessionize/streaming; plain duplication would
@@ -55,6 +61,15 @@ REKEYED_10X = {"documents": ["doc_id"], "events": ["event_id", "user_id"]}
 AS_IS = ("region", "nation", "customer", "supplier", "part", "embeddings")
 
 
+def _tag_text(text: str, tag: str) -> str:
+    w = text.split()
+    out = []
+    for i in range(0, len(w), 2):
+        out.extend(w[i : i + 2])
+        out.append(tag)
+    return " ".join(out)
+
+
 def _replicate(name: str, rekey: list[str] | None) -> None:
     t = pq.read_table(f"{SF_DIR}/{name}.parquet")
     offsets = {c: pc.max(t[c]).as_py() + 1 for c in (rekey or [])}
@@ -66,6 +81,17 @@ def _replicate(name: str, rekey: list[str] | None) -> None:
             part = part.set_column(
                 idx, c, pc.add(part[c], pa.scalar(r * off, part[c].type))
             )
+        if name == "documents":
+            tag = f"xr{r}x"
+            idx = part.schema.get_field_index("text")
+            tagged = pa.array(
+                [_tag_text(s, tag) for s in part["text"].to_pylist()]
+            )
+            part = part.set_column(idx, "text", tagged)
+            if "n_chars" in part.schema.names:
+                nci = part.schema.get_field_index("n_chars")
+                lens = pc.utf8_length(tagged).cast(part["n_chars"].type)
+                part = part.set_column(nci, "n_chars", lens)
         parts.append(part)
     pq.write_table(pa.concat_tables(parts), f"{STRESS_DIR}/{name}.parquet")
 
@@ -90,18 +116,30 @@ def build() -> None:
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import EXTRAS
     from data_pipeline_team5_spark.plans.catalog import QUERIES
     from data_pipeline_team5_spark.session import get_spark
 
     names = sys.argv[1:] or DEFAULT_QUERIES
+    fns = {n: q.fn for n, q in QUERIES.items()}
+    fns.update(EXTRAS)
     build()
-    spark = get_spark(app_name="stress10x")
+    # local[NN] executors live in the driver JVM; a bare `python` launch
+    # gets Spark's 1g default, which the 10× shingle self-joins blow.
+    spark = get_spark(
+        app_name="stress10x",
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "STRESS_DRIVER_MEM", "48g"
+            )
+        },
+    )
 
     def run(fn, sf_dir):
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     for n in names:  # warmup: prime JVM/codegen at tiny SF
-        run(QUERIES[n].fn, "/root/testdata/sf0.001")
+        run(fns[n], "/root/testdata/sf0.001")
 
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     raw: dict[tuple[str, str], list[float]] = {}
@@ -109,7 +147,7 @@ def main() -> None:
         for n in names:
             for tag, d in (("sf0.1", SF_DIR), ("10x", STRESS_DIR)):
                 t0 = time.perf_counter()
-                run(QUERIES[n].fn, d)
+                run(fns[n], d)
                 raw.setdefault((n, tag), []).append(
                     time.perf_counter() - t0
                 )
