@@ -351,6 +351,132 @@ def curate_training_data(
     return packed.select("doc_id", "lang", "split", "bin_id", "n_tok")
 
 
+def curate_incremental_batch(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    token_budget: int = 2048,
+    neardup_threshold: float = 0.6,
+) -> DataFrame:
+    """Daily curation update: run the full curation contract for a NEW
+    batch against the already-RETAINED corpus, touching the corpus only
+    through index probes — never re-filtering, re-pairing, or re-packing
+    it. Returns ``(doc_id, lang, split, bin_id, n_tok)`` for surviving new
+    docs only; ``bin_id`` is local to this batch (callers append batches as
+    new bin ranges — offsetting by yesterday's max keeps ids unique, and
+    hash-stable splits guarantee a doc's split never depends on when it
+    arrived).
+
+    Semantics are dedup-against-retained (the production contract): a new
+    doc is dropped if it exact-matches or near-dups anything in the
+    retained corpus, or loses to a smaller-id survivor within its own
+    batch's near-dup component. This intentionally differs from a full
+    recompute in one documented way: chains through PREVIOUSLY DROPPED
+    docs don't propagate (A~B dropped yesterday, C~B arriving today is
+    kept unless C also matches something retained) — the standard
+    trade-off that keeps daily cost independent of corpus history.
+
+    Invariants pinned in tests/test_training_curation.py: survivors pass
+    every filter, no survivor exact- or near-matches the retained corpus
+    or another survivor, and the run is deterministic.
+    """
+    from data_pipeline_team5_spark.functions.scalars import norm_text
+    from data_pipeline_team5_spark.operators.components import (
+        connected_components,
+    )
+    from data_pipeline_team5_spark.operators.dedup import (
+        PRODUCTION_MAX_BUCKET,
+        dedup_exact,
+    )
+    from data_pipeline_team5_spark.operators.sampling import (
+        pack_bins,
+        split_assign,
+    )
+    from data_pipeline_team5_spark.operators.textops import (
+        quality_exprs,
+        tokens_expr,
+    )
+    from data_pipeline_team5_spark.plans.text_family import (
+        _KEEP_LANGS,
+        _LEN_HI,
+        _LEN_LO,
+        _MIN_QUALITY,
+    )
+
+    # 1. filter the new batch (corpus is already curated — untouched)
+    toked = new_docs.select(
+        "doc_id", "lang", "n_chars", "text",
+        tokens_expr("text").alias("_t"),
+    )
+    q = quality_exprs(F.col("_t"))
+    kept = toked.filter(
+        F.col("lang").isin(*_KEEP_LANGS)
+        & (q["quality"] >= _MIN_QUALITY)
+        & F.col("n_chars").between(_LEN_LO, _LEN_HI)
+    ).drop("_t")
+
+    # 2. exact dedup: within the batch, then anti-join the corpus's keys
+    key = F.md5(F.substring(norm_text("text"), 1, 40))
+    uniq = dedup_exact(
+        kept.withColumn("_key", key), ["_key"], "doc_id"
+    )
+    corpus_keys = corpus_docs.select(key.alias("_key")).distinct()
+    uniq = uniq.join(corpus_keys, "_key", "left_anti").drop("_key")
+    uniq = uniq.localCheckpoint()  # same 4-consumer argument as the full run
+
+    # 3. near-dup vs corpus + within batch (incremental pairs only)
+    pairs = neardup_incremental_pairs(
+        uniq,
+        corpus_docs,
+        threshold=neardup_threshold,
+        max_bucket=PRODUCTION_MAX_BUCKET,
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    new_ids = uniq.select("doc_id")
+    corpus_in_pairs = (
+        pairs.select(F.col("src").alias("doc_id"))
+        .unionByName(pairs.select(F.col("dst").alias("doc_id")))
+        .distinct()
+        .join(new_ids, "doc_id", "left_anti")  # pair members from corpus
+    )
+    vertices = new_ids.unionByName(corpus_in_pairs)
+    comp = connected_components(vertices, pairs, id_col="doc_id")
+    flagged = comp.join(
+        new_ids.withColumn("_new", F.lit(True)),
+        comp.id == new_ids.doc_id,
+        "left",
+    ).select(
+        "id", "component", F.coalesce("_new", F.lit(False)).alias("_new")
+    )
+    # a component containing ANY corpus doc keeps none of its new docs;
+    # otherwise the min-id new doc survives (same rule as the full run)
+    comp_stats = flagged.groupBy("component").agg(
+        F.min(F.when(F.col("_new"), F.col("id"))).alias("_rep"),
+        F.max((~F.col("_new")).cast("int")).alias("_has_corpus"),
+    )
+    survivors = (
+        flagged.filter(F.col("_new"))
+        .join(comp_stats, "component")
+        .filter(
+            (F.col("_has_corpus") == 0) & (F.col("id") == F.col("_rep"))
+        )
+        .select(F.col("id").alias("doc_id"))
+        .join(uniq, "doc_id")
+    )
+
+    # 4.-5. split + pack (batch-local bins)
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok")
+    sized = split_assign(
+        survivors.select("doc_id", "lang", n_tok), "doc_id"
+    )
+    packed = pack_bins(
+        sized,
+        order_key="doc_id",
+        size_col="n_tok",
+        budget=token_budget,
+        partition_cols=("split", "lang"),
+    )
+    return packed.select("doc_id", "lang", "split", "bin_id", "n_tok")
+
+
 def bench_training_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timed bench entry (bench.py EXTRAS): the full curation pipeline over
     the documents fixture — the engine's end-to-end production story."""

@@ -107,3 +107,68 @@ def test_lsh_method_agrees_with_jaccard_method(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_incremental_batch_curation_invariants(spark):
+    """curate_incremental_batch: survivors pass every filter, never exact-
+    or near-match the retained corpus or each other, and the run is
+    deterministic. (Full-recompute equality is intentionally NOT the
+    contract — chains through previously-dropped docs don't propagate;
+    see the docstring.)"""
+    from data_pipeline_team5_spark.pipeline import (
+        curate_incremental_batch,
+        curate_training_data,
+    )
+
+    docs = table(spark, SF_SMALL, "documents")
+    index_raw = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    # retained corpus = the docs a full curation of index_raw keeps
+    retained = (
+        curate_training_data(index_raw, neardup_threshold=THRESH)
+        .select("doc_id")
+        .join(docs, "doc_id")
+        .select("doc_id", "lang", "n_chars", "text", "source")
+    ).localCheckpoint()
+
+    out = curate_incremental_batch(new, retained, neardup_threshold=THRESH)
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows  # fixture batch must not be empty
+
+    surv = out.select("doc_id").join(docs, "doc_id")
+    # filters hold
+    q = quality_exprs(tokens_expr("text"))
+    assert (
+        surv.filter(
+            ~F.col("lang").isin(*_KEEP_LANGS)
+            | (q["quality"] < _MIN_QUALITY)
+            | ~F.col("n_chars").between(_LEN_LO, _LEN_HI)
+        ).count()
+        == 0
+    )
+    # no exact key collision with retained corpus or within survivors
+    key = F.md5(F.substring(norm_text("text"), 1, 40))
+    surv_keys = {r.k for r in surv.select(key.alias("k")).collect()}
+    ret_keys = {r.k for r in retained.select(key.alias("k")).collect()}
+    assert len(surv_keys) == surv.count()
+    assert not (surv_keys & ret_keys)
+    # no near-dup pair among survivors ∪ retained touches a survivor
+    both = surv.select("doc_id", "text").unionByName(
+        retained.select("doc_id", "text")
+    )
+    surv_ids = {r.doc_id for r in surv.select("doc_id").collect()}
+    residual = jaccard_pairs(doc_shingles(both, "doc_id", "text"), THRESH)
+    touching = [
+        (r.doc_a, r.doc_b)
+        for r in residual.collect()
+        if r.doc_a in surv_ids or r.doc_b in surv_ids
+    ]
+    assert touching == []
+    # determinism
+    again = sorted(
+        tuple(r)
+        for r in curate_incremental_batch(
+            new, retained, neardup_threshold=THRESH
+        ).collect()
+    )
+    assert again == rows
