@@ -34,6 +34,7 @@ from data_pipeline_team5_spark.operators.dedup import (
     cosine_cell_pairs,
     dedup_exact,
     doc_shingles,
+    incremental_lsh_candidates,
     jaccard_pairs,
     lsh_candidate_pairs,
     md5_hash48,
@@ -92,7 +93,10 @@ def dedup_exact_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The exact ≥-threshold Jaccard pair set. Oracle for ngram_jaccard_neardup
 # AND minhash_lsh_neardup: LSH verification ends in exact Jaccard over
 # candidates, so with full recall the two queries' outputs are equal sets.
-_JACCARD_PAIRS_SQL = f"""
+def _jaccard_pairs_sql(extra_where: str = "") -> str:
+    """Exact ≥-threshold Jaccard pair SQL; ``extra_where`` narrows the pair
+    set (e.g. the incremental query's touching-new restriction)."""
+    return f"""
     {_SHINGLES},
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -108,8 +112,12 @@ _JACCARD_PAIRS_SQL = f"""
     JOIN sizes sb ON pairs.doc_b = sb.doc_id
     WHERE CAST(inter AS DOUBLE) / CAST((sa.n + sb.n - inter) AS DOUBLE)
           >= {JACCARD_T}
+          {extra_where}
     ORDER BY doc_a, doc_b
 """
+
+
+_JACCARD_PAIRS_SQL = _jaccard_pairs_sql()
 
 
 @register(
@@ -157,6 +165,42 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig, num_perm=32, bands=8, max_bucket=PRODUCTION_MAX_BUCKET
     )
     return verify_jaccard(cand, sh, JACCARD_T).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "neardup_incremental",
+    # Exact oracle by the same argument as minhash_lsh_neardup (recall==1
+    # at driver SF + exact verification): the incremental pair set equals
+    # the full exact-Jaccard pairs RESTRICTED to pairs touching the "new"
+    # batch (doc_id % 3 = 0). A banding or probe miss flips the row red.
+    oracle=_jaccard_pairs_sql(
+        "AND (doc_a % 3 = 0 OR doc_b % 3 = 0)"
+    ),
+    doc="⊕ incremental (daily-ingest) near-dup: the newest third of the "
+    "corpus (doc_id % 3 = 0) probed against the other two thirds as the "
+    "indexed corpus — new-vs-index bucket joins plus new-vs-new banding, "
+    "never index-vs-index (operators/dedup.py:incremental_lsh_candidates; "
+    "combined-membership bucket cap at PRODUCTION_MAX_BUCKET), then exact-"
+    "Jaccard verification over candidates. At 100 TB the index side is a "
+    "stored signature table (pipeline.build_signature_index) and daily "
+    "cost is one pass over the new batch; full ≡ within(index) ∪ "
+    "incremental is property-tested in tests/test_properties.py.",
+    tags=("dedup", "neardup", "incremental"),
+)
+def neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    new_sh = doc_shingles(docs.filter(F.col("doc_id") % 3 == 0), "doc_id", "text")
+    idx_sh = doc_shingles(docs.filter(F.col("doc_id") % 3 != 0), "doc_id", "text")
+    cand = incremental_lsh_candidates(
+        minhash_signatures(new_sh, num_perm=32, seed=42),
+        minhash_signatures(idx_sh, num_perm=32, seed=42),
+        num_perm=32,
+        bands=8,
+        max_bucket=PRODUCTION_MAX_BUCKET,
+    )
+    return verify_jaccard(
+        cand, new_sh.unionByName(idx_sh), JACCARD_T
+    ).orderBy("doc_a", "doc_b")
 
 
 COSINE_T = 0.35  # upper tail of the fixture's near-random vectors; a real

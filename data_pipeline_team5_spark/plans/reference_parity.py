@@ -111,39 +111,51 @@ def box_office_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "union_partial_reagg",
+    "union_source_panel",
     oracle=f"""
-        SELECT order_day,
-               {dsum_sql('partial_sales', 'total_sales')},
-               CAST(SUM(n_orders) AS BIGINT) AS n_orders
-        FROM (
-            SELECT CAST(o_orderdate AS DATE) AS order_day,
+        WITH tagged AS (
+            SELECT 'orders_open' AS source_table,
+                   CAST(o_orderdate AS DATE) AS order_day,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS partial_sales,
                    COUNT(*) AS n_orders
             FROM orders WHERE o_orderstatus = 'O'
-            GROUP BY CAST(o_orderdate AS DATE)
+            GROUP BY 2
             UNION ALL
-            SELECT CAST(o_orderdate AS DATE), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), COUNT(*)
+            SELECT 'orders_final', CAST(o_orderdate AS DATE),
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), COUNT(*)
             FROM orders WHERE o_orderstatus = 'F'
-            GROUP BY CAST(o_orderdate AS DATE)
+            GROUP BY 2
             UNION ALL
-            SELECT CAST(o_orderdate AS DATE), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), COUNT(*)
+            SELECT 'orders_pending', CAST(o_orderdate AS DATE),
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), COUNT(*)
             FROM orders WHERE o_orderstatus = 'P'
-            GROUP BY CAST(o_orderdate AS DATE)
-        ) base_data
-        GROUP BY order_day
-        ORDER BY order_day
+            GROUP BY 2
+        )
+        SELECT CASE WHEN source_table IS NULL THEN 'day' ELSE 'source' END AS grain,
+               source_table, order_day,
+               {dsum_sql('partial_sales', 'total_sales')},
+               CAST(SUM(n_orders) AS BIGINT) AS n_orders
+        FROM tagged
+        GROUP BY GROUPING SETS ((order_day), (source_table))
+        ORDER BY grain, source_table, order_day
     """,
-    doc="O3+A2 (box_office_showrange.sql:2-29): N-way UNION ALL of per-branch "
-    "partial aggregates, re-aggregated — the reference's Jinja-looped "
-    "per-table SUMs. unionByName keeps schema alignment; Catalyst pushes the "
-    "final agg through the union.",
-    tags=("union", "agg", "reference"),
+    doc="O3+A2+P5/P6 in one panel (round-5 consolidation of "
+    "union_partial_reagg + source_tag_union, semantics of both preserved): "
+    "an N-way UNION ALL of per-branch partial aggregates — the reference's "
+    "Jinja-looped per-table SUMs (box_office_showrange.sql:2-29) — each "
+    "branch carrying a literal provenance column ('{{ table_name }}' AS "
+    "source_table, box_office_data.sql:6-15), re-aggregated via GROUPING "
+    "SETS to both grains: 'day' rows merge partials across sources (the "
+    "A2 partial→final law), 'source' rows total each tagged branch. One "
+    "union and one Expand-aggregate replace two scans of the fact; at "
+    "scale the provenance literal is input_file_name()/the partition "
+    "column, as before.",
+    tags=("union", "agg", "projection", "reference"),
 )
-def union_partial_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def union_source_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
 
-    def branch(status: str) -> DataFrame:
+    def branch(status: str, tag: str) -> DataFrame:
         return (
             orders.filter(F.col("o_orderstatus") == status)
             .groupBy(to_day("o_orderdate").alias("order_day"))
@@ -151,58 +163,33 @@ def union_partial_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dsum("o_totalprice", "partial_sales"),
                 F.count(F.lit(1)).alias("n_orders"),
             )
+            .select(F.lit(tag).alias("source_table"), "*")
         )
 
-    base = reduce(DataFrame.unionByName, [branch(s) for s in ("O", "F", "P")])
-    return (
-        base.groupBy("order_day")
-        .agg(
-            dsum("partial_sales", "total_sales"),
-            F.sum("n_orders").alias("n_orders"),
-        )
-        .orderBy("order_day")
+    base = reduce(
+        DataFrame.unionByName,
+        [
+            branch("O", "orders_open"),
+            branch("F", "orders_final"),
+            branch("P", "orders_pending"),
+        ],
     )
-
-
-@register(
-    "source_tag_union",
-    oracle=f"""
-        SELECT source_table,
-               CAST(COUNT(*) AS BIGINT) AS n_rows,
-               {dsum_sql('o_totalprice', 'total_sales')}
-        FROM (
-            SELECT 'orders_open' AS source_table, o_totalprice
-            FROM orders WHERE o_orderstatus = 'O'
-            UNION ALL
-            SELECT 'orders_closed' AS source_table, o_totalprice
-            FROM orders WHERE o_orderstatus <> 'O'
-        ) tagged
-        GROUP BY source_table
-        ORDER BY source_table
-    """,
-    doc="P5+P6 (box_office_data.sql:6-15): column-pruned projection with a "
-    "literal provenance column per union branch ('{{ table_name }}' AS "
-    "source_table). In long format at scale this is input_file_name()/the "
-    "partition column — here reproduced as F.lit per branch.",
-    tags=("projection", "reference"),
-)
-def source_tag_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders")
-    open_ = orders.filter(F.col("o_orderstatus") == "O").select(
-        F.lit("orders_open").alias("source_table"), "o_totalprice"
+    panel = base.groupingSets(
+        [[F.col("order_day")], [F.col("source_table")]],
+        F.col("order_day"),
+        F.col("source_table"),
+    ).agg(
+        dsum("partial_sales", "total_sales"),
+        F.sum("n_orders").alias("n_orders"),
     )
-    closed = orders.filter(F.col("o_orderstatus") != "O").select(
-        F.lit("orders_closed").alias("source_table"), "o_totalprice"
+    grain = (
+        F.when(F.col("source_table").isNull(), "day")
+        .otherwise("source")
+        .alias("grain")
     )
-    return (
-        open_.unionByName(closed)
-        .groupBy("source_table")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            dsum("o_totalprice", "total_sales"),
-        )
-        .orderBy("source_table")
-    )
+    return panel.select(
+        grain, "source_table", "order_day", "total_sales", "n_orders"
+    ).orderBy("grain", "source_table", "order_day")
 
 
 @register(
