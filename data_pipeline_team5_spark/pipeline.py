@@ -527,11 +527,15 @@ def neardup_incremental_against_index(
     """The deployed form of ``neardup_incremental_pairs``: index signatures
     come from the stored table (built by ``build_signature_index``) instead
     of being recomputed, so the daily cost is one pass over the NEW batch
-    plus the bucket-key probe. ``index_docs`` is still needed for the exact
-    verification stage, which reads only candidate docs (semi-join shaped).
-    Bitwise-equal to the recompute form (tests/test_incremental_neardup.py).
+    plus the bucket-key probe. ``index_docs`` is touched only through a
+    left-semi join against the candidate pairs' doc ids BEFORE shingling
+    (operators/dedup.py:candidate_docs), so verification too shingles
+    O(candidate docs), not O(corpus) — the whole run is O(batch +
+    candidates), independent of corpus size. Bitwise-equal to the recompute
+    form (tests/test_incremental_neardup.py).
     """
     from data_pipeline_team5_spark.operators.dedup import (
+        candidate_docs,
         doc_shingles,
         incremental_lsh_candidates,
         minhash_signatures,
@@ -540,15 +544,26 @@ def neardup_incremental_against_index(
 
     spark = new_docs.sparkSession
     new_sh = doc_shingles(new_docs, id_col, text_col)
+    # localCheckpoint: the candidate set (small — capped buckets) feeds both
+    # the semi-join below and the verify join; without it the whole
+    # signature+probe subtree would execute twice.
     cand = incremental_lsh_candidates(
         minhash_signatures(new_sh, num_perm=num_perm),
         spark.read.parquet(index_sig_path),
         num_perm=num_perm,
         bands=bands,
         max_bucket=max_bucket,
+    ).localCheckpoint()
+    ver = candidate_docs(
+        cand,
+        new_docs.select(id_col, text_col).unionByName(
+            index_docs.select(id_col, text_col)
+        ),
+        id_col,
     )
-    idx_sh = doc_shingles(index_docs, id_col, text_col)
-    return verify_jaccard(cand, new_sh.unionByName(idx_sh), threshold)
+    return verify_jaccard(
+        cand, doc_shingles(ver, id_col, text_col), threshold
+    )
 
 
 def bench_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,18 +602,21 @@ def neardup_incremental_pairs(
 
     This is the daily-ingest shape at 100 TB: signature cost is one pass
     over the NEW docs plus a bucket-key join probe into the index — the
-    corpus is never re-paired. Verification recomputes shingles only for
-    docs that appear in a candidate pair (verify_jaccard is semi-join
-    shaped: linear in candidates, not corpus size). In a deployed pipeline
-    ``index_docs``' signatures would come from a stored signature table
-    rather than being recomputed — pass precomputed signatures directly to
-    operators/dedup.py:incremental_lsh_candidates for that.
+    corpus is never re-paired. Verification shingles ONLY docs that appear
+    in a candidate pair: the corpus is left-semi-joined against the
+    candidate ids BEFORE the regex-shingle pass (operators/dedup.py:
+    candidate_docs), so the verify stage is linear in candidates, not in
+    corpus size. This recompute form still pays one corpus pass for the
+    index signatures; ``neardup_incremental_against_index`` reads them from
+    the stored table instead, which is the deployed O(batch + candidates)
+    path.
 
     Equivalence contract (pinned in tests/test_incremental_neardup.py):
     full-corpus pairs == within(index) ∪ incremental(new vs index), and
     every incremental pair touches a new doc.
     """
     from data_pipeline_team5_spark.operators.dedup import (
+        candidate_docs,
         doc_shingles,
         incremental_lsh_candidates,
         minhash_signatures,
@@ -607,14 +625,25 @@ def neardup_incremental_pairs(
 
     new_sh = doc_shingles(new_docs, id_col, text_col)
     idx_sh = doc_shingles(index_docs, id_col, text_col)
+    # localCheckpoint: see neardup_incremental_against_index — reused by the
+    # semi-join and the verify join without re-running signatures twice.
     cand = incremental_lsh_candidates(
         minhash_signatures(new_sh, num_perm=num_perm),
         minhash_signatures(idx_sh, num_perm=num_perm),
         num_perm=num_perm,
         bands=bands,
         max_bucket=max_bucket,
+    ).localCheckpoint()
+    ver = candidate_docs(
+        cand,
+        new_docs.select(id_col, text_col).unionByName(
+            index_docs.select(id_col, text_col)
+        ),
+        id_col,
     )
-    return verify_jaccard(cand, new_sh.unionByName(idx_sh), threshold)
+    return verify_jaccard(
+        cand, doc_shingles(ver, id_col, text_col), threshold
+    )
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -14,9 +14,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.operators.dedup import (
+    candidate_docs,
     doc_shingles,
     incremental_lsh_candidates,
-    jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     verify_jaccard,
@@ -125,3 +125,33 @@ def test_stored_index_form_matches_recompute_form(spark, tmp_path):
     rows_a = sorted(tuple(r) for r in via_store.collect())
     rows_b = sorted(tuple(r) for r in recompute.collect())
     assert rows_a == rows_b and rows_a
+
+
+def test_verification_shingles_only_candidate_docs(spark):
+    """VERDICT r5 #1: the verify stage must be candidate-linear — only docs
+    that appear in a candidate pair may reach the regex shingler. Pinned
+    two ways: the candidate_docs helper's row count equals the distinct
+    pair-member count (strictly below corpus size on the fixture), and the
+    incremental plan carries the LeftSemi join that enforces it."""
+    docs, index, new = _split(spark)
+    cand = incremental_lsh_candidates(
+        minhash_signatures(doc_shingles(new, "doc_id", "text")),
+        minhash_signatures(doc_shingles(index, "doc_id", "text")),
+    )
+    pair_ids = {r.doc_a for r in cand.collect()} | {
+        r.doc_b for r in cand.collect()
+    }
+    restricted = candidate_docs(cand, docs, "doc_id")
+    assert restricted.count() == len(pair_ids)
+    assert restricted.count() < docs.count(), (
+        "fixture degenerate: every doc is a candidate — the probe can't "
+        "distinguish candidate-linear from corpus-linear"
+    )
+    assert {r.doc_id for r in restricted.collect()} == pair_ids
+
+    out = neardup_incremental_pairs(new, index, threshold=JACCARD_T)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, (
+        "verification no longer semi-joins the corpus to candidate ids "
+        "before shingling — it has regressed to corpus-linear"
+    )
