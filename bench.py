@@ -19,6 +19,7 @@ import sys
 import time
 
 from data_pipeline_team5_spark.pipeline import (
+    bench_curate_incremental_indexed,
     bench_neardup_incremental,
     bench_neardup_production,
     bench_training_curation,
@@ -35,6 +36,7 @@ EXTRAS = {
     "neardup_production_lsh": bench_neardup_production,
     "neardup_incremental_lsh": bench_neardup_incremental,
     "training_curation": bench_training_curation,
+    "curate_incremental_indexed": bench_curate_incremental_indexed,
 }
 
 
@@ -73,9 +75,14 @@ def main() -> None:
             _run(fn(spark, sf_dir))
             raw[name].append(time.perf_counter() - t0)
     timings = {n: round(min(raw[n]), 4) for n in sorted(raw)}
-    noise = max(
-        sorted(ts)[len(ts) // 2] / min(ts) - 1.0 for ts in raw.values()
-    )
+    # Per-query spread (median/min - 1): the dispersion a reader needs to
+    # adjudicate sub-2x per-query deltas (VERDICT r5 #3); "noise" stays the
+    # max over queries for the one-glance bound.
+    medians = {n: sorted(raw[n])[len(raw[n]) // 2] for n in raw}
+    spread = {
+        n: round(medians[n] / min(raw[n]) - 1.0, 4) for n in sorted(raw)
+    }
+    noise = max(spread.values())
 
     out = {
         "metric": "headline_queries_total",
@@ -85,6 +92,7 @@ def main() -> None:
         "sf": float(sf) if m else sf,
         "passes": passes,
         "noise": round(noise, 4),
+        "spread": spread,
     }
     print(json.dumps(out))
 

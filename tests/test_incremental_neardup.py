@@ -127,6 +127,50 @@ def test_stored_index_form_matches_recompute_form(spark, tmp_path):
     assert rows_a == rows_b and rows_a
 
 
+def test_curation_stored_index_form_matches_recompute_form(spark, tmp_path):
+    """VERDICT r5 #2: curate_incremental_batch wired to the stored
+    signature index + stored key table must produce the SAME assignments
+    as the recompute form — the stored path changes cost, never output."""
+    from data_pipeline_team5_spark.pipeline import (
+        build_exact_key_index,
+        build_signature_index,
+        curate_incremental_batch,
+    )
+
+    docs = table(spark, SF_SMALL, "documents")
+    index = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    sig_path = str(tmp_path / "sig_index")
+    key_path = str(tmp_path / "key_index")
+    build_signature_index(index, sig_path)
+    build_exact_key_index(index, key_path)
+
+    via_store = curate_incremental_batch(
+        new, index, index_sig_path=sig_path, key_index_path=key_path
+    )
+    recompute = curate_incremental_batch(new, index)
+    rows_a = sorted(tuple(r) for r in via_store.collect())
+    rows_b = sorted(tuple(r) for r in recompute.collect())
+    assert rows_a == rows_b and rows_a
+
+
+def test_signature_index_batch_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r5 #2: replaying a daily batch with batch_id must replace its
+    partition, not append duplicate signature rows (duplicates would
+    double-count combined bucket membership against max_bucket)."""
+    from data_pipeline_team5_spark.pipeline import build_signature_index
+
+    _, index, new = _split(spark)
+    path = str(tmp_path / "sig")
+    build_signature_index(index, path, batch_id="day0")
+    build_signature_index(new, path, batch_id="day1")
+    once = spark.read.parquet(path)
+    n_once = once.count()
+    assert n_once == once.select("doc_id").distinct().count()
+    build_signature_index(new, path, batch_id="day1")  # replay
+    assert spark.read.parquet(path).count() == n_once
+
+
 def test_verification_shingles_only_candidate_docs(spark):
     """VERDICT r5 #1: the verify stage must be candidate-linear — only docs
     that appear in a candidate pair may reach the regex shingler. Pinned

@@ -109,6 +109,51 @@ def test_lsh_method_agrees_with_jaccard_method(spark):
     assert a == b
 
 
+def test_incremental_drop_rule_is_component_level(spark):
+    """ADVICE r5 #1: a component touching the retained corpus keeps NO new
+    docs — even a new doc linked to the corpus only THROUGH another new doc
+    (new C ~ new B ~ corpus X, C not near X) is dropped. Over-dropping is
+    the safe direction; this pins the implemented rule so callers can't
+    mispredict from a weaker reading of the contract."""
+    from data_pipeline_team5_spark.pipeline import curate_incremental_batch
+
+    body = [f"t{i}" for i in range(1, 50)]
+
+    def doc(uid, edits):
+        toks = [uid] + body
+        for pos, rep in edits:
+            toks[pos] = rep  # pos is the 0-based full-doc index
+        return " ".join(toks)
+
+    b_edits = [(p, f"b{p}") for p in range(24, 32)]
+    c_edits = [(p, f"c{p}") for p in range(38, 46)]
+    x_text = doc("xdoc0", [])
+    b_text = doc("bdoc0", b_edits)
+    c_text = doc("cdoc0", b_edits + c_edits)
+    d_text = " ".join(["ddoc0"] + [f"d{i}" for i in range(1, 50)])
+
+    corpus = spark.createDataFrame(
+        [(1000, "en", 290, x_text)], "doc_id LONG, lang STRING, n_chars LONG, text STRING"
+    )
+    new = spark.createDataFrame(
+        [(2, "en", 290, b_text), (3, "en", 290, c_text), (4, "en", 290, d_text)],
+        "doc_id LONG, lang STRING, n_chars LONG, text STRING",
+    )
+    # precondition: the chain really is B~X, C~B, NOT C~X (else the test
+    # would pass vacuously through the direct-match rule)
+    trio = corpus.unionByName(new.filter(F.col("doc_id") != 4))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(
+            doc_shingles(trio, "doc_id", "text"), THRESH
+        ).collect()
+    }
+    assert got == {(2, 1000), (2, 3)}
+
+    out = curate_incremental_batch(new, corpus, neardup_threshold=THRESH)
+    assert {r.doc_id for r in out.collect()} == {4}
+
+
 def test_incremental_batch_curation_invariants(spark):
     """curate_incremental_batch: survivors pass every filter, never exact-
     or near-match the retained corpus or each other, and the run is
