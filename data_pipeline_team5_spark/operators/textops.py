@@ -227,10 +227,21 @@ def rolling_hash_sql(tok: str) -> str:
 
 # GPT-2-style pretokenizer, simplified to the syntax Java regex and RE2
 # (DuckDB) share: contraction suffixes, space-prefixed letter runs, digit
-# runs, punctuation runs. This is the "BPE-ish" token counter — it matches
-# the segmentation a byte-pair tokenizer starts from, so its counts track
-# LLM token budgets far better than whitespace counts do.
-BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+# runs, ONE pretoken per CJK ideograph, punctuation runs. This is the
+# "BPE-ish" token counter — it matches the segmentation a byte-pair
+# tokenizer starts from, so its counts track LLM token budgets far better
+# than whitespace counts do. The per-char CJK branch (VERDICT r5 #2) is
+# what real tokenizers converge to for zh (~1-2 tokens per ideograph):
+# without it a 5,000-char zh doc counted as ONE pretoken and sequence
+# packing overstuffed zh bins ~100x. \x{...} hex classes parse identically
+# in Java regex and RE2 (verified bitwise incl. mixed/kana/empty inputs in
+# tests/test_dedup_text.py); the final catch-all excludes the CJK range so
+# mixed runs still split per ideograph. Kana/hangul stay run-tokenized —
+# ja/ko are not in _KEEP_LANGS; extend the class when they are.
+BPE_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[\x{4e00}-\x{9fff}]| ?[^A-Za-z0-9\s'\x{4e00}-\x{9fff}]+"
+)
 
 
 def bpe_tokens_expr(col: str | Column) -> Column:

@@ -289,6 +289,7 @@ def curate_training_data(
         split_assign,
     )
     from data_pipeline_team5_spark.operators.textops import (
+        bpe_token_count,
         quality_exprs,
         tokens_expr,
     )
@@ -345,7 +346,10 @@ def curate_training_data(
     )
 
     # 4.-5. split + pack
-    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok")
+    # BPE-ish pretoken count, NOT whitespace (VERDICT r5 #2): zh is in the
+    # language allowlist and is not whitespace-segmented — whitespace counts
+    # understate zh budgets ~100x and pack_bins would overstuff zh bins.
+    n_tok = bpe_token_count(F.col("text")).alias("n_tok")
     sized = split_assign(
         survivors.select("doc_id", "lang", n_tok), "doc_id"
     )
@@ -417,6 +421,7 @@ def curate_incremental_batch(
         split_assign,
     )
     from data_pipeline_team5_spark.operators.textops import (
+        bpe_token_count,
         quality_exprs,
         tokens_expr,
     )
@@ -510,7 +515,10 @@ def curate_incremental_batch(
     )
 
     # 4.-5. split + pack (batch-local bins)
-    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok")
+    # BPE-ish pretoken count, NOT whitespace (VERDICT r5 #2): zh is in the
+    # language allowlist and is not whitespace-segmented — whitespace counts
+    # understate zh budgets ~100x and pack_bins would overstuff zh bins.
+    n_tok = bpe_token_count(F.col("text")).alias("n_tok")
     sized = split_assign(
         survivors.select("doc_id", "lang", n_tok), "doc_id"
     )

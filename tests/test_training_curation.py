@@ -76,17 +76,79 @@ def test_packing_and_splits_are_consistent_and_deterministic(spark):
         bins[(r.split, r.lang)].add(r.bin_id)
     for got in bins.values():
         assert got == set(range(max(got) + 1))
-    # n_tok matches the documents' whitespace token count (conservation)
+    # n_tok matches the documents' BPE-ish pretoken count (conservation;
+    # whitespace counts would understate zh budgets ~100x — VERDICT r5 #2)
+    from data_pipeline_team5_spark.operators.textops import bpe_token_count
+
     truth = {
         r.doc_id: r.n
         for r in docs.select(
-            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+            "doc_id", bpe_token_count("text").alias("n")
         ).collect()
     }
     assert all(truth[r.doc_id] == r.n_tok for r in rows)
     # determinism: a second independent run builds the identical assignment
     again = sorted(tuple(r) for r in _run(spark)[1].collect())
     assert again == sorted(tuple(r) for r in rows)
+
+
+def test_zh_packing_respects_per_char_budget(spark):
+    """VERDICT r5 #2: a zh doc's token budget must track its CHARACTER
+    count (real tokenizers emit ~1-2 tokens per ideograph), not its
+    whitespace split (a 300-char zh doc is ONE whitespace token). Feed
+    pure-zh docs through the full curation preset and assert each bin's
+    content respects the budget under the per-char accounting."""
+    from data_pipeline_team5_spark.operators.textops import bpe_token_count
+    from data_pipeline_team5_spark.pipeline import curate_training_data
+
+    # 40 distinct zh docs, ~150 ideographs each (distinct content — no
+    # dedup interference), zh function-word chars included so lang-ID
+    # fires. n_chars inside the 120-600 keep band.
+    base = "的一是了我不人在他有这中大来上国个到说们为子和你地出道也时年得就那要下以生会自着去之过家学对可"
+    rows = []
+    for i in range(40):
+        text = (base[i % 10 :] + base + base[: 10 + i % 7]) + "第" + base[i % 25 :]
+        rows.append((i, "zh", len(text), text))
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, lang STRING, n_chars LONG, text STRING"
+    )
+    budget = 256
+    out = curate_training_data(docs, token_budget=budget)
+    got = out.collect()
+    assert got, "no zh doc survived the curation filters"
+    # n_tok is the BPE-ish count ≈ the char count for pure-zh text
+    truth = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", bpe_token_count("text").alias("n")).collect()
+    }
+    chars = {r[0]: r[3] for r in rows}
+    for r in got:
+        assert r.n_tok == truth[r.doc_id]
+        assert r.n_tok >= 0.8 * len(chars[r.doc_id])  # per-char accounting
+    # bins respect the budget under pack_bins' exclusive-prefix-sum
+    # discipline (bin_id = floor(tokens-before/budget)): a bin overflows by
+    # at most ONE doc — under whitespace accounting a ~160-ideograph doc
+    # weighed 1 "token" and dozens of docs piled into each bin
+    from collections import defaultdict
+
+    per_bin = defaultdict(int)
+    per_bin_docs = defaultdict(int)
+    for r in got:
+        per_bin[(r.split, r.lang, r.bin_id)] += r.n_tok
+        per_bin_docs[(r.split, r.lang, r.bin_id)] += 1
+    max_doc = max(r.n_tok for r in got)
+    assert all(v <= budget + max_doc for v in per_bin.values()), per_bin
+    # with ~160-token docs and a 256 budget, no bin can hold 3+ docs
+    assert all(v <= 2 for v in per_bin_docs.values()), per_bin_docs
+    # under whitespace accounting every doc would weigh ~1 token and the
+    # whole corpus would collapse into one bin — assert we really did
+    # produce multiple bins per split where >budget tokens were packed
+    tot = defaultdict(int)
+    for r in got:
+        tot[(r.split, r.lang)] += r.n_tok
+    for k, v in tot.items():
+        if v > budget:
+            assert max(r.bin_id for r in got if (r.split, r.lang) == k) >= 1
 
 
 def test_lsh_method_agrees_with_jaccard_method(spark):
