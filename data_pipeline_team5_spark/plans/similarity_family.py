@@ -20,7 +20,9 @@ from data_pipeline_team5_spark.operators.similarity import (
     centroids_by,
     cosine_topk,
     hyperplane_df,
+    ivf_defaults,
     ivf_topk,
+    lsh_defaults,
     lsh_topk,
 )
 from data_pipeline_team5_spark.plans.catalog import register, table
@@ -116,25 +118,28 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_lsh",
     oracle=None,  # hyperplane signatures not SQL-expressible; deterministic
-    doc="⊕ ANN top-k via multi-table sign-LSH (24 tables × 6 bits, seeded "
-    "hyperplanes shipped as a broadcast DataFrame) with query-directed "
-    "multiprobe: besides its exact bucket, each query probes the bucket "
-    "reached by flipping its weakest sign bit (smallest hyperplane "
-    "margin — where a near neighbor most plausibly fell on the other "
-    "side). Candidates share a probed bucket in ≥1 table; exact cosine "
-    "re-ranks candidates only. The fixture vectors are near-random "
-    "(hardest ANN case: top-10 cosines ≈ 0.3-0.5): measured recall 0.88 "
-    "at 54% of corpus scanned (0.66/33% without multiprobe, 1.0/92% with "
-    "blind Hamming-1 probing — margin-direction is the better frontier); "
-    "pytest pins both recalls vs knn_brute_force "
+    doc="⊕ ANN top-k via multi-table sign-LSH with CORPUS-SIZE-DERIVED "
+    "defaults (operators/similarity.py:lsh_defaults, VERDICT r5 #4): bits "
+    "= ceil(log2(n/16)) keeps expected bucket occupancy constant as the "
+    "corpus grows, and query-directed multiprobe (one weakest-margin bit "
+    "flip per added bit — where a near neighbor most plausibly fell on "
+    "the other side of the hyperplane) buys back the per-bit recall "
+    "loss, so per-query candidate cost is O(log n), never a fixed "
+    "fraction of a growing corpus. Seeded hyperplanes ship as a "
+    "broadcast DataFrame; exact cosine re-ranks candidates only. The "
+    "fixture vectors are near-random (hardest ANN case: top-10 cosines "
+    "≈ 0.3-0.5): measured recall 0.96-1.00 at n=500 (24×5, mp=1) and "
+    "0.90 at n=2000 (24×7, mp=2); recall ≥ 0.8 pinned at BOTH driver "
+    "SFs in tests/test_similarity.py "
     "(operators/similarity.py:lsh_topk/_margin_probes).",
     tags=("similarity", "knn", "lsh"),
 )
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    planes = hyperplane_df(spark, DIM, tables=24, bits=6, seed=7)
+    tables, bits, multiprobe = lsh_defaults(emb.count())
+    planes = hyperplane_df(spark, DIM, tables=tables, bits=bits, seed=7)
     out = lsh_topk(
-        emb, _queries(spark, sf_dir), planes, k=TOP_K, multiprobe=1
+        emb, _queries(spark, sf_dir), planes, k=TOP_K, multiprobe=multiprobe
     )
     return out.withColumn(
         "rank_k", F.col("rank_k").cast("int")
@@ -145,10 +150,14 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_ivf",
     oracle=None,  # centroid assignment not SQL-expressible; deterministic
     doc="⊕ ANN top-k via IVF partition probe: corpus vectors assigned to "
-    "their nearest per-label centroid once, each query probes its nprobe=5 "
-    "nearest lists — per-query cost |corpus|×nprobe/nlist. Centroids are "
-    "data (here per-label means over weakly-clustered fixtures → recall "
-    "0.72; k-means at scale), so the operator is index-agnostic "
+    "their nearest per-label centroid once, each query probes its nprobe "
+    "nearest lists — per-query cost |corpus|×nprobe/nlist. nprobe is "
+    "derived from the list count (operators/similarity.py:ivf_defaults, "
+    "VERDICT r5 #4): per-label means over weakly-clustered fixtures are "
+    "WEAK centroids, so the default probes 70% of lists (measured recall "
+    "0.82-0.94 across SFs vs 0.66-0.76 at the old fixed nprobe=5); real "
+    "k-means indexes pass a smaller nprobe explicitly. Centroids are "
+    "data, so the operator is index-agnostic "
     "(operators/similarity.py:ivf_topk).",
     tags=("similarity", "knn", "ivf"),
 )
@@ -156,7 +165,11 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     cents = centroids_by(emb, "label")
     out = ivf_topk(
-        emb, _queries(spark, sf_dir), cents, k=TOP_K, nprobe=5
+        emb,
+        _queries(spark, sf_dir),
+        cents,
+        k=TOP_K,
+        nprobe=ivf_defaults(cents.count()),
     )
     return out.withColumn(
         "rank_k", F.col("rank_k").cast("int")
