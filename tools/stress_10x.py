@@ -31,6 +31,13 @@ fabricated):
 
 Usage: python tools/stress_10x.py [query ...]   (default: the round-4/5
 consolidated headliners). Env: STRESS_DIR, SPARK_GRAFT_BENCH_PASSES.
+
+``--incremental`` instead measures CORPUS-INDEPENDENCE of the daily batch
+(VERDICT r5 #5): a FIXED new batch curated against a 1× vs a 10× retained
+corpus, with the stored signature + key indexes prebuilt (index upkeep is
+the amortized daily append, not part of the batch's critical path), next
+to the recompute form as the contrast. The number that matters is the
+indexed column's ratio: ~1× = daily cost independent of corpus size.
 """
 
 from __future__ import annotations
@@ -114,6 +121,80 @@ def build() -> None:
     open(f"{STRESS_DIR}/.complete", "w").close()
 
 
+def main_incremental() -> None:
+    """Fixed daily batch vs growing corpus: the corpus-independence proof."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import functions as F
+
+    from data_pipeline_team5_spark.pipeline import (
+        build_exact_key_index,
+        build_signature_index,
+        curate_incremental_batch,
+    )
+    from data_pipeline_team5_spark.session import get_spark
+
+    build()
+    spark = get_spark(
+        app_name="stress10x_inc",
+        extra_conf={
+            "spark.driver.memory": os.environ.get("STRESS_DRIVER_MEM", "48g")
+        },
+    )
+    docs_1x = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs_10x = spark.read.parquet(f"{STRESS_DIR}/documents.parquet")
+    # The batch is FIXED (the 1x fixture's doc_id % 3 == 0 third); corpora
+    # use the complementary rule so batch ids never collide with corpus
+    # ids at either scale (replica re-keying preserves id mod 3 ranges'
+    # disjointness only through the shared % 3 filter, so apply it at both
+    # scales — corpus_10x is exactly 10x corpus_1x's row count in spirit).
+    batch = docs_1x.filter(F.col("doc_id") % 3 == 0).localCheckpoint()
+    corpora = {
+        "1x": docs_1x.filter(F.col("doc_id") % 3 != 0).localCheckpoint(),
+        "10x": docs_10x.filter(F.col("doc_id") % 3 != 0).localCheckpoint(),
+    }
+    idx = {}
+    for tag, corpus in corpora.items():
+        sig = f"{STRESS_DIR}/inc_idx_{tag}/sig"
+        key = f"{STRESS_DIR}/inc_idx_{tag}/key"
+        if not os.path.exists(f"{STRESS_DIR}/inc_idx_{tag}"):
+            build_signature_index(corpus, sig)
+            build_exact_key_index(corpus, key)
+        idx[tag] = (sig, key)
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    variants = {}
+    for tag, corpus in corpora.items():
+        sig, key = idx[tag]
+        variants[("indexed", tag)] = lambda c=corpus, s=sig, k=key: run(
+            curate_incremental_batch(batch, c, index_sig_path=s, key_index_path=k)
+        )
+        variants[("recompute", tag)] = lambda c=corpus: run(
+            curate_incremental_batch(batch, c)
+        )
+    for fn in variants.values():  # warmup/codegen
+        fn()
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    raw: dict[tuple[str, str], list[float]] = {k: [] for k in variants}
+    for _ in range(passes):
+        for k, fn in variants.items():
+            t0 = time.perf_counter()
+            fn()
+            raw[k].append(time.perf_counter() - t0)
+    n_b = batch.count()
+    n_1, n_10 = corpora["1x"].count(), corpora["10x"].count()
+    print(
+        f"fixed batch = {n_b} docs; corpus 1x = {n_1}, 10x = {n_10} docs"
+    )
+    print("| form | 1x corpus (s) | 10x corpus (s) | ratio at 10x corpus |")
+    print("|---|---|---|---|")
+    for form in ("indexed", "recompute"):
+        a = min(raw[(form, "1x")])
+        b = min(raw[(form, "10x")])
+        print(f"| {form} | {a:.2f} | {b:.2f} | {b / a:.1f}× |")
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import EXTRAS
@@ -161,4 +242,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--incremental" in sys.argv:
+        main_incremental()
+    else:
+        main()
