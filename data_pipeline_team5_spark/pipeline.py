@@ -201,9 +201,13 @@ def neardup_production_pairs(
       bucket at 100 TB.
     - ``method="lsh"``: MinHash signatures over the full shingle sets,
       banded candidate generation capped at ``PRODUCTION_MAX_BUCKET``, then
-      exact-Jaccard verification against the full sets (the doc-freq guard
-      applies to the inverted-index path only: signatures and verification
-      want true sets, bucket capping already bounds LSH skew).
+      exact-Jaccard verification against the full sets of CANDIDATE DOCS
+      ONLY — the corpus is left-semi-joined to the candidate ids before the
+      verify-side shingle pass (operators/dedup.py:candidate_docs), so the
+      corpus pays its regex shingling once (for signatures), not twice.
+      (The doc-freq guard applies to the inverted-index path only:
+      signatures and verification want true sets, bucket capping already
+      bounds LSH skew.)
 
     ``n_docs`` sizes the stop-shingle guard; pass it when the corpus size
     is already known (a catalog stat, a previous stage's count) to skip the
@@ -215,6 +219,7 @@ def neardup_production_pairs(
     """
     from data_pipeline_team5_spark.operators.dedup import (
         PRODUCTION_MAX_BUCKET,
+        candidate_docs,
         doc_shingles,
         jaccard_pairs,
         lsh_candidate_pairs,
@@ -234,8 +239,13 @@ def neardup_production_pairs(
         sig = minhash_signatures(sh, num_perm=32, seed=42)
         cand = lsh_candidate_pairs(
             sig, num_perm=32, bands=8, max_bucket=PRODUCTION_MAX_BUCKET
+        ).localCheckpoint()
+        ver = candidate_docs(
+            cand, docs.select(id_col, text_col), id_col
         )
-        return verify_jaccard(cand, sh, threshold)
+        return verify_jaccard(
+            cand, doc_shingles(ver, id_col, text_col), threshold
+        )
     raise ValueError(f"unknown near-dup method: {method!r}")
 
 

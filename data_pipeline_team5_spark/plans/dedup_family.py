@@ -149,12 +149,17 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="⊕ MinHash(32 perms) + LSH(8 bands × 4 rows) near-dup pairs, "
     "verified with exact Jaccard ≥ 0.6 over candidates only — the 100 TB "
     "scale path: signature cost is one pass, pairing touches same-bucket "
-    "docs only, degenerate buckets capped at PRODUCTION_MAX_BUCKET "
+    "docs only, degenerate buckets capped at PRODUCTION_MAX_BUCKET, and "
+    "the verify stage shingles only docs appearing in a candidate pair "
+    "(candidate_docs semi-join — the corpus pays its regex pass once, for "
+    "signatures) "
     "(operators/dedup.py:minhash_signatures/lsh_candidate_pairs). pytest "
     "checks recall == 1.0 vs the exact-Jaccard oracle pairs at this scale.",
     tags=("dedup", "neardup", "lsh"),
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.dedup import candidate_docs
+
     docs = table(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "doc_id", "text")
     sig = minhash_signatures(sh, num_perm=32, seed=42)
@@ -162,8 +167,11 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tested production preset must tune together (ADVICE r4).
     cand = lsh_candidate_pairs(
         sig, num_perm=32, bands=8, max_bucket=PRODUCTION_MAX_BUCKET
+    ).localCheckpoint()
+    ver_sh = doc_shingles(
+        candidate_docs(cand, docs.select("doc_id", "text")), "doc_id", "text"
     )
-    return verify_jaccard(cand, sh, JACCARD_T).orderBy("doc_a", "doc_b")
+    return verify_jaccard(cand, ver_sh, JACCARD_T).orderBy("doc_a", "doc_b")
 
 
 @register(

@@ -10,6 +10,7 @@ from data_pipeline_team5_spark.session import get_spark
 
 SF_SMALL = "/root/testdata/sf0.001"
 SF_MEDIUM = "/root/testdata/sf0.01"
+SF_LARGE = "/root/testdata/sf0.1"  # bench SF; used sparingly (slow)
 
 
 @pytest.fixture(scope="session")

@@ -21,7 +21,7 @@ from data_pipeline_team5_spark.operators.similarity import (
     lsh_topk,
 )
 from data_pipeline_team5_spark.plans.catalog import table
-from tests.conftest import SF_MEDIUM, SF_SMALL
+from tests.conftest import SF_LARGE, SF_MEDIUM, SF_SMALL
 
 import pytest
 
@@ -37,7 +37,10 @@ def _pairs(df) -> set[tuple[int, int]]:
 # Measured recalls at the derived defaults (deterministic at fixed seed):
 # sf0.001 lsh=0.96 ivf=0.82; sf0.01 lsh=1.00 ivf=0.94; sf0.1 (n=2000,
 # 24×7 mp=2) lsh=0.90 ivf=0.90.
-@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MEDIUM])
+# sf0.1 is in the matrix because it is the first SF where the derived
+# defaults DIFFER from the old fixed ones — the rule is tested where it
+# actually kicks in.
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MEDIUM, SF_LARGE])
 def test_ann_recall_vs_brute_force(sf_dir, spark):
     emb = table(spark, sf_dir, "embeddings").cache()
     q = emb.filter(F.col("vec_id") < 5)
