@@ -681,12 +681,25 @@ def neardup_incremental_against_index(
 
     spark = new_docs.sparkSession
     new_sh = doc_shingles(new_docs, id_col, text_col)
+    index_sig = spark.read.parquet(index_sig_path)
+    # Loud guard: a stored index built with a different num_perm would
+    # either fail on a missing mh column or — worse, num_perm smaller than
+    # stored — silently band over a signature PREFIX, generating candidates
+    # a full recompute would not (and vice versa). Signatures are only
+    # comparable at identical permutation sets.
+    stored_perm = sum(c.startswith("mh") for c in index_sig.columns)
+    if stored_perm != num_perm:
+        raise ValueError(
+            f"stored signature index at {index_sig_path} has "
+            f"{stored_perm} permutations, probe expects {num_perm} — "
+            "rebuild the index or pass matching num_perm"
+        )
     # localCheckpoint: the candidate set (small — capped buckets) feeds both
     # the semi-join below and the verify join; without it the whole
     # signature+probe subtree would execute twice.
     cand = incremental_lsh_candidates(
         minhash_signatures(new_sh, num_perm=num_perm),
-        spark.read.parquet(index_sig_path),
+        index_sig,
         num_perm=num_perm,
         bands=bands,
         max_bucket=max_bucket,

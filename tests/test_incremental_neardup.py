@@ -127,6 +127,25 @@ def test_stored_index_form_matches_recompute_form(spark, tmp_path):
     assert rows_a == rows_b and rows_a
 
 
+def test_stored_index_num_perm_mismatch_raises(spark, tmp_path):
+    """A stored index built with a different num_perm must fail loudly —
+    banding over a signature prefix would silently change candidates."""
+    import pytest
+
+    from data_pipeline_team5_spark.pipeline import (
+        build_signature_index,
+        neardup_incremental_against_index,
+    )
+
+    _, index, new = _split(spark)
+    path = str(tmp_path / "sig16")
+    build_signature_index(index, path, num_perm=16)
+    with pytest.raises(ValueError, match="16 permutations"):
+        neardup_incremental_against_index(
+            new, path, index, threshold=JACCARD_T, num_perm=32
+        )
+
+
 def test_curation_stored_index_form_matches_recompute_form(spark, tmp_path):
     """VERDICT r5 #2: curate_incremental_batch wired to the stored
     signature index + stored key table must produce the SAME assignments
