@@ -127,6 +127,25 @@ def test_stored_index_form_matches_recompute_form(spark, tmp_path):
     assert rows_a == rows_b and rows_a
 
 
+def test_index_probe_is_broadcast_semi_pruned(spark, tmp_path):
+    """The stored-index probe must prune the index to new-batch-touched
+    buckets via a BROADCAST left-semi join (one map-side-filtered columnar
+    scan of the index) — a shuffled plan here means the daily run moves
+    O(corpus × bands) rows again."""
+    from data_pipeline_team5_spark.operators.dedup import (
+        incremental_lsh_candidates,
+    )
+
+    _, index, new = _split(spark)
+    cand = incremental_lsh_candidates(
+        minhash_signatures(doc_shingles(new, "doc_id", "text")),
+        minhash_signatures(doc_shingles(index, "doc_id", "text")),
+        max_bucket=50,
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
+
+
 def test_stored_index_num_perm_mismatch_raises(spark, tmp_path):
     """A stored index built with a different num_perm must fail loudly —
     banding over a signature prefix would silently change candidates."""
