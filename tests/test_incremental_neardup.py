@@ -192,6 +192,53 @@ def test_curation_stored_index_form_matches_recompute_form(spark, tmp_path):
     assert rows_a == rows_b and rows_a
 
 
+def test_daily_loop_folds_batches_into_indexes(spark, tmp_path):
+    """The deployed multi-day loop end-to-end: day-0 corpus indexed, day-1
+    batch curated against it, day-1 SURVIVORS folded into both indexes as
+    their own batch_id partition, day-2 batch curated against the
+    accumulated index — and every day's output is bitwise-equal to the
+    recompute form over the same retained corpus. This is the contract
+    that makes the index a real incremental structure, not a one-shot."""
+    from data_pipeline_team5_spark.pipeline import (
+        build_exact_key_index,
+        build_signature_index,
+        curate_incremental_batch,
+    )
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    day0 = docs.filter(F.col("doc_id") % 3 == 1)
+    day1 = docs.filter(F.col("doc_id") % 3 == 0)
+    day2 = docs.filter(F.col("doc_id") % 3 == 2)
+    sig = str(tmp_path / "sig")
+    key = str(tmp_path / "key")
+    build_signature_index(day0, sig, batch_id="day0")
+    build_exact_key_index(day0, key, batch_id="day0")
+
+    out1 = curate_incremental_batch(
+        day1, day0, index_sig_path=sig, key_index_path=key
+    )
+    assert sorted(tuple(r) for r in out1.collect()) == sorted(
+        tuple(r) for r in curate_incremental_batch(day1, day0).collect()
+    )
+    surv1 = day1.join(out1.select("doc_id"), "doc_id").localCheckpoint()
+    assert surv1.count() > 0
+    build_signature_index(surv1, sig, batch_id="day1")
+    build_exact_key_index(surv1, key, batch_id="day1")
+
+    corpus2 = day0.unionByName(surv1).localCheckpoint()
+    out2 = curate_incremental_batch(
+        day2, corpus2, index_sig_path=sig, key_index_path=key
+    )
+    rows = sorted(tuple(r) for r in out2.collect())
+    assert rows == sorted(
+        tuple(r)
+        for r in curate_incremental_batch(day2, corpus2).collect()
+    )
+    assert rows  # day-2 batch must keep something on the fixture
+
+
 def test_signature_index_batch_replay_is_idempotent(spark, tmp_path):
     """ADVICE r5 #2: replaying a daily batch with batch_id must replace its
     partition, not append duplicate signature rows (duplicates would
