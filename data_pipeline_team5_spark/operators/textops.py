@@ -251,7 +251,11 @@ def bpe_tokens_expr(col: str | Column) -> Column:
 
 
 def bpe_token_count(col: str | Column) -> Column:
-    return F.size(bpe_tokens_expr(col))
+    # regexp_count, not size(regexp_extract_all(...)): counting must not
+    # materialize every pretoken into a per-row array first — same value
+    # (verified equal over the fixture corpus), no allocation churn.
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PATTERN))
 
 
 def bpe_count_sql(expr: str) -> str:
