@@ -216,6 +216,71 @@ def test_incremental_drop_rule_is_component_level(spark):
     assert {r.doc_id for r in out.collect()} == {4}
 
 
+def test_curate_cli_daily_loop(spark, tmp_path):
+    """The operational CLI end-to-end: build-index → incremental with
+    --fold-batch-id. Output parquet must equal the library call, and the
+    fold must grow both indexes by the survivors."""
+    from data_pipeline_team5_spark.curate import main as curate_main
+    from data_pipeline_team5_spark.pipeline import curate_incremental_batch
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    day0 = docs.filter(F.col("doc_id") % 3 != 0)
+    day1 = docs.filter(F.col("doc_id") % 3 == 0)
+    p_day0, p_day1 = str(tmp_path / "day0"), str(tmp_path / "day1")
+    day0.write.parquet(p_day0)
+    day1.write.parquet(p_day1)
+    sig, key, out = (
+        str(tmp_path / "sig"), str(tmp_path / "key"), str(tmp_path / "out")
+    )
+
+    rc = curate_main(
+        ["build-index", "--docs", p_day0, "--sig", sig, "--key", key,
+         "--batch-id", "day0"]
+    )
+    assert rc == 0
+    n_sig0 = spark.read.parquet(sig).count()
+    # first run (no fold): output must equal the library call against the
+    # same still-unfolded indexes
+    rc = curate_main(
+        ["incremental", "--new", p_day1, "--corpus", p_day0,
+         "--sig", sig, "--key", key, "--out", out]
+    )
+    assert rc == 0
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        tuple(r)
+        for r in curate_incremental_batch(
+            day1, day0, index_sig_path=sig, key_index_path=key
+        ).collect()
+    )
+    assert got == want and got
+    # second run WITH fold: probes the same pre-fold indexes (first run
+    # folded nothing), so assignments are identical — then the survivors
+    # land in both indexes as their own batch partition
+    out2 = str(tmp_path / "out2")
+    rc = curate_main(
+        ["incremental", "--new", p_day1, "--corpus", p_day0,
+         "--sig", sig, "--key", key, "--out", out2,
+         "--fold-batch-id", "day1"]
+    )
+    assert rc == 0
+    assert sorted(tuple(r) for r in spark.read.parquet(out2).collect()) == got
+    n_kept = len(got)
+    assert spark.read.parquet(sig).count() == n_sig0 + n_kept
+    assert (
+        spark.read.parquet(sig)
+        .select("batch_id").distinct().count() == 2
+    )
+    # and the one-shot backfill subcommand matches the library preset
+    outf = str(tmp_path / "outf")
+    assert curate_main(["full", "--docs", p_day0, "--out", outf]) == 0
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(outf).collect()
+    ) == sorted(tuple(r) for r in curate_training_data(day0).collect())
+
+
 def test_incremental_batch_curation_invariants(spark):
     """curate_incremental_batch: survivors pass every filter, never exact-
     or near-match the retained corpus or each other, and the run is
