@@ -44,6 +44,24 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _calibrate() -> float:
+    """Fixed pure-CPU sentinel: sha256 over a constant buffer, single
+    thread, zero I/O — its wall time moves with machine load and nothing
+    else. Emitted per run so cross-ROUND deltas can be drift-normalized
+    (VERDICT r6 #1: per-query `spread` only bounds intra-run variance; a
+    uniform ambient slowdown across plan-unchanged queries was unreadable
+    from the artifact). Recipe in BASELINE.md: compare
+    (query_sec / calib_sec) across rounds, not raw seconds."""
+    import hashlib
+
+    buf = b"\x5a" * 65536
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(4096):  # ~256 MB hashed, ~0.3 s unloaded
+        h.update(buf)
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Parse the scale factor from the basename only ('…/sf0.1' → 0.1);
@@ -69,7 +87,10 @@ def main() -> None:
     # regression (VERDICT r4 #1 — BENCH_r02 vs r04 was ambient load).
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     raw: dict[str, list[float]] = {n: [] for n in headline}
+    calib: list[float] = []
     for _ in range(passes):
+        calib.append(_calibrate())  # interleaved: samples the same
+        # machine state the pass's queries see
         for name, fn in sorted(headline.items()):
             t0 = time.perf_counter()
             _run(fn(spark, sf_dir))
@@ -84,6 +105,10 @@ def main() -> None:
     }
     noise = max(spread.values())
 
+    try:
+        load1 = os.getloadavg()[0] / (os.cpu_count() or 1)
+    except OSError:  # platform without getloadavg
+        load1 = None
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
@@ -93,6 +118,14 @@ def main() -> None:
         "passes": passes,
         "noise": round(noise, 4),
         "spread": spread,
+        # drift calibration (VERDICT r6 #1): min tracks the sentinel's
+        # unloaded cost, median/min-1 the load during THIS run; divide
+        # query times by calib_sec before comparing across rounds.
+        "calib_sec": round(min(calib), 4),
+        "calib_spread": round(
+            sorted(calib)[len(calib) // 2] / min(calib) - 1.0, 4
+        ),
+        "loadavg_per_cpu": round(load1, 4) if load1 is not None else None,
     }
     print(json.dumps(out))
 
