@@ -1,41 +1,83 @@
 """Operational CLI for the training-data curation pipeline — the curation
 counterpart of ``python -m data_pipeline_team5_spark.pipeline`` (which
-crons the reference's KOFIC ingest). Three subcommands mirror the deployed
-lifecycle (pipeline.py presets; invariants in tests/test_training_curation
-and tests/test_incremental_neardup):
+crons the reference's KOFIC ingest). Subcommands mirror the deployed
+lifecycle (pipeline.py presets; invariants in tests/test_training_curation,
+tests/test_incremental_neardup, tests/test_curate_cli):
 
   full         one-shot corpus curation (filter → exact dedup → guarded
                near-dup components → hash-stable splits → BPE-budget
                packing) — the backfill / first-build path
+  init-corpus  seed the MAINTAINED retained-corpus root from a documents
+               parquet, written as an idempotent ``batch_id`` partition
   build-index  materialize the retained corpus's MinHash signature table
-               and exact-dedup key table (idempotent per-batch partitions)
+               and exact-dedup key table (idempotent per-batch partitions;
+               ``--batch-id`` defaults to "base" so the root is always
+               fold-safe)
   incremental  curate ONE daily batch against the stored indexes —
                O(batch + candidates) — and optionally fold the survivors
-               back into the indexes (``--fold-batch-id``), completing the
-               daily loop in a single command
+               back (``--fold-batch-id``), completing the daily loop in a
+               single command
 
-Each run writes the assignments as parquet and prints ONE JSON summary
-line (rows kept, paths), cron-friendly like pipeline.main.
+The fold step grows all THREE stores together — signature index, key
+index, AND the retained-corpus root — because an index that knows docs the
+corpus no longer carries makes tomorrow's verify stage silently keep
+near-dups of folded survivors (ADVICE r6 #1; the runtime guard lives in
+``neardup_incremental_against_index``). It also switches ``--out`` into a
+maintained assignments root: each day lands as its own ``batch_id``
+partition with ``bin_id`` offset past every previous batch's max
+(``pipeline.next_bin_offset``), so bin ids stay globally unique across the
+accumulated days and a replayed day reproduces its own partition bitwise.
 
-NB: a loop that folds batches (``--fold-batch-id``) must ALSO build the
-base index with ``--batch-id`` — parquet cannot mix flat files and
-``batch_id=...`` partition directories under one root.
+A fold loop therefore requires every root it appends to — corpus, sig,
+key — to be ``batch_id=``-partitioned from day 0 (parquet cannot mix flat
+data files and partition directories under one root); ``init-corpus`` and
+``build-index``'s default batch id give you that, and the fold step
+REFUSES a root that contains flat data files instead of corrupting it.
+
+Each run writes parquet and prints ONE JSON summary line (rows kept,
+paths), cron-friendly like pipeline.main.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+
+
+def _refuse_flat_root(path: str, what: str) -> None:
+    """Fold-safety check (ADVICE r6 #2): appending a ``batch_id=``
+    partition under a root that already holds FLAT parquet files corrupts
+    the root for every subsequent reader. Local directories are inspected;
+    remote URIs (s3a:// etc.) are skipped — the loud runtime guard on the
+    next read is the backstop there."""
+    if not os.path.isdir(path):
+        return
+    flat = [
+        e
+        for e in os.listdir(path)
+        if not e.startswith(("batch_id=", "_", "."))
+    ]
+    if flat:
+        raise SystemExit(
+            f"refusing to fold a batch_id partition into {what} root "
+            f"{path}: it contains non-partition files {flat[:3]} — "
+            "rebuild it with a batch id (init-corpus / build-index "
+            "default to batch_id=base)"
+        )
 
 
 def main(argv: list[str] | None = None) -> int:
     from data_pipeline_team5_spark.pipeline import (
+        append_corpus_batch,
         build_exact_key_index,
         build_signature_index,
         curate_incremental_batch,
         curate_training_data,
+        next_bin_offset,
     )
     from data_pipeline_team5_spark.session import get_spark
+    from pyspark.sql import functions as F
 
     ap = argparse.ArgumentParser(prog="data_pipeline_team5_spark.curate")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -47,26 +89,40 @@ def main(argv: list[str] | None = None) -> int:
     p_full.add_argument("--threshold", type=float, default=0.6)
     p_full.add_argument("--method", choices=["jaccard", "lsh"], default="jaccard")
 
+    p_seed = sub.add_parser(
+        "init-corpus", help="seed the maintained retained-corpus root"
+    )
+    p_seed.add_argument("--docs", required=True, help="documents parquet")
+    p_seed.add_argument("--corpus", required=True, help="corpus root to seed")
+    p_seed.add_argument("--batch-id", default="base")
+
     p_idx = sub.add_parser("build-index", help="materialize sig + key indexes")
     p_idx.add_argument("--docs", required=True)
     p_idx.add_argument("--sig", required=True, help="signature index path")
     p_idx.add_argument("--key", required=True, help="exact-key index path")
-    p_idx.add_argument("--batch-id", default=None,
-                       help="write as an idempotent per-batch partition")
+    p_idx.add_argument("--batch-id", default="base",
+                       help="write as an idempotent per-batch partition "
+                            "(default 'base' keeps the root fold-safe)")
 
     p_inc = sub.add_parser("incremental", help="curate a daily batch")
     p_inc.add_argument("--new", required=True, help="new batch parquet")
     p_inc.add_argument("--corpus", required=True,
-                       help="retained corpus parquet (text read only for "
-                            "candidate docs)")
+                       help="retained corpus parquet/root (text read only "
+                            "for candidate docs). With --fold-batch-id "
+                            "this must be the MAINTAINED root the fold "
+                            "appends to (seed it with init-corpus)")
     p_inc.add_argument("--sig", required=True)
     p_inc.add_argument("--key", required=True)
-    p_inc.add_argument("--out", required=True)
+    p_inc.add_argument("--out", required=True,
+                       help="assignments parquet; with --fold-batch-id, a "
+                            "maintained root accumulating one batch_id "
+                            "partition per day with globally-unique bins")
     p_inc.add_argument("--budget", type=int, default=2048)
     p_inc.add_argument("--threshold", type=float, default=0.6)
     p_inc.add_argument("--fold-batch-id", default=None,
                        help="after curating, fold the batch's SURVIVORS "
-                            "into both indexes under this batch_id — the "
+                            "into the signature index, key index, AND the "
+                            "--corpus root under this batch_id — the "
                             "complete daily loop in one command")
     args = ap.parse_args(argv)
 
@@ -82,6 +138,14 @@ def main(argv: list[str] | None = None) -> int:
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"status": "ok", "cmd": "full", "kept": n,
                           "out": args.out}))
+    elif args.cmd == "init-corpus":
+        _refuse_flat_root(args.corpus, "corpus")
+        docs = spark.read.parquet(args.docs)
+        append_corpus_batch(docs, args.corpus, args.batch_id)
+        n = docs.count()
+        print(json.dumps({"status": "ok", "cmd": "init-corpus", "docs": n,
+                          "corpus": args.corpus,
+                          "batch_id": args.batch_id}))
     elif args.cmd == "build-index":
         docs = spark.read.parquet(args.docs)
         build_signature_index(docs, args.sig, batch_id=args.batch_id)
@@ -90,29 +154,54 @@ def main(argv: list[str] | None = None) -> int:
                           "sig": args.sig, "key": args.key,
                           "batch_id": args.batch_id}))
     else:
+        fold = args.fold_batch_id
+        if fold is not None:
+            for path, what in ((args.corpus, "corpus"), (args.sig, "sig"),
+                               (args.key, "key"), (args.out, "out")):
+                _refuse_flat_root(path, what)
         new = spark.read.parquet(args.new)
+        corpus = spark.read.parquet(args.corpus)
+        if fold is not None and "batch_id" in corpus.columns:
+            # replay safety: a crashed day D re-run must not see its own
+            # previously folded survivors in the corpus or the indexes
+            corpus = corpus.filter(F.col("batch_id") != fold)
         out = curate_incremental_batch(
             new,
-            spark.read.parquet(args.corpus),
+            corpus,
             token_budget=args.budget,
             neardup_threshold=args.threshold,
             index_sig_path=args.sig,
             key_index_path=args.key,
+            exclude_batch_id=fold,
         )
-        out.write.mode("overwrite").parquet(args.out)
-        kept = spark.read.parquet(args.out)
-        n = kept.count()
-        if args.fold_batch_id is not None:
+        if fold is None:
+            out.write.mode("overwrite").parquet(args.out)
+            kept = spark.read.parquet(args.out)
+            n = kept.count()
+        else:
+            # batch-local bins → globally-unique bins: offset past every
+            # OTHER batch's max (excluding this batch id keeps a replay
+            # bitwise-idempotent with the partition overwrite)
+            off = next_bin_offset(spark, args.out, exclude_batch_id=fold)
+            (
+                out.withColumn("bin_id", F.col("bin_id") + F.lit(off))
+                .withColumn("batch_id", F.lit(fold))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(args.out)
+            )
+            kept = spark.read.parquet(args.out).filter(
+                F.col("batch_id") == fold
+            )
+            n = kept.count()
             survivors = new.join(kept.select("doc_id"), "doc_id")
-            build_signature_index(
-                survivors, args.sig, batch_id=args.fold_batch_id
-            )
-            build_exact_key_index(
-                survivors, args.key, batch_id=args.fold_batch_id
-            )
+            build_signature_index(survivors, args.sig, batch_id=fold)
+            build_exact_key_index(survivors, args.key, batch_id=fold)
+            # the corpus grows too — see module docstring (ADVICE r6 #1)
+            append_corpus_batch(survivors, args.corpus, fold)
         print(json.dumps({"status": "ok", "cmd": "incremental", "kept": n,
-                          "out": args.out,
-                          "folded": args.fold_batch_id}))
+                          "out": args.out, "folded": fold}))
     return 0
 
 

@@ -380,6 +380,7 @@ def curate_incremental_batch(
     neardup_threshold: float = 0.6,
     index_sig_path: str | None = None,
     key_index_path: str | None = None,
+    exclude_batch_id: str | None = None,
 ) -> DataFrame:
     """Daily curation update: run the full curation contract for a NEW
     batch against the already-RETAINED corpus, touching the corpus only
@@ -418,6 +419,15 @@ def curate_incremental_batch(
     Invariants pinned in tests/test_training_curation.py: survivors pass
     every filter, no survivor exact- or near-matches the retained corpus
     or another survivor, and the run is deterministic.
+
+    ``exclude_batch_id``: for REPLAYING a day in the fold loop (crash
+    recovery). The stored indexes accumulate one ``batch_id`` partition per
+    folded day; replaying day D with its own partition already present
+    would match every survivor against ITSELF in the key/signature probes
+    and drop the whole batch — then overwrite D's partitions with nothing.
+    Passing the batch id filters that partition out of both index reads
+    (partition-pruned — no extra scan), restoring bitwise idempotency
+    (pinned in tests/test_curate_cli.py).
     """
     from data_pipeline_team5_spark.operators.components import (
         connected_components,
@@ -461,10 +471,12 @@ def curate_incremental_batch(
         kept.withColumn("_key", exact_key("text")), ["_key"], "doc_id"
     )
     if key_index_path is not None:
-        corpus_keys = (
-            new_docs.sparkSession.read.parquet(key_index_path)
-            .select("_key")
-        )
+        corpus_keys = new_docs.sparkSession.read.parquet(key_index_path)
+        if exclude_batch_id is not None and "batch_id" in corpus_keys.columns:
+            corpus_keys = corpus_keys.filter(
+                F.col("batch_id") != exclude_batch_id
+            )
+        corpus_keys = corpus_keys.select("_key")
     else:
         corpus_keys = corpus_docs.select(
             exact_key("text").alias("_key")
@@ -481,6 +493,7 @@ def curate_incremental_batch(
             corpus_docs,
             threshold=neardup_threshold,
             max_bucket=PRODUCTION_MAX_BUCKET,
+            exclude_batch_id=exclude_batch_id,
         )
     else:
         raw_pairs = neardup_incremental_pairs(
@@ -621,6 +634,55 @@ def build_exact_key_index(
         keys.write.mode(mode).parquet(path)
 
 
+def append_corpus_batch(
+    docs: DataFrame, path: str, batch_id: str
+) -> None:
+    """Fold a batch's surviving DOCUMENT ROWS into the maintained retained-
+    corpus root as an idempotent ``batch_id`` partition — the corpus-side
+    twin of ``build_signature_index``'s daily upkeep.
+
+    The daily loop must grow all THREE stores together: signature index,
+    exact-key index, and the corpus itself. Folding survivors into the
+    indexes while the corpus stays static makes tomorrow's candidate pairs
+    reference docs whose text the verify stage cannot see — near-dups of
+    folded survivors would be silently KEPT (ADVICE r6 #1; the loud
+    runtime guard is in ``neardup_incremental_against_index``)."""
+    (
+        docs.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def next_bin_offset(
+    spark: SparkSession, assignments_root: str, exclude_batch_id: str | None = None
+) -> int:
+    """Packing offset for the next daily batch: 1 + the max ``bin_id``
+    already written under ``assignments_root`` (0 if the root doesn't exist
+    yet). ``curate_incremental_batch`` emits BATCH-LOCAL bin ids; adding
+    this offset before appending keeps ids unique across the accumulated
+    assignment partitions (the docstring contract at
+    :func:`curate_incremental_batch` — now a helper, not prose).
+
+    ``exclude_batch_id``: when REPLAYING a batch into a ``batch_id``-
+    partitioned root, pass its id so the offset is computed over the OTHER
+    batches — otherwise the replay would see its own previous rows and
+    shift, breaking the partition overwrite's idempotency. (Bitwise replay
+    is guaranteed only for the LATEST batch — the crash-recovery case; an
+    older batch replayed after newer folds sees a moved-on store and may
+    legitimately differ.)"""
+    try:
+        df = spark.read.parquet(assignments_root)
+    except Exception:  # root absent on day 0 — Spark raises AnalysisException
+        return 0
+    if exclude_batch_id is not None and "batch_id" in df.columns:
+        df = df.filter(F.col("batch_id") != exclude_batch_id)
+    row = df.agg(F.max("bin_id").alias("m")).first()
+    return 0 if row is None or row["m"] is None else int(row["m"]) + 1
+
+
 _BENCH_IDX_BUILT: set[str] = set()
 
 
@@ -660,6 +722,7 @@ def neardup_incremental_against_index(
     num_perm: int = 32,
     bands: int = 8,
     max_bucket: int | None = None,
+    exclude_batch_id: str | None = None,
 ) -> DataFrame:
     """The deployed form of ``neardup_incremental_pairs``: index signatures
     come from the stored table (built by ``build_signature_index``) instead
@@ -670,6 +733,13 @@ def neardup_incremental_against_index(
     O(candidate docs), not O(corpus) — the whole run is O(batch +
     candidates), independent of corpus size. Bitwise-equal to the recompute
     form (tests/test_incremental_neardup.py).
+
+    Precondition (guarded loudly below): ``index_docs`` must contain the
+    TEXT of every doc in the stored signature index. A caller that folds
+    daily survivors into the index but keeps passing a stale corpus would
+    otherwise produce candidate pairs whose corpus side has no text —
+    verify_jaccard's inner shingle join silently drops such pairs, and
+    near-dups of previously folded survivors would be KEPT (ADVICE r6 #1).
     """
     from data_pipeline_team5_spark.operators.dedup import (
         candidate_docs,
@@ -682,6 +752,10 @@ def neardup_incremental_against_index(
     spark = new_docs.sparkSession
     new_sh = doc_shingles(new_docs, id_col, text_col)
     index_sig = spark.read.parquet(index_sig_path)
+    if exclude_batch_id is not None and "batch_id" in index_sig.columns:
+        # replay support: drop the replayed day's own partition
+        # (partition-pruned read — see curate_incremental_batch docstring)
+        index_sig = index_sig.filter(F.col("batch_id") != exclude_batch_id)
     # Loud guard: a stored index built with a different num_perm would
     # either fail on a missing mh column or — worse, num_perm smaller than
     # stored — silently band over a signature PREFIX, generating candidates
@@ -704,13 +778,39 @@ def neardup_incremental_against_index(
         bands=bands,
         max_bucket=max_bucket,
     ).localCheckpoint()
+    # localCheckpoint: ver (the candidate docs — small by construction) is
+    # materialized once so (a) the verify join reads a tiny checkpointed
+    # input instead of re-deriving the corpus∪new semi-join, and (b) the
+    # coverage guard below costs two counts over checkpointed rows, not
+    # extra corpus scans.
     ver = candidate_docs(
         cand,
         new_docs.select(id_col, text_col).unionByName(
             index_docs.select(id_col, text_col)
         ),
         id_col,
+    ).localCheckpoint()
+    # Loud stale-corpus guard (ADVICE r6 #1): every id appearing in a
+    # candidate pair must have text in new ∪ index_docs. A shortfall means
+    # the stored index knows docs the caller's corpus no longer carries
+    # (e.g. survivors folded into the index while the corpus stayed
+    # static); proceeding would silently KEEP near-dups of those docs,
+    # because verify_jaccard's inner join drops textless pairs.
+    n_pair_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+        .count()
     )
+    n_covered = ver.select(id_col).distinct().count()
+    if n_covered < n_pair_ids:
+        raise ValueError(
+            f"signature index at {index_sig_path} yielded candidate pairs "
+            f"over {n_pair_ids} distinct docs but only {n_covered} have "
+            "text in new_docs ∪ index_docs — the corpus is stale relative "
+            "to the index (fold survivors into the corpus too, or rebuild "
+            "the index from the corpus actually passed)"
+        )
     return verify_jaccard(
         cand, doc_shingles(ver, id_col, text_col), threshold
     )

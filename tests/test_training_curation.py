@@ -256,22 +256,36 @@ def test_curate_cli_daily_loop(spark, tmp_path):
         ).collect()
     )
     assert got == want and got
-    # second run WITH fold: probes the same pre-fold indexes (first run
-    # folded nothing), so assignments are identical — then the survivors
-    # land in both indexes as their own batch partition
+    # second run WITH fold: folding requires MAINTAINED batch-partitioned
+    # stores (the fold grows corpus + both indexes together — ADVICE r6
+    # #1), so seed the corpus root first. It probes the same pre-fold
+    # indexes (first run folded nothing), so assignments are identical up
+    # to the batch_id partition column — then the survivors land in both
+    # indexes AND the corpus root as their own batch partition
+    corpus_root = str(tmp_path / "corpus")
+    assert curate_main(
+        ["init-corpus", "--docs", p_day0, "--corpus", corpus_root]
+    ) == 0
     out2 = str(tmp_path / "out2")
     rc = curate_main(
-        ["incremental", "--new", p_day1, "--corpus", p_day0,
+        ["incremental", "--new", p_day1, "--corpus", corpus_root,
          "--sig", sig, "--key", key, "--out", out2,
          "--fold-batch-id", "day1"]
     )
     assert rc == 0
-    assert sorted(tuple(r) for r in spark.read.parquet(out2).collect()) == got
+    assert sorted(
+        tuple(r)
+        for r in spark.read.parquet(out2).drop("batch_id").collect()
+    ) == got
     n_kept = len(got)
     assert spark.read.parquet(sig).count() == n_sig0 + n_kept
     assert (
         spark.read.parquet(sig)
         .select("batch_id").distinct().count() == 2
+    )
+    assert (
+        spark.read.parquet(corpus_root)
+        .filter(F.col("batch_id") == "day1").count() == n_kept
     )
     # and the one-shot backfill subcommand matches the library preset
     outf = str(tmp_path / "outf")
