@@ -284,3 +284,53 @@ def test_verification_shingles_only_candidate_docs(spark):
         "verification no longer semi-joins the corpus to candidate ids "
         "before shingling — it has regressed to corpus-linear"
     )
+
+
+def test_indexed_incremental_shingles_are_candidate_linear(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r6 #4: the r5→r6 candidate-linearity fix on the STORED-INDEX
+    path was protected only by stress timings no CI runs — a refactor could
+    silently reintroduce the corpus-linear shingle pass with every
+    correctness test staying green. Pin it structurally: spy on every
+    DataFrame reaching doc_shingles and assert the verify-side input is the
+    candidate-doc set, not new ∪ corpus (the r5 shape fails the `<` and
+    `==` asserts below)."""
+    import data_pipeline_team5_spark.operators.dedup as dd
+    from data_pipeline_team5_spark.pipeline import (
+        build_signature_index,
+        neardup_incremental_against_index,
+    )
+
+    docs, index, new = _split(spark)
+    path = str(tmp_path / "sig")
+    build_signature_index(index, path)
+
+    counts: list[int] = []
+    orig = dd.doc_shingles
+    monkeypatch.setattr(
+        dd,
+        "doc_shingles",
+        lambda d, *a, **kw: (counts.append(d.count()), orig(d, *a, **kw))[1],
+    )
+    # expected candidate-doc count, from the (bitwise-pinned-equal)
+    # recompute form's candidate stage
+    cand = incremental_lsh_candidates(
+        minhash_signatures(orig(new, "doc_id", "text")),
+        minhash_signatures(orig(index, "doc_id", "text")),
+    )
+    n_cand_docs = candidate_docs(cand, docs, "doc_id").count()
+    assert 0 < n_cand_docs < index.count(), "fixture degenerate"
+
+    counts.clear()
+    verified = neardup_incremental_against_index(
+        new, path, index, threshold=JACCARD_T
+    )
+    assert verified.count() > 0
+    # exactly two shingle passes: the new batch, then the candidate docs —
+    # never a third corpus-wide pass, and the verify-side input must be
+    # candidate-sized, not |new| + |corpus|
+    assert len(counts) == 2, counts
+    assert counts[0] == new.count()
+    assert counts[1] == n_cand_docs
+    assert counts[1] < index.count()
