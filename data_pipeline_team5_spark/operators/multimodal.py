@@ -4,11 +4,12 @@ with typed metadata, processed by Arrow-batched ``mapInPandas`` operators.
 The model: image/audio/video payloads are **opaque binary columns** next to
 a typed metadata struct (format, width, height, n_bytes); all Spark-side
 plumbing — schema, partitioning, Arrow batch shape, UDTF-style frame
-fan-out — is real and tested. The *codec* step is the only stub: this
-container has no image/audio libraries, so ``decode_blob`` raises
-``NotImplementedError`` for the PIL backend and offers a clearly-marked
-deterministic fake backend so downstream feature logic stays exercisable
-end-to-end.
+fan-out — is real and tested. The codec step has one REAL stdlib path —
+uncompressed 24-bit BMP (``encode_bmp`` / ``decode_blob(backend="bmp")``,
+exact-value round-trip tested) — while every other format goes through the
+PIL backend, which raises ``NotImplementedError`` in this container (no
+imaging libs baked in); a clearly-marked deterministic fake backend keeps
+downstream feature logic exercisable over non-image fixtures.
 
 The fixture "payloads" are the documents' UTF-8 bytes (deterministic, and —
 by design — reproducible in SQL, so even the mapInPandas path gets bitwise
@@ -67,18 +68,81 @@ def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_blob(blob: bytes, backend: str = "pil"):
-    """Decode an image payload. ``pil`` is the real path and is STUBBED in
-    this container (no imaging libs baked in); ``fake`` is a deterministic
-    stand-in that treats the raw bytes as the pixel buffer, keeping every
-    downstream feature computation testable."""
+def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
+    """Build an uncompressed 24-bit BMP (BITMAPINFOHEADER) from a top-down
+    row-major BGR pixel buffer — the deterministic fixture generator for
+    the stdlib decode path (and the documented byte layout ``decode_blob``
+    inverts). Pure stdlib; no imaging libs."""
+    import struct
+
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, expected "
+            f"{width * height * 3} for {width}x{height}x24bpp"
+        )
+    row = width * 3
+    pad = (-row) % 4  # each stored row pads to a 4-byte boundary
+    body = b"".join(
+        # BMP stores rows BOTTOM-UP when height is positive
+        pixels[y * row : (y + 1) * row] + b"\x00" * pad
+        for y in range(height - 1, -1, -1)
+    )
+    offset = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", offset + len(body), 0, 0, offset
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+        2835, 2835, 0, 0,
+    )
+    return header + body
+
+
+def decode_blob(blob: bytes, backend: str = "bmp"):
+    """Decode an image payload to a top-down row-major BGR pixel buffer.
+
+    ``bmp`` is a REAL decode implemented on the stdlib (uncompressed
+    24-bit, BITMAPINFOHEADER, bottom-up or top-down rows, 4-byte row
+    padding stripped) — exact-value tested against ``encode_bmp``
+    round-trips in tests/test_multimodal.py. ``pil`` covers every other
+    format and is gated in this container (no imaging libs baked in);
+    ``fake`` is the deterministic stand-in that treats the raw bytes as
+    the pixel buffer, keeping downstream feature logic exercisable over
+    non-image fixtures."""
+    if backend == "bmp":
+        import struct
+
+        if blob[:2] != b"BM" or len(blob) < 54:
+            raise ValueError("not a BMP payload")
+        (offset,) = struct.unpack_from("<I", blob, 10)
+        dib, width, height, _planes, bpp, comp = struct.unpack_from(
+            "<IiiHHI", blob, 14
+        )
+        if dib < 40 or bpp != 24 or comp != 0:
+            raise ValueError(
+                f"unsupported BMP variant (dib={dib}, bpp={bpp}, "
+                f"compression={comp}) — only uncompressed 24-bit is "
+                "decoded stdlib-side; use backend='pil' elsewhere"
+            )
+        top_down = height < 0
+        height = abs(height)
+        row = width * 3
+        stride = row + ((-row) % 4)
+        if len(blob) < offset + stride * height - ((-row) % 4):
+            raise ValueError("truncated BMP payload")
+        ys = range(height) if top_down else range(height - 1, -1, -1)
+        return b"".join(
+            blob[offset + y * stride : offset + y * stride + row]
+            for y in ys
+        )
     if backend == "pil":
         try:
             from PIL import Image  # noqa: F401
         except ImportError as e:
             raise NotImplementedError(
-                "image decode requires PIL, which is not available in this "
-                "container; use backend='fake' for the deterministic stub"
+                "non-BMP decode requires PIL, which is not available in "
+                "this container; BMP decodes stdlib-side via "
+                "backend='bmp', or use backend='fake' for the "
+                "deterministic stub"
             ) from e
         raise NotImplementedError(
             "real decode path reserved for environments with imaging libs"
@@ -137,16 +201,46 @@ def sample_frames(blobs: DataFrame) -> DataFrame:
     return blobs.select("doc_id", "blob").mapInPandas(batches, FRAME_SCHEMA)
 
 
-def decode_features(blobs: DataFrame) -> DataFrame:
-    """Features over the *decoded* payload via the fake backend: mean byte
-    value and printable-byte ratio — the shape a real brightness/contrast
-    extractor would have once a codec is available."""
+BMP_W, BMP_H = 16, 16  # synthesized-fixture grid (768-byte pixel buffer)
+
+
+def attach_bmp_blob(
+    df: DataFrame,
+    text_col: str = "text",
+    width: int = BMP_W,
+    height: int = BMP_H,
+) -> DataFrame:
+    """Synthesize REAL (stdlib-decodable) BMP payloads from document bytes:
+    the first ``width*height*3`` UTF-8 bytes, zero-padded, become the pixel
+    buffer of an uncompressed 24-bit BMP via ``encode_bmp``. Deterministic,
+    so decode-path features are exactly predictable; Arrow-batched
+    map-side work, no shuffle."""
+    n = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for t in pdf[text_col]:
+                b = (t or "").encode("utf-8")[:n]
+                blobs.append(encode_bmp(b.ljust(n, b"\x00"), width, height))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return df.select("doc_id", text_col).mapInPandas(
+        batches, "doc_id BIGINT, blob BINARY"
+    )
+
+
+def decode_features(blobs: DataFrame, backend: str = "fake") -> DataFrame:
+    """Features over the *decoded* payload: mean byte value and
+    printable-byte ratio — brightness/contrast-extractor shape. Backend
+    ``bmp`` runs the REAL stdlib decode (use over BMP payloads); ``fake``
+    treats raw bytes as pixels (use over non-image fixture blobs)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             means, printable = [], []
             for blob in pdf["blob"]:
-                buf = decode_blob(bytes(blob), backend="fake")
+                buf = decode_blob(bytes(blob), backend=backend)
                 means.append(sum(buf) / len(buf) if buf else 0.0)
                 printable.append(
                     sum(32 <= b < 127 for b in buf) / len(buf)

@@ -6,8 +6,10 @@ Oracle strategy: the fixture payloads are the documents' UTF-8 bytes (pure
 ASCII at every scale factor — verified), so the mapInPandas outputs are
 SQL-predictable and the Arrow path itself gets bitwise DuckDB oracles: a
 wrong batch shape, dtype, or slicing bug in the Python operators breaks the
-hash match. The fake-decode features are rows-only (float reduction order
-in Python vs SQL is not contractual).
+hash match. The decode-path features run a REAL stdlib BMP decode over
+synthesized BMP payloads but stay rows-only (float reduction order in
+Python vs SQL is not contractual); the decode itself is exact-value
+round-trip tested in tests/test_multimodal.py.
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ from data_pipeline_team5_spark.operators.multimodal import (
     FRAME_BYTES,
     FRAME_STRIDE,
     attach_blob,
+    attach_bmp_blob,
     decode_features,
     extract_features,
     sample_frames,
@@ -82,13 +85,18 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_decode_features",
     oracle=None,  # float reductions in Python; deterministic rows-only
-    doc="⊕ decoded-payload features (mean byte value, printable ratio) via "
-    "the clearly-marked fake decode backend — the real PIL path is stubbed "
-    "behind NotImplementedError because this container ships no imaging "
-    "libs (operators/multimodal.py:decode_blob). Deterministic rows-only.",
+    doc="⊕ decoded-payload features (mean byte value, printable ratio) over "
+    "a REAL stdlib decode: documents are packed into uncompressed 24-bit "
+    "BMPs (operators/multimodal.py:attach_bmp_blob) and decoded back "
+    "through the BMP branch of decode_blob — header parse, bottom-up row "
+    "reorder, 4-byte padding strip — all inside Arrow-batched mapInPandas. "
+    "PIL stays gated for non-BMP formats (no imaging libs in this "
+    "container). Exact-value round-trip pytest in tests/test_multimodal.py; "
+    "deterministic rows-only here (float reduction order is not "
+    "contractual).",
     tags=("multimodal", "decode"),
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # doc-grain output: no final global sort
-    return decode_features(attach_blob(docs))
+    return decode_features(attach_bmp_blob(docs), backend="bmp")
