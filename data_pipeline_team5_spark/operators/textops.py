@@ -234,10 +234,12 @@ def rolling_hash_sql(tok: str) -> str:
 # what real tokenizers converge to for zh (~1-2 tokens per ideograph):
 # without it a 5,000-char zh doc counted as ONE pretoken and sequence
 # packing overstuffed zh bins ~100x. \x{...} hex classes parse identically
-# in Java regex and RE2 (verified bitwise incl. mixed/kana/empty inputs in
-# tests/test_dedup_text.py); the final catch-all excludes the CJK range so
-# mixed runs still split per ideograph. Kana/hangul stay run-tokenized —
-# ja/ko are not in _KEEP_LANGS; extend the class when they are.
+# in Java regex and RE2 (pinned three-way — Spark regexp_count vs Spark
+# extract vs DuckDB — over zh/kana/hangul/mixed/empty rows in
+# tests/test_dedup_text.py::test_bpe_token_count_cross_engine_on_cjk); the
+# final catch-all excludes the CJK range so mixed runs still split per
+# ideograph. Kana/hangul stay run-tokenized — ja/ko are not in
+# _KEEP_LANGS; extend the class when they are.
 BPE_PATTERN = (
     r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
     r"| ?[\x{4e00}-\x{9fff}]| ?[^A-Za-z0-9\s'\x{4e00}-\x{9fff}]+"

@@ -189,3 +189,59 @@ def test_norm_text_preserves_cjk_and_zh_lang_id(spark, duck):
     """
     for row in con.sql(sql).fetchall():
         assert got[row[0]] == (row[1], row[2]), row
+
+
+# BPE_PATTERN edge inputs: the \x{...} CJK classes must parse and match
+# identically in Java regex (Spark) and RE2 (DuckDB) — kana/hangul stay
+# run-tokenized (not in the CJK-ideograph class), empty is 0 everywhere.
+_BPE_EDGE_TEXTS = _ZH_TEXTS + [
+    ("k1", "カタカナとひらがなのテキストです"),  # kana run, no spaces
+    ("k2", "한국어 텍스트 예시입니다"),  # hangul runs
+    ("e1", ""),  # empty
+    ("m1", "mixed 中文 and English 123 with 日本語のかな too"),
+    ("a1", "it's we've they'll don't 'quoted' x9y10"),  # contractions
+]
+
+
+def test_bpe_token_count_cross_engine_on_cjk(spark, duck):
+    """ADVICE r6 #3: the textops comment claims Java-vs-RE2 agreement on
+    the CJK classes is pinned here — this is that test. Three-way check
+    over zh/kana/hangul/mixed/empty rows: Spark regexp_count == Spark
+    size(regexp_extract_all) == DuckDB len(regexp_extract_all), plus the
+    per-ideograph property that motivated the CJK branch."""
+    from data_pipeline_team5_spark.operators.textops import (
+        bpe_count_sql,
+        bpe_token_count,
+        bpe_tokens_expr,
+    )
+
+    df = spark.createDataFrame(_BPE_EDGE_TEXTS, "doc_id STRING, text STRING")
+    got = {
+        r.doc_id: (r.n, r.n_arr)
+        for r in df.select(
+            "doc_id",
+            bpe_token_count("text").alias("n"),
+            F.size(bpe_tokens_expr("text")).alias("n_arr"),
+        ).collect()
+    }
+    # the count path (regexp_count) never materializes the array — it must
+    # still equal the extraction path
+    for doc_id, (n, n_arr) in got.items():
+        assert n == n_arr, (doc_id, n, n_arr)
+    assert got["e1"][0] == 0
+    # per-ideograph: z1 has 17 CJK chars → at least 17 pretokens; the kana
+    # run (not in the ideograph class) must NOT explode per-char
+    assert got["z1"][0] >= 17
+    assert got["k1"][0] < len("カタカナとひらがなのテキストです")
+
+    con = duck("/root/testdata/sf0.001")
+    values = ", ".join(
+        "('" + d + "', '" + t.replace("'", "''") + "')"
+        for d, t in _BPE_EDGE_TEXTS
+    )
+    sql = f"""
+        SELECT doc_id, {bpe_count_sql('text')} AS n
+        FROM (VALUES {values}) AS v(doc_id, text)
+    """
+    for doc_id, n in con.sql(sql).fetchall():
+        assert got[doc_id][0] == n, (doc_id, got[doc_id][0], n)
