@@ -77,11 +77,16 @@ def _tag_text(text: str, tag: str) -> str:
     return " ".join(out)
 
 
-def _replicate(name: str, rekey: list[str] | None) -> None:
+def _replicate(
+    name: str,
+    rekey: list[str] | None,
+    out_dir: str = STRESS_DIR,
+    replicas: int = REPLICAS,
+) -> None:
     t = pq.read_table(f"{SF_DIR}/{name}.parquet")
     offsets = {c: pc.max(t[c]).as_py() + 1 for c in (rekey or [])}
     parts = []
-    for r in range(REPLICAS):
+    for r in range(replicas):
         part = t
         for c, off in offsets.items():
             idx = part.schema.get_field_index(c)
@@ -100,7 +105,7 @@ def _replicate(name: str, rekey: list[str] | None) -> None:
                 lens = pc.utf8_length(tagged).cast(part["n_chars"].type)
                 part = part.set_column(nci, "n_chars", lens)
         parts.append(part)
-    pq.write_table(pa.concat_tables(parts), f"{STRESS_DIR}/{name}.parquet")
+    pq.write_table(pa.concat_tables(parts), f"{out_dir}/{name}.parquet")
 
 
 def build() -> None:
@@ -121,8 +126,28 @@ def build() -> None:
     open(f"{STRESS_DIR}/.complete", "w").close()
 
 
+STRESS100_DIR = os.environ.get("STRESS100_DIR", "/tmp/stress_100x_docs")
+REPLICAS_100X = 100
+
+
+def build_100x_docs() -> None:
+    """100×-replicated documents only (the corpus-independence probe needs
+    no other table): same re-key + per-replica tag semantics as build()."""
+    if os.path.exists(f"{STRESS100_DIR}/.complete"):
+        return
+    os.makedirs(STRESS100_DIR, exist_ok=True)
+    _replicate("documents", ["doc_id"], STRESS100_DIR, REPLICAS_100X)
+    open(f"{STRESS100_DIR}/.complete", "w").close()
+
+
 def main_incremental() -> None:
-    """Fixed daily batch vs growing corpus: the corpus-independence proof."""
+    """Fixed daily batch vs growing corpus: the corpus-independence proof.
+
+    Measures the INDEXED daily path at 1×/10×/100× retained corpus (the
+    recompute contrast runs at 1×/10× only — it is corpus-linear by
+    construction and 100× would just burn minutes proving it), and times
+    the one-time index build per scale so the amortization claim has a
+    number (VERDICT r6 #7)."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import functions as F
 
@@ -134,6 +159,7 @@ def main_incremental() -> None:
     from data_pipeline_team5_spark.session import get_spark
 
     build()
+    build_100x_docs()
     spark = get_spark(
         app_name="stress10x_inc",
         extra_conf={
@@ -142,23 +168,35 @@ def main_incremental() -> None:
     )
     docs_1x = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     docs_10x = spark.read.parquet(f"{STRESS_DIR}/documents.parquet")
+    docs_100x = spark.read.parquet(f"{STRESS100_DIR}/documents.parquet")
     # The batch is FIXED (the 1x fixture's doc_id % 3 == 0 third); corpora
     # use the complementary rule so batch ids never collide with corpus
-    # ids at either scale (replica re-keying preserves id mod 3 ranges'
-    # disjointness only through the shared % 3 filter, so apply it at both
-    # scales — corpus_10x is exactly 10x corpus_1x's row count in spirit).
+    # ids at any scale (replica re-keying preserves id mod 3 ranges'
+    # disjointness only through the shared % 3 filter, so apply it at all
+    # scales — corpus_Nx is exactly Nx corpus_1x's row count in spirit).
     batch = docs_1x.filter(F.col("doc_id") % 3 == 0).localCheckpoint()
     corpora = {
         "1x": docs_1x.filter(F.col("doc_id") % 3 != 0).localCheckpoint(),
         "10x": docs_10x.filter(F.col("doc_id") % 3 != 0).localCheckpoint(),
+        "100x": docs_100x.filter(F.col("doc_id") % 3 != 0).localCheckpoint(),
     }
     idx = {}
+    build_secs: dict[str, float | None] = {}
     for tag, corpus in corpora.items():
-        sig = f"{STRESS_DIR}/inc_idx_{tag}/sig"
-        key = f"{STRESS_DIR}/inc_idx_{tag}/key"
-        if not os.path.exists(f"{STRESS_DIR}/inc_idx_{tag}"):
+        root = f"{STRESS_DIR}/inc_idx_{tag}"
+        sig, key = f"{root}/sig", f"{root}/key"
+        # reuse is keyed on a .complete sentinel, not the directory: a
+        # crashed build leaves a partial index that a bare isdir check
+        # would silently reuse, corrupting the published numbers
+        # (ADVICE r6 #4)
+        if os.path.exists(f"{root}/.complete"):
+            build_secs[tag] = None  # cached — build cost not re-measured
+        else:
+            t0 = time.perf_counter()
             build_signature_index(corpus, sig)
             build_exact_key_index(corpus, key)
+            build_secs[tag] = time.perf_counter() - t0
+            open(f"{root}/.complete", "w").close()
         idx[tag] = (sig, key)
 
     def run(df):
@@ -170,9 +208,10 @@ def main_incremental() -> None:
         variants[("indexed", tag)] = lambda c=corpus, s=sig, k=key: run(
             curate_incremental_batch(batch, c, index_sig_path=s, key_index_path=k)
         )
-        variants[("recompute", tag)] = lambda c=corpus: run(
-            curate_incremental_batch(batch, c)
-        )
+        if tag != "100x":  # recompute contrast: corpus-linear, 1x/10x only
+            variants[("recompute", tag)] = lambda c=corpus: run(
+                curate_incremental_batch(batch, c)
+            )
     for fn in variants.values():  # warmup/codegen
         fn()
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
@@ -183,16 +222,30 @@ def main_incremental() -> None:
             fn()
             raw[k].append(time.perf_counter() - t0)
     n_b = batch.count()
-    n_1, n_10 = corpora["1x"].count(), corpora["10x"].count()
+    sizes = {t: c.count() for t, c in corpora.items()}
     print(
-        f"fixed batch = {n_b} docs; corpus 1x = {n_1}, 10x = {n_10} docs"
+        f"fixed batch = {n_b} docs; corpus sizes = "
+        + ", ".join(f"{t}: {n}" for t, n in sizes.items())
     )
-    print("| form | 1x corpus (s) | 10x corpus (s) | ratio at 10x corpus |")
-    print("|---|---|---|---|")
+    bline = ", ".join(
+        f"{t}: {s:.2f} s" if s is not None else f"{t}: cached"
+        for t, s in build_secs.items()
+    )
+    print(f"one-time index build (sig + key) — {bline}")
+    print("| form | " + " | ".join(f"{t} corpus (s)" for t in corpora)
+          + " | ratio at 100x (indexed) / 10x (recompute) |")
+    print("|---|" + "---|" * (len(corpora) + 1))
     for form in ("indexed", "recompute"):
-        a = min(raw[(form, "1x")])
-        b = min(raw[(form, "10x")])
-        print(f"| {form} | {a:.2f} | {b:.2f} | {b / a:.1f}× |")
+        cells, last_ratio = [], None
+        for tag in corpora:
+            if (form, tag) not in raw:
+                cells.append("—")
+                continue
+            v = min(raw[(form, tag)])
+            cells.append(f"{v:.2f}")
+            last_ratio = v / min(raw[(form, "1x")])
+        print(f"| {form} | " + " | ".join(cells)
+              + f" | {last_ratio:.1f}× |")
 
 
 def main() -> None:
