@@ -93,6 +93,62 @@ def shingles_sql(tok: str, n: int = 3) -> str:
     )
 
 
+def ngrams_expr(tokens: Column, n: int) -> Column:
+    """NON-distinct word n-grams (per-row, no shuffle) — the multiset the
+    repetition metrics count over, unlike :func:`shingles_expr` which
+    dedups per doc and falls back to whole-text for short docs. Docs
+    shorter than ``n`` tokens contribute an EMPTY array (a 1-token doc has
+    no bigram; a whole-text fallback would score it top_bigram_frac = 1.0
+    and flag it repetitive).
+    """
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + j) for j in range(n)]
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(tokens) >= n, gram).otherwise(empty)
+
+
+def ngrams_sql(tok: str, n: int) -> str:
+    """DuckDB mirror of :func:`ngrams_expr`."""
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    parts = parts.replace("t[i+0]", "t[i]")
+    return (
+        f"CASE WHEN len({tok}) >= {n} THEN "
+        f"list_transform(range(1, len({tok}) - {n - 2}), "
+        f"i -> {parts.replace('t[', f'({tok})[')}) "
+        f"ELSE [] END"
+    )
+
+
+def max_run_freq(arr: Column) -> Column:
+    """Highest element frequency in a string array, computed per-row as the
+    longest run in the sorted array (``array_sort`` + ``aggregate`` fold) —
+    an O(L log L) in-row pass instead of the textbook explode → groupBy(doc,
+    gram) → max, whose TWO shuffles move one row per gram instance (at
+    100 TB that is the corpus itself, several times over). 0 for empty.
+
+    The initial ``prev = ''`` is safe even though normalized token arrays
+    can contain ``''`` (empty text → ``['']``): the first element's run is
+    ``0 + 1 = 1`` whether or not it equals the initial ``prev``.
+    """
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["mx"], run).alias("mx"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("mx")
+    )
+    return F.aggregate(F.array_sort(arr), init, step, lambda a: a["mx"])
+
+
 def quality_exprs(tokens: Column) -> dict[str, Column]:
     """Quality-signal columns: token count, uniqueness, stopword ratio, and
     a fixed linear score. One arithmetic sequence, mirrored textually by

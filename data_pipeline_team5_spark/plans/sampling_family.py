@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.operators.sampling import (
+    BUCKETS,
     frac_to_buckets,
     hash_bucket,
     hash_bucket_sql,
@@ -80,6 +81,96 @@ def sample_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("split", "lang")
+    )
+
+
+# Target training-mixture weights per language (round 7): the domain
+# reweighting every multilingual training run applies (Pile/ROOTS-style
+# fixed mixture). Weights must sum to 1; languages absent from the map are
+# excluded from the sample.
+TARGET_MIX: dict[str, float] = {
+    "en": 0.5,
+    "de": 0.125,
+    "fr": 0.125,
+    "es": 0.125,
+    "zh": 0.125,
+}
+
+_MIX_VALUES = ", ".join(
+    f"('{lang}', CAST({w} AS DOUBLE))" for lang, w in sorted(TARGET_MIX.items())
+)
+
+
+@register(
+    "domain_mixture_sample",
+    oracle=f"""
+        WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_avail
+                   FROM documents GROUP BY lang),
+        w(lang, w) AS (VALUES {_MIX_VALUES}),
+        cw AS (SELECT c.lang, n_avail, w FROM c JOIN w USING (lang)),
+        t AS (SELECT MIN(CAST(n_avail AS DOUBLE) / w) AS cap FROM cw),
+        r AS (SELECT lang, n_avail, w,
+                     cap * w / CAST(n_avail AS DOUBLE) AS keep_rate
+              FROM cw, t)
+        SELECT d.lang,
+               ANY_VALUE(r.n_avail) AS n_avail,
+               ANY_VALUE(r.keep_rate) AS keep_rate,
+               CAST(COUNT(*) FILTER (WHERE {hash_bucket_sql('doc_id')}
+                    < r.keep_rate * {BUCKETS}) AS BIGINT) AS n_kept,
+               CAST(SUM(doc_id) FILTER (WHERE {hash_bucket_sql('doc_id')}
+                    < r.keep_rate * {BUCKETS}) AS BIGINT)
+                   AS kept_id_checksum
+        FROM documents d JOIN r USING (lang)
+        GROUP BY d.lang
+        ORDER BY d.lang
+    """,
+    doc="⊕ domain-mixture sampling: draw the LARGEST corpus subsample whose "
+    "language shares match a target mixture (Pile/ROOTS-style reweighting). "
+    "cap = min over languages of n_avail/weight is the classic waterline — "
+    "the bottleneck language keeps 100% and every other language is "
+    "down-sampled to target_share × cap docs. Membership derives from the "
+    "same md5-of-key buckets as sample_split_report, so the drawn set is "
+    "stable across reruns/repartitions/engines, and the per-lang checksum "
+    "proves the exact same documents were chosen. Spark shape for 100 TB: "
+    "the per-lang rate table is a ~100-row aggregate, broadcast back onto "
+    "the corpus scan — the big side never shuffles for the sampling "
+    "decision, only the tiny per-lang rollup exchanges. keep_rate is one "
+    "shared double expression (cap*w/n_avail, identical operation order in "
+    "both engines) so the bucket comparison is bitwise.",
+    tags=("sampling", "mixture", "reproducible"),
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    weights = F.create_map(
+        *[F.lit(x) for kv in sorted(TARGET_MIX.items()) for x in kv]
+    )
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_avail"))
+        .withColumn("w", weights[F.col("lang")])
+        .filter(F.col("w").isNotNull())
+    )
+    cap = counts.select(
+        (F.col("n_avail").cast("double") / F.col("w")).alias("per_lang_cap")
+    ).agg(F.min("per_lang_cap").alias("cap"))
+    rates = counts.crossJoin(F.broadcast(cap)).select(
+        "lang",
+        "n_avail",
+        (
+            F.col("cap") * F.col("w") / F.col("n_avail").cast("double")
+        ).alias("keep_rate"),
+    )
+    kept = hash_bucket("doc_id") < F.col("keep_rate") * F.lit(BUCKETS)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.any_value("n_avail").alias("n_avail"),
+            F.any_value("keep_rate").alias("keep_rate"),
+            F.coalesce(F.sum(kept.cast("long")), F.lit(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("doc_id"))).alias("kept_id_checksum"),
+        )
+        .orderBy("lang")
     )
 
 

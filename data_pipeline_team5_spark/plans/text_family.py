@@ -33,10 +33,14 @@ from data_pipeline_team5_spark.operators.textops import (
     fingerprint_md5_sql,
     lang_id_expr,
     lang_id_sql,
+    max_run_freq,
+    ngrams_expr,
+    ngrams_sql,
     quality_exprs,
     quality_sql,
     rolling_hash,
     rolling_hash_sql,
+    shingles_sql,
     tokens_expr,
 )
 from data_pipeline_team5_spark.plans.catalog import register, table
@@ -57,7 +61,18 @@ _S = sentiment_sql("t")
 @register(
     "text_doc_profile",
     oracle=f"""
-        {_TOKS}
+        {_TOKS},
+        g AS (SELECT doc_id, {ngrams_sql('t', 2)} AS g2,
+                     {ngrams_sql('t', 3)} AS g3
+              FROM toks),
+        top1 AS (SELECT doc_id, MAX(c) AS m1 FROM (
+                     SELECT doc_id, u.s, COUNT(*) AS c
+                     FROM toks, UNNEST(t) AS u(s) GROUP BY doc_id, u.s)
+                 GROUP BY doc_id),
+        top2 AS (SELECT doc_id, MAX(c) AS m2 FROM (
+                     SELECT doc_id, u.s, COUNT(*) AS c
+                     FROM g, UNNEST(g2) AS u(s) GROUP BY doc_id, u.s)
+                 GROUP BY doc_id)
         SELECT doc_id,
                CAST({_Q['n_tokens']} AS INT) AS n_tokens,
                {_Q['uniq_ratio']} AS uniq_ratio,
@@ -71,8 +86,17 @@ _S = sentiment_sql("t")
                {rolling_hash_sql('t')} AS fp_roll,
                CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
                    AS n_ws,
-               CAST({bpe_count_sql('text')} AS INT) AS n_bpe
+               CAST({bpe_count_sql('text')} AS INT) AS n_bpe,
+               CAST(m1 AS DOUBLE) / CAST(len(t) AS DOUBLE) AS top_tok_frac,
+               CAST(m2 AS DOUBLE) / CAST(NULLIF(len(g2), 0) AS DOUBLE)
+                   AS top_bigram_frac,
+               1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                     / CAST(NULLIF(len(g3), 0) AS DOUBLE)
+                   AS dup_trigram_frac
         FROM toks
+        JOIN g USING (doc_id)
+        JOIN top1 USING (doc_id)
+        LEFT JOIN top2 USING (doc_id)
         ORDER BY doc_id
     """,
     doc="⊕ the per-document text profile, ONE scan (round-4 consolidation "
@@ -81,9 +105,18 @@ _S = sentiment_sql("t")
     "uniqueness/stopword ratios, linear score), marker-stopword language "
     "ID vs the declared lang, lexicon sentiment counts and polarity, md5 + "
     "order-sensitive rolling-hash fingerprints, and whitespace-vs-BPE "
-    "token budgets. This is also the shape a real curation pipeline runs: "
+    "token budgets, and (round 7) Gopher-style repetition signals — "
+    "top-unigram/top-bigram frequency fractions and the duplicate-trigram "
+    "fraction, the standard repetitive-boilerplate filters for training "
+    "data. The repetition maxima come from a per-row array_sort + aggregate "
+    "fold (operators/textops.py:max_run_freq), NOT the textbook explode → "
+    "groupBy(doc, gram) → max whose two shuffles move one row per gram "
+    "INSTANCE — i.e. the whole corpus, several times over, at 100 TB; the "
+    "DuckDB oracle deliberately uses that explode/group form, so the "
+    "bitwise match also cross-checks the fold against an independent "
+    "algorithm. This is also the shape a real curation pipeline runs: "
     "every per-doc signal in a single shuffle-free codegen'd pass over the "
-    "corpus — five separate scans of 100 TB collapse into one. All "
+    "corpus — eight separate scans of 100 TB collapse into one. All "
     "expressions are shared constants with the DuckDB oracle "
     "(operators/textops.py).",
     headline=True,
@@ -98,12 +131,36 @@ _S = sentiment_sql("t")
 )
 def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    # Tokens projected once — inlining the normalize+split chain at every
-    # use site multiplies codegen compile time (see operators/dedup.py).
-    toked = docs.select("doc_id", "lang", "text", tokens_expr("text").alias("_t"))
+    # Tokens / gram arrays projected once — inlining the normalize+split
+    # chain at every use site multiplies codegen compile time (see
+    # operators/dedup.py).
+    base = docs.select(
+        "doc_id", "lang", "text", tokens_expr("text").alias("_t")
+    )
+    toked = base.select(
+        "*",
+        ngrams_expr(F.col("_t"), 2).alias("_g2"),
+        ngrams_expr(F.col("_t"), 3).alias("_g3"),
+    )
     q = quality_exprs(F.col("_t"))
     s = sentiment_exprs(F.col("_t"))
     n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("int")
+    n_g2 = F.size(F.col("_g2"))
+    n_g3 = F.size(F.col("_g3"))
+    top_tok = (
+        max_run_freq(F.col("_t")).cast("double")
+        / F.size(F.col("_t")).cast("double")
+    )
+    top_bigram = F.when(
+        n_g2 > 0,
+        max_run_freq(F.col("_g2")).cast("double") / n_g2.cast("double"),
+    )
+    dup_trigram = F.when(
+        n_g3 > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(F.col("_g3"))).cast("double")
+        / n_g3.cast("double"),
+    )
     return toked.select(
         "doc_id",
         q["n_tokens"].alias("n_tokens"),
@@ -119,6 +176,9 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling_hash(F.col("_t")).alias("fp_roll"),
         n_ws.alias("n_ws"),
         bpe_token_count("text").cast("int").alias("n_bpe"),
+        top_tok.alias("top_tok_frac"),
+        top_bigram.alias("top_bigram_frac"),
+        dup_trigram.alias("dup_trigram_frac"),
     )
     # No final global sort: the output is doc-grain (proportional to the
     # corpus), the driver's compare is order-insensitive, and the sort's
@@ -243,4 +303,73 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "stage", "n_docs")
         .select("stage", F.col("n_docs").cast("bigint").alias("n_docs"))
         .orderBy("stage")
+    )
+
+
+# Benchmark decontamination (round 7): the fixture has no separate eval
+# table, so the benchmark set is a deterministic slice of the corpus —
+# every 17th doc_id — which also keeps the oracle a pure documents-table
+# query. N=5 word-grams: the standard published range is 8-13-gram overlap
+# (GPT-3 App. C / PaLM); 5 matches this fixture's ~56-token docs the way
+# 13 matches web pages, and at N=3 the tiny fixture vocabulary flags 80%
+# of the corpus (measured) — boilerplate, not contamination.
+DECON_N = 5
+DECON_BENCH_MOD = 17
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+        {_TOKS},
+        sh AS (SELECT doc_id, {shingles_sql('t', DECON_N)} AS g FROM toks),
+        b AS (SELECT DISTINCT u.s FROM sh, UNNEST(g) AS u(s)
+              WHERE doc_id % {DECON_BENCH_MOD} = 0),
+        tr AS (SELECT doc_id, len(g) AS n_grams, u.s
+               FROM sh, UNNEST(g) AS u(s)
+               WHERE doc_id % {DECON_BENCH_MOD} <> 0)
+        SELECT doc_id,
+               CAST(n_grams AS INT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_overlap,
+               CAST(COUNT(*) AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                   AS overlap_frac
+        FROM tr JOIN b USING (s)
+        GROUP BY doc_id, n_grams
+        ORDER BY doc_id
+    """,
+    doc="⊕ train/eval decontamination — the n-gram-overlap check every "
+    "published LLM pipeline runs before training (docs sharing a 5-gram "
+    "with the benchmark set, with overlap counts and fraction-of-doc so "
+    "the caller can threshold). Spark-first shape for the 100 TB side: the "
+    "benchmark gram set is tiny (eval suites are MBs), so it is "
+    "distinct-ed and BROADCAST; the corpus side then never shuffles its "
+    "grams — the inner hash join runs map-side inside the scan stage and "
+    "only the per-doc overlap counts (partial-agg'd) hit the exchange. "
+    "Reuses the dedup family's carried-set-size shingle table "
+    "(operators/dedup.py:doc_shingles) so n_grams needs no second "
+    "tokenize pass.",
+    headline=True,
+    tags=("text", "curation", "decontamination"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.dedup import doc_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, "doc_id", "text", n=DECON_N)
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench_grams = sh.filter(is_bench).select("s").distinct()
+    train = sh.filter(~is_bench)
+    return (
+        train.join(F.broadcast(bench_grams), "s")
+        .groupBy("doc_id", "n")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_grams"),
+            F.col("n_overlap"),
+            (
+                F.col("n_overlap").cast("double")
+                / F.col("n").cast("double")
+            ).alias("overlap_frac"),
+        )
+        .orderBy("doc_id")
     )
