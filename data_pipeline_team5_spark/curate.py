@@ -4,9 +4,10 @@ crons the reference's KOFIC ingest). Subcommands mirror the deployed
 lifecycle (pipeline.py presets; invariants in tests/test_training_curation,
 tests/test_incremental_neardup, tests/test_curate_cli):
 
-  full         one-shot corpus curation (filter → exact dedup → guarded
-               near-dup components → hash-stable splits → BPE-budget
-               packing) — the backfill / first-build path
+  full         one-shot corpus curation (filter → optional benchmark
+               decontamination → exact dedup → guarded near-dup
+               components → hash-stable splits → BPE-budget packing) —
+               the backfill / first-build path
   init-corpus  seed the MAINTAINED retained-corpus root from a documents
                parquet, written as an idempotent ``batch_id`` partition
   build-index  materialize the retained corpus's MinHash signature table
@@ -88,6 +89,10 @@ def main(argv: list[str] | None = None) -> int:
     p_full.add_argument("--budget", type=int, default=2048)
     p_full.add_argument("--threshold", type=float, default=0.6)
     p_full.add_argument("--method", choices=["jaccard", "lsh"], default="jaccard")
+    p_full.add_argument("--benchmark", default=None,
+                        help="eval-benchmark documents parquet; when given, "
+                             "docs sharing any 5-gram with it are dropped "
+                             "before dedup (decontamination)")
 
     p_seed = sub.add_parser(
         "init-corpus", help="seed the maintained retained-corpus root"
@@ -119,6 +124,10 @@ def main(argv: list[str] | None = None) -> int:
                             "partition per day with globally-unique bins")
     p_inc.add_argument("--budget", type=int, default=2048)
     p_inc.add_argument("--threshold", type=float, default=0.6)
+    p_inc.add_argument("--benchmark", default=None,
+                        help="eval-benchmark documents parquet; the daily "
+                             "batch is decontaminated against it before "
+                             "dedup")
     p_inc.add_argument("--fold-batch-id", default=None,
                        help="after curating, fold the batch's SURVIVORS "
                             "into the signature index, key index, AND the "
@@ -127,12 +136,18 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name=f"curate_{args.cmd}")
+    bench_docs = (
+        spark.read.parquet(args.benchmark)
+        if getattr(args, "benchmark", None)
+        else None
+    )
     if args.cmd == "full":
         out = curate_training_data(
             spark.read.parquet(args.docs),
             token_budget=args.budget,
             neardup_threshold=args.threshold,
             neardup_method=args.method,
+            benchmark_docs=bench_docs,
         )
         out.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
@@ -173,6 +188,7 @@ def main(argv: list[str] | None = None) -> int:
             index_sig_path=args.sig,
             key_index_path=args.key,
             exclude_batch_id=fold,
+            benchmark_docs=bench_docs,
         )
         if fold is None:
             out.write.mode("overwrite").parquet(args.out)

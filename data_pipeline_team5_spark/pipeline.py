@@ -263,12 +263,17 @@ def curate_training_data(
     neardup_threshold: float = 0.6,
     neardup_method: str = "jaccard",
     n_docs: int | None = None,
+    benchmark_docs: DataFrame | None = None,
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
     composed from the engine's tested stages into ONE lazy plan:
 
     1. **filter** — language allowlist + quality floor + length band
        (the curation_funnel's exact constants, plans/text_family.py);
+       when ``benchmark_docs`` is given, also DECONTAMINATE: drop docs
+       sharing any 5-gram with the eval benchmark set (broadcast
+       anti-join, operators/dedup.py:contaminated_ids) — eval overlap
+       must never reach training bins;
     2. **exact dedup** — one survivor per normalized-prefix md5 key
        (dedup_exact_survivor's key);
     3. **near-dup removal** — guarded production Jaccard pairs →
@@ -320,6 +325,16 @@ def curate_training_data(
         & (q["quality"] >= _MIN_QUALITY)
         & F.col("n_chars").between(_LEN_LO, _LEN_HI)
     ).drop("_t")
+
+    # 1.5 decontaminate (after the filter: fewer docs to shingle)
+    if benchmark_docs is not None:
+        from data_pipeline_team5_spark.operators.dedup import (
+            contaminated_ids,
+        )
+
+        kept = kept.join(
+            contaminated_ids(kept, benchmark_docs), "doc_id", "left_anti"
+        )
 
     # 2. exact dedup (deterministic survivor: min doc_id per content key)
     uniq = dedup_exact(
@@ -381,6 +396,7 @@ def curate_incremental_batch(
     index_sig_path: str | None = None,
     key_index_path: str | None = None,
     exclude_batch_id: str | None = None,
+    benchmark_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Daily curation update: run the full curation contract for a NEW
     batch against the already-RETAINED corpus, touching the corpus only
@@ -419,6 +435,10 @@ def curate_incremental_batch(
     Invariants pinned in tests/test_training_curation.py: survivors pass
     every filter, no survivor exact- or near-matches the retained corpus
     or another survivor, and the run is deterministic.
+
+    ``benchmark_docs``: optional eval-benchmark documents; when given the
+    batch is decontaminated (any shared 5-gram → dropped) right after the
+    quality filter, same stage as :func:`curate_training_data`.
 
     ``exclude_batch_id``: for REPLAYING a day in the fold loop (crash
     recovery). The stored indexes accumulate one ``batch_id`` partition per
@@ -463,6 +483,17 @@ def curate_incremental_batch(
         & (q["quality"] >= _MIN_QUALITY)
         & F.col("n_chars").between(_LEN_LO, _LEN_HI)
     ).drop("_t")
+
+    # 1.5 decontaminate the batch against the eval benchmark (same stage
+    # as curate_training_data: broadcast anti-join, batch-sized work)
+    if benchmark_docs is not None:
+        from data_pipeline_team5_spark.operators.dedup import (
+            contaminated_ids,
+        )
+
+        kept = kept.join(
+            contaminated_ids(kept, benchmark_docs), "doc_id", "left_anti"
+        )
 
     # 2. exact dedup: within the batch, then anti-join the corpus's keys —
     # probed from the stored key table when available (O(batch) probe)

@@ -97,6 +97,64 @@ def test_domain_mixture_waterline(spark):
         assert abs(r["n_kept"] / total - TARGET_MIX[lang]) < 0.03, lang
 
 
+def test_curate_benchmark_decontaminates(spark):
+    """curate_training_data(benchmark_docs=...) drops every contaminated
+    doc (as defined by the contaminated_ids operator) from the
+    assignments — including the benchmark doc itself, which trivially
+    shares all its grams."""
+    from data_pipeline_team5_spark.operators.dedup import contaminated_ids
+    from data_pipeline_team5_spark.pipeline import curate_training_data
+    from data_pipeline_team5_spark.plans.catalog import table
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    base = curate_training_data(docs)
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    assert base_ids
+    d = min(base_ids)
+    benchmark = docs.filter(F.col("doc_id") == d)
+    bad = {
+        r["doc_id"]
+        for r in contaminated_ids(docs, benchmark).collect()
+    }
+    assert d in bad  # self-contamination
+    out = curate_training_data(docs, benchmark_docs=benchmark)
+    out_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert not out_ids & bad
+    assert d not in out_ids
+    # clean docs are untouched by the stage (survivor/component changes
+    # can only originate from dropped contaminated docs)
+    assert out_ids <= base_ids | bad
+    assert out_ids  # didn't nuke the corpus
+
+
+def test_cli_full_benchmark_flag(spark, tmp_path, capsys):
+    import json
+
+    from data_pipeline_team5_spark.curate import main
+    from data_pipeline_team5_spark.plans.catalog import table
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    docs_p = str(tmp_path / "docs.parquet")
+    bench_p = str(tmp_path / "bench.parquet")
+    docs.write.parquet(docs_p)
+    docs.limit(5).write.parquet(bench_p)
+
+    def run(argv):
+        assert main(argv) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    plain = run(["full", "--docs", docs_p,
+                 "--out", str(tmp_path / "a.parquet")])
+    decon = run(["full", "--docs", docs_p, "--benchmark", bench_p,
+                 "--out", str(tmp_path / "b.parquet")])
+    assert decon["status"] == "ok"
+    assert 0 < decon["kept"] < plain["kept"]
+
+
 def test_domain_mixture_membership_stable(spark):
     """Two runs draw the exact same documents (md5 buckets, not RNG)."""
     q = QUERIES["domain_mixture_sample"].fn
