@@ -257,6 +257,90 @@ def bench_neardup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_production_pairs(docs, method="lsh")
 
 
+def _curation_filter_stage(
+    docs: DataFrame,
+    benchmark_docs: DataFrame | None = None,
+    max_top_bigram_frac: float | None = None,
+    max_dup_trigram_frac: float | None = None,
+) -> DataFrame:
+    """Stage 1 of both curation presets, shared so the full and incremental
+    paths can never drift apart: language allowlist + quality floor +
+    length band (the curation_funnel's exact constants), then optionally
+
+    - **Gopher-style repetition caps** — drop docs whose top-bigram
+      frequency fraction or duplicate-trigram fraction exceeds the given
+      cap (the standard boilerplate/repetition filters; the per-doc
+      metrics are text_doc_profile's, computed with the same shuffle-free
+      array_sort+fold). Docs too short to HAVE bigrams/trigrams pass (a
+      NULL fraction is not evidence of repetition). Off (None) by default:
+      the caps are corpus-tuning knobs, not universal constants.
+    - **benchmark decontamination** — drop docs sharing any 5-gram with
+      the eval benchmark set (broadcast anti-join,
+      operators/dedup.py:contaminated_ids).
+    """
+    from data_pipeline_team5_spark.operators.textops import (
+        max_run_freq,
+        ngrams_expr,
+        quality_exprs,
+        tokens_expr,
+    )
+    from data_pipeline_team5_spark.plans.text_family import (
+        _KEEP_LANGS,
+        _LEN_HI,
+        _LEN_LO,
+        _MIN_QUALITY,
+    )
+
+    toked = docs.select(
+        "doc_id", "lang", "n_chars", "text", tokens_expr("text").alias("_t")
+    )
+    q = quality_exprs(F.col("_t"))
+    kept = toked.filter(
+        F.col("lang").isin(*_KEEP_LANGS)
+        & (q["quality"] >= _MIN_QUALITY)
+        & F.col("n_chars").between(_LEN_LO, _LEN_HI)
+    )
+    if max_top_bigram_frac is not None or max_dup_trigram_frac is not None:
+        grams = kept.select(
+            "*",
+            ngrams_expr(F.col("_t"), 2).alias("_g2"),
+            ngrams_expr(F.col("_t"), 3).alias("_g3"),
+        )
+        keep = F.lit(True)
+        if max_top_bigram_frac is not None:
+            n_g2 = F.size(F.col("_g2"))
+            frac2 = F.when(
+                n_g2 > 0,
+                max_run_freq(F.col("_g2")).cast("double")
+                / n_g2.cast("double"),
+            )
+            keep = keep & F.coalesce(
+                frac2 <= F.lit(max_top_bigram_frac), F.lit(True)
+            )
+        if max_dup_trigram_frac is not None:
+            n_g3 = F.size(F.col("_g3"))
+            frac3 = F.when(
+                n_g3 > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct(F.col("_g3"))).cast("double")
+                / n_g3.cast("double"),
+            )
+            keep = keep & F.coalesce(
+                frac3 <= F.lit(max_dup_trigram_frac), F.lit(True)
+            )
+        kept = grams.filter(keep).drop("_g2", "_g3")
+    kept = kept.drop("_t")
+    if benchmark_docs is not None:
+        from data_pipeline_team5_spark.operators.dedup import (
+            contaminated_ids,
+        )
+
+        kept = kept.join(
+            contaminated_ids(kept, benchmark_docs), "doc_id", "left_anti"
+        )
+    return kept
+
+
 def curate_training_data(
     docs: DataFrame,
     token_budget: int = 2048,
@@ -264,16 +348,21 @@ def curate_training_data(
     neardup_method: str = "jaccard",
     n_docs: int | None = None,
     benchmark_docs: DataFrame | None = None,
+    max_top_bigram_frac: float | None = None,
+    max_dup_trigram_frac: float | None = None,
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
     composed from the engine's tested stages into ONE lazy plan:
 
     1. **filter** — language allowlist + quality floor + length band
        (the curation_funnel's exact constants, plans/text_family.py);
-       when ``benchmark_docs`` is given, also DECONTAMINATE: drop docs
-       sharing any 5-gram with the eval benchmark set (broadcast
-       anti-join, operators/dedup.py:contaminated_ids) — eval overlap
-       must never reach training bins;
+       optionally Gopher-style repetition caps
+       (``max_top_bigram_frac`` / ``max_dup_trigram_frac``) and, when
+       ``benchmark_docs`` is given, DECONTAMINATION: drop docs sharing
+       any 5-gram with the eval benchmark set (broadcast anti-join,
+       operators/dedup.py:contaminated_ids) — eval overlap must never
+       reach training bins. All in :func:`_curation_filter_stage`, shared
+       with the incremental path;
     2. **exact dedup** — one survivor per normalized-prefix md5 key
        (dedup_exact_survivor's key);
     3. **near-dup removal** — guarded production Jaccard pairs →
@@ -303,38 +392,16 @@ def curate_training_data(
         pack_bins,
         split_assign,
     )
-    from data_pipeline_team5_spark.operators.textops import (
-        bpe_token_count,
-        quality_exprs,
-        tokens_expr,
-    )
-    from data_pipeline_team5_spark.plans.text_family import (
-        _KEEP_LANGS,
-        _LEN_HI,
-        _LEN_LO,
-        _MIN_QUALITY,
-    )
+    from data_pipeline_team5_spark.operators.textops import bpe_token_count
 
-    # 1. filter (single scan, shuffle-free)
-    toked = docs.select(
-        "doc_id", "lang", "n_chars", "text", tokens_expr("text").alias("_t")
+    # 1. filter (+ optional repetition caps / decontamination) — shared
+    # stage, single scan, shuffle-free (the anti-join probe is broadcast)
+    kept = _curation_filter_stage(
+        docs,
+        benchmark_docs=benchmark_docs,
+        max_top_bigram_frac=max_top_bigram_frac,
+        max_dup_trigram_frac=max_dup_trigram_frac,
     )
-    q = quality_exprs(F.col("_t"))
-    kept = toked.filter(
-        F.col("lang").isin(*_KEEP_LANGS)
-        & (q["quality"] >= _MIN_QUALITY)
-        & F.col("n_chars").between(_LEN_LO, _LEN_HI)
-    ).drop("_t")
-
-    # 1.5 decontaminate (after the filter: fewer docs to shingle)
-    if benchmark_docs is not None:
-        from data_pipeline_team5_spark.operators.dedup import (
-            contaminated_ids,
-        )
-
-        kept = kept.join(
-            contaminated_ids(kept, benchmark_docs), "doc_id", "left_anti"
-        )
 
     # 2. exact dedup (deterministic survivor: min doc_id per content key)
     uniq = dedup_exact(
@@ -397,6 +464,8 @@ def curate_incremental_batch(
     key_index_path: str | None = None,
     exclude_batch_id: str | None = None,
     benchmark_docs: DataFrame | None = None,
+    max_top_bigram_frac: float | None = None,
+    max_dup_trigram_frac: float | None = None,
 ) -> DataFrame:
     """Daily curation update: run the full curation contract for a NEW
     batch against the already-RETAINED corpus, touching the corpus only
@@ -460,40 +529,16 @@ def curate_incremental_batch(
         pack_bins,
         split_assign,
     )
-    from data_pipeline_team5_spark.operators.textops import (
-        bpe_token_count,
-        quality_exprs,
-        tokens_expr,
-    )
-    from data_pipeline_team5_spark.plans.text_family import (
-        _KEEP_LANGS,
-        _LEN_HI,
-        _LEN_LO,
-        _MIN_QUALITY,
-    )
+    from data_pipeline_team5_spark.operators.textops import bpe_token_count
 
-    # 1. filter the new batch (corpus is already curated — untouched)
-    toked = new_docs.select(
-        "doc_id", "lang", "n_chars", "text",
-        tokens_expr("text").alias("_t"),
+    # 1. filter the new batch (corpus is already curated — untouched);
+    # same shared stage as the full run, batch-sized work only
+    kept = _curation_filter_stage(
+        new_docs,
+        benchmark_docs=benchmark_docs,
+        max_top_bigram_frac=max_top_bigram_frac,
+        max_dup_trigram_frac=max_dup_trigram_frac,
     )
-    q = quality_exprs(F.col("_t"))
-    kept = toked.filter(
-        F.col("lang").isin(*_KEEP_LANGS)
-        & (q["quality"] >= _MIN_QUALITY)
-        & F.col("n_chars").between(_LEN_LO, _LEN_HI)
-    ).drop("_t")
-
-    # 1.5 decontaminate the batch against the eval benchmark (same stage
-    # as curate_training_data: broadcast anti-join, batch-sized work)
-    if benchmark_docs is not None:
-        from data_pipeline_team5_spark.operators.dedup import (
-            contaminated_ids,
-        )
-
-        kept = kept.join(
-            contaminated_ids(kept, benchmark_docs), "doc_id", "left_anti"
-        )
 
     # 2. exact dedup: within the batch, then anti-join the corpus's keys —
     # probed from the stored key table when available (O(batch) probe)

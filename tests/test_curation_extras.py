@@ -129,6 +129,37 @@ def test_curate_benchmark_decontaminates(spark):
     assert out_ids  # didn't nuke the corpus
 
 
+def test_curate_repetition_caps(spark):
+    """The Gopher-style caps drop exactly the docs whose profile metrics
+    exceed them, keep docs with NULL fractions (too short to have grams),
+    and default-off leaves the preset untouched."""
+    from data_pipeline_team5_spark.pipeline import curate_training_data
+    from data_pipeline_team5_spark.plans.catalog import table
+
+    CAP = 0.04
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    base_ids = {
+        r["doc_id"]
+        for r in curate_training_data(docs).select("doc_id").collect()
+    }
+    capped = curate_training_data(docs, max_top_bigram_frac=CAP)
+    capped_ids = {r["doc_id"] for r in capped.select("doc_id").collect()}
+    prof = {
+        r["doc_id"]: r["top_bigram_frac"]
+        for r in QUERIES["text_doc_profile"].fn(spark, SF_SMALL).collect()
+    }
+    # the fixture's bigram-frac distribution straddles the cap
+    over = {d for d in base_ids if prof[d] is not None and prof[d] > CAP}
+    assert over and capped_ids
+    assert not {d for d in capped_ids if prof[d] is not None} & over
+    # capping only removes docs (modulo dedup-survivor promotion within
+    # the filtered set, which can only promote docs that pass the cap)
+    for d in capped_ids:
+        assert prof[d] is None or prof[d] <= CAP
+
+
 def test_cli_full_benchmark_flag(spark, tmp_path, capsys):
     import json
 
