@@ -4,10 +4,13 @@ quality scoring, token statistics, fingerprints over ``documents``.
 The reference has no text operators (its documents are opaque VARCHARs,
 SURVEY.md §1.2); this family supplies what an LLM training-data pipeline
 needs at 100 TB. Every query is shuffle-free row-parallel map work except
-the corpus rollup (one hash agg on a low-cardinality key) — the cheapest
-possible shapes at scale. All are fully SQL-expressible, so each gets a
-bitwise DuckDB oracle (the Spark expressions and SQL fragments are built
-from the same constants in operators/textops.py).
+the corpus rollup (one hash agg on a low-cardinality key) and the
+round-7 decontamination query (whose corpus side is STILL map-side — the
+only broadcast is the tiny benchmark gram set, and only per-doc overlap
+counts reach an exchange) — the cheapest possible shapes at scale. All
+are fully SQL-expressible, so each gets a bitwise DuckDB oracle (the
+Spark expressions and SQL fragments are built from the same constants in
+operators/textops.py).
 
 Catalog shape (round-4 consolidation, VERDICT r2 #1): the five per-doc
 signal queries (quality, lang-ID, sentiment, fingerprints, token budgets)

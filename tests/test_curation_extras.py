@@ -63,6 +63,32 @@ def test_ngrams_expr_short_docs_empty(spark):
     assert rows[2]["g"] == ["a b", "b a", "a b"]  # non-distinct
 
 
+def test_decontaminate_plan_broadcasts_benchmark_side(spark):
+    """Structural scale pin (same spirit as the candidate-linearity pin in
+    test_incremental_neardup): the benchmark gram set is the BROADCAST
+    side and the corpus side's gram stream reaches the join with no
+    Exchange — a regression to a shuffle join would move the 100 TB
+    side's grams (i.e. the corpus itself) through the network."""
+    plan = (
+        QUERIES["decontaminate_ngram_overlap"]
+        .fn(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # Exchanges are allowed only above the join (per-doc counts, final
+    # sort) and inside the broadcast subtree (distinct-ing the tiny
+    # benchmark gram set) — never between the corpus-side Generate
+    # (gram explode) and the join.
+    corpus_side = plan.split("BroadcastHashJoin")[1].split(
+        "BroadcastExchange"
+    )[0]
+    assert "Generate explode" in corpus_side
+    assert "Exchange" not in corpus_side
+
+
 def test_decontaminate_invariants(spark):
     from data_pipeline_team5_spark.plans.text_family import DECON_BENCH_MOD
 
