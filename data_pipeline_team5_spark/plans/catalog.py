@@ -160,6 +160,7 @@ _TAIL = (
     # driver-green.
     "decontaminate_ngram_overlap",
     "domain_mixture_sample",
+    "split_leakage_audit",
 )
 
 

@@ -10,7 +10,7 @@ rollup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.operators.sampling import (
@@ -171,6 +171,116 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(kept, F.col("doc_id"))).alias("kept_id_checksum"),
         )
         .orderBy("lang")
+    )
+
+
+def _split_case_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`_split_expr` (sample_split_report's CASE,
+    parameterized on the key expression)."""
+    v = frac_to_buckets(VAL_FRAC)
+    t = v + frac_to_buckets(TEST_FRAC)
+    h = hash_bucket_sql(expr)
+    return (
+        f"CASE WHEN {h} < {v} THEN 'val' "
+        f"WHEN {h} < {t} THEN 'test' ELSE 'train' END"
+    )
+
+
+def _split_expr(c: Column) -> Column:
+    b = hash_bucket(c)
+    v = frac_to_buckets(VAL_FRAC)
+    t = v + frac_to_buckets(TEST_FRAC)
+    return F.when(b < v, "val").when(b < t, "test").otherwise("train")
+
+
+def _leakage_oracle() -> str:
+    # Import here, not at module top, purely for readability of the shared
+    # fragment's origin; dedup_family loads before this module in
+    # catalog._load_families, so registration order is unaffected.
+    from data_pipeline_team5_spark.plans.dedup_family import (
+        _SHINGLES,
+        JACCARD_T,
+    )
+
+    return f"""
+        {_SHINGLES},
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM shing a JOIN shing b
+              ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        jp AS (
+            SELECT doc_a, doc_b,
+                   CAST(inter AS DOUBLE)
+                       / CAST((sa.n + sb.n - inter) AS DOUBLE) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON pairs.doc_a = sa.doc_id
+            JOIN sizes sb ON pairs.doc_b = sb.doc_id
+            WHERE CAST(inter AS DOUBLE)
+                  / CAST((sa.n + sb.n - inter) AS DOUBLE) >= {JACCARD_T}
+        ),
+        sp AS (
+            SELECT jaccard,
+                   {_split_case_sql('doc_a')} AS split_a,
+                   {_split_case_sql('doc_b')} AS split_b
+            FROM jp
+        )
+        SELECT LEAST(split_a, split_b) AS split_lo,
+               GREATEST(split_a, split_b) AS split_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               MAX(jaccard) AS max_jaccard
+        FROM sp
+        WHERE split_a <> split_b
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
+@register(
+    "split_leakage_audit",
+    oracle=_leakage_oracle(),
+    doc="⊕ train/eval LEAKAGE audit: near-duplicate pairs (the dedup "
+    "family's exact ≥0.6 Jaccard set) that CROSS a train/val/test "
+    "boundary, rolled up per split pair with the worst similarity — the "
+    "number a data card must report, and the complement of "
+    "decontaminate_ngram_overlap (external benchmark) for the corpus's "
+    "OWN eval splits. Splits are computed as expressions on the pair "
+    "endpoints (the same md5-bucket CASE as sample_split_report) — no "
+    "join against a corpus-sized assignment table, so beyond the pair "
+    "generation itself the audit adds only a tiny rollup. Runs on the "
+    "post-dedup corpus in production (pairs surviving curation ARE the "
+    "leakage); here over raw documents so the oracle shares "
+    "dedup_family's exact pair CTE.",
+    tags=("sampling", "dedup", "audit", "leakage"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+    )
+    from data_pipeline_team5_spark.plans.dedup_family import JACCARD_T
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(doc_shingles(docs, "doc_id", "text"), JACCARD_T)
+    sp = pairs.select(
+        "jaccard",
+        _split_expr(F.col("doc_a")).alias("split_a"),
+        _split_expr(F.col("doc_b")).alias("split_b"),
+    )
+    return (
+        sp.filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+            "jaccard",
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("split_lo", "split_hi")
     )
 
 
