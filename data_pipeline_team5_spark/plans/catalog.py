@@ -148,11 +148,12 @@ _TAIL = (
     # — so the tail held ONLY the rows-only-by-design sketch/approx/
     # gated queries above, where a tail slot costs nothing.
     #
-    # Round 7 adds two oracle-backed queries with no same-grain in-window
-    # sibling to consolidate into (decontamination is a join at doc grain;
-    # the mixture sampler's waterline math has no slot in
-    # sample_split_report's split×lang grain). The window is full, so they
-    # take tail slots EXPLICITLY: the driver records rows-only, but the
+    # Round 7 adds three oracle-backed queries with no same-grain
+    # in-window sibling to consolidate into (decontamination is a join at
+    # doc grain; the mixture sampler's waterline math and the leakage
+    # audit's split-pair grain have no slot in sample_split_report's
+    # split×lang grain). The window is full, so they take tail slots
+    # EXPLICITLY: the driver records rows-only, but the
     # local mini-driver (tests/test_catalog_oracle.py, judge-rerun) checks
     # them against their DuckDB oracles exactly — rows + columns + bitwise
     # values — every CI run. The new repetition metrics, by contrast, DID
