@@ -155,6 +155,40 @@ def test_curate_benchmark_decontaminates(spark):
     assert out_ids  # didn't nuke the corpus
 
 
+def test_incremental_benchmark_decontaminates(spark):
+    """curate_incremental_batch(benchmark_docs=...) drops contaminated NEW
+    docs; the retained corpus is out of scope (already shipped)."""
+    from data_pipeline_team5_spark.operators.dedup import contaminated_ids
+    from data_pipeline_team5_spark.pipeline import curate_incremental_batch
+    from data_pipeline_team5_spark.plans.catalog import table
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    plain = {
+        r["doc_id"]
+        for r in curate_incremental_batch(new, corpus)
+        .select("doc_id")
+        .collect()
+    }
+    assert plain
+    d = min(plain)
+    benchmark = docs.filter(F.col("doc_id") == d)
+    bad = {r["doc_id"] for r in contaminated_ids(new, benchmark).collect()}
+    assert d in bad
+    out = {
+        r["doc_id"]
+        for r in curate_incremental_batch(
+            new, corpus, benchmark_docs=benchmark
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert not out & bad and d not in out and out
+
+
 def test_curate_repetition_caps(spark):
     """The Gopher-style caps drop exactly the docs whose profile metrics
     exceed them, keep docs with NULL fractions (too short to have grams),
