@@ -78,6 +78,56 @@ def split_assign(
     )
 
 
+def mixture_rates(
+    df: DataFrame, weights: dict[str, float], group_col: str = "lang"
+) -> DataFrame:
+    """Per-group keep rates for the LARGEST subsample matching a target
+    mixture (waterline: ``cap = min n_avail/weight``; the bottleneck group
+    keeps 100%, every other group down-samples to ``weight × cap`` docs).
+    Returns ``(group, n_avail, keep_rate)`` — a ~|groups|-row frame meant
+    to be broadcast back onto the corpus scan. Groups absent from
+    ``weights`` are excluded (rate row absent → inner join drops them).
+    """
+    w = F.create_map(
+        *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
+    )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_avail"))
+        .withColumn("w", w[F.col(group_col)])
+        .filter(F.col("w").isNotNull())
+    )
+    cap = counts.select(
+        (F.col("n_avail").cast("double") / F.col("w")).alias("per_cap")
+    ).agg(F.min("per_cap").alias("cap"))
+    return counts.crossJoin(F.broadcast(cap)).select(
+        group_col,
+        "n_avail",
+        (
+            F.col("cap") * F.col("w") / F.col("n_avail").cast("double")
+        ).alias("keep_rate"),
+    )
+
+
+def mixture_filter(
+    df: DataFrame,
+    weights: dict[str, float],
+    key: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Keep the deterministic (md5-bucket) subsample whose ``group_col``
+    shares match ``weights`` — :func:`mixture_rates` broadcast onto the
+    corpus; the big side never shuffles for the sampling decision. Rows
+    whose group is absent from ``weights`` are dropped."""
+    rates = mixture_rates(df, weights, group_col=group_col)
+    kept = hash_bucket(key) < F.col("keep_rate") * F.lit(BUCKETS)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(kept)
+        .drop("n_avail", "keep_rate")
+    )
+
+
 PACK_SHARD_DOCS = 128  # order-key range per shard; >1 shard even at sf0.001
 # Production shard size (ADVICE r4): shard_docs must SCALE WITH THE CORPUS.
 # The level-2 pass funnels #shards ≈ n_docs/shard_docs rows per partition

@@ -350,6 +350,7 @@ def curate_training_data(
     benchmark_docs: DataFrame | None = None,
     max_top_bigram_frac: float | None = None,
     max_dup_trigram_frac: float | None = None,
+    target_mix: dict[str, float] | None = None,
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
     composed from the engine's tested stages into ONE lazy plan:
@@ -367,6 +368,14 @@ def curate_training_data(
        (dedup_exact_survivor's key);
     3. **near-dup removal** — guarded production Jaccard pairs →
        connected components → keep each group's min-id representative;
+       then optionally ``target_mix``: waterline domain-mixture
+       reweighting over the DEDUPED survivors
+       (operators/sampling.py:mixture_filter) — after dedup so
+       duplicate-heavy languages aren't weighted by their own copies.
+       (The incremental path deliberately has no such knob: waterline
+       rates are corpus-global; computing them from one day's batch would
+       drift the mixture day to day. Reweight at training-set assembly,
+       or rerun the full path.);
     4. **split** — hash-stable train/val/test assignment (eval sets never
        move as the corpus grows);
     5. **pack** — two-level prefix-sum packing into ``token_budget`` bins
@@ -436,6 +445,17 @@ def curate_training_data(
         ),
         "doc_id",
     )
+
+    # 3.5 optional domain-mixture reweighting over the DEDUPED survivors
+    # (rates computed after dedup, or duplicate-heavy languages would be
+    # over-weighted by their own copies); the catalog's
+    # domain_mixture_sample is the reporting twin of this filter.
+    if target_mix is not None:
+        from data_pipeline_team5_spark.operators.sampling import (
+            mixture_filter,
+        )
+
+        survivors = mixture_filter(survivors, target_mix)
 
     # 4.-5. split + pack
     # BPE-ish pretoken count, NOT whitespace (VERDICT r5 #2): zh is in the

@@ -140,26 +140,10 @@ _MIX_VALUES = ", ".join(
     tags=("sampling", "mixture", "reproducible"),
 )
 def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.sampling import mixture_rates
+
     docs = table(spark, sf_dir, "documents")
-    weights = F.create_map(
-        *[F.lit(x) for kv in sorted(TARGET_MIX.items()) for x in kv]
-    )
-    counts = (
-        docs.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_avail"))
-        .withColumn("w", weights[F.col("lang")])
-        .filter(F.col("w").isNotNull())
-    )
-    cap = counts.select(
-        (F.col("n_avail").cast("double") / F.col("w")).alias("per_lang_cap")
-    ).agg(F.min("per_lang_cap").alias("cap"))
-    rates = counts.crossJoin(F.broadcast(cap)).select(
-        "lang",
-        "n_avail",
-        (
-            F.col("cap") * F.col("w") / F.col("n_avail").cast("double")
-        ).alias("keep_rate"),
-    )
+    rates = mixture_rates(docs, TARGET_MIX)
     kept = hash_bucket("doc_id") < F.col("keep_rate") * F.lit(BUCKETS)
     return (
         docs.join(F.broadcast(rates), "lang")

@@ -246,6 +246,34 @@ def test_cli_full_benchmark_flag(spark, tmp_path, capsys):
     assert 0 < decon["kept"] < plain["kept"]
 
 
+def test_curate_target_mix(spark):
+    """target_mix reweights the DEDUPED survivors: kept shares track the
+    weights, membership is a subset of the plain run's survivors, and the
+    bottleneck language is untouched."""
+    from data_pipeline_team5_spark.pipeline import curate_training_data
+    from data_pipeline_team5_spark.plans.catalog import table
+
+    MIX = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.2}  # zh excluded
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    plain = curate_training_data(docs).select("doc_id", "lang").collect()
+    plain_ids = {r["doc_id"] for r in plain}
+    mixed = curate_training_data(docs, target_mix=MIX).select(
+        "doc_id", "lang"
+    ).collect()
+    assert mixed
+    by_lang: dict[str, int] = {}
+    for r in mixed:
+        assert r["doc_id"] in plain_ids  # subset: mixture only removes
+        assert r["lang"] in MIX  # zh excluded entirely
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    total = sum(by_lang.values())
+    for lang, w in MIX.items():
+        # md5-bucket noise at a few hundred docs: 6 percentage points
+        assert abs(by_lang.get(lang, 0) / total - w) < 0.06, (lang, by_lang)
+
+
 def test_domain_mixture_membership_stable(spark):
     """Two runs draw the exact same documents (md5 buckets, not RNG)."""
     q = QUERIES["domain_mixture_sample"].fn
