@@ -162,6 +162,11 @@ _TAIL = (
     "decontaminate_ngram_overlap",
     "domain_mixture_sample",
     "split_leakage_audit",
+    # Round-7 tail growth, same trade: oracle-backed but exact-checked by
+    # the mini-driver only (no same-grain in-window sibling — tf-idf/LM is
+    # corpus-weighted doc grain, the histogram is (lang, bin) grain).
+    "tfidf_doc_scores",
+    "doc_length_histogram",
 )
 
 

@@ -4,10 +4,13 @@ quality scoring, token statistics, fingerprints over ``documents``.
 The reference has no text operators (its documents are opaque VARCHARs,
 SURVEY.md §1.2); this family supplies what an LLM training-data pipeline
 needs at 100 TB. Every query is shuffle-free row-parallel map work except
-the corpus rollup (one hash agg on a low-cardinality key) and the
-round-7 decontamination query (whose corpus side is STILL map-side — the
-only broadcast is the tiny benchmark gram set, and only per-doc overlap
-counts reach an exchange) — the cheapest possible shapes at scale. All
+the corpus rollup (one hash agg on a low-cardinality key), the round-7
+decontamination query (whose corpus side is STILL map-side — the only
+broadcast is the tiny benchmark gram set, and only per-doc overlap counts
+reach an exchange), and the round-7 tf-idf/LM scorer (the one query whose
+semantics genuinely need corpus-global statistics, so it pays one
+(doc,term) shuffle and one vocab-sized rollup — see its doc for why the
+term join still broadcasts) — the cheapest possible shapes at scale. All
 are fully SQL-expressible, so each gets a bitwise DuckDB oracle (the
 Spark expressions and SQL fragments are built from the same constants in
 operators/textops.py).
@@ -309,6 +312,135 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TF-IDF / unigram-LM doc scoring (round 7): corpus-weighted signals. Both
+# scores are deliberately RATIONAL (no ln/exp): JVM Math.log and DuckDB's
+# libm ln disagree in the last ulp on ~7% of inputs (measured over 3,481
+# small-int ratios), so a textbook log-idf could never hash-match an
+# oracle bitwise. (N+1)/(df+1) odds-idf preserves the df ordering log-idf
+# ranks by, and the LM score keeps its numerator an exact BIGINT sum so
+# the only double op is one final division (the engine decimal policy,
+# functions/scalars.py).
+TFIDF_LAPLACE = 1  # Laplace smoothing constant shared by idf and p(term)
+
+
+@register(
+    "tfidf_doc_scores",
+    oracle=f"""
+        {_TOKS},
+        tok AS (SELECT doc_id, u.s AS term FROM toks, UNNEST(t) AS u(s)),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf
+               FROM tok GROUP BY doc_id, term),
+        st AS (SELECT term, SUM(tf) AS cf, COUNT(*) AS df
+               FROM tf GROUP BY term),
+        tot AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                       SUM(cf) AS t_tokens, COUNT(*) AS v_terms
+                FROM st),
+        per AS (
+            SELECT doc_id,
+                   SUM(tf) AS n_tok,
+                   COUNT(*) AS n_terms,
+                   MIN(struct_pack(
+                       nt := -(CAST(tf AS DOUBLE)
+                               * CAST(n_docs + {TFIDF_LAPLACE} AS DOUBLE)
+                               / CAST(df + {TFIDF_LAPLACE} AS DOUBLE)),
+                       term := term)) AS top,
+                   SUM(tf * (cf + {TFIDF_LAPLACE})) AS ws,
+                   MIN(t_tokens) AS t_tokens,
+                   MIN(v_terms) AS v_terms
+            FROM tf JOIN st USING (term) CROSS JOIN tot
+            GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(n_terms AS BIGINT) AS n_terms,
+               top.term AS top_term,
+               -(top.nt) AS top_tfidf,
+               CAST(ws AS DOUBLE)
+                   / CAST(n_tok * (t_tokens + v_terms) AS DOUBLE)
+                   AS mean_token_p
+        FROM per
+    """,
+    doc="⊕ corpus-weighted per-document scores — the two classic "
+    "statistical text signals a curation pipeline derives from the corpus "
+    "itself rather than per-row: (1) the document's most distinctive term "
+    "by tf-idf (odds-form idf (N+1)/(df+1) — rational on purpose, see the "
+    "module comment: log-idf cannot hash-match DuckDB bitwise; ties break "
+    "to the lexicographically smallest term via min(struct) in BOTH "
+    "engines), and (2) a unigram-LM commonness score: the mean Laplace-"
+    "smoothed token probability Σtf·(cf+1) / (n_tok·(T+V)) — the numerator "
+    "is an exact BIGINT sum (associative, order-free across partitions; a "
+    "double Σ tf·p would be partition-order-dependent and could never "
+    "hash-match), one double division at the end. CCNet-style LM quality "
+    "filtering thresholds exactly this kind of score. 100 TB shape: "
+    "explode is map-side; tf is one (doc,term) shuffle with map-side "
+    "combine; term stats are a second, vocab-sized shuffle; the tf⋈stats "
+    "join is term-keyed — natural-language vocabularies are ~1e6-1e8 "
+    "rows ≈ MBs-GBs, so Catalyst/AQE broadcasts it (verified at fixture "
+    "SF), and head-term skew (\"the\" in every doc) never forms a skewed "
+    "shuffle partition; the per-doc rollup reuses tf's (doc,term) "
+    "partitioning for a cheap final agg. No global sort: the result is "
+    "corpus-grain and the driver compare is order-insensitive.",
+    tags=("text", "tfidf", "lm", "curation"),
+)
+def tfidf_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("term")
+    )
+    # localCheckpoint (the engine's multi-consumer idiom, cf. pipeline.py
+    # curated layer): tf feeds the scored probe side AND the term-stats
+    # rollup, and st feeds the join build side AND the totals row — without
+    # the two checkpoints Spark re-derives the scan→explode→(doc,term)
+    # shuffle subtree three times (verified in the formatted plan), i.e.
+    # three corpus passes at 100 TB instead of one.
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    st = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("cf"), F.count(F.lit(1)).alias("df"))
+        .localCheckpoint()
+    )
+    tot = st.agg(
+        F.sum("cf").alias("t_tokens"), F.count(F.lit(1)).alias("v_terms")
+    ).crossJoin(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    lap = F.lit(TFIDF_LAPLACE)
+    tfidf = (
+        F.col("tf").cast("double")
+        * (F.col("n_docs") + lap).cast("double")
+        / (F.col("df") + lap).cast("double")
+    )
+    per = (
+        tf.join(st, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.min(
+                F.struct((-tfidf).alias("nt"), F.col("term").alias("term"))
+            ).alias("top"),
+            F.sum(F.col("tf") * (F.col("cf") + lap)).alias("ws"),
+            F.min("t_tokens").alias("t_tokens"),
+            F.min("v_terms").alias("v_terms"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_tok").alias("n_tok"),
+        F.col("n_terms").alias("n_terms"),
+        F.col("top.term").alias("top_term"),
+        (-F.col("top.nt")).alias("top_tfidf"),
+        (
+            F.col("ws").cast("double")
+            / (F.col("n_tok") * (F.col("t_tokens") + F.col("v_terms"))).cast(
+                "double"
+            )
+        ).alias("mean_token_p"),
+    )
+
+
 # Benchmark decontamination (round 7): the fixture has no separate eval
 # table, so the benchmark set is a deterministic slice of the corpus —
 # every 17th doc_id — which also keeps the oracle a pure documents-table
@@ -375,4 +507,61 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_frac"),
         )
         .orderBy("doc_id")
+    )
+
+
+# Sequence-length histogram (round 7): fixed-width bins over the BPE-ish
+# token count. 16-token bins resolve this fixture's ~40-90-token docs into
+# ~6 bins per lang; a production run widens the bin to its budget grid.
+HIST_BIN_TOKENS = 16
+
+
+@register(
+    "doc_length_histogram",
+    oracle=f"""
+        SELECT lang,
+               CAST(({bpe_count_sql('text')} // {HIST_BIN_TOKENS})
+                    * {HIST_BIN_TOKENS} AS INT) AS bin_lo,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS DOUBLE)
+                   / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS DOUBLE)
+                   AS lang_share
+        FROM documents
+        GROUP BY lang, bin_lo
+        ORDER BY lang, bin_lo
+    """,
+    doc="⊕ the sequence-length histogram a packing/batching planner reads "
+    "before choosing its token budget: docs per (lang, 16-token BPE-count "
+    "bin) with each bin's share of its language. The grouped count is one "
+    "map-side-combined hash agg over a derived key (the binned "
+    "regexp_count — no token array is materialized, operators/textops.py: "
+    "bpe_token_count); the share's window sum runs over the ALREADY "
+    "AGGREGATED ~langs×bins-row result, so the exchange it adds moves a "
+    "few hundred rows, not the corpus — shares stay exact because the "
+    "window sums BIGINT counts and the one double division happens last. "
+    "The global sort orders the same tiny result (cf. text_corpus_stats).",
+    tags=("text", "histogram", "packing"),
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bin_lo = (
+        F.floor(bpe_token_count("text") / F.lit(HIST_BIN_TOKENS))
+        * F.lit(HIST_BIN_TOKENS)
+    ).cast("int")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang")
+    return (
+        docs.groupBy("lang", bin_lo.alias("bin_lo"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "lang",
+            "bin_lo",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(w).cast("double")
+            ).alias("lang_share"),
+        )
+        .orderBy("lang", "bin_lo")
     )
