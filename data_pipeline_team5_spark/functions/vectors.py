@@ -60,3 +60,24 @@ def norm_sql(a: str) -> str:
 
 def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
+
+
+def sqdist_expr(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance, same sequential-fold discipline as
+    :func:`dot_expr` — (x−y)² accumulated left-to-right in DOUBLE, so any
+    independent reimplementation that folds in order (the pure-Python
+    k-means mirror in tests/test_clustering.py) reproduces it bitwise."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: x.cast("double") - y.cast("double")
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip("
+        f"CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2]))),"
+        f" (acc, x) -> acc + x)"
+    )

@@ -377,3 +377,77 @@ def ivf_topk(
         )
     )
     return _rerank_topk(scored, k)
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared Euclidean) with
+    the centroids inlined as LITERALS — k is small (MLlib's KMeans makes
+    the same call: centroids are driver state broadcast per iteration), so
+    assignment is a pure shuffle-free projection inside the scan stage:
+    k sequential-fold distance columns, ``least`` for the minimum, and a
+    when-chain whose order breaks exact ties toward the smaller cluster id
+    (the pure-Python mirror in tests reproduces the same first-wins walk).
+    Adds ``cluster`` (int) and ``_sqd`` (double, distance to the winner).
+    """
+    from data_pipeline_team5_spark.functions.vectors import sqdist_expr
+
+    dcols = [
+        sqdist_expr(
+            F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
+        )
+        for c in centroids
+    ]
+    m = F.least(*dcols) if len(dcols) > 1 else dcols[0]
+    cl = F.when(dcols[0] == m, F.lit(0))
+    for i in range(1, len(dcols)):
+        cl = cl.when(dcols[i] == m, F.lit(i))
+    return vectors.select(
+        "*", cl.cast("int").alias("cluster"), m.alias("_sqd")
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means over an embedding column, deterministic end-to-end:
+
+    - init: the ``k`` vectors with the smallest ids (seedless — reruns and
+      independent reimplementations agree without sharing an RNG);
+    - assignment: :func:`kmeans_assign` (shuffle-free map projection);
+    - update: :func:`centroids_by` on the cluster column — per-dimension
+      means via floor-1e7 integer-quantized sums, so new centroids are
+      bit-identical regardless of partitioning/shuffle order (the property
+      every other deterministic claim here rests on);
+    - empty clusters keep their previous centroid (standard Lloyd's).
+
+    Driver involvement per iteration is ONE collect of k×dim doubles (the
+    new centroids) — identical to MLlib's iteration shape; the corpus is
+    never collected. Cost per iteration at 100 TB: one scan (assignment is
+    map-side) + one k×dim-key aggregate with map-side partial combine.
+    Returns (assignment DataFrame under the FINAL centroids, centroids).
+    """
+    init = (
+        vectors.orderBy(F.asc(id_col))
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    cents: list[list[float]] = [list(r[0]) for r in init]
+    for _ in range(iters):
+        assigned = kmeans_assign(vectors, cents, vec_col)
+        new = {
+            r["grp"]: list(r["centroid"])
+            for r in centroids_by(
+                assigned, "cluster", id_col=id_col, vec_col=vec_col
+            ).collect()
+        }
+        cents = [new.get(i, cents[i]) for i in range(k)]
+    return kmeans_assign(vectors, cents, vec_col), cents

@@ -174,3 +174,49 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "rank_k", F.col("rank_k").cast("int")
     ).orderBy("q_id", "rank_k")
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+@register(
+    "embedding_kmeans",
+    oracle=None,  # iterative (driver-looped Lloyd's) — not SQL-expressible;
+    # deterministic end-to-end, exactly mirrored by the pure-Python
+    # reimplementation in tests/test_clustering.py
+    doc="⊕ Lloyd's k-means over the embedding column (k=8, 3 iterations) — "
+    "the real IVF list-builder (knn_ivf's docstring defers to exactly "
+    "this) and the first step of semantic dedup / corpus topic "
+    "bucketing. Deterministic without an RNG: smallest-id seeding, "
+    "first-wins tie-break in the assignment when-chain, and centroid "
+    "updates through centroids_by's floor-1e7 integer-quantized sums so "
+    "every rerun and every partitioning produces bit-identical clusters "
+    "(a double mean would be shuffle-order-dependent). Per iteration at "
+    "100 TB: assignment is a shuffle-free map projection (centroids are "
+    "literals — k×dim doubles of driver state, the MLlib shape), the "
+    "update one k×dim-key agg with map-side combine; the corpus is never "
+    "collected and never reshuffled. Reported per cluster: size and "
+    "quantized-exact inertia (Σ floor(d²·1e7) as BIGINT, one final "
+    "division). The exact-parity + convergence properties are pinned in "
+    "tests/test_clustering.py.",
+    tags=("similarity", "clustering", "kmeans"),
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.similarity import kmeans_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum(
+                    F.floor(F.col("_sqd") * F.lit(1e7)).cast("long")
+                ).cast("double")
+                / F.lit(1e7)
+            ).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
