@@ -126,6 +126,53 @@ def build() -> None:
     open(f"{STRESS_DIR}/.complete", "w").close()
 
 
+STRESS_EMB_DIR = os.environ.get("STRESS_EMB_DIR", "/tmp/stress_10x_emb")
+
+
+def build_10x_embeddings() -> None:
+    """10×-replicated embeddings only, ``vec_id`` re-keyed per replica —
+    the k-means stress input. Embeddings stay AS_IS in the main stress dir
+    on purpose (they are the query/dim side of the knn_* and
+    embedding_cosine_neardup stress shapes, and re-keying them there would
+    silently misalign doc↔vec replicas); the clustering probe gets its own
+    dir because it reads ONLY this table."""
+    if os.path.exists(f"{STRESS_EMB_DIR}/.complete"):
+        return
+    os.makedirs(STRESS_EMB_DIR, exist_ok=True)
+    _replicate("embeddings", ["vec_id"], STRESS_EMB_DIR)
+    open(f"{STRESS_EMB_DIR}/.complete", "w").close()
+
+
+def main_embeddings() -> None:
+    """embedding_kmeans at 1× vs 10× vectors (same distribution — replicas
+    duplicate points, ids re-keyed so smallest-id init is unchanged)."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from data_pipeline_team5_spark.plans.catalog import QUERIES
+    from data_pipeline_team5_spark.session import get_spark
+
+    build_10x_embeddings()
+    spark = get_spark(app_name="stress10x_emb")
+    fn = QUERIES["embedding_kmeans"].fn
+
+    def run(d):
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+
+    run("/root/testdata/sf0.001")  # warmup
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    raw: dict[str, list[float]] = {"sf0.1": [], "10x": []}
+    for _ in range(passes):
+        for tag, d in (("sf0.1", SF_DIR), ("10x", STRESS_EMB_DIR)):
+            t0 = time.perf_counter()
+            run(d)
+            raw[tag].append(time.perf_counter() - t0)
+    a, b = min(raw["sf0.1"]), min(raw["10x"])
+    print("| query | sf0.1 (s) | 10×-vectors (s) | ratio at 10× data |")
+    print("|---|---|---|---|")
+    print(f"| embedding_kmeans | {a:.2f} | {b:.2f} | {b / a:.1f}× |")
+
+
 STRESS100_DIR = os.environ.get("STRESS100_DIR", "/tmp/stress_100x_docs")
 REPLICAS_100X = 100
 
@@ -297,5 +344,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--incremental" in sys.argv:
         main_incremental()
+    elif "--embeddings" in sys.argv:
+        main_embeddings()
     else:
         main()
