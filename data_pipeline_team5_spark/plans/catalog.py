@@ -167,6 +167,7 @@ _TAIL = (
     # corpus-weighted doc grain, the histogram is (lang, bin) grain).
     "tfidf_doc_scores",
     "doc_length_histogram",
+    "exact_substring_neardup",
     # rows-only by design: iterative driver-looped Lloyd's (no SQL form);
     # exact-parity vs a pure-Python mirror in tests/test_clustering.py.
     "embedding_kmeans",

@@ -369,3 +369,64 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("group_id"),
         (F.col("id") == F.col("component")).alias("is_survivor"),
     )  # doc-grain output: no final global sort
+
+
+# Exact-substring window dedup (round 7): W = 10 tokens ≈ the 50-char scale
+# published exact-substring dedup uses, sized to this fixture's ~56-token
+# docs the way 50 BPE tokens fit web pages.
+SUBSTR_W = 10
+
+_SHINGLES_W10 = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({norm_text_sql('text')}, ' ') AS t
+    FROM documents
+),
+shing AS (
+    SELECT doc_id, s
+    FROM toks, UNNEST({shingles_sql('t', SUBSTR_W)}) AS u(s)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id)
+"""
+
+
+@register(
+    "exact_substring_neardup",
+    oracle=f"""
+        {_SHINGLES_W10},
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_shared
+            FROM shing a JOIN shing b
+              ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_shared AS BIGINT) AS n_shared,
+               CAST(n_shared AS DOUBLE)
+                   / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+        FROM pairs
+        JOIN sizes sa ON pairs.doc_a = sa.doc_id
+        JOIN sizes sb ON pairs.doc_b = sb.doc_id
+        ORDER BY doc_a, doc_b
+    """,
+    doc="⊕ exact-substring near-dup pairs: docs sharing ≥1 exact 10-token "
+    "window, with shared-window count and Broder containment "
+    "inter/min(na,nb) — the window form of exact-substring training-data "
+    "dedup (Lee et al. 2022's published method, re-expressed relationally: "
+    "a shared run of ≥W tokens leaves ≥1 shared window, and containment "
+    "catches the short-doc-inside-long-doc case that DILUTES Jaccard "
+    "below any threshold — the one shape the rest of the dedup ladder is "
+    "blind to). Same inverted-index bucket-join scale shape as "
+    "ngram_jaccard_neardup, W=10 windows instead of 3-gram shingles — "
+    "longer windows mean rarer buckets, so the unguarded pair stream is "
+    "SMALLER than the 3-gram query's; production passes max_doc_freq to "
+    "drop boilerplate stop-windows (operators/dedup.py:"
+    "shared_window_pairs).",
+    tags=("dedup", "neardup", "substring"),
+)
+def exact_substring_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.dedup import shared_window_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, "doc_id", "text", n=SUBSTR_W)
+    return shared_window_pairs(sh, min_shared=1).orderBy("doc_a", "doc_b")

@@ -177,3 +177,45 @@ def test_production_preset_rejects_unknown_method(spark):
     docs = table(spark, SF_SMALL, "documents")
     with pytest.raises(ValueError, match="unknown near-dup method"):
         neardup_production_pairs(docs, method="bogus")
+
+
+def test_shared_window_guard_noop_at_fixture_scale_and_filters_when_forced(
+    spark,
+):
+    from data_pipeline_team5_spark.operators.dedup import shared_window_pairs
+    from data_pipeline_team5_spark.plans.dedup_family import SUBSTR_W
+
+    docs = table(spark, SF_SMALL, "documents")
+    sh = doc_shingles(docs, "doc_id", "text", n=SUBSTR_W)
+    guard = production_max_doc_freq(docs.count())
+    guarded = shared_window_pairs(sh, min_shared=1, max_doc_freq=guard)
+    unguarded = shared_window_pairs(sh, min_shared=1)
+    assert _pairs(guarded) == _pairs(unguarded)
+    assert len(_pairs(unguarded)) > 0  # the fixture really has matches
+    # forcing max_doc_freq=1 drops every window shared by 2+ docs — the
+    # guard path must then produce NO pairs (every pair needs a shared
+    # window, and every shared window has df >= 2)
+    forced = shared_window_pairs(sh, min_shared=1, max_doc_freq=1)
+    assert _pairs(forced) == set()
+
+
+def test_shared_window_containment_catches_jaccard_blind_containment(spark):
+    """A short doc fully contained in a long doc: Jaccard dilutes with the
+    long doc's size, but containment is 1.0 — the case the operator
+    exists for."""
+    from data_pipeline_team5_spark.operators.dedup import shared_window_pairs
+
+    short = " ".join(f"w{i}" for i in range(12))
+    long_ = short + " " + " ".join(f"x{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    sh = doc_shingles(df, "doc_id", "text", n=10)
+    rows = shared_window_pairs(sh, min_shared=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment == 1.0  # all 3 of the short doc's windows shared
+    # and the Jaccard twin really is blind here
+    jac = jaccard_pairs(sh, 0.6).collect()
+    assert jac == []
