@@ -422,6 +422,7 @@ sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id)
     "SMALLER than the 3-gram query's; production passes max_doc_freq to "
     "drop boilerplate stop-windows (operators/dedup.py:"
     "shared_window_pairs).",
+    headline=True,
     tags=("dedup", "neardup", "substring"),
 )
 def exact_substring_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -200,6 +200,7 @@ KMEANS_ITERS = 3
     "quantized-exact inertia (Σ floor(d²·1e7) as BIGINT, one final "
     "division). The exact-parity + convergence properties are pinned in "
     "tests/test_clustering.py.",
+    headline=True,
     tags=("similarity", "clustering", "kmeans"),
 )
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -379,6 +379,7 @@ TFIDF_LAPLACE = 1  # Laplace smoothing constant shared by idf and p(term)
     "shuffle partition; the per-doc rollup reuses tf's (doc,term) "
     "partitioning for a cheap final agg. No global sort: the result is "
     "corpus-grain and the driver compare is order-insensitive.",
+    headline=True,
     tags=("text", "tfidf", "lm", "curation"),
 )
 def tfidf_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
