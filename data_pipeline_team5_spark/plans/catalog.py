@@ -168,6 +168,7 @@ _TAIL = (
     "tfidf_doc_scores",
     "doc_length_histogram",
     "exact_substring_neardup",
+    "stream_neardup_ingest",
     # rows-only by design: iterative driver-looped Lloyd's (no SQL form);
     # exact-parity vs a pure-Python mirror in tests/test_clustering.py.
     "embedding_kmeans",

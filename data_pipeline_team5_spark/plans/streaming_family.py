@@ -231,3 +231,56 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = view_purchase_attribution(ev)
     out = drain_to_memory(joined, output_mode="append")
     return out.orderBy("user_id", "view_ts", "purchase_ts")
+
+
+@register(
+    "stream_neardup_ingest",
+    # Same exact oracle as neardup_incremental: a full drain emits the
+    # batch pair set restricted to pairs touching the new slice — within-
+    # batch pairs come from new-vs-new banding, cross-batch pairs from the
+    # per-batch index fold (streaming/jobs.py:neardup_ingest). A banding
+    # or fold bug flips the row red, not rows-only-green.
+    oracle=None,  # set below — imported from the dedup family to stay DRY
+    doc="⊕ continuous-ingest near-dup dedup: the new slice (doc_id % 3 = "
+    "0) arrives as a file-source stream, one micro-batch per file "
+    "(maxFilesPerTrigger=1); each foreachBatch probes the STORED MinHash "
+    "signature index, exact-verifies candidates only, appends its pairs, "
+    "and folds itself into the index + corpus roots — the curate CLI's "
+    "daily loop compressed to per-micro-batch cadence. Per-batch cost is "
+    "O(batch + candidates), independent of the accumulated corpus (the "
+    "probe is the same code path the 1.4×-at-100× SCALING.md row "
+    "measures). Bitwise ≡ the one-shot batch form is pinned in "
+    "tests/test_streaming.py.",
+    tags=("streaming", "dedup", "incremental"),
+)
+def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_team5_spark.operators.dedup import (
+        PRODUCTION_MAX_BUCKET,
+    )
+    from data_pipeline_team5_spark.plans.catalog import table
+    from data_pipeline_team5_spark.streaming.jobs import neardup_ingest
+
+    docs = table(spark, sf_dir, "documents")
+    out = neardup_ingest(
+        spark,
+        corpus=docs.filter(F.col("doc_id") % 3 != 0),
+        new_docs=docs.filter(F.col("doc_id") % 3 == 0),
+        max_bucket=PRODUCTION_MAX_BUCKET,
+    )
+    return out.drop("_batch").orderBy("doc_a", "doc_b")
+
+
+def _set_stream_neardup_oracle() -> None:
+    from data_pipeline_team5_spark.plans.catalog import QUERIES
+    from data_pipeline_team5_spark.plans.dedup_family import (
+        _jaccard_pairs_sql,
+    )
+
+    QUERIES["stream_neardup_ingest"].oracle = _jaccard_pairs_sql(
+        "AND (doc_a % 3 = 0 OR doc_b % 3 = 0)"
+    )
+
+
+_set_stream_neardup_oracle()

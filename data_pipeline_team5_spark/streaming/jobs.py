@@ -292,3 +292,113 @@ def view_purchase_attribution(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def neardup_ingest(
+    spark: SparkSession,
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.6,
+    arrival_files: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Continuous-ingest near-dup dedup: the STREAMING twin of the curate
+    CLI's daily loop (pipeline.py / curate.py), compressed from one fold
+    per day to one fold per micro-batch.
+
+    ``new_docs`` lands as ``arrival_files`` parquet files; a file-source
+    stream with ``maxFilesPerTrigger=1`` turns each file into its own
+    micro-batch (arrival order), and every ``foreachBatch``:
+
+    1. probes the STORED signature index for near-dup candidates and
+       verifies them with exact Jaccard over candidate docs only
+       (``pipeline.neardup_incremental_against_index`` — O(batch +
+       candidates), the corpus is never re-signed);
+    2. appends its pairs to the result root, keyed by ``_batch``;
+    3. folds ITSELF into the signature index and the maintained corpus
+       root (idempotent ``batch_id`` partitions), so later micro-batches
+       see earlier ones — cross-batch pairs are found when their second
+       endpoint arrives, exactly like the daily loop finds yesterday's
+       near-dups today.
+
+    Because every pair of new docs is either within one batch (step 1's
+    new-vs-new banding) or split across batches (step 3 makes the earlier
+    endpoint part of the index), a full drain emits EXACTLY the batch
+    pair set restricted to pairs touching ``new_docs`` — so this
+    streaming operator carries the same exact DuckDB oracle as
+    ``neardup_incremental`` (pinned bitwise against the batch form in
+    tests/test_streaming.py). All state lives in a per-invocation temp
+    root (index + corpus + checkpoint), torn down after the drained
+    result is localCheckpointed.
+
+    At 100 TB-ingest scale the temp root becomes the durable index/corpus
+    stores and the file source becomes the landing bucket; per-batch cost
+    is independent of the accumulated corpus (SCALING.md's 1.4×-at-100×
+    measurement applies unchanged — the probe is the same code path).
+    Returns pairs (doc_a, doc_b, jaccard, _batch).
+    """
+    import os
+
+    from data_pipeline_team5_spark.pipeline import (
+        append_corpus_batch,
+        build_signature_index,
+        neardup_incremental_against_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="neardup_ingest_")
+    sig, corpus_root = f"{root}/sig", f"{root}/corpus"
+    arrivals, results = f"{root}/arrivals", f"{root}/pairs"
+    try:
+        build_signature_index(corpus, sig, batch_id="base")
+        append_corpus_batch(
+            corpus.select("doc_id", "text"), corpus_root, "base"
+        )
+        new_docs.select("doc_id", "text").repartition(
+            arrival_files
+        ).write.mode("overwrite").parquet(arrivals)
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df = batch_df.localCheckpoint()  # probe + 2 folds read it
+            index_docs = spark.read.parquet(corpus_root).select(
+                "doc_id", "text"
+            )
+            pairs = neardup_incremental_against_index(
+                batch_df,
+                sig,
+                index_docs,
+                threshold=threshold,
+                max_bucket=max_bucket,
+            )
+            (
+                pairs.withColumn("_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch")
+                .parquet(results)
+            )
+            build_signature_index(batch_df, sig, batch_id=f"b{batch_id}")
+            append_corpus_batch(batch_df, corpus_root, f"b{batch_id}")
+
+        q = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(arrivals)
+            .writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        # Every batch without pairs writes nothing (dynamic overwrite of
+        # zero partitions), so an all-clean stream leaves no readable root.
+        if not os.path.isdir(results) or not any(
+            e.startswith("_batch=") for e in os.listdir(results)
+        ):
+            return spark.createDataFrame(
+                [], "doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE, _batch INT"
+            )
+        # localCheckpoint BEFORE the temp root is deleted — the returned
+        # DataFrame must not lazily re-read torn-down files.
+        return spark.read.parquet(results).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
