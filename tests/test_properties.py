@@ -252,3 +252,60 @@ def test_incremental_neardup_equals_full_run(spark, docs):
     }
     assert inc == {p for p in full if p[0] in new_ids or p[1] in new_ids}
     assert within | inc == full
+
+
+# Planted-run corpora for the exact-substring law: random filler words with
+# a shared W-token run planted in chosen doc pairs.
+_filler = st.integers(min_value=0, max_value=9999)
+_planted_strategy = st.lists(
+    st.tuples(
+        st.lists(_filler, min_size=0, max_size=30),  # prefix filler ids
+        st.lists(_filler, min_size=0, max_size=30),  # suffix filler ids
+        st.booleans(),  # carries the planted run?
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(docs=_planted_strategy, run_seed=st.integers(0, 3))
+@_SETTINGS
+def test_shared_window_pairs_finds_every_planted_run(spark, docs, run_seed):
+    """Law: any two docs sharing a contiguous run of >= W tokens form a
+    shared-window pair (the operator's recall contract — Lee et al.'s
+    exact-substring guarantee), whatever surrounds the run. Conversely a
+    doc without the planted run never pairs with one that has it unless
+    filler collides (filler ids are doc-unique here, so: never)."""
+    from data_pipeline_team5_spark.operators.dedup import (
+        doc_shingles,
+        shared_window_pairs,
+    )
+
+    W = 10
+    run = " ".join(f"run{run_seed}w{i}" for i in range(W))
+    rows = []
+    for i, (pre, suf, carries) in enumerate(docs):
+        # doc-unique filler (prefix d{i}) prevents accidental cross-doc
+        # windows through filler
+        words = [f"d{i}p{v}" for v in pre]
+        if carries:
+            words.append(run)
+        words += [f"d{i}s{v}" for v in suf]
+        # the no-words placeholder must be doc-unique too: doc_shingles'
+        # short-doc fallback emits the WHOLE text as one window, so two
+        # shared placeholders would legitimately pair
+        rows.append((i, " ".join(words) if words else f"d{i}empty"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = doc_shingles(df, "doc_id", "text", n=W)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in shared_window_pairs(sh, min_shared=1).collect()
+    }
+    carriers = [i for i, (_, _, c) in enumerate(docs) if c]
+    want = {
+        (a, b)
+        for a in carriers
+        for b in carriers
+        if a < b
+    }
+    assert got == want
