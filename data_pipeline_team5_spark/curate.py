@@ -18,6 +18,11 @@ tests/test_incremental_neardup, tests/test_curate_cli):
                O(batch + candidates) — and optionally fold the survivors
                back (``--fold-batch-id``), completing the daily loop in a
                single command
+  stream       the cron-free form of that loop: watch an arrivals
+               directory as a file-source stream (one micro-batch per
+               file, ``Trigger.AvailableNow``), run the curate+fold body
+               per micro-batch, and keep a DURABLE checkpoint so a rerun
+               processes only files that arrived since the last run
 
 The fold step grows all THREE stores together — signature index, key
 index, AND the retained-corpus root — because an index that knows docs the
@@ -133,6 +138,36 @@ def main(argv: list[str] | None = None) -> int:
                             "into the signature index, key index, AND the "
                             "--corpus root under this batch_id — the "
                             "complete daily loop in one command")
+
+    p_str = sub.add_parser(
+        "stream",
+        help="continuous loop: curate+fold each arrival file as its own "
+             "micro-batch",
+    )
+    p_str.add_argument("--arrivals", required=True,
+                       help="directory of parquet arrival files (must be "
+                            "non-empty so the stream schema can be "
+                            "inferred); each file becomes one micro-batch "
+                            "in arrival order")
+    p_str.add_argument("--corpus", required=True,
+                       help="MAINTAINED retained-corpus root (seed with "
+                            "init-corpus); every micro-batch folds its "
+                            "survivors in")
+    p_str.add_argument("--sig", required=True)
+    p_str.add_argument("--key", required=True)
+    p_str.add_argument("--out", required=True,
+                       help="maintained assignments root: one batch_id=sN "
+                            "partition per micro-batch, bins globally "
+                            "unique")
+    p_str.add_argument("--budget", type=int, default=2048)
+    p_str.add_argument("--threshold", type=float, default=0.6)
+    p_str.add_argument("--benchmark", default=None)
+    p_str.add_argument("--checkpoint", default=None,
+                       help="streaming checkpoint dir (default "
+                            "<out>_ckpt). PERSISTENT on purpose: a rerun "
+                            "processes only files that arrived since the "
+                            "last run — the cron-free form of the daily "
+                            "loop")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name=f"curate_{args.cmd}")
@@ -168,6 +203,71 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"status": "ok", "cmd": "build-index",
                           "sig": args.sig, "key": args.key,
                           "batch_id": args.batch_id}))
+    elif args.cmd == "stream":
+        # The per-micro-batch body is exactly the `incremental
+        # --fold-batch-id` daily loop with fold = "s{batch_id}"; Structured
+        # Streaming's durable checkpoint replaces the cron — a rerun picks
+        # up only unseen arrival files, and a batch that crashed mid-fold
+        # replays under ITS OWN batch id, converging through the same
+        # idempotent partition overwrites the daily loop relies on.
+        for path, what in ((args.corpus, "corpus"), (args.sig, "sig"),
+                           (args.key, "key"), (args.out, "out")):
+            _refuse_flat_root(path, what)
+        schema = spark.read.parquet(args.arrivals).schema
+        processed: list[str] = []
+
+        def process(batch_df, batch_id: int) -> None:
+            fold = f"s{batch_id}"
+            corpus = spark.read.parquet(args.corpus)
+            if "batch_id" in corpus.columns:
+                corpus = corpus.filter(F.col("batch_id") != fold)
+            out = curate_incremental_batch(
+                batch_df,
+                corpus,
+                token_budget=args.budget,
+                neardup_threshold=args.threshold,
+                index_sig_path=args.sig,
+                key_index_path=args.key,
+                exclude_batch_id=fold,
+                benchmark_docs=bench_docs,
+            )
+            off = next_bin_offset(spark, args.out, exclude_batch_id=fold)
+            (
+                out.withColumn("bin_id", F.col("bin_id") + F.lit(off))
+                .withColumn("batch_id", F.lit(fold))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(args.out)
+            )
+            kept = spark.read.parquet(args.out).filter(
+                F.col("batch_id") == fold
+            )
+            survivors = batch_df.join(kept.select("doc_id"), "doc_id")
+            build_signature_index(survivors, args.sig, batch_id=fold)
+            build_exact_key_index(survivors, args.key, batch_id=fold)
+            append_corpus_batch(survivors, args.corpus, fold)
+            processed.append(fold)
+
+        ckpt = args.checkpoint or (args.out.rstrip("/") + "_ckpt")
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(args.arrivals)
+            .writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        total = (
+            spark.read.parquet(args.out).count()
+            if os.path.isdir(args.out)
+            else 0
+        )
+        print(json.dumps({"status": "ok", "cmd": "stream",
+                          "batches": processed,
+                          "total_assignments": total, "out": args.out}))
     else:
         fold = args.fold_batch_id
         if fold is not None:

@@ -212,3 +212,66 @@ def test_fold_refuses_flat_root(spark, tmp_path, capsys):
     # without folding the same stores are fine (read-only probes)
     r = _run(capsys, _inc_argv(s, paths["day1"], "day1")[:-2])
     assert r["status"] == "ok" and r["folded"] is None
+
+
+def test_cli_stream_processes_arrivals_then_only_new_files(
+    spark, tmp_path, capsys
+):
+    """`curate stream`: (a) a non-empty arrivals dir drains as one
+    micro-batch per file, folding each into all three stores with
+    globally-unique bins; (b) a RERUN with no new arrivals processes
+    nothing (the durable checkpoint is the cron replacement); (c) adding
+    one file and rerunning processes exactly that file."""
+    docs, paths = _days(spark, tmp_path)
+    s = _store_args(tmp_path)
+    _run(capsys, ["init-corpus", "--docs", paths["day0"],
+                  "--corpus", s["corpus"]])
+    _run(capsys, ["build-index", "--docs", s["corpus"],
+                  "--sig", s["sig"], "--key", s["key"]])
+
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    for day in ("day1", "day2"):
+        df = spark.read.parquet(paths[day])
+        df.coalesce(1).write.parquet(str(tmp_path / f"stage_{day}"))
+        part = next(
+            p for p in (tmp_path / f"stage_{day}").iterdir()
+            if p.name.endswith(".parquet")
+        )
+        part.rename(arrivals / f"{day}.parquet")
+
+    argv = ["stream", "--arrivals", str(arrivals), "--corpus", s["corpus"],
+            "--sig", s["sig"], "--key", s["key"], "--out", s["out"]]
+    r = _run(capsys, argv)
+    assert len(r["batches"]) == 2 and r["total_assignments"] > 0
+    out = spark.read.parquet(s["out"])
+    folds = {r_.batch_id for r_ in out.select("batch_id").distinct().collect()}
+    assert folds == {"s0", "s1"}
+    # all three stores grew per micro-batch
+    for root in (s["corpus"], s["sig"], s["key"]):
+        for fold in ("s0", "s1"):
+            assert os.path.isdir(os.path.join(root, f"batch_id={fold}")), (
+                root, fold)
+    # bins globally unique across micro-batches
+    bins = out.select("batch_id", "bin_id").distinct()
+    assert bins.count() == bins.select("bin_id").distinct().count()
+
+    # rerun with nothing new: checkpoint skips everything
+    r2 = _run(capsys, argv)
+    assert r2["batches"] == []
+    assert r2["total_assignments"] == r["total_assignments"]
+
+    # a third file arrives: exactly one new micro-batch
+    df3 = spark.read.parquet(paths["day3"])
+    df3.coalesce(1).write.parquet(str(tmp_path / "stage_day3"))
+    part = next(
+        p for p in (tmp_path / "stage_day3").iterdir()
+        if p.name.endswith(".parquet")
+    )
+    part.rename(arrivals / "day3.parquet")
+    r3 = _run(capsys, argv)
+    assert len(r3["batches"]) == 1
+    out = spark.read.parquet(s["out"])
+    assert out.select("batch_id").distinct().count() == 3
+    bins = out.select("batch_id", "bin_id").distinct()
+    assert bins.count() == bins.select("bin_id").distinct().count()
