@@ -217,3 +217,25 @@ def pack_bins(
         )
         .drop("_shard", "_local_before", "_shard_off")
     )
+
+
+def flattened_weights(
+    counts: dict[str, int], alpha: float = 0.5
+) -> dict[str, float]:
+    """Temperature-flattened mixture weights from observed group counts:
+    ``w_g ∝ share_g**alpha``, normalized — the standard multilingual
+    sampling smoother (share^α with α<1 boosts low-resource groups;
+    α=1 reproduces the observed mixture exactly, α=0 is uniform).
+
+    Driver-side math over a ~|groups|-row dict (collect the counts with
+    one tiny agg); feed the result to :func:`mixture_rates` /
+    :func:`mixture_filter` — with α=1 every keep_rate is 1.0 (the
+    waterline cap equals every group's own size), a pinned invariant in
+    tests/test_curation_extras.py.
+    """
+    if not counts:
+        return {}
+    total = float(sum(counts.values()))
+    raw = {g: (n / total) ** alpha for g, n in counts.items()}
+    z = sum(raw.values())
+    return {g: v / z for g, v in raw.items()}

@@ -280,3 +280,50 @@ def test_domain_mixture_membership_stable(spark):
     a = {r["lang"]: r["kept_id_checksum"] for r in q(spark, SF_SMALL).collect()}
     b = {r["lang"]: r["kept_id_checksum"] for r in q(spark, SF_SMALL).collect()}
     assert a == b
+
+
+def test_flattened_weights_alpha_endpoints(spark):
+    """α=1 reproduces the observed mixture — every mixture_rates keep_rate
+    is exactly 1.0 (nothing is dropped to hit a mixture you already
+    have); α=0 is uniform — the waterline keeps the smallest group whole
+    and every group contributes the same EXPECTED doc count."""
+    from data_pipeline_team5_spark.operators.sampling import (
+        flattened_weights,
+        mixture_rates,
+    )
+    from data_pipeline_team5_spark.plans.catalog import table
+    from tests.conftest import SF_SMALL
+
+    docs = table(spark, SF_SMALL, "documents")
+    counts = {
+        r.lang: r.n for r in
+        docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    w1 = flattened_weights(counts, alpha=1.0)
+    assert abs(sum(w1.values()) - 1.0) < 1e-12
+    rates = {
+        r.lang: r.keep_rate
+        for r in mixture_rates(docs, w1).collect()
+    }
+    assert set(rates) == set(counts)
+    for g, rate in rates.items():
+        assert abs(rate - 1.0) < 1e-9, (g, rate)
+
+    w0 = flattened_weights(counts, alpha=0.0)
+    n_min = min(counts.values())
+    expect = {g: w0[g] * n_min * len(counts) for g in counts}
+    rates0 = {
+        r.lang: r.keep_rate for r in mixture_rates(docs, w0).collect()
+    }
+    for g in counts:
+        # uniform weights: every group's expected kept docs = cap/|groups|
+        # where the waterline cap is |groups| × n_min
+        assert abs(rates0[g] * counts[g] - expect[g]) < 1e-6
+
+    # α between the endpoints strictly orders shares toward uniform
+    wmid = flattened_weights(counts, alpha=0.5)
+    big = max(counts, key=counts.get)
+    small = min(counts, key=counts.get)
+    obs_big = counts[big] / sum(counts.values())
+    assert wmid[small] > w1[small] - 1e-12 and wmid[big] < obs_big + 1e-12
