@@ -441,6 +441,9 @@ def kmeans_fit(
         .collect()
     )
     cents: list[list[float]] = [list(r[0]) for r in init]
+    if not cents:
+        raise ValueError("kmeans_fit: no vectors to cluster")
+    k = len(cents)  # k > |vectors| degrades to one cluster per vector
     for _ in range(iters):
         assigned = kmeans_assign(vectors, cents, vec_col)
         new = {

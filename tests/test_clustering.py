@@ -137,3 +137,20 @@ def test_embedding_kmeans_catalog_query(spark):
     assert 0 < len(rows) <= 8
     assert sum(r["n_vecs"] for r in rows) == 500
     assert all(r["inertia"] >= 0.0 for r in rows)
+
+
+def test_kmeans_k_exceeding_corpus_degrades_gracefully(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [4.0, 4.0]), (2, [9.0, 9.0])],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, cents = kmeans_fit(df, k=8, iters=2)
+    assert len(cents) == 3  # one centroid per vector, not an IndexError
+    assert assigned.select("cluster").distinct().count() == 3
+    assert assigned.agg({"_sqd": "sum"}).collect()[0][0] == 0.0
+
+
+def test_kmeans_empty_input_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no vectors"):
+        kmeans_fit(df, k=4, iters=1)
