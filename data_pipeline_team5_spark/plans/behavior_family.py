@@ -1,0 +1,211 @@
+"""User-behavior analytics over the events stream: cohort retention and
+ordered funnel conversion — the two classic product-analytics queries a
+warehouse serving the reference's dashboard layer (README.md:160-220 lists
+the analytics surface; `dags/dbt_dags.py` materializes daily marts for it)
+would grow into next. Both are expressed as single declarative plans whose
+DuckDB oracles use an INDEPENDENT algorithm (chained first-match mins vs
+the Spark side's sorted-array greedy fold), so agreement checks the
+semantics, not a shared implementation.
+
+Scale notes (100 TB): both queries key every shuffle on ``user_id`` (or a
+(user_id, date) superset of it), the natural high-cardinality key — no
+skew beyond a power user's own event count, no global sort until the final
+small (cohort×offset / 4-row) result. The funnel's per-user sorted fold
+materializes one user's funnel-relevant events as an array; that is
+bounded by per-user activity, not corpus size, and the event-type filter
+is pushed into the scan before any shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.plans.catalog import register, table
+
+# Funnel stage order: acquisition → engagement → intent → conversion.
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+        WITH daily AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        coh AS (
+            SELECT user_id, d,
+                   MIN(d) OVER (PARTITION BY user_id) AS cohort_day
+            FROM daily
+        ),
+        ret AS (
+            SELECT cohort_day,
+                   CAST(datediff('day', cohort_day, d) AS INT) AS day_offset,
+                   COUNT(*) AS active_users
+            FROM coh GROUP BY 1, 2
+        )
+        SELECT cohort_day, day_offset, active_users,
+               MAX(CASE WHEN day_offset = 0 THEN active_users END)
+                   OVER (PARTITION BY cohort_day) AS cohort_size,
+               CAST(active_users AS DOUBLE)
+                   / MAX(CASE WHEN day_offset = 0 THEN active_users END)
+                         OVER (PARTITION BY cohort_day) AS retention
+        FROM ret
+        ORDER BY cohort_day, day_offset
+    """,
+    doc="⊕ daily-cohort retention triangle: users cohorted by first-active "
+    "date, distinct-active counts per (cohort, day offset), retention as "
+    "a share of the cohort's day-0 actives. Three shuffles, each keyed on "
+    "user_id or a superset — (user_id, date) distinct with map-side "
+    "partial agg, a per-user MIN window, then the tiny (cohort, offset) "
+    "agg; cohort_size rides a window over the already-small result "
+    "instead of a self-join. Retention is one long/long IEEE division, "
+    "bitwise equal to the oracle.",
+    headline=True,
+    tags=("behavior", "window", "events"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    daily = ev.distinct()
+    coh = daily.withColumn(
+        "cohort_day", F.min("d").over(Window.partitionBy("user_id"))
+    )
+    ret = coh.groupBy(
+        "cohort_day",
+        F.datediff(F.col("d"), F.col("cohort_day"))
+        .cast("int")
+        .alias("day_offset"),
+    ).agg(F.count("*").alias("active_users"))
+    wc = Window.partitionBy("cohort_day")
+    day0 = F.max(
+        F.when(F.col("day_offset") == 0, F.col("active_users"))
+    ).over(wc)
+    return ret.select(
+        "cohort_day",
+        "day_offset",
+        "active_users",
+        day0.alias("cohort_size"),
+        (F.col("active_users").cast("double") / day0).alias("retention"),
+    ).orderBy("cohort_day", "day_offset")
+
+
+def _funnel_oracle() -> str:
+    """Chained first-match mins: stage k's entry key is the MIN (ts,
+    event_id) of a stage-k event strictly after stage k-1's entry key.
+    Struct comparison is lexicographic in both engines, and event_id
+    breaks ts ties deterministically, so this is exactly the greedy walk
+    the Spark fold performs — derived independently."""
+    keys = []
+    prev = None
+    for i, st in enumerate(FUNNEL_STAGES):
+        name = f"s{i + 1}"
+        if prev is None:
+            keys.append(
+                f"{name} AS (SELECT user_id, "
+                f"MIN(struct_pack(ts := ts, id := event_id)) AS k "
+                f"FROM events WHERE event_type = '{st}' GROUP BY user_id)"
+            )
+        else:
+            keys.append(
+                f"{name} AS (SELECT e.user_id, "
+                f"MIN(struct_pack(ts := e.ts, id := e.event_id)) AS k "
+                f"FROM events e JOIN {prev} ON e.user_id = {prev}.user_id "
+                f"WHERE e.event_type = '{st}' "
+                f"AND struct_pack(ts := e.ts, id := e.event_id) > {prev}.k "
+                f"GROUP BY e.user_id)"
+            )
+        prev = name
+    counts = " UNION ALL ".join(
+        f"SELECT {i + 1} AS stage, '{st}' AS stage_name, "
+        f"(SELECT COUNT(*) FROM s{i + 1}) AS users"
+        for i, st in enumerate(FUNNEL_STAGES)
+    )
+    return f"""
+        WITH {", ".join(keys)},
+        c AS ({counts})
+        SELECT CAST(stage AS INT) AS stage, stage_name, users,
+               CAST(users AS DOUBLE)
+                   / (SELECT users FROM c WHERE stage = 1) AS pct_of_first,
+               CASE WHEN stage = 1 THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(users AS DOUBLE)
+                         / (SELECT users FROM c c2
+                            WHERE c2.stage = c.stage - 1)
+               END AS pct_of_prev
+        FROM c ORDER BY stage
+    """
+
+
+@register(
+    "event_funnel",
+    oracle=_funnel_oracle(),
+    doc="⊕ ordered funnel (signup → view → click → purchase): a user "
+    "reaches stage k iff a stage-k event exists strictly after their "
+    "stage-(k-1) entry event, ties on ts broken by event_id. ONE shuffle: "
+    "the stage filter is pushed into the scan, each user's surviving "
+    "events are collected and array_sort'ed (bounded by per-user "
+    "activity, not corpus size), and a sequential F.aggregate fold walks "
+    "the sorted array advancing the stage counter — the per-user funnel "
+    "in a single codegen'd projection, no joins, no window. The 4-row "
+    "result and its conversion ratios are exact long counts and IEEE "
+    "divisions; the oracle recomputes the same semantics with an "
+    "independent chained-min algorithm.",
+    headline=True,
+    tags=("behavior", "funnel", "events"),
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .filter(F.col("event_type").isin(*FUNNEL_STAGES))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+
+    def step(acc, e):
+        out = acc
+        # Walk stages in reverse so each WHEN sees the pre-update value.
+        for i in range(len(FUNNEL_STAGES) - 1, -1, -1):
+            out = F.when(
+                (acc == i) & (e.event_type == FUNNEL_STAGES[i]),
+                F.lit(i + 1),
+            ).otherwise(out)
+        return out
+
+    staged = per_user.select(
+        F.aggregate("evs", F.lit(0), step).alias("stage_reached")
+    )
+    one = staged.agg(
+        *[
+            F.sum(
+                (F.col("stage_reached") >= i + 1).cast("long")
+            ).alias(f"u{i + 1}")
+            for i in range(len(FUNNEL_STAGES))
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '{st}', u{i + 1}" for i, st in enumerate(FUNNEL_STAGES)
+    )
+    rows = one.selectExpr(
+        f"stack({len(FUNNEL_STAGES)}, {stack_args}) "
+        "AS (stage, stage_name, users)",
+        "u1",
+        *[f"u{i + 1} AS prev{i + 2}" for i in range(len(FUNNEL_STAGES) - 1)],
+    )
+    pct_prev = F.when(F.col("stage") == 1, F.lit(1.0))
+    for i in range(2, len(FUNNEL_STAGES) + 1):
+        pct_prev = pct_prev.when(
+            F.col("stage") == i,
+            F.col("users").cast("double") / F.col(f"prev{i}"),
+        )
+    return rows.select(
+        F.col("stage").cast("int").alias("stage"),
+        "stage_name",
+        "users",
+        (F.col("users").cast("double") / F.col("u1")).alias("pct_of_first"),
+        pct_prev.alias("pct_of_prev"),
+    ).orderBy("stage")

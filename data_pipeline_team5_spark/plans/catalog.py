@@ -172,6 +172,15 @@ _TAIL = (
     # rows-only by design: iterative driver-looped Lloyd's (no SQL form);
     # exact-parity vs a pure-Python mirror in tests/test_clustering.py.
     "embedding_kmeans",
+    # Round-7 second wave, same trade as above: the window is full, so the
+    # behavior-analytics pair and the label audit are oracle-backed TAIL
+    # entries (exact-checked every CI run by the local mini-driver);
+    # semantic_dedup is rows-only by design (k-means is iterative) with a
+    # pure-Python-mirror parity test in tests/test_semantic_dedup.py.
+    "cohort_retention",
+    "event_funnel",
+    "nearest_centroid_confusion",
+    "semantic_dedup",
 )
 
 
@@ -214,6 +223,8 @@ def _load_families() -> None:
         "ingest_family",
         "grouping_family",
         "sampling_family",
+        "behavior_family",
+        "quality_family",
     ):
         fq = f"data_pipeline_team5_spark.plans.{mod}"
         try:

@@ -1,0 +1,222 @@
+"""Embedding-space corpus quality: nearest-centroid label auditing and
+SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-
+efficient learning at web-scale through semantic deduplication") — the two
+embedding-side curation steps a 100 TB training-data pipeline runs after
+lexical dedup: find mislabeled/source-confused documents, then collapse
+semantically-redundant ones that share no surface text.
+
+Both build on the engine's deterministic vector kernel (functions/
+vectors.py sequential folds; operators/similarity.py floor-1e7 quantized
+centroid sums), so the label audit is bitwise-oracle-checkable even though
+it computes 64-dim float centroids, and semantic dedup is bitwise
+reproducible across reruns/partitionings despite being iterative.
+
+Scale notes (100 TB): centroids are a k×dim aggregate with map-side
+combine; assignment attaches all k centroids to each row as ONE broadcast
+array and folds over it in a codegen'd projection — no per-(vec, centroid)
+row explosion, no shuffle, no driver collect on the audit path. Semantic
+dedup blocks its pairwise cosine on the k-means cell exactly like
+embedding_cosine_neardup blocks on the IVF cell, inheriting the
+PRODUCTION_MAX_CELL sub-quantization guard against a skewed mega-cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.functions.vectors import sqdist_expr, sqdist_sql
+from data_pipeline_team5_spark.plans.catalog import register, table
+
+# Same quantization/mean discipline as operators/similarity.py:centroids_by.
+_CENT_SQL = """
+        cent AS (
+            SELECT label AS clabel, list(m ORDER BY pos) AS c
+            FROM (
+                SELECT label, pos,
+                       CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1e7)
+                                     AS BIGINT)) AS DOUBLE)
+                           / 1e7 / COUNT(x) AS m
+                FROM (
+                    SELECT label,
+                           generate_subscripts(embedding, 1) - 1 AS pos,
+                           unnest(embedding) AS x
+                    FROM embeddings
+                )
+                GROUP BY label, pos
+            )
+            GROUP BY label
+        )
+"""
+
+
+@register(
+    "nearest_centroid_confusion",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        {_CENT_SQL},
+        scored AS (
+            SELECT e.vec_id, e.label, cent.clabel,
+                   {sqdist_sql("e.v", "cent.c")} AS d
+            FROM e CROSS JOIN cent
+        ),
+        best AS (
+            SELECT vec_id, label, clabel,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, clabel) AS rn
+            FROM scored
+        )
+        SELECT CAST(label AS INT) AS label,
+               CAST(clabel AS INT) AS assigned_label,
+               COUNT(*) AS n_vecs,
+               CAST(COUNT(*) AS DOUBLE)
+                   / SUM(COUNT(*)) OVER (PARTITION BY CAST(label AS INT))
+                   AS label_share
+        FROM best WHERE rn = 1
+        GROUP BY label, clabel
+        ORDER BY label, assigned_label
+    """,
+    doc="⊕ label-noise audit: per-label floor-1e7-quantized mean centroids, "
+    "every vector re-assigned to its nearest centroid (sequential-fold "
+    "squared Euclidean, ties to the smaller label), confusion matrix "
+    "(label, assigned_label, n, share-of-label). Off-diagonal mass flags "
+    "mislabeled / source-confused documents before training. Plan shape: "
+    "one k×dim centroid agg, then the k centroids ride to every row as a "
+    "SINGLE broadcast array column and an F.aggregate fold computes the "
+    "argmin inside whole-stage codegen — no n×k row explosion, no "
+    "assignment shuffle, no collect; the only other Exchange is the tiny "
+    "(label, assigned) count. Bitwise oracle-checkable because the "
+    "centroid mean is integer-quantized (shuffle-order-free) and both "
+    "engines fold distances in the same IEEE order.",
+    headline=True,
+    tags=("quality", "embedding", "centroid"),
+)
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    exploded = emb.select("label", F.posexplode("v").alias("pos", "x"))
+    q = F.floor(F.col("x") * F.lit(1e7)).cast("long")
+    dim_means = exploded.groupBy("label", "pos").agg(
+        (F.sum(q).cast("double") / F.lit(1e7) / F.count("x")).alias("m")
+    )
+    cents = dim_means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.m,
+        ).alias("c")
+    )
+    cent_row = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("label").alias("l"), F.col("c")))
+        ).alias("cents")
+    )
+
+    init = F.struct(
+        F.lit(float("inf")).alias("best_d"), F.lit(-1).alias("best_l")
+    )
+
+    def fold(acc, s):
+        d = sqdist_expr(F.col("v"), s.c)
+        # strict < keeps the first (smallest-label) centroid on exact ties
+        return F.when(
+            d < acc.best_d,
+            F.struct(d.alias("best_d"), s.l.alias("best_l")),
+        ).otherwise(acc)
+
+    assigned = (
+        emb.crossJoin(F.broadcast(cent_row))
+        .select(
+            "label",
+            F.aggregate("cents", init, fold)["best_l"].alias(
+                "assigned_label"
+            ),
+        )
+    )
+    w = Window.partitionBy("label")
+    return (
+        assigned.groupBy("label", "assigned_label")
+        .agg(F.count("*").alias("n_vecs"))
+        .select(
+            "label",
+            "assigned_label",
+            "n_vecs",
+            (F.col("n_vecs").cast("double") / F.sum("n_vecs").over(w)).alias(
+                "label_share"
+            ),
+        )
+        .orderBy("label", "assigned_label")
+    )
+
+
+@register(
+    "semantic_dedup",
+    oracle=None,  # k-means is iterative (driver-looped) — not
+    # SQL-expressible; exact parity vs an independent pure-Python mirror
+    # plus structural invariants are pinned in tests/test_semantic_dedup.py
+    doc="⊕ SemDeDup: k-means the embedding space (embedding_kmeans's exact "
+    "deterministic fit, k=8 × 3 iters), then within each cluster collapse "
+    "cosine-≥-τ semantic duplicates — pairs via the same cell-blocked "
+    "self-join as embedding_cosine_neardup (cluster = the cell; hot cells "
+    "sub-quantized past PRODUCTION_MAX_CELL so no task ever materializes "
+    "a quadratic cell), groups via connected components, survivor = min "
+    "vec_id per group. Returns (vec_id, cluster, sem_group, keep). "
+    "Deterministic end-to-end: seedless k-means + exact cosine verify + "
+    "min-label components, so reruns are bit-identical — the property "
+    "test_semantic_dedup.py pins against a from-scratch Python mirror. "
+    "At 100 TB this is the standard SemDeDup recipe: clustering caps the "
+    "pairwise search to within-cell, components localCheckpoint the edge "
+    "list once, and nothing quadratic in the corpus exists anywhere.",
+    headline=True,
+    tags=("quality", "dedup", "embedding", "semantic"),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.components import (
+        connected_components,
+    )
+    from data_pipeline_team5_spark.operators.dedup import (
+        PRODUCTION_MAX_CELL,
+        cosine_cell_pairs,
+    )
+    from data_pipeline_team5_spark.operators.similarity import kmeans_fit
+    from data_pipeline_team5_spark.plans.dedup_family import COSINE_T
+    from data_pipeline_team5_spark.plans.similarity_family import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned, _ = kmeans_fit(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, vec_col="v"
+    )
+    cells = assigned.select(
+        F.col("cluster").alias("cell"), "vec_id", "v"
+    )
+    pairs = cosine_cell_pairs(
+        cells, COSINE_T, max_cell=PRODUCTION_MAX_CELL
+    )
+    groups = connected_components(
+        emb.select("vec_id"),
+        pairs.select(
+            F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+        ),
+        id_col="vec_id",
+    )
+    return (
+        assigned.select("vec_id", "cluster")
+        .join(groups, groups.id == F.col("vec_id"))
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("component").alias("sem_group"),
+            (F.col("vec_id") == F.col("component")).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

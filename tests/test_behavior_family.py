@@ -1,0 +1,137 @@
+"""Behavior-analytics family (plans/behavior_family.py): adversarial
+semantics checks the fixture oracle sweep can't provide.
+
+The funnel's contract — "stage k needs a stage-k event strictly after the
+stage-(k-1) ENTRY event, ties on ts broken by event_id" — has edge cases
+(pre-signup views, simultaneous events, skipped stages) that the random
+fixture may never produce, so a crafted micro-corpus pins each one against
+an independent pure-Python chained-min mirror. Cohort retention gets its
+structural invariants (day-0 == 1.0, monotone-dominated by cohort size).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from data_pipeline_team5_spark.plans.behavior_family import (
+    FUNNEL_STAGES,
+    cohort_retention,
+    event_funnel,
+)
+from tests.conftest import SF_SMALL
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+# (user_id, minute, event_id, event_type) — every edge case labeled.
+_CRAFTED = [
+    # A: clean full funnel → stage 4
+    (1, 0, 100, "signup"), (1, 1, 101, "view"),
+    (1, 2, 102, "click"), (1, 3, 103, "purchase"),
+    # B: view BEFORE signup only → stage 1 (pre-entry events don't count)
+    (2, 0, 200, "view"), (2, 1, 201, "signup"),
+    # C: signup and view at the SAME ts; view's event_id is smaller, so it
+    # sorts first and is consumed before the walk needs it → stage 1
+    (3, 0, 300, "view"), (3, 0, 301, "signup"),
+    # C': same ts but view's event_id is LARGER → counted → stage 2
+    (4, 0, 401, "signup"), (4, 0, 402, "view"),
+    # D: skipped stage (no view) → stage 1 despite later click+purchase
+    (5, 0, 500, "signup"), (5, 1, 501, "click"), (5, 2, 502, "purchase"),
+    # E: repeats are harmless → stage 3
+    (6, 0, 600, "signup"), (6, 1, 601, "view"),
+    (6, 2, 602, "view"), (6, 3, 603, "click"),
+    # F: non-funnel noise events are ignored → stage 2
+    (7, 0, 700, "error"), (7, 1, 701, "signup"),
+    (7, 2, 702, "error"), (7, 3, 703, "view"),
+    # G: never signs up → contributes to no stage
+    (8, 0, 800, "view"), (8, 1, 801, "purchase"),
+]
+
+
+def _py_funnel(events) -> dict[int, int]:
+    """Independent chained-min mirror: stage k's entry key is the minimal
+    (ts, event_id) of a stage-k event strictly greater than stage k-1's
+    entry key."""
+    users = sorted({e[0] for e in events})
+    reached = {}
+    for u in users:
+        mine = sorted(
+            (( _ts(m), eid), typ) for uu, m, eid, typ in events if uu == u
+        )
+        key = None
+        stage = 0
+        for want in FUNNEL_STAGES:
+            nxt = [k for k, typ in mine if typ == want and (key is None or k > key)]
+            if not nxt:
+                break
+            key = min(nxt)
+            stage += 1
+        reached[u] = stage
+    return reached
+
+
+def test_funnel_crafted_edge_cases(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # single-file parquet with timestamp[us], like the driver fixtures
+    # (catalog.table sniffs the footer, which needs a file not a dir)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(
+                [eid for _, _, eid, _ in _CRAFTED], pa.int64()
+            ),
+            "ts": pa.array(
+                [_ts(m) for _, m, _, _ in _CRAFTED],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array(
+                [u for u, _, _, _ in _CRAFTED], pa.int64()
+            ),
+            "event_type": pa.array([t for _, _, _, t in _CRAFTED]),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/events.parquet")
+    out = {
+        r["stage"]: r["users"]
+        for r in event_funnel(spark, str(tmp_path)).collect()
+    }
+    py = _py_funnel(_CRAFTED)
+    expect = {
+        k: sum(1 for s in py.values() if s >= k)
+        for k in range(1, len(FUNNEL_STAGES) + 1)
+    }
+    assert out == expect
+    # pin the labeled expectations explicitly, so a bug in the mirror
+    # can't silently agree with a bug in the engine
+    assert py == {1: 4, 2: 1, 3: 1, 4: 2, 5: 1, 6: 3, 7: 2, 8: 0}
+
+
+def test_funnel_fixture_sane(spark):
+    rows = event_funnel(spark, SF_SMALL).collect()
+    assert [r["stage"] for r in rows] == [1, 2, 3, 4]
+    users = [r["users"] for r in rows]
+    assert all(a >= b for a, b in zip(users, users[1:]))  # monotone funnel
+    assert rows[0]["pct_of_first"] == 1.0 and rows[0]["pct_of_prev"] == 1.0
+    for r in rows[1:]:
+        assert 0.0 <= r["pct_of_prev"] <= 1.0
+        assert 0.0 <= r["pct_of_first"] <= 1.0
+
+
+def test_cohort_retention_invariants(spark):
+    rows = cohort_retention(spark, SF_SMALL).collect()
+    assert rows, "fixture produced no cohorts"
+    day0 = {r["cohort_day"] for r in rows if r["day_offset"] == 0}
+    cohorts = {r["cohort_day"] for r in rows}
+    assert day0 == cohorts  # every cohort has its day-0 row
+    for r in rows:
+        if r["day_offset"] == 0:
+            assert r["retention"] == 1.0
+            assert r["active_users"] == r["cohort_size"]
+        assert r["active_users"] <= r["cohort_size"]
+        assert 0.0 < r["retention"] <= 1.0
+        assert r["day_offset"] >= 0
