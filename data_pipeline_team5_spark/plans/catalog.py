@@ -181,6 +181,11 @@ _TAIL = (
     "event_funnel",
     "nearest_centroid_confusion",
     "semantic_dedup",
+    # Round-7 third wave: the scrub family (PII redaction, line-level
+    # boilerplate dedup) — oracle-backed tail entries, exact-checked by
+    # the local mini-driver every CI run like the rest of the tail.
+    "pii_scrub",
+    "line_boilerplate_scrub",
 )
 
 
@@ -225,6 +230,7 @@ def _load_families() -> None:
         "sampling_family",
         "behavior_family",
         "quality_family",
+        "scrub_family",
     ):
         fq = f"data_pipeline_team5_spark.plans.{mod}"
         try:

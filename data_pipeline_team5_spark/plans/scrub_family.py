@@ -1,0 +1,167 @@
+"""Content-scrubbing family (north star ⊕): PII redaction and
+line-level boilerplate removal over ``documents`` — the rewrite stages a
+public web-scale curation recipe (CCNet, RefinedWeb, Dolma) runs before
+dedup. The reference ships raw VARCHARs (SURVEY.md §1.2); operators live
+in operators/scrub.py with their DuckDB mirrors.
+
+The fixture corpus is digit-free word soup, so the PII query first
+decorates each doc with synthetic PII as a deterministic function of
+(doc_id, lang) — same technique as multimodal's attach_bmp_blob — with
+the decoration mirrored bit-for-bit in the oracle. The line query needs
+no decoration: the corpus's planted near-duplicate docs share aligned
+8-token chunks naturally, so cross-document line frequency ≥ 2 exists in
+the fixtures at every SF.
+
+Both queries are oracle-backed TAIL entries (the driver's 50-row window
+is full — catalog.py:_TAIL); the local mini-driver exact-checks them
+against DuckDB every CI run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.functions.scalars import norm_text_sql
+from data_pipeline_team5_spark.operators.scrub import (
+    LINE_WIDTH,
+    decorate_pii,
+    decorate_pii_sql,
+    lines_sql,
+    pii_count_exprs,
+    pii_count_sql,
+    pii_residual_expr,
+    pii_residual_sql,
+    remove_boilerplate_lines,
+    scrub_pii,
+    scrub_pii_sql,
+)
+from data_pipeline_team5_spark.plans.catalog import register, table
+
+# Lines repeated in ≥ this many distinct docs are boilerplate. 2 is the
+# strictest cross-document setting (any sharing counts); production web
+# corpora typically raise it to single digits.
+MIN_DOCS = 2
+
+_C = pii_count_sql("dtext")
+_SCRUB = scrub_pii_sql("dtext")
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+        WITH deco AS (
+            SELECT doc_id,
+                   {decorate_pii_sql('doc_id', 'lang', 'text')} AS dtext
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST({_C['n_email']} AS INT) AS n_email,
+               CAST({_C['n_card']} AS INT) AS n_card,
+               CAST({_C['n_phone']} AS INT) AS n_phone,
+               CAST({_C['n_ip']} AS INT) AS n_ip,
+               CAST({_C['n_email']} + {_C['n_card']} + {_C['n_phone']}
+                    + {_C['n_ip']} AS INT) AS pii_total,
+               md5({_SCRUB}) AS clean_fp,
+               CAST({pii_residual_sql(f'({_SCRUB})')} AS INT) AS residual
+        FROM deco
+        ORDER BY doc_id
+    """,
+    doc="⊕ PII redaction: per-type match counts (email / payment card / "
+    "dashed phone / IPv4) and the md5 of the fully-redacted text, plus a "
+    "machine-checked `residual` column proving no pattern survives "
+    "redaction (0 for every row — asserted in tests/test_scrub.py). "
+    "Patterns are Java-regex ∩ RE2 so Spark and DuckDB match "
+    "identically; redaction is a chained regexp_replace projection. "
+    "Plan shape: pure map work, zero shuffles — at 100 TB this runs "
+    "inside the parquet scan stage under whole-stage codegen, like "
+    "every textops signal. Fixture docs carry no PII, so the query "
+    "decorates them deterministically first (see module doc).",
+    tags=("scrub", "pii", "text"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    deco = docs.select(
+        "doc_id",
+        decorate_pii("doc_id", "lang", "text").alias("dtext"),
+    )
+    counts = pii_count_exprs("dtext")
+    scrubbed = scrub_pii("dtext")
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return deco.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_card"].alias("n_card"),
+        counts["n_phone"].alias("n_phone"),
+        counts["n_ip"].alias("n_ip"),
+        total.alias("pii_total"),
+        F.md5(scrubbed).alias("clean_fp"),
+        pii_residual_expr(scrubbed).alias("residual"),
+    ).orderBy("doc_id")
+
+
+_LINES = lines_sql("t", LINE_WIDTH)
+
+
+@register(
+    "line_boilerplate_scrub",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split({norm_text_sql('text')}, ' ') AS t
+            FROM documents
+        ),
+        lines AS (
+            SELECT doc_id, u.i AS line_no, ls[u.i + 1] AS line
+            FROM (SELECT doc_id, {_LINES} AS ls FROM toks),
+                 UNNEST(range(0, len(ls))) AS u(i)
+        ),
+        boiler AS (
+            SELECT line FROM (
+                SELECT line, COUNT(DISTINCT doc_id) AS df
+                FROM lines GROUP BY line
+            ) WHERE df >= {MIN_DOCS}
+        ),
+        kept AS (
+            SELECT doc_id, line_no, line FROM lines
+            WHERE line NOT IN (SELECT line FROM boiler)
+        ),
+        reb AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   md5(array_to_string(list(line ORDER BY line_no),
+                                       chr(10))) AS clean_fp
+            FROM kept GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines
+                GROUP BY doc_id)
+        SELECT tot.doc_id,
+               CAST(n_lines AS INT) AS n_lines,
+               CAST(COALESCE(n_kept, 0) AS INT) AS n_kept,
+               CAST(n_lines - COALESCE(n_kept, 0) AS INT) AS n_dropped,
+               COALESCE(clean_fp, md5('')) AS clean_fp
+        FROM tot LEFT JOIN reb USING (doc_id)
+        ORDER BY doc_id
+    """,
+    doc="⊕ CCNet/RefinedWeb-style line-level dedup: chunk each document "
+    "into 8-token lines, count each line's DISTINCT-document frequency, "
+    "drop every line shared by ≥ 2 docs, and rebuild each doc from its "
+    "surviving lines in order (md5 of the newline-joined remainder). "
+    "Returns per-doc (n_lines, n_kept, n_dropped, clean_fp); the "
+    "fixtures' planted near-dup docs supply natural cross-document "
+    "repeats at every SF. Plan shape: ONE line-key shuffle with map-side "
+    "partial agg for the frequencies (within-doc repeats collapsed by a "
+    "per-doc distinct first); the boilerplate set — bounded by repeated "
+    "header/footer vocabulary, not corpus size — broadcasts into a "
+    "left-anti join, so the corpus is never shuffled a second time; one "
+    "doc_id agg rebuilds the text. That is the minimal shape for "
+    "cross-document line frequency at 100 TB.",
+    headline=True,
+    tags=("scrub", "dedup", "text"),
+)
+def line_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return remove_boilerplate_lines(
+        docs, text_col="text", min_docs=MIN_DOCS, width=LINE_WIDTH
+    ).orderBy("doc_id")

@@ -1,0 +1,114 @@
+"""Semantic tests for operators/scrub.py: PII redaction actually removes
+every planted pattern (and nothing else), and line-level boilerplate
+removal drops exactly the cross-document lines while preserving each
+survivor's order. Cross-engine bitwise parity of the two catalog queries
+is covered by the mini-driver (tests/test_catalog_oracle.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.operators.scrub import (
+    decorate_pii,
+    pii_count_exprs,
+    pii_residual_expr,
+    remove_boilerplate_lines,
+    scrub_pii,
+)
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_scrub_redacts_known_text_exactly(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "write to bob.smith+x@mail.example.com or call "
+                "010-1234-5678 from 192.168.0.1 card 4111-1111-1111-0042 ok"
+            ),
+            ("no pii here at all"),
+        ],
+        "string",
+    ).toDF("text")
+    out = df.select(
+        scrub_pii("text").alias("clean"),
+        pii_residual_expr(scrub_pii("text")).alias("residual"),
+    ).collect()
+    assert out[0].clean == (
+        "write to <EMAIL> or call <PHONE> from <IP> card <CARD> ok"
+    )
+    assert out[1].clean == "no pii here at all"
+    assert all(r.residual == 0 for r in out)
+
+
+def test_pii_counts_follow_injection_rule(spark):
+    """The decorated fixture corpus must count exactly what decorate_pii
+    planted: emails on doc_id%3 (0→1, 1→2, 2→0), phones on doc_id%4<2,
+    IPs on %5==0, cards on %7==0 — i.e. the patterns neither miss a
+    planted instance nor double-match across types."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    deco = docs.select(
+        "doc_id", decorate_pii("doc_id", "lang", "text").alias("t")
+    )
+    c = pii_count_exprs("t")
+    rows = deco.select(
+        "doc_id", c["n_email"].alias("e"), c["n_card"].alias("c"),
+        c["n_phone"].alias("p"), c["n_ip"].alias("i"),
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.e == {0: 1, 1: 2, 2: 0}[r.doc_id % 3], r
+        assert r.p == (1 if r.doc_id % 4 < 2 else 0), r
+        assert r.i == (1 if r.doc_id % 5 == 0 else 0), r
+        assert r.c == (1 if r.doc_id % 7 == 0 else 0), r
+
+
+def test_remove_boilerplate_lines_handcrafted(spark):
+    # width=2 lines; "shared line" appears in all three docs (one of them
+    # twice) → boilerplate at min_docs=2; everything else is unique.
+    docs = spark.createDataFrame(
+        [
+            (1, "shared line alpha beta"),
+            (2, "gamma delta shared line epsilon zeta"),
+            (3, "shared line shared line"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            docs, min_docs=2, width=2
+        ).collect()
+    }
+    assert (out[1].n_lines, out[1].n_kept, out[1].n_dropped) == (2, 1, 1)
+    assert out[1].clean_fp == _md5("alpha beta")
+    assert (out[2].n_lines, out[2].n_kept, out[2].n_dropped) == (3, 2, 1)
+    assert out[2].clean_fp == _md5("gamma delta\nepsilon zeta")
+    # every line of doc 3 was boilerplate — the doc keeps a row
+    assert (out[3].n_lines, out[3].n_kept, out[3].n_dropped) == (2, 0, 2)
+    assert out[3].clean_fp == _md5("")
+
+
+def test_remove_boilerplate_keeps_survivor_order(spark):
+    # within-doc repeats alone (df counts DISTINCT docs) are NOT
+    # boilerplate; survivors rebuild in original line order.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d a b e f"),
+            (2, "x y z w"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            docs, min_docs=2, width=2
+        ).collect()
+    }
+    assert out[1].n_dropped == 0
+    assert out[1].clean_fp == _md5("a b\nc d\na b\ne f")
+    assert out[2].clean_fp == _md5("x y\nz w")
