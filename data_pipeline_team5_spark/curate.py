@@ -98,6 +98,14 @@ def main(argv: list[str] | None = None) -> int:
                         help="eval-benchmark documents parquet; when given, "
                              "docs sharing any 5-gram with it are dropped "
                              "before dedup (decontamination)")
+    p_full.add_argument("--scrub-pii", action="store_true",
+                        help="redact emails/cards/phones/IPv4s in text "
+                             "before any curation signal (operators/"
+                             "scrub.py). Full-run only by design: in the "
+                             "daily loop, scrub at INGEST (before "
+                             "init-corpus / the batch) so the retained "
+                             "corpus, its indexes, and each batch probe "
+                             "with the same text")
 
     p_seed = sub.add_parser(
         "init-corpus", help="seed the maintained retained-corpus root"
@@ -183,6 +191,7 @@ def main(argv: list[str] | None = None) -> int:
             neardup_threshold=args.threshold,
             neardup_method=args.method,
             benchmark_docs=bench_docs,
+            scrub_pii=args.scrub_pii,
         )
         out.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()

@@ -262,9 +262,15 @@ def _curation_filter_stage(
     benchmark_docs: DataFrame | None = None,
     max_top_bigram_frac: float | None = None,
     max_dup_trigram_frac: float | None = None,
+    scrub_pii: bool = False,
 ) -> DataFrame:
     """Stage 1 of both curation presets, shared so the full and incremental
-    paths can never drift apart: language allowlist + quality floor +
+    paths can never drift apart: optional PII redaction (``scrub_pii`` —
+    the ``text`` column is rewritten with operators/scrub.py's chained
+    regexp_replace and ``n_chars`` recomputed, BEFORE any signal is
+    derived, so quality metrics, dedup keys, and token budgets all see the
+    scrubbed text consistently; pure map work, no extra shuffle), then
+    language allowlist + quality floor +
     length band (the curation_funnel's exact constants), then optionally
 
     - **Gopher-style repetition caps** — drop docs whose top-bigram
@@ -291,6 +297,12 @@ def _curation_filter_stage(
         _MIN_QUALITY,
     )
 
+    if scrub_pii:
+        from data_pipeline_team5_spark.operators import scrub
+
+        docs = docs.withColumn(
+            "text", scrub.scrub_pii("text")
+        ).withColumn("n_chars", F.length("text"))
     toked = docs.select(
         "doc_id", "lang", "n_chars", "text", tokens_expr("text").alias("_t")
     )
@@ -351,10 +363,20 @@ def curate_training_data(
     max_top_bigram_frac: float | None = None,
     max_dup_trigram_frac: float | None = None,
     target_mix: dict[str, float] | None = None,
+    scrub_pii: bool = False,
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
     composed from the engine's tested stages into ONE lazy plan:
 
+    0. optionally **PII scrub** (``scrub_pii=True``) — redact emails /
+       cards / phones / IPv4s in ``text`` before ANY downstream signal
+       (operators/scrub.py; zero-shuffle map work folded into the same
+       scan). The incremental path has deliberately NO such knob: in a
+       daily loop scrubbing must happen at INGEST, before the retained
+       corpus and its indexes are built — scrubbing only the new batch
+       would change its exact-dedup keys and shingles relative to an
+       unscrubbed corpus and near-dups of retained docs would slip
+       through.
     1. **filter** — language allowlist + quality floor + length band
        (the curation_funnel's exact constants, plans/text_family.py);
        optionally Gopher-style repetition caps
@@ -410,6 +432,7 @@ def curate_training_data(
         benchmark_docs=benchmark_docs,
         max_top_bigram_frac=max_top_bigram_frac,
         max_dup_trigram_frac=max_dup_trigram_frac,
+        scrub_pii=scrub_pii,
     )
 
     # 2. exact dedup (deterministic survivor: min doc_id per content key)

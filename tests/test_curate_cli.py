@@ -275,3 +275,20 @@ def test_cli_stream_processes_arrivals_then_only_new_files(
     assert out.select("batch_id").distinct().count() == 3
     bins = out.select("batch_id", "bin_id").distinct()
     assert bins.count() == bins.select("bin_id").distinct().count()
+
+
+def test_cli_full_scrub_pii_flag(spark, tmp_path, capsys):
+    """`full --scrub-pii` plumbs through to curate_training_data: on the
+    PII-free fixture corpus it is a no-op (same kept count as without the
+    flag), and the run succeeds end-to-end through the CLI."""
+    docs, paths = _days(spark, tmp_path)
+    docs_path = str(tmp_path / "all.parquet")
+    docs.write.parquet(docs_path)
+    out_a = str(tmp_path / "full_a")
+    out_b = str(tmp_path / "full_b")
+    a = _run(capsys, ["full", "--docs", docs_path, "--out", out_a])
+    b = _run(
+        capsys,
+        ["full", "--docs", docs_path, "--out", out_b, "--scrub-pii"],
+    )
+    assert a["kept"] == b["kept"] > 0

@@ -112,3 +112,45 @@ def test_remove_boilerplate_keeps_survivor_order(spark):
     assert out[1].n_dropped == 0
     assert out[1].clean_fp == _md5("a b\nc d\na b\ne f")
     assert out[2].clean_fp == _md5("x y\nz w")
+
+
+def test_curation_scrub_pii_noop_on_clean_corpus(spark):
+    """The fixture corpus carries no PII, so scrub_pii=True must be a
+    bitwise no-op through the whole curation preset — proving the flag
+    changes nothing except the PII spans it redacts."""
+    from data_pipeline_team5_spark.pipeline import curate_training_data
+    from data_pipeline_team5_spark.plans.catalog import table
+    from tests.conftest import SF_SMALL
+
+    docs = table(spark, SF_SMALL, "documents")
+    a = sorted(map(tuple, curate_training_data(docs).collect()))
+    b = sorted(
+        map(tuple, curate_training_data(docs, scrub_pii=True).collect())
+    )
+    assert a == b
+
+
+def test_curation_filter_stage_scrubs_before_signals(spark):
+    """With PII planted, the filter stage's output text must carry zero
+    residual matches and n_chars must describe the SCRUBBED text — i.e.
+    every downstream signal (quality, keys, budgets) sees redacted text."""
+    from data_pipeline_team5_spark.pipeline import _curation_filter_stage
+    from data_pipeline_team5_spark.plans.catalog import table
+    from tests.conftest import SF_SMALL
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        decorate_pii("doc_id", "lang", "text").alias("text"),
+    )
+    docs = docs.withColumn("n_chars", F.length("text"))
+    out = _curation_filter_stage(docs, scrub_pii=True)
+    bad = out.filter(
+        (pii_residual_expr("text") > 0)
+        | (F.col("n_chars") != F.length("text"))
+    ).count()
+    assert bad == 0
+    assert out.count() > 0
+    # and the scrub actually fired: redaction placeholders present
+    assert out.filter(F.col("text").contains("<EMAIL>")).count() > 0
