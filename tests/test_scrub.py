@@ -154,3 +154,17 @@ def test_curation_filter_stage_scrubs_before_signals(spark):
     assert out.count() > 0
     # and the scrub actually fired: redaction placeholders present
     assert out.filter(F.col("text").contains("<EMAIL>")).count() > 0
+
+
+def test_line_boilerplate_plan_broadcasts_removal_join(spark):
+    """Structural pin of the scale claim in remove_boilerplate_lines's
+    docstring: the boilerplate set must reach the removal join as a
+    BROADCAST left-anti join — a refactor that drops the hint would
+    silently re-shuffle the whole exploded corpus a second time and every
+    row-level test would stay green."""
+    from data_pipeline_team5_spark.plans.catalog import QUERIES
+    from tests.conftest import SF_SMALL
+
+    df = QUERIES["line_boilerplate_scrub"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
