@@ -102,15 +102,14 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_LINES = lines_sql("t", LINE_WIDTH)
+_LINES = lines_sql("nt", LINE_WIDTH)
 
 
 @register(
     "line_boilerplate_scrub",
     oracle=f"""
         WITH toks AS (
-            SELECT doc_id,
-                   string_split({norm_text_sql('text')}, ' ') AS t
+            SELECT doc_id, {norm_text_sql('text')} AS nt
             FROM documents
         ),
         lines AS (
