@@ -168,3 +168,18 @@ def test_line_boilerplate_plan_broadcasts_removal_join(spark):
     df = QUERIES["line_boilerplate_scrub"].fn(spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_scrub_is_idempotent(spark):
+    """scrub(scrub(x)) == scrub(x): placeholders contain no digits or
+    '@', so a second pass can never re-trigger a pattern — the property
+    that makes re-running a scrub job over partially-scrubbed data safe."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    deco = docs.select(
+        decorate_pii("doc_id", "lang", "text").alias("t")
+    )
+    n_diff = deco.select(
+        scrub_pii("t").alias("once"),
+        scrub_pii(scrub_pii("t")).alias("twice"),
+    ).filter(F.col("once") != F.col("twice")).count()
+    assert n_diff == 0
