@@ -182,10 +182,12 @@ _TAIL = (
     "nearest_centroid_confusion",
     "semantic_dedup",
     # Round-7 third wave: the scrub family (PII redaction, line-level
-    # boilerplate dedup) — oracle-backed tail entries, exact-checked by
-    # the local mini-driver every CI run like the rest of the tail.
+    # boilerplate dedup) and the corpus snapshot diff — oracle-backed
+    # tail entries, exact-checked by the local mini-driver every CI run
+    # like the rest of the tail.
     "pii_scrub",
     "line_boilerplate_scrub",
+    "corpus_snapshot_diff",
 )
 
 
@@ -231,6 +233,7 @@ def _load_families() -> None:
         "behavior_family",
         "quality_family",
         "scrub_family",
+        "versioning_family",
     ):
         fq = f"data_pipeline_team5_spark.plans.{mod}"
         try:
