@@ -219,3 +219,27 @@ def test_shared_window_containment_catches_jaccard_blind_containment(spark):
     # and the Jaccard twin really is blind here
     jac = jaccard_pairs(sh, 0.6).collect()
     assert jac == []
+
+
+def test_connected_components_long_shuffled_path(spark):
+    """A 300-node path whose ids are shuffled forces many propagate+jump
+    rounds (the regression class that crashed semantic_dedup at sf0.1:
+    long chains exceeding the round budget, and per-cycle cost compounding
+    under checkpoint-based materialization). Every node must label to the
+    path's global minimum, at flat per-cycle cost."""
+    import random
+
+    from data_pipeline_team5_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = random.Random(11)
+    ids = list(range(300))
+    perm = ids[:]
+    rng.shuffle(perm)
+    edges = [(perm[i], perm[i + 1]) for i in range(len(perm) - 1)]
+    v = spark.createDataFrame([(i,) for i in ids], ["id"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    out = connected_components(v, e).collect()
+    assert len(out) == 300
+    assert all(r.component == 0 for r in out)
