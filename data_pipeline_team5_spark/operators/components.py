@@ -19,7 +19,9 @@ propagation (with or without pointer-jump compression, shortcut-edge
 augmentation, or quotient contraction) is Θ(n) rounds on chain-shaped
 graphs — a 300-node shuffled path blew a 50-round budget every time —
 while star rewriting contracts the GRAPH itself and is provably
-O(log² n) rounds (a handful in practice: 4 for that same path).
+O(log² n) rounds (a handful in practice: 8 for that same path, 6
+for the sf0.1 cosine graph — measured, incl. the final fixed-point
+confirmation round).
 
 **Materialization (hard-won):** each round MUST rebuild the edge list
 from files (parquet write + read), not from ``localCheckpoint``/
@@ -110,8 +112,8 @@ def connected_components(
     shared-filesystem path.
 
     ``max_iter`` bounds large+small-star rounds; the algorithm needs
-    O(log² n) and in practice converges in a handful (4 on a 300-node
-    shuffled path, 2 on the sf0.1 near-dup graphs). Running out raises —
+    O(log² n) and in practice converges in a handful (measured: 8 on a 300-node
+    shuffled path, 6 on the sf0.1 cosine graph). Running out raises —
     never silent partial components.
     """
     if max_iter < 1:
