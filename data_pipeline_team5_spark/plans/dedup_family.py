@@ -342,7 +342,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id
     """,
     doc="⊕ pairs → dedup GROUPS: connected components of the exact-Jaccard "
-    "near-dup graph via iterative min-label propagation "
+    "near-dup graph via large-star/small-star edge rewriting "
     "(operators/components.py — O(diameter) distributed rounds, "
     "localCheckpoint-truncated lineage; the prompt-level 'iterative "
     "algorithm' case). group_id = the component's minimum doc_id; "

@@ -167,7 +167,7 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a quadratic cell), groups via connected components, survivor = min "
     "vec_id per group. Returns (vec_id, cluster, sem_group, keep). "
     "Deterministic end-to-end: seedless k-means + exact cosine verify + "
-    "min-label components, so reruns are bit-identical — the property "
+    "min-id star components, so reruns are bit-identical — the property "
     "test_semantic_dedup.py pins against a from-scratch Python mirror. "
     "At 100 TB this is the standard SemDeDup recipe: clustering caps the "
     "pairwise search to within-cell, components localCheckpoint the edge "
