@@ -243,3 +243,42 @@ def test_connected_components_long_shuffled_path(spark):
     out = connected_components(v, e).collect()
     assert len(out) == 300
     assert all(r.component == 0 for r in out)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random-graph cross-check against an independent union-find: same
+    partition into components AND the min-id representative convention —
+    the full contract the star-rewriting implementation must keep."""
+    import random
+
+    from data_pipeline_team5_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = random.Random(5)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    v = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.component for r in connected_components(v, e).collect()}
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[int, set[int]] = {}
+    for i in range(n):
+        groups.setdefault(find(i), set()).add(i)
+    expect = {min(g): g for g in groups.values()}
+    mine: dict[int, set[int]] = {}
+    for i, c in got.items():
+        mine.setdefault(c, set()).add(i)
+    assert mine == expect
