@@ -1,9 +1,24 @@
 """Benchmark runner: times the catalog's headline queries.
 
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line (LAST on stdout):
     {"metric": "headline_queries_total", "value": N, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": ...}
+
+The harness that records this line keeps only a bounded tail of the
+output (observed: 2000 chars — BENCH_r07.json shipped ``"parsed": null``
+because the line outgrew it). Three rules keep the artifact parseable as
+the query set grows (VERDICT r7 #1):
+
+- timings are rounded to milliseconds (3 decimals);
+- per-query spread, per-pass raw timings and the calibration series go to
+  a side file (``BENCH_DETAIL.json``), NOT the stdout line — the line
+  carries only the single worst-case ``noise`` bound and ``calib_sec``;
+- Spark console progress is disabled for the bench session, and the
+  emitted line's length is bounded by MAX_LINE (enforced here at runtime
+  by dropping per-query timings for the FASTEST queries first if ever
+  exceeded — never silently truncated mid-JSON — and pinned ahead of time
+  by tests/test_bench_artifact.py against the live catalog).
 
 Each query is forced end-to-end with the noop sink (full plan execution, no
 driver collect cost). A warmup pass on sf0.001 primes the JVM/codegen so the
@@ -28,6 +43,13 @@ from data_pipeline_team5_spark.plans.catalog import QUERIES
 from data_pipeline_team5_spark.session import get_spark
 
 WARMUP_SF = "/root/testdata/sf0.001"
+
+# Hard budget for the stdout JSON line (harness tail is 2000 chars; leave
+# slack for a trailing newline / encoding quirks). test_bench_artifact.py
+# asserts the line built from the CURRENT catalog fits with ≥10% headroom,
+# so growth is caught in CI instead of in the recorded artifact.
+MAX_LINE = 1800
+DETAIL_PATH = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
 
 # Timed entries that are pipeline presets, not catalog queries (no oracle
 # row — their catalog twins carry that): measured so the guarded production
@@ -68,7 +90,12 @@ def main() -> None:
     # an 'sf' elsewhere in the path must not confuse it.
     m = re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
     sf = m.group(1) if m else sf_dir
-    spark = get_spark(app_name="bench")
+    # Console progress writes pages of \r-spam that competes with the JSON
+    # line for the harness's bounded tail capture (VERDICT r7 #1).
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     headline = {n: q.fn for n, q in QUERIES.items() if q.headline}
     headline.update(EXTRAS)
@@ -95,7 +122,9 @@ def main() -> None:
             t0 = time.perf_counter()
             _run(fn(spark, sf_dir))
             raw[name].append(time.perf_counter() - t0)
-    timings = {n: round(min(raw[n]), 4) for n in sorted(raw)}
+    # ms rounding: 3 decimals is the measurement's honest precision and
+    # keeps the stdout line bounded (VERDICT r7 #1).
+    timings = {n: round(min(raw[n]), 3) for n in sorted(raw)}
     # Per-query spread (median/min - 1): the dispersion a reader needs to
     # adjudicate sub-2x per-query deltas (VERDICT r5 #3); "noise" stays the
     # max over queries for the one-glance bound.
@@ -109,25 +138,58 @@ def main() -> None:
         load1 = os.getloadavg()[0] / (os.cpu_count() or 1)
     except OSError:  # platform without getloadavg
         load1 = None
-    out = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if m else sf,
-        "passes": passes,
-        "noise": round(noise, 4),
+    detail = {
+        # per-query and per-pass evidence lives here, off the stdout line
         "spread": spread,
-        # drift calibration (VERDICT r6 #1): min tracks the sentinel's
-        # unloaded cost, median/min-1 the load during THIS run; divide
-        # query times by calib_sec before comparing across rounds.
-        "calib_sec": round(min(calib), 4),
+        "raw_passes": {n: [round(t, 3) for t in raw[n]] for n in sorted(raw)},
+        "calib_passes": [round(c, 4) for c in calib],
         "calib_spread": round(
             sorted(calib)[len(calib) // 2] / min(calib) - 1.0, 4
         ),
         "loadavg_per_cpu": round(load1, 4) if load1 is not None else None,
     }
-    print(json.dumps(out))
+    with open(DETAIL_PATH, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if m else sf,
+        "passes": passes,
+        "noise": round(noise, 4),
+        # drift calibration (VERDICT r6 #1): min tracks the sentinel's
+        # unloaded cost; divide query times by calib_sec before comparing
+        # across rounds (recipe in BASELINE.md). Spread/load detail:
+        # BENCH_DETAIL.json.
+        "calib_sec": round(min(calib), 4),
+    }
+    print(json.dumps(bounded_line(out), separators=(",", ":")))
+
+
+def bounded_line(out: dict) -> dict:
+    """Keep the emitted JSON object under MAX_LINE chars when serialized.
+
+    Never truncates mid-JSON: if the full object is too long, per-query
+    timings are dropped FASTEST-first (their evidence survives in
+    BENCH_DETAIL.json) and the count of dropped entries is recorded, so
+    the line stays valid JSON and the expensive queries — the ones a
+    performance reader needs — keep their numbers.
+    """
+    compact = lambda o: json.dumps(o, separators=(",", ":"))  # noqa: E731
+    if len(compact(out)) <= MAX_LINE:
+        return out
+    out = dict(out)
+    queries = dict(
+        sorted(out["queries"].items(), key=lambda kv: -kv[1])
+    )  # slowest first; pop from the end
+    dropped = 0
+    while len(queries) > 1 and len(compact({**out, "queries": queries, "queries_dropped": dropped})) > MAX_LINE:
+        queries.popitem()
+        dropped += 1
+    out["queries"] = queries
+    out["queries_dropped"] = dropped
+    return out
 
 
 if __name__ == "__main__":
