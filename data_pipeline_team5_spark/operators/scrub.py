@@ -35,9 +35,14 @@ from pyspark.sql import functions as F
 # dashed phone numbers (the reference's locale — KOFIC, `0XX-XXXX-XXXX`),
 # dotted-quad IPv4, 16-digit dashed payment cards. Redaction order is
 # email → card → phone → ip (the card pattern must not be eaten first by
-# a narrower digit pattern); on these shapes the patterns are mutually
-# non-overlapping, so per-type counts on the ORIGINAL text equal the
-# number of replacements each redaction step performs.
+# a narrower digit pattern). Per-type counts are matches on the ORIGINAL
+# text — an UPPER BOUND on the replacements each redaction step performs,
+# not always equal: the email local part ([A-Za-z0-9._%+-]+) can absorb an
+# adjacent digit run, e.g. '010-1234-5678@x.com' counts as one phone AND
+# redacts as a single <EMAIL>, so n_phone can overstate on adversarial
+# text (ADVICE r7 #4). Redaction safety and the machine-checked
+# zero-residual guarantee are unaffected — only the count metrics are
+# approximate in that corner.
 # ---------------------------------------------------------------------------
 PII_PATTERNS: list[tuple[str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),

@@ -364,6 +364,7 @@ def curate_training_data(
     max_dup_trigram_frac: float | None = None,
     target_mix: dict[str, float] | None = None,
     scrub_pii: bool = False,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
     composed from the engine's tested stages into ONE lazy plan:
@@ -414,6 +415,13 @@ def curate_training_data(
 
     ``n_docs`` sizes the stop-shingle guard (pass a known corpus count to
     skip the counting job, as in neardup_production_pairs).
+
+    ``scratch_dir``: forwarded to the component step's per-round edge
+    materialization (operators/components.py). On a cluster pass a
+    shared-filesystem path here or set the
+    ``spark.data_pipeline_team5.scratchDir`` session conf once; unset, a
+    driver-local temp dir is used (local mode only). Intermediate edge
+    lists are deleted after the labels write either way.
     """
     from data_pipeline_team5_spark.operators.components import (
         connected_components,
@@ -460,7 +468,8 @@ def curate_training_data(
         n_docs=n_docs,
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     comp = connected_components(
-        uniq.select("doc_id"), pairs, id_col="doc_id"
+        uniq.select("doc_id"), pairs, id_col="doc_id",
+        scratch_dir=scratch_dir,
     )
     survivors = uniq.join(
         comp.filter(F.col("id") == F.col("component")).select(
@@ -509,6 +518,7 @@ def curate_incremental_batch(
     benchmark_docs: DataFrame | None = None,
     max_top_bigram_frac: float | None = None,
     max_dup_trigram_frac: float | None = None,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Daily curation update: run the full curation contract for a NEW
     batch against the already-RETAINED corpus, touching the corpus only
@@ -560,6 +570,9 @@ def curate_incremental_batch(
     Passing the batch id filters that partition out of both index reads
     (partition-pruned — no extra scan), restoring bitwise idempotency
     (pinned in tests/test_curate_cli.py).
+
+    ``scratch_dir``: forwarded to the component step (see
+    :func:`curate_training_data` — same conf fallback and cleanup).
     """
     from data_pipeline_team5_spark.operators.components import (
         connected_components,
@@ -632,7 +645,9 @@ def curate_incremental_batch(
         .join(new_ids, "doc_id", "left_anti")  # pair members from corpus
     )
     vertices = new_ids.unionByName(corpus_in_pairs)
-    comp = connected_components(vertices, pairs, id_col="doc_id")
+    comp = connected_components(
+        vertices, pairs, id_col="doc_id", scratch_dir=scratch_dir
+    )
     flagged = comp.join(
         new_ids.withColumn("_new", F.lit(True)),
         comp.id == new_ids.doc_id,

@@ -343,8 +343,8 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="⊕ pairs → dedup GROUPS: connected components of the exact-Jaccard "
     "near-dup graph via large-star/small-star edge rewriting "
-    "(operators/components.py — O(diameter) distributed rounds, "
-    "localCheckpoint-truncated lineage; the prompt-level 'iterative "
+    "(operators/components.py — O(log² n) rounds, per-round parquet "
+    "materialization; the prompt-level 'iterative "
     "algorithm' case). group_id = the component's minimum doc_id; "
     "is_survivor marks the one document kept per group — the row a "
     "training-data pipeline actually filters on. Oracle = transitive "

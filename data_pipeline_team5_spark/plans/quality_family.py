@@ -170,8 +170,9 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min-id star components, so reruns are bit-identical — the property "
     "test_semantic_dedup.py pins against a from-scratch Python mirror. "
     "At 100 TB this is the standard SemDeDup recipe: clustering caps the "
-    "pairwise search to within-cell, components localCheckpoint the edge "
-    "list once, and nothing quadratic in the corpus exists anywhere.",
+    "pairwise search to within-cell, components run O(log² n) star "
+    "rounds over per-round parquet-materialized edge lists, and nothing "
+    "quadratic in the corpus exists anywhere.",
     headline=True,
     tags=("quality", "dedup", "embedding", "semantic"),
 )

@@ -282,3 +282,56 @@ def test_connected_components_matches_union_find(spark):
     for i, c in got.items():
         mine.setdefault(c, set()).add(i)
     assert mine == expect
+
+
+def test_connected_components_scratch_conf_and_cleanup(spark, tmp_path):
+    """Scratch lifecycle contract (ADVICE r7 #1): with the session conf
+    set, the operator materializes under a unique subdir of that root,
+    deletes the per-round edge lists on success, and keeps ONLY the
+    labels parquet — which must stay readable because the returned
+    DataFrame is backed by it."""
+    import os
+
+    from data_pipeline_team5_spark.operators.components import (
+        SCRATCH_CONF_KEY,
+        connected_components,
+    )
+
+    root = str(tmp_path / "cc_scratch")
+    os.makedirs(root)
+    spark.conf.set(SCRATCH_CONF_KEY, root)
+    try:
+        v = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+        e = spark.createDataFrame(
+            [(0, 1), (1, 2), (4, 5)], ["src", "dst"]
+        )
+        out = connected_components(v, e)
+        got = {r.id: r.component for r in out.collect()}
+    finally:
+        spark.conf.unset(SCRATCH_CONF_KEY)
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+    subdirs = os.listdir(root)
+    assert len(subdirs) == 1 and subdirs[0].startswith("cc_")
+    inner = os.listdir(os.path.join(root, subdirs[0]))
+    # edge intermediates deleted; exactly the labels dir survives
+    assert len(inner) == 1 and inner[0].startswith("labels_"), inner
+    # the returned DataFrame still reads after cleanup (file-backed)
+    assert out.count() == 6
+
+
+def test_connected_components_explicit_scratch_dir(spark, tmp_path):
+    """An explicit scratch_dir wins over the conf and gets the same
+    edge-list cleanup."""
+    import os
+
+    from data_pipeline_team5_spark.operators.components import (
+        connected_components,
+    )
+
+    d = str(tmp_path / "explicit")
+    v = spark.createDataFrame([(1,), (2,)], ["id"])
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    out = connected_components(v, e, scratch_dir=d)
+    assert {r.id: r.component for r in out.collect()} == {1: 1, 2: 1}
+    inner = [p for p in os.listdir(d) if not p.startswith(".")]
+    assert sorted(p.split("_")[0] for p in inner) == ["labels"], inner
