@@ -133,8 +133,12 @@ _LINES = lines_sql("nt", LINE_WIDTH)
                                        chr(10))) AS clean_fp
             FROM kept GROUP BY doc_id
         ),
-        tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines
-                GROUP BY doc_id)
+        -- n_lines from the UNEXPLODED array (len(ls), including 0): the
+        -- exploded `lines` CTE has no rows for a zero-line doc, which
+        -- would drop it here while the Spark side keeps a
+        -- (0, 0, 0, md5('')) row — ADVICE r7 #3
+        tot AS (SELECT doc_id, len(ls) AS n_lines
+                FROM (SELECT doc_id, {_LINES} AS ls FROM toks))
         SELECT tot.doc_id,
                CAST(n_lines AS INT) AS n_lines,
                CAST(COALESCE(n_kept, 0) AS INT) AS n_kept,

@@ -183,3 +183,52 @@ def test_scrub_is_idempotent(spark):
         scrub_pii(scrub_pii("t")).alias("twice"),
     ).filter(F.col("once") != F.col("twice")).count()
     assert n_diff == 0
+
+
+def test_line_boilerplate_oracle_keeps_zero_line_docs(spark, tmp_path):
+    """Cross-engine parity on the corner the fixtures never hit
+    (ADVICE r7 #3): a doc whose normalized text is EMPTY has zero lines;
+    the Spark side emits (n_lines=0, n_kept=0, n_dropped=0, md5('')) and
+    the DuckDB oracle must keep the same row instead of dropping the doc
+    in its UNNEST. Runs the REGISTERED catalog query + oracle on a
+    purpose-built fixture containing empty and punctuation-only docs."""
+    import duckdb
+    import pandas as pd
+
+    from data_pipeline_team5_spark.plans.catalog import QUERIES
+
+    rows = [
+        (1, "shared line alpha beta etc etc etc etc pad pad pad "
+            "pad pad pad pad pad one", "en", "s", 0),
+        (2, "shared line alpha beta etc etc etc etc pad pad pad "
+            "pad pad pad pad pad two", "en", "s", 0),
+        (3, "", "en", "s", 0),            # empty text → zero lines
+        (4, "?!, .;:", "en", "s", 0),     # normalizes to empty
+        (5, "solo words only here never repeated anywhere at all",
+            "en", "s", 0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    q = QUERIES["line_boilerplate_scrub"]
+    got = q.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = con.execute(q.oracle).df()
+    assert list(got.columns) == list(exp.columns)
+    assert set(exp.doc_id) == {1, 2, 3, 4, 5}, (
+        "oracle dropped zero-line docs"
+    )
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    exp = exp.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, exp.astype(got.dtypes.to_dict()), check_dtype=True
+    )
+    empty = got[got.doc_id == 3].iloc[0]
+    assert (empty.n_lines, empty.n_kept, empty.n_dropped) == (0, 0, 0)
+    assert empty.clean_fp == _md5("")
