@@ -244,7 +244,7 @@ def d3_top10_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "d5_weekday_averages",
+    "d5_d6_time_panel",
     oracle=f"""
         WITH daily AS (
             SELECT CAST(l_shipdate AS DATE) AS show_range,
@@ -253,26 +253,50 @@ def d3_top10_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem
             GROUP BY 1
         )
-        SELECT CAST(dayofweek(show_range) + 1 AS INT) AS weekday,
+        SELECT 'weekday_avg' AS section,
+               CAST(dayofweek(show_range) + 1 AS INT) AS weekday,
+               CAST(NULL AS DATE) AS show_range,
                CAST(SUM(CAST(sales AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_sales,
                CAST(SUM(CAST(audience AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_audience,
-               CAST(COUNT(*) AS BIGINT) AS n_days
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(NULL AS DOUBLE) AS sales,
+               CAST(NULL AS DOUBLE) AS audience
         FROM daily
-        GROUP BY 1
-        ORDER BY weekday
+        GROUP BY 2
+        UNION ALL
+        SELECT 'last7' AS section,
+               CAST(NULL AS INT) AS weekday,
+               show_range,
+               CAST(NULL AS DOUBLE) AS avg_sales,
+               CAST(NULL AS DOUBLE) AS avg_audience,
+               CAST(NULL AS BIGINT) AS n_days,
+               sales, audience
+        FROM daily
+        WHERE show_range >= (SELECT MAX(show_range) - 6 FROM daily)
+        ORDER BY section, weekday, show_range
     """,
-    doc="D5/A6 (README.md:188-191): average daily sales/audience per weekday "
-    "(1=Sunday, Spark dayofweek convention; oracle shifts DuckDB's 0-based). "
-    "Two-level agg: exact daily totals, then exact decimal mean over days.",
+    doc="D5 + D6 in one sectioned time panel (round-8 consolidation, "
+    "VERDICT r7 #3 — the freed driver slot promoted a text-family tail "
+    "query). Section 'weekday_avg' (README.md:188-191): average daily "
+    "sales/audience per weekday (1=Sunday, Spark dayofweek convention; "
+    "oracle shifts DuckDB's 0-based), exact daily totals then exact "
+    "decimal mean over days. Section 'last7' (README.md:193-196): the "
+    "big-number-with-trendline — the last 7 calendar days' daily series "
+    "relative to the data's max day; the max-day scalar is a 1-row "
+    "broadcast join, and on day-partitioned storage that filter prunes "
+    "to 7 partitions. Both sections aggregate the SAME day-grain "
+    "pre-aggregate (the shape union_source_panel set): per-branch "
+    "columns are NULL in the other branch, exactly as in the oracle's "
+    "UNION ALL.",
     tags=("dashboard", "date"),
 )
-def d5_weekday_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d5_d6_time_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     daily = li.groupBy(to_day("l_shipdate").alias("show_range")).agg(
         dsum("l_quantity", "audience"),
         dsum("l_extendedprice", "sales"),
     )
-    return (
+    weekday = (
         daily.groupBy(
             F.dayofweek("show_range").cast("int").alias("weekday")
         )
@@ -287,45 +311,36 @@ def d5_weekday_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_audience"),
             F.count(F.lit(1)).alias("n_days"),
         )
-        .orderBy("weekday")
-    )
-
-
-@register(
-    "d6_last7_trend",
-    oracle=f"""
-        WITH daily AS (
-            SELECT CAST(l_shipdate AS DATE) AS show_range,
-                   {dsum_sql('l_extendedprice', 'sales')},
-                   {dsum_sql('l_quantity', 'audience')}
-            FROM lineitem
-            GROUP BY 1
+        .select(
+            F.lit("weekday_avg").alias("section"),
+            "weekday",
+            F.lit(None).cast("date").alias("show_range"),
+            "avg_sales",
+            "avg_audience",
+            "n_days",
+            F.lit(None).cast("double").alias("sales"),
+            F.lit(None).cast("double").alias("audience"),
         )
-        SELECT show_range, sales, audience
-        FROM daily
-        WHERE show_range >= (SELECT MAX(show_range) - 6 FROM daily)
-        ORDER BY show_range
-    """,
-    doc="D6/W6 (README.md:193-196): big-number-with-trendline — the last 7 "
-    "calendar days' daily series relative to the data's max day. The max-day "
-    "scalar is a 1-row broadcast join; on day-partitioned storage the filter "
-    "prunes to 7 partitions.",
-    tags=("dashboard", "date"),
-)
-def d6_last7_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    daily = li.groupBy(to_day("l_shipdate").alias("show_range")).agg(
-        dsum("l_extendedprice", "sales"),
-        dsum("l_quantity", "audience"),
     )
     cutoff = daily.agg(
         F.date_sub(F.max("show_range"), 6).alias("cutoff")
     )
-    return (
+    last7 = (
         daily.join(F.broadcast(cutoff))
         .filter(F.col("show_range") >= F.col("cutoff"))
-        .select("show_range", "sales", "audience")
-        .orderBy("show_range")
+        .select(
+            F.lit("last7").alias("section"),
+            F.lit(None).cast("int").alias("weekday"),
+            "show_range",
+            F.lit(None).cast("double").alias("avg_sales"),
+            F.lit(None).cast("double").alias("avg_audience"),
+            F.lit(None).cast("bigint").alias("n_days"),
+            "sales",
+            "audience",
+        )
+    )
+    return weekday.unionByName(last7).orderBy(
+        "section", "weekday", "show_range"
     )
 
 

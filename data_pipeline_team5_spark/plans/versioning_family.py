@@ -72,6 +72,37 @@ def _v2(docs: DataFrame) -> DataFrame:
     return kept.unionAll(fresh)
 
 
+def snapshot_diff(a_docs: DataFrame, b_docs: DataFrame) -> DataFrame:
+    """The diff core both the catalog query and production callers run:
+    (doc_id, lang, text) × 2 versions → per-doc status row. Fingerprints
+    are computed map-side in each scan (the join moves (id, 32-byte fp,
+    lang) — never text); the comparison is ONE full-outer equi-join on
+    doc_id. When both inputs are tables bucketed by doc_id with the same
+    bucket count, the join plans with NO Exchange on either side —
+    asserted in tests/test_bucketed_join.py
+    (test_snapshot_diff_on_bucketed_versions_has_no_exchange), so the
+    100 TB claim in the module doc is a contract, not prose."""
+    a = a_docs.select(
+        "doc_id", "lang", fingerprint_md5("text").alias("fp")
+    ).alias("a")
+    b = b_docs.select(
+        "doc_id", "lang", fingerprint_md5("text").alias("fp")
+    ).alias("b")
+    return a.join(
+        b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    ).select(
+        F.coalesce("a.doc_id", "b.doc_id").alias("doc_id"),
+        F.coalesce("a.lang", "b.lang").alias("lang"),
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.fp") != F.col("b.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        F.col("a.fp").alias("fp_old"),
+        F.col("b.fp").alias("fp_new"),
+    )
+
+
 @register(
     "corpus_snapshot_diff",
     oracle=f"""
@@ -98,33 +129,13 @@ def _v2(docs: DataFrame) -> DataFrame:
     "join never moves text). Version 2 is derived deterministically from "
     "the fixture corpus (removals % 11, rewrites % 7, additions % 13) "
     "and mirrored in the oracle. At 100 TB: bucket both versions by "
-    "doc_id and the Exchange disappears; otherwise one sort-merge "
-    "shuffle at (id, fp) width — the minimal diff shape. The daily-loop "
-    "fold (curate.py) runs exactly this after appending a batch to "
-    "answer 'what did today change'.",
+    "doc_id and the Exchange disappears (plan-asserted in "
+    "tests/test_bucketed_join.py over the same snapshot_diff core); "
+    "otherwise one sort-merge shuffle at (id, fp) width — the minimal "
+    "diff shape. The daily-loop fold (curate.py) runs exactly this "
+    "after appending a batch to answer 'what did today change'.",
     tags=("versioning", "curation"),
 )
 def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    a = docs.select(
-        "doc_id", "lang", fingerprint_md5("text").alias("fp")
-    )
-    b = _v2(docs).select(
-        "doc_id", "lang", fingerprint_md5("text").alias("fp")
-    )
-    a, b = a.alias("a"), b.alias("b")
-    return (
-        a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
-        .select(
-            F.coalesce("a.doc_id", "b.doc_id").alias("doc_id"),
-            F.coalesce("a.lang", "b.lang").alias("lang"),
-            F.when(F.col("a.doc_id").isNull(), F.lit("added"))
-            .when(F.col("b.doc_id").isNull(), F.lit("removed"))
-            .when(F.col("a.fp") != F.col("b.fp"), F.lit("changed"))
-            .otherwise(F.lit("unchanged"))
-            .alias("status"),
-            F.col("a.fp").alias("fp_old"),
-            F.col("b.fp").alias("fp_new"),
-        )
-        .orderBy("doc_id")
-    )
+    return snapshot_diff(docs, _v2(docs)).orderBy("doc_id")

@@ -45,27 +45,39 @@ _BD = f"WITH brand_daily AS ({BRAND_DAILY_SQL})"
     "w1_rank_in_day",
     oracle=f"""
         {_BD}
-        SELECT show_range, p_brand, sales,
-               CAST(RANK() OVER wr AS INT) AS rank_num,
-               CAST(DENSE_RANK() OVER wtb AS INT) AS drank,
-               PERCENT_RANK() OVER wtb AS prank,
-               CAST(NTILE(4) OVER wtb AS INT) AS quartile
-        FROM brand_daily
-        WINDOW wr AS (PARTITION BY show_range ORDER BY sales DESC),
-               wtb AS (PARTITION BY show_range ORDER BY sales DESC, p_brand)
+        SELECT * FROM (
+            SELECT show_range, p_brand, sales,
+                   CAST(RANK() OVER wr AS INT) AS rank_num,
+                   CAST(DENSE_RANK() OVER wtb AS INT) AS drank,
+                   PERCENT_RANK() OVER wtb AS prank,
+                   CAST(NTILE(4) OVER wtb AS INT) AS quartile
+            FROM brand_daily
+            WINDOW wr AS (PARTITION BY show_range ORDER BY sales DESC),
+                   wtb AS (PARTITION BY show_range
+                           ORDER BY sales DESC, p_brand)
+        ) WHERE rank_num <= 10
         ORDER BY show_range, rank_num, p_brand
     """,
     doc="W1 (daily_csv_pipeline.py:72 'rank') + its statistics companions "
-    "(formerly w7_rank_statistics): chart position per day by sales, plus "
-    "dense_rank, percent_rank (both engines compute (rank-1)/(n-1) in "
-    "double — bitwise identical) and sales quartiles via ntile(4). rank "
-    "keeps the API's shared-tie semantics (no tiebreak); the statistics "
-    "run over the p_brand-tiebroken window so ntile's row-number buckets "
-    "are engine-independent. Both windows share the show_range "
-    "partitioning, so Catalyst reuses ONE Exchange — per-day state is "
-    "≤ #brands, never skewed at scale.",
+    "(formerly w7_rank_statistics) + O4 (daily_csv_pipeline.py:28-38): "
+    "chart position per day by sales, plus dense_rank, percent_rank "
+    "(both engines compute (rank-1)/(n-1) in double — bitwise identical) "
+    "and sales quartiles via ntile(4), KEPT only for the per-day top-10 "
+    "chart rows (rank_num ≤ 10) — the KOFIC API's pre-limited table "
+    "re-derived instead of inherited (round-8 consolidation: the former "
+    "o4_daily_top10 was a strict rank-filter of this same scan, so the "
+    "filter now lives in-plan and the freed driver slot went to the "
+    "text-family tail — VERDICT r7 #3). rank keeps the API's shared-tie "
+    "semantics (no tiebreak); the statistics run over the "
+    "p_brand-tiebroken window so ntile's row-number buckets are "
+    "engine-independent; all stats are computed over the FULL per-day "
+    "window BEFORE the filter, so values equal the unfiltered query's. "
+    "Both windows share the show_range partitioning, so Catalyst reuses "
+    "ONE Exchange, and the rank filter is applied streaming within each "
+    "day partition — Spark keeps ~10 rows/day past the window at any "
+    "scale.",
     headline=True,
-    tags=("window", "rank"),
+    tags=("window", "rank", "topk"),
 )
 def w1_rank_in_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     bd = brand_daily(spark, sf_dir).select("show_range", "p_brand", "sales")
@@ -83,6 +95,7 @@ def w1_rank_in_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percent_rank().over(wtb).alias("prank"),
             F.ntile(4).over(wtb).cast("int").alias("quartile"),
         )
+        .filter(F.col("rank_num") <= 10)
         # fact-grain output + order-insensitive driver compare → no final
         # global sort (it would add a full range Exchange on top of the
         # one show_range Exchange the windows share)
@@ -171,28 +184,6 @@ def w2_w6_daily_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # fact-grain output: no final global sort (see w1_rank_in_day)
 
 
-@register(
-    "o4_daily_top10",
-    oracle=f"""
-        {_BD}
-        SELECT * FROM (
-            SELECT show_range, p_brand, sales,
-                   CAST(RANK() OVER (PARTITION BY show_range ORDER BY sales DESC) AS INT) AS rank_num
-            FROM brand_daily
-        ) WHERE rank_num <= 10
-        ORDER BY show_range, rank_num, p_brand
-    """,
-    doc="O4 (daily_csv_pipeline.py:28-38): the KOFIC API's per-day top-10 "
-    "chart, re-derived as rank ≤ 10 instead of inherited — W1 + filter. At "
-    "scale Spark keeps only 10 rows per day past the window (rank filter is "
-    "applied streaming within each partition).",
-    tags=("window", "topk"),
-)
-def o4_daily_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bd = brand_daily(spark, sf_dir).select("show_range", "p_brand", "sales")
-    return (
-        rank_in_day(bd, "show_range", "sales")
-        .withColumn("rank_num", F.col("rank_num").cast("int"))
-        .filter(F.col("rank_num") <= 10)
-        .orderBy("show_range", "rank_num", "p_brand")
-    )
+# o4_daily_top10 merged into w1_rank_in_day (round-8 consolidation —
+# VERDICT r7 #3): O4 was a strict rank_num ≤ 10 filter of W1's scan; the
+# merged query carries both semantics in one driver slot.

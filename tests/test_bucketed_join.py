@@ -49,3 +49,48 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_pair):
         plain_l, plain_o.o_orderkey == plain_l.l_orderkey
     ).count()
     assert n_bucketed == n_plain and n_bucketed > 0
+
+
+def test_snapshot_diff_on_bucketed_versions_has_no_exchange(spark):
+    """corpus_snapshot_diff's 100 TB claim, pinned (VERDICT r7 #5): two
+    corpus versions stored bucketed by doc_id (same bucket count) must
+    plan the fingerprint full-outer diff join with NO Exchange on either
+    side, and produce the same per-status counts as the unbucketed diff.
+    Runs the SAME snapshot_diff core the catalog query registers."""
+    from data_pipeline_team5_spark.plans.versioning_family import (
+        _v2,
+        snapshot_diff,
+    )
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    names = ("t_bkt_corpus_v1", "t_bkt_corpus_v2")
+    write_bucketed(docs, names[0], "doc_id", buckets=8)
+    write_bucketed(_v2(docs), names[1], "doc_id", buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        diff = snapshot_diff(spark.table(names[0]), spark.table(names[1]))
+        plan = diff._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = {
+            r.status: r.n
+            for r in diff.groupBy("status").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+    plain = {
+        r.status: r.n
+        for r in snapshot_diff(docs, _v2(docs))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == plain
+    # the derivation guarantees every status is exercised
+    assert set(got) == {"added", "removed", "changed", "unchanged"}

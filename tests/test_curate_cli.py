@@ -292,3 +292,91 @@ def test_cli_full_scrub_pii_flag(spark, tmp_path, capsys):
         ["full", "--docs", docs_path, "--out", out_b, "--scrub-pii"],
     )
     assert a["kept"] == b["kept"] > 0
+
+
+def test_cli_stream_crash_mid_fold_resumes_bitwise(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """Crash/resume contract for `curate stream` (VERDICT r7 #6): a
+    micro-batch killed AFTER partial store writes but BEFORE the
+    checkpoint commits must, on restart, be reprocessed as the SAME
+    batch id, and every store must end bitwise-identical to a run that
+    never crashed — the idempotent partition overwrites absorb the
+    replayed fold. The injected failure hits append_corpus_batch, the
+    LAST store write in the fold body, so the crash leaves the maximum
+    partial state (assignments + sig + key written, corpus not)."""
+    import data_pipeline_team5_spark.pipeline as pl
+
+    docs, paths = _days(spark, tmp_path)
+
+    def stage_file(day, arrivals):
+        df = spark.read.parquet(paths[day])
+        stage = tmp_path / f"stage_{arrivals.name}_{day}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(
+            p for p in stage.iterdir() if p.name.endswith(".parquet")
+        )
+        part.rename(arrivals / f"{day}.parquet")
+
+    def seed(tag):
+        s = {
+            k: str(tmp_path / f"{tag}_{k}")
+            for k in ("corpus", "sig", "key", "out")
+        }
+        _run(capsys, ["init-corpus", "--docs", paths["day0"],
+                      "--corpus", s["corpus"]])
+        _run(capsys, ["build-index", "--docs", s["corpus"],
+                      "--sig", s["sig"], "--key", s["key"]])
+        arrivals = tmp_path / f"{tag}_arrivals"
+        arrivals.mkdir()
+        argv = ["stream", "--arrivals", str(arrivals),
+                "--corpus", s["corpus"], "--sig", s["sig"],
+                "--key", s["key"], "--out", s["out"]]
+        return s, arrivals, argv
+
+    # --- run A: crash mid-fold on the first micro-batch, then resume ---
+    sa, arrivals_a, argv_a = seed("a")
+    stage_file("day1", arrivals_a)
+    real_append = pl.append_corpus_batch
+    monkeypatch.setattr(
+        pl, "append_corpus_batch",
+        lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("injected mid-fold crash")
+        ),
+    )
+    with pytest.raises(Exception, match="injected mid-fold crash"):
+        main(argv_a)
+    capsys.readouterr()
+    monkeypatch.setattr(pl, "append_corpus_batch", real_append)
+    # partial state proves the kill point: sig/key/out folded s0 already,
+    # the corpus has not, and the checkpoint has no committed batch
+    assert os.path.isdir(os.path.join(sa["sig"], "batch_id=s0"))
+    assert os.path.isdir(os.path.join(sa["out"], "batch_id=s0"))
+    assert not os.path.isdir(os.path.join(sa["corpus"], "batch_id=s0"))
+
+    r = _run(capsys, argv_a)  # restart: replays EXACTLY the crashed file
+    assert r["batches"] == ["s0"], r
+    stage_file("day2", arrivals_a)
+    r = _run(capsys, argv_a)
+    assert r["batches"] == ["s1"], r
+
+    # --- run B: the uninterrupted control over the same arrivals ---
+    sb, arrivals_b, argv_b = seed("b")
+    stage_file("day1", arrivals_b)
+    r = _run(capsys, argv_b)
+    assert r["batches"] == ["s0"], r
+    stage_file("day2", arrivals_b)
+    r = _run(capsys, argv_b)
+    assert r["batches"] == ["s1"], r
+
+    for k in ("corpus", "sig", "key", "out"):
+        a_rows = sorted(
+            tuple(x) for x in spark.read.parquet(sa[k]).collect()
+        )
+        b_rows = sorted(
+            tuple(x) for x in spark.read.parquet(sb[k]).collect()
+        )
+        assert a_rows == b_rows, (
+            f"{k} store diverged after crash/resume"
+        )
+        assert a_rows, f"{k} store empty"

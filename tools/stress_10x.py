@@ -143,9 +143,52 @@ def build_10x_embeddings() -> None:
     open(f"{STRESS_EMB_DIR}/.complete", "w").close()
 
 
+EMB_QUERIES = [
+    "embedding_kmeans",
+    "semantic_dedup",
+    "nearest_centroid_confusion",
+]
+
+
+def _semantic_cell_pairs(spark, sf_dir: str) -> tuple[int, int]:
+    """(candidate cell-pair count, vector count) for semantic_dedup's
+    within-cell stage at this scale — the number behind the cell-blocking
+    claim (pairs grow with within-cell density, never corpus²). Rebuilds
+    the query's own intermediates with the query's own constants."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_team5_spark.operators.dedup import (
+        PRODUCTION_MAX_CELL,
+        cosine_cell_pairs,
+    )
+    from data_pipeline_team5_spark.operators.similarity import kmeans_fit
+    from data_pipeline_team5_spark.plans.dedup_family import COSINE_T
+    from data_pipeline_team5_spark.plans.similarity_family import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned, _ = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS, vec_col="v")
+    cells = assigned.select(F.col("cluster").alias("cell"), "vec_id", "v")
+    n_pairs = cosine_cell_pairs(
+        cells, COSINE_T, max_cell=PRODUCTION_MAX_CELL
+    ).count()
+    return n_pairs, emb.count()
+
+
 def main_embeddings() -> None:
-    """embedding_kmeans at 1× vs 10× vectors (same distribution — replicas
-    duplicate points, ids re-keyed so smallest-id init is unchanged)."""
+    """The embedding-side heavy entries at 1× vs 10× vectors (same
+    distribution — replicas duplicate points, ids re-keyed so
+    smallest-id init is unchanged): embedding_kmeans, semantic_dedup,
+    nearest_centroid_confusion (VERDICT r7 #4). For semantic_dedup the
+    candidate cell-pair count is reported alongside wall time — 10×
+    copies of every point raise within-cell density ~10×, so the honest
+    upper shape for the pair stage is ~100× pairs under the
+    PRODUCTION_MAX_CELL cap, NOT corpus²; the published number shows
+    where the cap actually lands."""
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
@@ -154,23 +197,40 @@ def main_embeddings() -> None:
 
     build_10x_embeddings()
     spark = get_spark(app_name="stress10x_emb")
-    fn = QUERIES["embedding_kmeans"].fn
+    names = sys.argv[2:] if len(sys.argv) > 2 else EMB_QUERIES
 
-    def run(d):
-        fn(spark, d).write.format("noop").mode("overwrite").save()
+    def run(name, d):
+        QUERIES[name].fn(spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
-    run("/root/testdata/sf0.001")  # warmup
+    for n in names:  # warmup: prime JVM/codegen at tiny SF
+        run(n, "/root/testdata/sf0.001")
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-    raw: dict[str, list[float]] = {"sf0.1": [], "10x": []}
-    for _ in range(passes):
-        for tag, d in (("sf0.1", SF_DIR), ("10x", STRESS_EMB_DIR)):
-            t0 = time.perf_counter()
-            run(d)
-            raw[tag].append(time.perf_counter() - t0)
-    a, b = min(raw["sf0.1"]), min(raw["10x"])
+    raw: dict[tuple[str, str], list[float]] = {}
+    for _ in range(passes):  # interleaved, same rationale as bench.py
+        for n in names:
+            for tag, d in (("sf0.1", SF_DIR), ("10x", STRESS_EMB_DIR)):
+                t0 = time.perf_counter()
+                run(n, d)
+                raw.setdefault((n, tag), []).append(
+                    time.perf_counter() - t0
+                )
     print("| query | sf0.1 (s) | 10×-vectors (s) | ratio at 10× data |")
     print("|---|---|---|---|")
-    print(f"| embedding_kmeans | {a:.2f} | {b:.2f} | {b / a:.1f}× |")
+    for n in names:
+        a = min(raw[(n, "sf0.1")])
+        b = min(raw[(n, "10x")])
+        print(f"| {n} | {a:.2f} | {b:.2f} | {b / a:.1f}× |")
+    if "semantic_dedup" in names:
+        p1, v1 = _semantic_cell_pairs(spark, SF_DIR)
+        p10, v10 = _semantic_cell_pairs(spark, STRESS_EMB_DIR)
+        print(
+            f"semantic_dedup cell-pair stage: {p1} candidate pairs over "
+            f"{v1} vectors at sf0.1 → {p10} over {v10} at 10× "
+            f"({p10 / max(p1, 1):.1f}× pairs at 10× vectors; corpus² "
+            f"would be {(v10 / v1) ** 2:.0f}×)"
+        )
 
 
 STRESS100_DIR = os.environ.get("STRESS100_DIR", "/tmp/stress_100x_docs")
