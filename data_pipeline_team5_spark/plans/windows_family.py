@@ -71,11 +71,13 @@ _BD = f"WITH brand_daily AS ({BRAND_DAILY_SQL})"
     "semantics (no tiebreak); the statistics run over the "
     "p_brand-tiebroken window so ntile's row-number buckets are "
     "engine-independent; all stats are computed over the FULL per-day "
-    "window BEFORE the filter, so values equal the unfiltered query's. "
-    "Both windows share the show_range partitioning, so Catalyst reuses "
-    "ONE Exchange, and the rank filter is applied streaming within each "
-    "day partition — Spark keeps ~10 rows/day past the window at any "
-    "scale.",
+    "window BEFORE the filter, so values equal the unfiltered query's "
+    "(percent_rank/ntile are full-window statistics, which is also why "
+    "no WindowGroupLimit pushdown can apply — the whole per-day window "
+    "must be evaluated first). Both windows share the show_range "
+    "partitioning, so Catalyst reuses ONE Exchange, and the rank filter "
+    "is partition-local right after window evaluation — only ~10 "
+    "rows/day survive into anything downstream at any scale.",
     headline=True,
     tags=("window", "rank", "topk"),
 )
