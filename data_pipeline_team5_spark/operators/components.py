@@ -55,6 +55,17 @@ from 2 jobs to 0, plus 1 job total at the end. The confirmation keeps
 the check EXACT — a fingerprint collision (≈2⁻⁶⁴) cannot silently stop
 the loop early, it just costs one wasted probe.
 
+**Small-graph fast path (round 8):** the accepted-pair graphs this
+operator actually receives are tiny relative to their corpora (banding +
+verification emit only accepted pairs), and below ~200k edges the star
+loop is pure per-job overhead. The normalized edge list's count — free
+with its first materialization — gates a driver-side union-find fallback
+(the same trade GraphFrames ships behind ``broadcastThreshold``) that
+produces the identical min-id labeling; larger graphs never collect and
+take the star rounds. Measured at sf0.1: semantic_dedup 18.0 → 10.1 s,
+dedup_components 3.8 → 1.9 s, with both paths cross-checked on the same
+graphs in tests/test_dedup_guards.py.
+
 **Scratch lifecycle (ADVICE r7 #1):** per-round edge lists are
 intermediate and are DELETED (via the Hadoop FileSystem API, so any
 scheme — file://, hdfs://, s3a:// — works) once the labels are written;
@@ -150,10 +161,30 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     scratch_dir: str | None = None,
+    small_graph_max: int = 200_000,
 ) -> DataFrame:
     """(id) + (src, dst) undirected edges → (id, component) with component
     = min id in the connected component. Isolated vertices map to
     themselves.
+
+    ``small_graph_max``: edge-count gate for the LOCAL fast path. The
+    normalized edge list's count comes free with its materialization
+    (the observe fingerprint); at or under the gate, the transitive
+    closure runs as a driver-side union-find over the collected edges
+    instead of distributed star rounds — the same local-fallback trade
+    GraphFrames ships behind its broadcastThreshold. Rationale: near-dup
+    pair graphs are orders of magnitude smaller than their corpora
+    (banding + verification emit only accepted pairs; sf0.1 cosine graph
+    = 1.2k edges for 2k vectors), and below ~200k edges the star loop's
+    cost is pure per-job overhead — a dozen jobs to converge a graph
+    whose edge list is a few MB. The collected payload is bounded by the
+    gate (two ids × 200k ≈ low tens of MB driver-side, far under any
+    driver heap this engine configures); output is IDENTICAL to the
+    distributed path — same min-id convention, pinned by
+    tests/test_dedup_guards.py running both paths on the same graphs.
+    Graphs over the gate never collect: they take the star rounds, whose
+    O(log² n) convergence is the 100 TB path. Pass 0 to force the
+    distributed path (the convergence/round-budget tests do).
 
     ``scratch_dir``: where per-round edge lists are materialized
     (alternating subdirectories, deleted on success; the final labels are
@@ -215,8 +246,36 @@ def connected_components(
     )
     cur, cur_fp = materialize(e0, "edges")
 
-    converged = False
-    for _ in range(max_iter):
+    if small_graph_max and cur_fp[0] <= small_graph_max:
+        # Local fast path: union-find with path compression; union
+        # attaches the larger root under the smaller, so every root is
+        # its component's minimum id — the same representative the star
+        # fixed point yields. `cur` is rewritten as the equivalent
+        # (leaf, center) star list so the shared labels join below
+        # serves both paths.
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while x != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in cur.collect():
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        stars = [
+            (x, r) for x in list(parent) if (r := find(x)) != x
+        ]
+        cur = spark.createDataFrame(stars, schema=cur.schema)
+        converged = True
+    else:
+        converged = False
+    for _ in () if converged else range(max_iter):
         nxt, nxt_fp = materialize(
             _star_round(_star_round(cur, large=True), large=False),
             "edges",

@@ -10,6 +10,7 @@ no-ops), and that the guard code paths actually filter when forced.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.operators.dedup import (
@@ -240,15 +241,20 @@ def test_connected_components_long_shuffled_path(spark):
     edges = [(perm[i], perm[i + 1]) for i in range(len(perm) - 1)]
     v = spark.createDataFrame([(i,) for i in ids], ["id"])
     e = spark.createDataFrame(edges, ["src", "dst"])
-    out = connected_components(v, e).collect()
+    # small_graph_max=0: this test pins the DISTRIBUTED star rounds (the
+    # default gate would take the local fast path on 299 edges)
+    out = connected_components(v, e, small_graph_max=0).collect()
     assert len(out) == 300
     assert all(r.component == 0 for r in out)
 
 
-def test_connected_components_matches_union_find(spark):
+@pytest.mark.parametrize("small_graph_max", [0, 200_000])
+def test_connected_components_matches_union_find(spark, small_graph_max):
     """Random-graph cross-check against an independent union-find: same
     partition into components AND the min-id representative convention —
-    the full contract the star-rewriting implementation must keep."""
+    the full contract BOTH implementations must keep (parametrized over
+    the distributed star rounds, small_graph_max=0, and the round-8
+    local fast path, which this graph falls under by default)."""
     import random
 
     from data_pipeline_team5_spark.operators.components import (
@@ -260,7 +266,12 @@ def test_connected_components_matches_union_find(spark):
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
     v = spark.createDataFrame([(i,) for i in range(n)], ["id"])
     e = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r.id: r.component for r in connected_components(v, e).collect()}
+    got = {
+        r.id: r.component
+        for r in connected_components(
+            v, e, small_graph_max=small_graph_max
+        ).collect()
+    }
 
     parent = list(range(n))
 

@@ -104,9 +104,13 @@ def test_components_raise_on_non_convergence(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(4)], ["src", "dst"]
     )
+    # small_graph_max=0 forces the distributed star rounds — the round
+    # budget is meaningless on the local fast path
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(verts, edges, max_iter=2)
-    done = connected_components(verts, edges, max_iter=10)
+        connected_components(verts, edges, max_iter=2, small_graph_max=0)
+    done = connected_components(
+        verts, edges, max_iter=10, small_graph_max=0
+    )
     assert {r.component for r in done.collect()} == {0}
 
 
