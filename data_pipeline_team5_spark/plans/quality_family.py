@@ -197,6 +197,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _ = kmeans_fit(
         emb, k=KMEANS_K, iters=KMEANS_ITERS, vec_col="v"
     )
+    # Materialize the final assignment ONCE: three consumers (both sides
+    # of the within-cell self-join + the output's cluster column) would
+    # otherwise each re-run the k×dim literal-centroid argmin projection
+    # — the same materialize-the-shared-layer discipline as
+    # training_curation's curated corpus. Measured at sf0.1: the pair
+    # stage drops ~2× (SCALING.md round-8).
+    assigned = assigned.localCheckpoint()
     cells = assigned.select(
         F.col("cluster").alias("cell"), "vec_id", "v"
     )
