@@ -84,6 +84,42 @@ def _calibrate() -> float:
     return time.perf_counter() - t0
 
 
+CALIB_MT_THREADS = 8
+
+
+def _calibrate_mt() -> float:
+    """Parallel sentinel (round 8): the single-thread probe is BLIND to
+    multi-core steal — an external tenant taking half the cores leaves a
+    1-thread sha256 untouched while every 32-thread Spark stage slows
+    down (observed: plan-unchanged queries drifting ~20% between runs
+    with calib_sec flat at 0.19). Eight threads hashing concurrently
+    (hashlib releases the GIL for large updates) inflate under exactly
+    that contention. Read calib_mt_sec / calib_sec across runs: the
+    ratio rises when cores — not cycles — are the stolen resource."""
+    import hashlib
+    import threading
+
+    buf = b"\x5a" * 65536
+
+    def work() -> None:
+        h = hashlib.sha256()
+        for _ in range(4096):  # EACH thread hashes the single-thread
+            # probe's full volume, so unloaded calib_mt_sec ≈ calib_sec
+            # (~0.2 s — long enough to be stable) and the unloaded
+            # ratio calib_mt/calib ≈ 1; core steal pushes it above 1.
+            h.update(buf)
+
+    ts = [
+        threading.Thread(target=work) for _ in range(CALIB_MT_THREADS)
+    ]
+    t0 = time.perf_counter()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Parse the scale factor from the basename only ('…/sf0.1' → 0.1);
@@ -115,9 +151,11 @@ def main() -> None:
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     raw: dict[str, list[float]] = {n: [] for n in headline}
     calib: list[float] = []
+    calib_mt: list[float] = []
     for _ in range(passes):
         calib.append(_calibrate())  # interleaved: samples the same
         # machine state the pass's queries see
+        calib_mt.append(_calibrate_mt())
         for name, fn in sorted(headline.items()):
             t0 = time.perf_counter()
             _run(fn(spark, sf_dir))
@@ -143,6 +181,7 @@ def main() -> None:
         "spread": spread,
         "raw_passes": {n: [round(t, 3) for t in raw[n]] for n in sorted(raw)},
         "calib_passes": [round(c, 4) for c in calib],
+        "calib_mt_passes": [round(c, 4) for c in calib_mt],
         "calib_spread": round(
             sorted(calib)[len(calib) // 2] / min(calib) - 1.0, 4
         ),
@@ -163,6 +202,9 @@ def main() -> None:
         # across rounds (recipe in BASELINE.md). Spread/load detail:
         # BENCH_DETAIL.json.
         "calib_sec": round(min(calib), 4),
+        # 8-thread variant: rises when CORES (not cycles) are stolen —
+        # the contention mode the 1-thread sentinel cannot see.
+        "calib_mt_sec": round(min(calib_mt), 4),
     }
     print(json.dumps(bounded_line(out), separators=(",", ":")))
 
