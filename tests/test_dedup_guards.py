@@ -346,3 +346,24 @@ def test_connected_components_explicit_scratch_dir(spark, tmp_path):
     assert {r.id: r.component for r in out.collect()} == {1: 1, 2: 1}
     inner = [p for p in os.listdir(d) if not p.startswith(".")]
     assert sorted(p.split("_")[0] for p in inner) == ["labels"], inner
+
+
+def test_connected_components_gate_routes_by_edge_count(spark):
+    """The small_graph_max gate must actually route: a graph OVER the
+    gate takes the distributed star rounds (observable: a 1-round budget
+    on a diameter-4 chain raises), the same graph UNDER the gate takes
+    the local union-find (the budget is irrelevant there)."""
+    from data_pipeline_team5_spark.operators.components import (
+        connected_components,
+    )
+
+    v = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], ["src", "dst"]
+    )
+    # 4 edges > gate(3) → distributed; chain diameter defeats max_iter=1
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(v, e, max_iter=1, small_graph_max=3)
+    # 4 edges ≤ gate(100) → local fast path; max_iter never consulted
+    out = connected_components(v, e, max_iter=1, small_graph_max=100)
+    assert {r.component for r in out.collect()} == {0}
