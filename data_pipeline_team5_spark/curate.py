@@ -23,6 +23,11 @@ tests/test_incremental_neardup, tests/test_curate_cli):
                file, ``Trigger.AvailableNow``), run the curate+fold body
                per micro-batch, and keep a DURABLE checkpoint so a rerun
                processes only files that arrived since the last run
+  compact      maintenance: collapse each fold store's accumulated
+               per-day ``batch_id`` partitions into one consolidated
+               ``batch_id=base`` partition (small-files hygiene; run
+               only beyond the replay horizon — a compacted day can no
+               longer be replayed via ``--fold-batch-id``)
 
 The fold step grows all THREE stores together — signature index, key
 index, AND the retained-corpus root — because an index that knows docs the
@@ -78,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
         append_corpus_batch,
         build_exact_key_index,
         build_signature_index,
+        compact_fold_stores,
         curate_incremental_batch,
         curate_training_data,
         next_bin_offset,
@@ -176,6 +182,20 @@ def main(argv: list[str] | None = None) -> int:
                             "processes only files that arrived since the "
                             "last run — the cron-free form of the daily "
                             "loop")
+    p_cmp = sub.add_parser(
+        "compact",
+        help="collapse per-day batch_id partitions into one base "
+             "partition per store (small-files maintenance)",
+    )
+    p_cmp.add_argument("--roots", required=True, nargs="+",
+                       help="fold-store roots to compact (corpus / sig / "
+                            "key / assignments — any subset)")
+    p_cmp.add_argument("--into", default="base",
+                       help="batch_id the consolidated partition gets "
+                            "(default 'base'). Days compacted into it can "
+                            "no longer be replayed with --fold-batch-id — "
+                            "compact only beyond the crash-recovery "
+                            "horizon")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name=f"curate_{args.cmd}")
@@ -212,6 +232,10 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"status": "ok", "cmd": "build-index",
                           "sig": args.sig, "key": args.key,
                           "batch_id": args.batch_id}))
+    elif args.cmd == "compact":
+        report = compact_fold_stores(spark, args.roots, into=args.into)
+        print(json.dumps({"status": "ok", "cmd": "compact",
+                          "into": args.into, "stores": report}))
     elif args.cmd == "stream":
         # The per-micro-batch body is exactly the `incremental
         # --fold-batch-id` daily loop with fold = "s{batch_id}"; Structured

@@ -790,6 +790,101 @@ def append_corpus_batch(
     )
 
 
+def compact_fold_stores(
+    spark: SparkSession,
+    roots: list[str],
+    into: str = "base",
+) -> dict[str, dict[str, int]]:
+    """Operational maintenance for the daily fold loop (round 8): collapse
+    each store root's accumulated ``batch_id=`` partitions into ONE
+    consolidated ``batch_id=<into>`` partition, preserving every non-
+    ``batch_id`` cell bitwise.
+
+    Why: the fold loop appends one partition per day to FOUR roots
+    (corpus, signature index, key index, assignments). After a year that
+    is ~365 partitions × a handful of files each, per store — the classic
+    small-files regime where InMemoryFileIndex listing and per-file scan
+    setup start to dominate every probe (the same failure
+    sources/writers.py:compact_partitions handles for the day-partitioned
+    facts). Probes and ``next_bin_offset`` read the whole root, so
+    consolidating partitions changes NOTHING semantically — pinned by the
+    post-compaction-day-equivalence test in tests/test_curate_cli.py.
+
+    When: only beyond the replay horizon. Replaying a day whose partition
+    was folded into ``<into>`` is impossible afterwards
+    (``exclude_batch_id`` can no longer isolate it — its rows would match
+    themselves in the index probes and the whole replay would be
+    dropped); compact days that will never be replayed, i.e. anything
+    older than the crash-recovery window, and keep folding NEW days as
+    fresh partitions on top.
+
+    How: each root is rewritten to a sibling ``<root>__compact_tmp`` dir
+    first, then swapped in via two Hadoop-FS renames with the original
+    parked at ``<root>__pre_compact`` until the swap completes — a crash
+    at any point leaves the original or both trees on disk, never
+    neither. (On object stores rename is a copy; run this as the
+    off-peak maintenance job it is.) Row counts are re-verified after
+    the swap and a mismatch raises.
+
+    Returns per-root ``{"files_before", "files_after", "rows"}``.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def fs_path(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    def parquet_file_count(root: str) -> int:
+        fs = fs_path(root).getFileSystem(conf)
+        it = fs.listFiles(fs_path(root), True)
+        n = 0
+        while it.hasNext():
+            f = it.next().getPath().getName()
+            if f.endswith(".parquet"):
+                n += 1
+        return n
+
+    report: dict[str, dict[str, int]] = {}
+    for root in roots:
+        df = spark.read.parquet(root)
+        if "batch_id" not in df.columns:
+            raise ValueError(
+                f"compact_fold_stores: {root} is not a batch_id-"
+                "partitioned fold store"
+            )
+        n_rows = df.count()
+        files_before = parquet_file_count(root)
+        tmp, bak = f"{root}__compact_tmp", f"{root}__pre_compact"
+        (
+            df.drop("batch_id")
+            .withColumn("batch_id", F.lit(into))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(tmp)
+        )
+        fs = fs_path(root).getFileSystem(conf)
+        fs.delete(fs_path(bak), True)  # stale backup from a prior crash
+        if not fs.rename(fs_path(root), fs_path(bak)):
+            raise RuntimeError(f"compact: could not park {root} at {bak}")
+        if not fs.rename(fs_path(tmp), fs_path(root)):
+            # roll the original back before failing — never leave no tree
+            fs.rename(fs_path(bak), fs_path(root))
+            raise RuntimeError(f"compact: could not swap {tmp} into {root}")
+        n_after = spark.read.parquet(root).count()
+        if n_after != n_rows:
+            raise RuntimeError(
+                f"compact: row count changed for {root} "
+                f"({n_rows} -> {n_after}); original kept at {bak}"
+            )
+        fs.delete(fs_path(bak), True)
+        report[root] = {
+            "files_before": files_before,
+            "files_after": parquet_file_count(root),
+            "rows": n_rows,
+        }
+    return report
+
+
 def next_bin_offset(
     spark: SparkSession, assignments_root: str, exclude_batch_id: str | None = None
 ) -> int:

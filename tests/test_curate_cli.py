@@ -380,3 +380,76 @@ def test_cli_stream_crash_mid_fold_resumes_bitwise(
             f"{k} store diverged after crash/resume"
         )
         assert a_rows, f"{k} store empty"
+
+
+def test_cli_compact_preserves_content_and_later_days(
+    spark, tmp_path, capsys
+):
+    """`curate compact` (round 8): the fold stores' accumulated per-day
+    batch_id partitions collapse to ONE base partition per root with (a)
+    every non-batch_id cell preserved bitwise, (b) strictly fewer
+    partition directories, and (c) NO effect on subsequent days — a
+    day-3 fold against compacted stores must produce assignments
+    bitwise-identical to a day-3 fold against the uncompacted control,
+    since every probe reads whole roots and next_bin_offset is
+    partition-agnostic."""
+    docs, paths = _days(spark, tmp_path)
+
+    def fold_two_days(tag):
+        s = {
+            k: str(tmp_path / f"{tag}_{k}")
+            for k in ("corpus", "sig", "key", "out")
+        }
+        _run(capsys, ["init-corpus", "--docs", paths["day0"],
+                      "--corpus", s["corpus"]])
+        _run(capsys, ["build-index", "--docs", s["corpus"],
+                      "--sig", s["sig"], "--key", s["key"]])
+        _run(capsys, _inc_argv(s, paths["day1"], "day1"))
+        _run(capsys, _inc_argv(s, paths["day2"], "day2"))
+        return s
+
+    sa = fold_two_days("ca")  # will be compacted
+    sb = fold_two_days("cb")  # uncompacted control
+
+    def content(root):
+        df = spark.read.parquet(root)
+        cols = sorted(c for c in df.columns if c != "batch_id")
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    before = {k: content(sa[k]) for k in sa}
+    roots = [sa[k] for k in ("corpus", "sig", "key", "out")]
+    r = _run(capsys, ["compact", "--roots", *roots])
+    assert r["status"] == "ok" and set(r["stores"]) == set(roots)
+    for k in sa:
+        parts = [
+            p for p in os.listdir(sa[k]) if p.startswith("batch_id=")
+        ]
+        assert parts == ["batch_id=base"], (sa[k], parts)
+        assert content(sa[k]) == before[k], f"{k} content changed"
+        st = r["stores"][sa[k]]
+        assert st["files_after"] <= st["files_before"]
+        assert st["rows"] == len(before[k])
+    # no leftover tmp/backup trees
+    leftovers = [
+        p for p in os.listdir(tmp_path)
+        if "__compact_tmp" in p or "__pre_compact" in p
+    ]
+    assert leftovers == []
+
+    # day 3 folds identically against compacted vs uncompacted stores
+    ra = _run(capsys, _inc_argv(sa, paths["day3"], "day3"))
+    rb = _run(capsys, _inc_argv(sb, paths["day3"], "day3"))
+    assert ra["kept"] == rb["kept"] > 0
+    a_rows = sorted(
+        tuple(x)
+        for x in spark.read.parquet(sa["out"])
+        .filter(F.col("batch_id") == "day3")
+        .collect()
+    )
+    b_rows = sorted(
+        tuple(x)
+        for x in spark.read.parquet(sb["out"])
+        .filter(F.col("batch_id") == "day3")
+        .collect()
+    )
+    assert a_rows == b_rows, "day-3 fold diverged after compaction"
