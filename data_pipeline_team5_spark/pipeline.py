@@ -794,6 +794,7 @@ def compact_fold_stores(
     spark: SparkSession,
     roots: list[str],
     into: str = "base",
+    target_mb: int = 128,
 ) -> dict[str, dict[str, int]]:
     """Operational maintenance for the daily fold loop (round 8): collapse
     each store root's accumulated ``batch_id=`` partitions into ONE
@@ -855,9 +856,18 @@ def compact_fold_stores(
         n_rows = df.count()
         files_before = parquet_file_count(root)
         tmp, bak = f"{root}__compact_tmp", f"{root}__pre_compact"
+        # Right-size the output files from the scan's own size estimate
+        # (same discipline as sources/writers.py:compact_partitions) —
+        # without this the rewrite inherits the read-task layout and a
+        # 40-batch store still lands ~40 small files.
+        total_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        n_files = max(1, total_bytes // (target_mb * 1024 * 1024))
         (
             df.drop("batch_id")
             .withColumn("batch_id", F.lit(into))
+            .repartition(int(n_files))
             .write.mode("overwrite")
             .partitionBy("batch_id")
             .parquet(tmp)
