@@ -284,10 +284,10 @@ def d3_top10_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     "big-number-with-trendline — the last 7 calendar days' daily series "
     "relative to the data's max day; the max-day scalar is a 1-row "
     "broadcast join, and on day-partitioned storage that filter prunes "
-    "to 7 partitions. Both sections aggregate the SAME day-grain "
-    "pre-aggregate (the shape union_source_panel set): per-branch "
-    "columns are NULL in the other branch, exactly as in the oracle's "
-    "UNION ALL.",
+    "to 7 partitions. Both sections consume ONE materialized day-grain "
+    "pre-aggregate (one row per day — localCheckpointed, so the fact "
+    "scan runs once, not once per branch); per-branch columns are NULL "
+    "in the other branch, exactly as in the oracle's UNION ALL.",
     tags=("dashboard", "date"),
 )
 def d5_d6_time_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,6 +296,9 @@ def d5_d6_time_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_quantity", "audience"),
         dsum("l_extendedprice", "sales"),
     )
+    # one row per day — materialize so the three consumers (weekday agg,
+    # cutoff scalar, last-7 filter) share ONE fact scan instead of three
+    daily = daily.localCheckpoint()
     weekday = (
         daily.groupBy(
             F.dayofweek("show_range").cast("int").alias("weekday")
