@@ -453,3 +453,28 @@ def test_cli_compact_preserves_content_and_later_days(
         .collect()
     )
     assert a_rows == b_rows, "day-3 fold diverged after compaction"
+
+
+def test_compact_clears_stale_backup_from_prior_crash(spark, tmp_path, capsys):
+    """A crash between compaction's two renames leaves a __pre_compact
+    backup tree; the next compact run must clear it and still succeed
+    (the documented recovery semantics of the swap)."""
+    import shutil
+
+    docs, paths = _days(spark, tmp_path)
+    corpus = str(tmp_path / "bk_corpus")
+    _run(capsys, ["init-corpus", "--docs", paths["day0"],
+                  "--corpus", corpus])
+    # simulate the parked tree a prior crash would leave
+    shutil.copytree(corpus, corpus + "__pre_compact")
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(corpus).collect()
+    )
+    r = _run(capsys, ["compact", "--roots", corpus])
+    assert r["status"] == "ok"
+    assert not os.path.isdir(corpus + "__pre_compact")
+    assert not os.path.isdir(corpus + "__compact_tmp")
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(corpus).collect()
+    )
+    assert after == before

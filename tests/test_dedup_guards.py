@@ -367,3 +367,28 @@ def test_connected_components_gate_routes_by_edge_count(spark):
     # 4 edges ≤ gate(100) → local fast path; max_iter never consulted
     out = connected_components(v, e, max_iter=1, small_graph_max=100)
     assert {r.component for r in out.collect()} == {0}
+
+
+def test_connected_components_string_ids_both_paths(spark):
+    """Ids are not always numeric (near-dup over content-hash keys, user
+    ids): both the local union-find and the star rounds must honor the
+    same min-id (lexicographic for strings) representative convention."""
+    from data_pipeline_team5_spark.operators.components import (
+        connected_components,
+    )
+
+    v = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",)], ["id"]
+    )
+    e = spark.createDataFrame(
+        [("c", "b"), ("b", "a"), ("e", "d")], ["src", "dst"]
+    )
+    expect = {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+    for gate in (0, 100):
+        got = {
+            r.id: r.component
+            for r in connected_components(
+                v, e, small_graph_max=gate
+            ).collect()
+        }
+        assert got == expect, f"gate={gate}"
