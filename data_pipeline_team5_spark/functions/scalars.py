@@ -22,20 +22,45 @@ RATE = "decimal(8,4)"  # discounts/taxes in [0,1]
 GENERIC = "decimal(28,10)"  # arbitrary double measures (events.value)
 
 
-def dsum(col: str | Column, alias: str, typ: str = MONEY) -> Column:
-    """Exact order-independent SUM: cast each element to DECIMAL, sum, emit DOUBLE.
+def dec_to_double(c: Column) -> Column:
+    """Engine-portable DECIMAL→DOUBLE: route through a string.
 
-    Oracle-side equivalent: ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)``.
+    Direct decimal→double casts are NOT correctly rounded in either
+    engine for values past 2^53 (both divide an integer mantissa by a
+    power of ten in double arithmetic — two roundings), and the two
+    engines round DIFFERENTLY: at sf0.1 `dash_corr_matrix`'s Σxy moment
+    (~1.9e16) differed in the last ulp, breaking the value-hash oracle
+    (found by the round-8 sf0.1 oracle sweep). String→double parsing IS
+    correctly rounded in both (Java `Double.parseDouble`, DuckDB
+    fast_float), and decimal→string is exact plain-notation digits in
+    both, so ``CAST(CAST(x AS STRING) AS DOUBLE)`` yields the bitwise
+    SAME double everywhere, at any magnitude. Use on POST-AGGREGATION
+    values (group-grain rows) — the string hop costs one format+parse
+    per output row, nothing per input row. SQL twin:
+    :func:`dec_to_double_sql`."""
+    return c.cast("string").cast("double")
+
+
+def dec_to_double_sql(expr: str) -> str:
+    return f"CAST(CAST({expr} AS STRING) AS DOUBLE)"
+
+
+def dsum(col: str | Column, alias: str, typ: str = MONEY) -> Column:
+    """Exact order-independent SUM: cast each element to DECIMAL, sum, emit
+    DOUBLE via the correctly-rounded string route (see :func:`dec_to_double`).
+
+    Oracle-side equivalent: dsum_sql —
+    ``CAST(CAST(SUM(CAST(x AS DECIMAL(18,2))) AS STRING) AS DOUBLE)``.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(typ)).cast("double").alias(alias)
+    return dec_to_double(F.sum(c.cast(typ))).alias(alias)
 
 
 def davg(col: str | Column, alias: str, typ: str = MONEY) -> Column:
-    """Exact mean: DECIMAL sum cast to DOUBLE divided by COUNT (both engines
-    perform the same single double division)."""
+    """Exact mean: DECIMAL sum to DOUBLE (string route) divided by COUNT
+    (both engines perform the same single double division)."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(c.cast(typ)).cast("double") / F.count(c)).alias(alias)
+    return (dec_to_double(F.sum(c.cast(typ))) / F.count(c)).alias(alias)
 
 
 
@@ -122,10 +147,14 @@ def norm_text_sql(expr: str) -> str:
 
 
 def dsum_sql(expr: str, alias: str, typ: str = "DECIMAL(18,2)") -> str:
-    return f"CAST(SUM(CAST({expr} AS {typ})) AS DOUBLE) AS {alias}"
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS {typ})) AS STRING) AS DOUBLE)"
+        f" AS {alias}"
+    )
 
 
 def davg_sql(expr: str, alias: str, typ: str = "DECIMAL(18,2)") -> str:
     return (
-        f"(CAST(SUM(CAST({expr} AS {typ})) AS DOUBLE) / COUNT({expr})) AS {alias}"
+        f"(CAST(CAST(SUM(CAST({expr} AS {typ})) AS STRING) AS DOUBLE)"
+        f" / COUNT({expr})) AS {alias}"
     )

@@ -47,8 +47,8 @@ def brand_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 BRAND_DAILY_SQL = """
     SELECT CAST(l.l_shipdate AS DATE) AS show_range,
            p.p_brand AS p_brand,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sales,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS audience
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sales,
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS audience
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1, 2
 """

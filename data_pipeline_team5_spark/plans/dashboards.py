@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.functions.scalars import (
     MONEY,
+    dec_to_double,
     dsum,
     dsum_sql,
     exact_corr,
@@ -80,21 +81,21 @@ def _brand_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT MAX(CAST(l_shipdate AS DATE)) - 364 AS c FROM lineitem
         )
         SELECT p.p_brand AS p_brand,
-               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
                    AS screens,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
                    AS sales,
-               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
                    AS audience,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                 / CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
                    AS avg_ticket_price,
-               CAST(SUM(CASE WHEN CAST(l.l_shipdate AS DATE) >= cut.c
+               CAST(CAST(SUM(CASE WHEN CAST(l.l_shipdate AS DATE) >= cut.c
                              THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
-                        END) AS DOUBLE) AS sales_1y,
-               CAST(SUM(CASE WHEN CAST(l.l_shipdate AS DATE) >= cut.c
+                        END) AS STRING) AS DOUBLE) AS sales_1y,
+               CAST(CAST(SUM(CASE WHEN CAST(l.l_shipdate AS DATE) >= cut.c
                              THEN CAST(l.l_quantity AS DECIMAL(18,2))
-                        END) AS DOUBLE) AS audience_1y,
+                        END) AS STRING) AS DOUBLE) AS audience_1y,
                CAST(COUNT(CASE WHEN CAST(l.l_shipdate AS DATE) >= cut.c
                                THEN 1 END) AS BIGINT) AS n_rows_1y,
                CAST(COUNT(*) AS BIGINT) AS n_rows
@@ -135,15 +136,15 @@ def dash_movie_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", "sales"),
             dsum("l_quantity", "audience"),
             (
-                F.sum(F.col("l_extendedprice").cast(MONEY)).cast("double")
-                / F.sum(F.col("l_quantity").cast(MONEY)).cast("double")
+                dec_to_double(F.sum(F.col("l_extendedprice").cast(MONEY)))
+                / dec_to_double(F.sum(F.col("l_quantity").cast(MONEY)))
             ).alias("avg_ticket_price"),
-            F.sum(F.when(in_1y, F.col("l_extendedprice")).cast(MONEY))
-            .cast("double")
-            .alias("sales_1y"),
-            F.sum(F.when(in_1y, F.col("l_quantity")).cast(MONEY))
-            .cast("double")
-            .alias("audience_1y"),
+            dec_to_double(
+                F.sum(F.when(in_1y, F.col("l_extendedprice")).cast(MONEY))
+            ).alias("sales_1y"),
+            dec_to_double(
+                F.sum(F.when(in_1y, F.col("l_quantity")).cast(MONEY))
+            ).alias("audience_1y"),
             F.count(F.when(in_1y, F.lit(1))).alias("n_rows_1y"),
             F.count(F.lit(1)).alias("n_rows"),
         )
@@ -164,11 +165,11 @@ def dash_movie_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY p.p_brand
         ), m AS (
             SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-                   CAST(SUM(xd) AS DOUBLE) AS sx,
-                   CAST(SUM(yd) AS DOUBLE) AS sy,
-                   CAST(SUM(xd * yd) AS DOUBLE) AS sxy,
-                   CAST(SUM(xd * xd) AS DOUBLE) AS sxx,
-                   CAST(SUM(yd * yd) AS DOUBLE) AS syy
+                   CAST(CAST(SUM(xd) AS STRING) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(yd) AS STRING) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(xd * yd) AS STRING) AS DOUBLE) AS sxy,
+                   CAST(CAST(SUM(xd * xd) AS STRING) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(yd * yd) AS STRING) AS DOUBLE) AS syy
             FROM g
         )
         SELECT {exact_corr_sql('n', 'sx', 'sy', 'sxy', 'sxx', 'syy')} AS corr_screens_sales,
@@ -204,11 +205,11 @@ def dash_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = g.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("xd").cast("double").alias("sx"),
-        F.sum("yd").cast("double").alias("sy"),
-        F.sum(F.col("xd") * F.col("yd")).cast("double").alias("sxy"),
-        F.sum(F.col("xd") * F.col("xd")).cast("double").alias("sxx"),
-        F.sum(F.col("yd") * F.col("yd")).cast("double").alias("syy"),
+        dec_to_double(F.sum("xd")).alias("sx"),
+        dec_to_double(F.sum("yd")).alias("sy"),
+        dec_to_double(F.sum(F.col("xd") * F.col("yd"))).alias("sxy"),
+        dec_to_double(F.sum(F.col("xd") * F.col("xd"))).alias("sxx"),
+        dec_to_double(F.sum(F.col("yd") * F.col("yd"))).alias("syy"),
     )
     return m.select(
         exact_corr(
@@ -256,8 +257,8 @@ def d3_top10_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'weekday_avg' AS section,
                CAST(dayofweek(show_range) + 1 AS INT) AS weekday,
                CAST(NULL AS DATE) AS show_range,
-               CAST(SUM(CAST(sales AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_sales,
-               CAST(SUM(CAST(audience AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_audience,
+               CAST(CAST(SUM(CAST(sales AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / COUNT(*) AS avg_sales,
+               CAST(CAST(SUM(CAST(audience AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / COUNT(*) AS avg_audience,
                CAST(COUNT(*) AS BIGINT) AS n_days,
                CAST(NULL AS DOUBLE) AS sales,
                CAST(NULL AS DOUBLE) AS audience
@@ -305,11 +306,11 @@ def d5_d6_time_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             (
-                F.sum(F.col("sales").cast(MONEY)).cast("double")
+                dec_to_double(F.sum(F.col("sales").cast(MONEY)))
                 / F.count(F.lit(1))
             ).alias("avg_sales"),
             (
-                F.sum(F.col("audience").cast(MONEY)).cast("double")
+                dec_to_double(F.sum(F.col("audience").cast(MONEY)))
                 / F.count(F.lit(1))
             ).alias("avg_audience"),
             F.count(F.lit(1)).alias("n_days"),
@@ -379,7 +380,7 @@ SEASONS = ["winter", "spring", "summer", "fall"]
         ), wide AS (
             SELECT genre,
                    {", ".join(
-                       f"CAST(SUM(CASE WHEN season = '{s}' THEN aud_d END) AS DOUBLE) AS {s}_audience"
+                       f"CAST(CAST(SUM(CASE WHEN season = '{s}' THEN aud_d END) AS STRING) AS DOUBLE) AS {s}_audience"
                        for s in SEASONS
                    )},
                    CAST(SUM(sales_d) AS DECIMAL(38,2)) AS sales_d
@@ -388,8 +389,9 @@ SEASONS = ["winter", "spring", "summer", "fall"]
         )
         SELECT genre,
                {", ".join(f"{s}_audience" for s in SEASONS)},
-               CAST(sales_d AS DOUBLE) AS sales,
-               CAST(sales_d AS DOUBLE) / CAST(SUM(sales_d) OVER () AS DOUBLE) AS share
+               CAST(CAST(sales_d AS STRING) AS DOUBLE) AS sales,
+               CAST(CAST(sales_d AS STRING) AS DOUBLE)
+                 / CAST(CAST(SUM(sales_d) OVER () AS STRING) AS DOUBLE) AS share
         FROM wide
         ORDER BY genre
     """,
@@ -425,9 +427,9 @@ def d9_d10_genre_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wide = cell.groupBy("genre").agg(
         *[
-            F.sum(F.when(F.col("season") == s, F.col("aud_d")))
-            .cast("double")
-            .alias(f"{s}_audience")
+            dec_to_double(
+                F.sum(F.when(F.col("season") == s, F.col("aud_d")))
+            ).alias(f"{s}_audience")
             for s in SEASONS
         ],
         F.sum("sales_d").cast("decimal(38,2)").alias("sales_d"),
@@ -436,10 +438,10 @@ def d9_d10_genre_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "genre",
         *[f"{s}_audience" for s in SEASONS],
-        F.col("sales_d").cast("double").alias("sales"),
-        (F.col("sales_d").cast("double") / total.cast("double")).alias(
-            "share"
-        ),
+        dec_to_double(F.col("sales_d")).alias("sales"),
+        (
+            dec_to_double(F.col("sales_d")) / dec_to_double(total)
+        ).alias("share"),
     ).orderBy("genre")
 
 
