@@ -80,8 +80,9 @@ ORDER BY title, code
 _DATA_METRICS = ["sales", "total_sales", "audience_num", "total_audience_num"]
 
 _CELL = (
-    "CAST(MAX(CASE WHEN date_format(show_range, 'yyyyMMdd') = '{day}' "
-    "THEN CAST({metric} AS DECIMAL(18,2)) END) AS DOUBLE) AS `{day}_{metric}`"
+    "CAST(CAST(MAX(CASE WHEN date_format(show_range, 'yyyyMMdd') = '{day}' "
+    "THEN CAST({metric} AS DECIMAL(18,2)) END) AS STRING) AS DOUBLE) "
+    "AS `{day}_{metric}`"
 )
 
 

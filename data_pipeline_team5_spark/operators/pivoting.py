@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_pipeline_team5_spark.functions.scalars import MONEY
+from data_pipeline_team5_spark.functions.scalars import MONEY, dec_to_double
 
 _AGGS = {"max": F.max, "min": F.min, "sum": F.sum, "avg": F.avg}
 
@@ -50,7 +50,7 @@ def pivot_max_cells(
         for v in pivot_values:
             cell = F.when(F.col(pivot_col) == v, F.col(metric).cast(cell_type))
             exprs.append(
-                agg(cell).cast("double").alias(f"{v.lower()}_{suffix}")
+                dec_to_double(agg(cell)).alias(f"{v.lower()}_{suffix}")
             )
     return df.groupBy(*keys).agg(*exprs)
 

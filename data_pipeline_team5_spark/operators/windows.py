@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
-from data_pipeline_team5_spark.functions.scalars import MONEY
+from data_pipeline_team5_spark.functions.scalars import MONEY, dec_to_double
 
 
 def day_rank_window(day_col: str, metric_col: str) -> WindowSpec:
@@ -96,7 +96,7 @@ def cumulative(df: DataFrame, key_col: str, day_col: str, metric_col: str,
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(
-        out, F.sum(F.col(metric_col).cast(typ)).over(w).cast("double")
+        out, dec_to_double(F.sum(F.col(metric_col).cast(typ)).over(w))
     )
 
 
@@ -109,5 +109,5 @@ def moving_frame(df: DataFrame, key_col: str, day_col: str, metric_col: str,
         .rowsBetween(-(n_rows - 1), Window.currentRow)
     )
     return df.withColumn(
-        out, F.sum(F.col(metric_col).cast(typ)).over(w).cast("double")
+        out, dec_to_double(F.sum(F.col(metric_col).cast(typ)).over(w))
     )

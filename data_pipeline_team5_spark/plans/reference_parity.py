@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.functions.scalars import (
+    dec_to_double,
+    dec_to_double_sql,
     dsum,
     dsum_sql,
     revenue_expr,
@@ -34,7 +36,7 @@ from data_pipeline_team5_spark.plans.catalog import register, table
         SELECT CAST(l_shipdate AS DATE) AS show_range,
                {dsum_sql('l_quantity', 'sum_qty')},
                {dsum_sql('l_extendedprice', 'sum_sales')},
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_revenue,
+               {dec_to_double_sql("SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,4))))")} AS sum_revenue,
                {dsum_sql('l_discount', 'sum_disc', 'DECIMAL(8,4)')},
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
@@ -59,7 +61,7 @@ def showrange_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = li.groupBy(day).agg(
         dsum("l_quantity", "sum_qty"),
         dsum("l_extendedprice", "sum_sales"),
-        F.sum(revenue_expr()).cast("double").alias("sum_revenue"),
+        dec_to_double(F.sum(revenue_expr())).alias("sum_revenue"),
         dsum("l_discount", "sum_disc", "decimal(8,4)"),
         F.count(F.lit(1)).alias("n_rows"),
     )
@@ -76,12 +78,12 @@ _FLAGS = ["A", "N", "R"]
     "box_office_pivot",
     oracle="""
         SELECT p.p_brand AS p_brand,
-               CAST(MAX(CASE WHEN l.l_returnflag = 'A' THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS a_max_sales,
-               CAST(MAX(CASE WHEN l.l_returnflag = 'N' THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS n_max_sales,
-               CAST(MAX(CASE WHEN l.l_returnflag = 'R' THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS r_max_sales,
-               CAST(SUM(CASE WHEN l.l_returnflag = 'A' THEN CAST(l.l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS a_sum_qty,
-               CAST(SUM(CASE WHEN l.l_returnflag = 'N' THEN CAST(l.l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS n_sum_qty,
-               CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN CAST(l.l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS r_sum_qty
+               CAST(CAST(MAX(CASE WHEN l.l_returnflag = 'A' THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END) AS STRING) AS DOUBLE) AS a_max_sales,
+               CAST(CAST(MAX(CASE WHEN l.l_returnflag = 'N' THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END) AS STRING) AS DOUBLE) AS n_max_sales,
+               CAST(CAST(MAX(CASE WHEN l.l_returnflag = 'R' THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END) AS STRING) AS DOUBLE) AS r_max_sales,
+               CAST(CAST(SUM(CASE WHEN l.l_returnflag = 'A' THEN CAST(l.l_quantity AS DECIMAL(18,2)) END) AS STRING) AS DOUBLE) AS a_sum_qty,
+               CAST(CAST(SUM(CASE WHEN l.l_returnflag = 'N' THEN CAST(l.l_quantity AS DECIMAL(18,2)) END) AS STRING) AS DOUBLE) AS n_sum_qty,
+               CAST(CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN CAST(l.l_quantity AS DECIMAL(18,2)) END) AS STRING) AS DOUBLE) AS r_sum_qty
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand
         ORDER BY p_brand
@@ -116,18 +118,18 @@ def box_office_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH tagged AS (
             SELECT 'orders_open' AS source_table,
                    CAST(o_orderdate AS DATE) AS order_day,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS partial_sales,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS partial_sales,
                    COUNT(*) AS n_orders
             FROM orders WHERE o_orderstatus = 'O'
             GROUP BY 2
             UNION ALL
             SELECT 'orders_final', CAST(o_orderdate AS DATE),
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), COUNT(*)
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE), COUNT(*)
             FROM orders WHERE o_orderstatus = 'F'
             GROUP BY 2
             UNION ALL
             SELECT 'orders_pending', CAST(o_orderdate AS DATE),
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), COUNT(*)
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE), COUNT(*)
             FROM orders WHERE o_orderstatus = 'P'
             GROUP BY 2
         )
@@ -264,12 +266,12 @@ def staging_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH wide AS (
             SELECT CAST(l_shipdate AS DATE) AS show_range,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                       AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                       AS sum_sales,
-                   CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)
-                       AS sum_disc
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS STRING) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS STRING) AS DOUBLE) AS sum_sales,
+                   CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,4)))
+                        AS STRING) AS DOUBLE) AS sum_disc
             FROM lineitem
             WHERE CAST(l_shipdate AS DATE) >= DATE '1998-11-01'
             GROUP BY 1

@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_pipeline_team5_spark.functions.scalars import dsum, dsum_sql
+from data_pipeline_team5_spark.functions.scalars import (
+    dec_to_double,
+    dsum,
+    dsum_sql,
+)
 from data_pipeline_team5_spark.operators.joins import asof_join, asof_join_pandas
 from data_pipeline_team5_spark.plans.catalog import register, table
 
@@ -71,7 +75,7 @@ def rel_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT c.c_custkey AS c_custkey,
                    c.c_mktsegment AS c_mktsegment,
                    CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
-                   CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+                   CAST(CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS STRING) AS DOUBLE) AS total_spent
             FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY c.c_custkey, c.c_mktsegment
         )
@@ -115,12 +119,12 @@ def rel_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
-                F.lit(0).cast("decimal(28,2)"),
-            )
-            .cast("double")
-            .alias("total_spent"),
+            dec_to_double(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                    F.lit(0).cast("decimal(28,2)"),
+                )
+            ).alias("total_spent"),
         )
     )
     o_open = table(spark, sf_dir, "orders").filter(
@@ -264,8 +268,8 @@ def rel_asof_attribution_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT c.campaign_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(e.value AS DECIMAL(28,10))) AS DOUBLE)
-                   AS sum_value
+               CAST(CAST(SUM(CAST(e.value AS DECIMAL(28,10)))
+                    AS STRING) AS DOUBLE) AS sum_value
         FROM events e
         JOIN campaigns c
           ON e.ts >= c.start_ts AND e.ts < c.end_ts

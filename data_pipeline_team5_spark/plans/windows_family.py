@@ -122,12 +122,12 @@ def w1_rank_in_day(spark: SparkSession, sf_dir: str) -> DataFrame:
                sales - LAG(sales) OVER wt AS sales_inten,
                100.0 * (sales - LAG(sales) OVER wt) / LAG(sales) OVER wt
                    AS sales_change,
-               CAST(SUM(CAST(sales AS DECIMAL(18,2))) OVER wacc AS DOUBLE)
-                   AS sales_acc,
-               CAST(SUM(CAST(audience AS DECIMAL(18,2))) OVER wacc AS DOUBLE)
-                   AS audi_acc,
-               CAST(SUM(CAST(sales AS DECIMAL(18,2))) OVER w7 AS DOUBLE)
-                   AS sales_7d
+               CAST(CAST(SUM(CAST(sales AS DECIMAL(18,2))) OVER wacc
+                    AS STRING) AS DOUBLE) AS sales_acc,
+               CAST(CAST(SUM(CAST(audience AS DECIMAL(18,2))) OVER wacc
+                    AS STRING) AS DOUBLE) AS audi_acc,
+               CAST(CAST(SUM(CAST(sales AS DECIMAL(18,2))) OVER w7
+                    AS STRING) AS DOUBLE) AS sales_7d
         FROM ranked
         WINDOW wt AS (PARTITION BY p_brand ORDER BY show_range),
                wacc AS (PARTITION BY p_brand ORDER BY show_range
