@@ -188,6 +188,10 @@ _TAIL = (
     "pii_scrub",
     "line_boilerplate_scrub",
     "corpus_snapshot_diff",
+    # Round 8: embedding-space decontamination (the semantic sibling of
+    # the promoted decontaminate_ngram_overlap) — oracle-backed tail,
+    # exact-checked by the local mini-driver every CI run.
+    "decontaminate_embedding_overlap",
 )
 
 

@@ -228,3 +228,110 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# Embedding-space decontamination: the benchmark "suite" is every 41st
+# vector — deterministic, in-query, the corpus_snapshot_diff technique —
+# ~2.5% of the fixture, standing in for the fixed small set of benchmark
+# eval embeddings a real pipeline holds out. The flag threshold reuses the
+# fixture-calibrated cosine cut.
+BENCH_MOD = 41
+from data_pipeline_team5_spark.functions.vectors import (  # noqa: E402
+    cosine_expr,
+    cosine_sql,
+)
+from data_pipeline_team5_spark.plans.dedup_family import COSINE_T  # noqa: E402
+
+
+@register(
+    "decontaminate_embedding_overlap",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        bench AS (
+            SELECT vec_id AS b_id, v AS b_v FROM e
+            WHERE vec_id % {BENCH_MOD} = 0
+        ),
+        scored AS (
+            SELECT c.vec_id, b.b_id,
+                   {cosine_sql('c.v', 'b.b_v')} AS cos
+            FROM e c CROSS JOIN bench b
+            WHERE c.vec_id % {BENCH_MOD} <> 0
+        ),
+        best AS (
+            SELECT vec_id, b_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, b_id) AS rn
+            FROM scored
+        )
+        SELECT vec_id,
+               CAST(b_id AS BIGINT) AS bench_id,
+               cos AS max_cos,
+               cos >= {COSINE_T} AS contaminated
+        FROM best WHERE rn = 1
+        ORDER BY vec_id
+    """,
+    doc="⊕ embedding-space train/eval decontamination — the semantic "
+    "sibling of decontaminate_ngram_overlap (which catches verbatim "
+    "n-gram leaks; this catches paraphrased/near-duplicate leaks that "
+    "share no surface text, the contamination class n-grams miss). Each "
+    "corpus vector gets its max cosine against the benchmark embedding "
+    "set plus the nearest benchmark id; contaminated = max_cos ≥ the "
+    "fixture-calibrated cosine cut. Plan shape (the nearest_centroid_"
+    "confusion discipline): the benchmark set is FIXED-SIZE, so it "
+    "collapses to ONE sorted array-of-structs row broadcast to every "
+    "corpus vector, and an F.aggregate fold computes the running "
+    "(max_cos, argmax id) inside whole-stage codegen — no per-(vec, "
+    "bench) row explosion, no shuffle of the corpus, no driver collect. "
+    "At 100 TB the corpus side stays a single map-only projection over "
+    "the scan whatever its size; cost is O(|corpus| × |bench| × dim) "
+    "multiplies inside one stage, exactly how the n-gram variant "
+    "broadcasts its fixed gram set. Bitwise-oracle-checkable: per-pair "
+    "cosines use the shared sequential-fold kernel (functions/vectors."
+    "py), and the argmax tie-breaks to the smallest bench id on both "
+    "sides (strict > in the fold over the id-sorted array; ORDER BY cos "
+    "DESC, b_id in SQL).",
+    tags=("quality", "embedding", "decontamination"),
+)
+def decontaminate_embedding_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    is_bench = F.col("vec_id") % BENCH_MOD == 0
+    bench_row = emb.filter(is_bench).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("b"), F.col("v").alias("bv"))
+            )
+        ).alias("bench")
+    )
+
+    init = F.struct(
+        F.lit(float("-inf")).alias("best_c"),
+        F.lit(-1).cast("long").alias("best_b"),
+    )
+
+    def fold(acc, s):
+        c = cosine_expr(F.col("v"), s.bv)
+        # strict > keeps the first (smallest-id) benchmark on exact ties
+        return F.when(
+            c > acc.best_c,
+            F.struct(c.alias("best_c"), s.b.alias("best_b")),
+        ).otherwise(acc)
+
+    return (
+        emb.filter(~is_bench)
+        .crossJoin(F.broadcast(bench_row))
+        .select("vec_id", F.aggregate("bench", init, fold).alias("r"))
+        .select(
+            "vec_id",
+            F.col("r.best_b").alias("bench_id"),
+            F.col("r.best_c").alias("max_cos"),
+            (F.col("r.best_c") >= F.lit(COSINE_T)).alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
