@@ -189,9 +189,11 @@ _TAIL = (
     "line_boilerplate_scrub",
     "corpus_snapshot_diff",
     # Round 8: embedding-space decontamination (the semantic sibling of
-    # the promoted decontaminate_ngram_overlap) — oracle-backed tail,
-    # exact-checked by the local mini-driver every CI run.
+    # the promoted decontaminate_ngram_overlap) and the per-source
+    # duplication/syndication report — oracle-backed tail, exact-checked
+    # by the local mini-driver every CI run.
     "decontaminate_embedding_overlap",
+    "source_dup_report",
 )
 
 

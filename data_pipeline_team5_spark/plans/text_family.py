@@ -566,3 +566,84 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin_lo")
     )
+
+
+@register(
+    "source_dup_report",
+    oracle=f"""
+        WITH fp AS (
+            SELECT source,
+                   {fingerprint_md5_sql('text')} AS fp
+            FROM documents
+        ),
+        per_fp_source AS (
+            SELECT fp, source, COUNT(*) AS n_in_source
+            FROM fp GROUP BY fp, source
+        ),
+        fp_spread AS (
+            SELECT fp, COUNT(*) AS n_sources
+            FROM per_fp_source GROUP BY fp
+        )
+        SELECT p.source,
+               CAST(SUM(p.n_in_source) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_unique,
+               1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(p.n_in_source)
+                   AS dup_rate,
+               CAST(COUNT(CASE WHEN s.n_sources > 1 THEN 1 END) AS BIGINT)
+                   AS n_syndicated,
+               CAST(COUNT(CASE WHEN s.n_sources > 1 THEN 1 END) AS DOUBLE)
+                   / COUNT(*) AS syndication_rate
+        FROM per_fp_source p JOIN fp_spread s ON p.fp = s.fp
+        GROUP BY p.source
+        ORDER BY p.source
+    """,
+    doc="⊕ per-source duplication & syndication report — the diagnostic a "
+    "curation pipeline reads before deciding which sources to drop or "
+    "downweight: within-source exact-dup rate (docs vs distinct content "
+    "fingerprints) and cross-source syndication (fingerprints that also "
+    "appear under another source — wire-service/mirror content that "
+    "inflates several sources at once). Grain discipline at 100 TB: ONE "
+    "corpus-sized shuffle (the (fp, source) aggregation — the same md5 "
+    "fingerprint key exact dedup already shuffles on); everything after "
+    "runs on fingerprint grain, orders of magnitude smaller, and the "
+    "final rollup is a ~#sources-key agg. The fp→n_sources spread joins "
+    "back to (fp, source) rows, never to documents — text never moves. "
+    "Rates are single double divisions of exact BIGINTs, so both engines "
+    "emit bitwise-identical doubles.",
+    tags=("text", "dedup", "rollup", "source"),
+)
+def source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    per_fp_source = (
+        docs.select("source", fingerprint_md5("text").alias("fp"))
+        .groupBy("fp", "source")
+        .agg(F.count(F.lit(1)).alias("n_in_source"))
+    )
+    # fp grain is tiny relative to the corpus; the window avoids a second
+    # self-join shuffle — it reuses the (fp) hash partitioning Catalyst
+    # already has from the groupBy above.
+    n_sources = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    spread = per_fp_source.withColumn("n_sources", n_sources)
+    return (
+        spread.groupBy("source")
+        .agg(
+            F.sum("n_in_source").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_unique"),
+            (
+                F.lit(1.0)
+                - F.count(F.lit(1)).cast("double") / F.sum("n_in_source")
+            ).alias("dup_rate"),
+            F.count(F.when(F.col("n_sources") > 1, F.lit(1))).alias(
+                "n_syndicated"
+            ),
+            (
+                F.count(F.when(F.col("n_sources") > 1, F.lit(1))).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("syndication_rate"),
+        )
+        .orderBy("source")
+    )

@@ -249,3 +249,41 @@ def test_bpe_token_count_cross_engine_on_cjk(spark, duck):
     """
     for doc_id, n in con.sql(sql).fetchall():
         assert got[doc_id][0] == n, (doc_id, got[doc_id][0], n)
+
+
+def test_source_dup_report_semantics(spark, tmp_path):
+    """source_dup_report on a constructed corpus with known dup structure:
+    within-source dups, cross-source syndication, and a clean source —
+    independent of whether the shipped fixtures contain exact dups
+    (sf0.01 has none; sf0.1 has 8, all cross-source)."""
+    import os
+
+    from data_pipeline_team5_spark.plans.catalog import QUERIES
+
+    rows = [
+        # srcA: 3 docs, one internal dup pair → n_unique=2, dup_rate=1/3
+        (0, "alpha beta gamma", "en", "srcA"),
+        (1, "alpha beta gamma", "en", "srcA"),
+        (2, "unique to a", "en", "srcA"),
+        # srcB: 2 docs; one syndicates srcA's dup text → cross-source
+        (3, "alpha  beta   gamma", "en", "srcB"),  # ws-normalized equal
+        (4, "unique to b", "en", "srcB"),
+        # srcC: clean
+        (5, "unique to c", "en", "srcC"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in rows],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    got = {
+        r["source"]: r.asDict()
+        for r in QUERIES["source_dup_report"].fn(spark, sf).collect()
+    }
+    a, b, c = got["srcA"], got["srcB"], got["srcC"]
+    assert (a["n_docs"], a["n_unique"]) == (3, 2)
+    assert abs(a["dup_rate"] - (1 - 2 / 3)) < 1e-15
+    # the duplicated fingerprint also lives in srcB → syndicated in BOTH
+    assert (a["n_syndicated"], b["n_syndicated"]) == (1, 1)
+    assert b["dup_rate"] == 0.0  # srcB has no within-source dup
+    assert (c["n_syndicated"], c["dup_rate"]) == (0, 0.0)
