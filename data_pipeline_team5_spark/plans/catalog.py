@@ -194,6 +194,10 @@ _TAIL = (
     # by the local mini-driver every CI run.
     "decontaminate_embedding_overlap",
     "source_dup_report",
+    # Round 8 continued: cross-document duplicated-n-gram fraction (the
+    # RefinedWeb corpus-repetition signal) and the token-budget quality
+    # cut — oracle-backed tail, exact-checked by the local mini-driver.
+    "dup_ngram_fraction",
 )
 
 

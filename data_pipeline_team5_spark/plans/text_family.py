@@ -647,3 +647,100 @@ def source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Cross-document n-gram duplication (round 8): the corpus-level repetition
+# signal RefinedWeb (Penedo et al. 2023, §"fraction of duplicated n-grams")
+# and Dolma publish per document — HOW MUCH of this doc's content also
+# appears verbatim in OTHER documents. Deliberately distinct from the two
+# neighbors it completes: text_doc_profile's Gopher dup_trigram_frac is
+# WITHIN-doc repetition (no shuffle, says nothing about the rest of the
+# corpus), and exact_substring_neardup is PAIRWISE containment (names the
+# matching partner doc). This is the corpus-marginal middle: one number
+# per doc, no pair enumeration. N reuses the fixture-calibrated DECON_N.
+DUP_NGRAM_N = DECON_N
+
+
+@register(
+    "dup_ngram_fraction",
+    oracle=f"""
+        {_TOKS},
+        g AS (
+            SELECT doc_id, lang,
+                   list_distinct({ngrams_sql('t', DECON_N)}) AS gs
+            FROM toks
+        ),
+        dg AS (SELECT doc_id, u.g AS gram FROM g, UNNEST(gs) AS u(g)),
+        dupg AS (SELECT gram FROM dg GROUP BY gram HAVING COUNT(*) >= 2),
+        dpd AS (
+            SELECT doc_id, COUNT(*) AS n_dup
+            FROM dg JOIN dupg USING (gram) GROUP BY doc_id
+        )
+        SELECT g.doc_id, g.lang,
+               CAST(len(gs) AS BIGINT) AS n_grams,
+               CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_grams,
+               CASE WHEN len(gs) = 0 THEN 0.0
+                    ELSE CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / len(gs)
+               END AS dup_gram_frac
+        FROM g LEFT JOIN dpd d USING (doc_id)
+    """,
+    doc="⊕ cross-document duplicated-n-gram fraction (RefinedWeb/Dolma "
+    "corpus-repetition signal): per doc, the share of its DISTINCT word "
+    f"{DECON_N}-grams that also occur in at least one OTHER document — "
+    "within-doc repeats don't count (per-doc array_distinct before the "
+    "corpus exchange), so the signal is orthogonal to text_doc_profile's "
+    "in-row Gopher fractions. Scale shape = tfidf_doc_scores: n_grams is "
+    "computed IN-ROW (zero shuffle); only the dup count pays the one "
+    "(doc, gram) exchange, and the gram→df table is filtered to df≥2 "
+    "BEFORE the join back, so the join build side holds only actually- "
+    "duplicated grams (a small fraction of a web corpus's mostly-unique "
+    "gram space). Zero-gram docs (< N tokens) keep a row with frac 0.0 "
+    "via the doc-grain left join — same empty-doc discipline as "
+    "line_boilerplate_scrub. Fraction = one double division of exact "
+    "BIGINTs (engine decimal policy).",
+    headline=True,
+    tags=("text", "dedup", "repetition", "curation"),
+)
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # Plan discipline (measured at sf0.1, four shapes tried): the token
+    # array MUST be projected to a named column BEFORE ngrams_expr builds
+    # the gram transform over it. A higher-order-function lambda is
+    # evaluated INTERPRETED, with no cross-call subexpression elimination —
+    # so when the lambda's element_at calls reference the raw
+    # split(norm_text(text)) EXPRESSION (rather than an attribute), the
+    # whole regexp-normalize + split chain re-runs for every element_at at
+    # every gram position: 5 re-tokenizations of the full document per
+    # 5-gram, ~47 s per consuming scan here (and 360 s when projection
+    # collapse additionally inlined the tree into every final-select
+    # consumer). With `_t` bound as a column the lambda reads an O(1)
+    # array attribute and each scan codegens normally: the full query
+    # collects in < 2 s. text_doc_profile documents the same rule
+    # (text_family.py:140); CollapseProject will not re-inline `_t`
+    # because it is referenced ~8 times inside the gram expression.
+    base = docs.select("doc_id", "lang", tokens_expr("text").alias("_t"))
+    grams = F.array_distinct(ngrams_expr(F.col("_t"), DUP_NGRAM_N))
+    stats = base.select(
+        "doc_id", "lang", F.size(grams).cast("bigint").alias("n_grams")
+    )
+    dg = base.select("doc_id", F.explode(grams).alias("gram"))
+    dupg = (
+        dg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    dpd = dg.join(dupg, "gram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup")
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint")
+    n_grams = F.col("n_grams")
+    return stats.join(dpd, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        n_dup.alias("n_dup_grams"),
+        F.when(n_grams == 0, F.lit(0.0))
+        .otherwise(n_dup.cast("double") / n_grams.cast("double"))
+        .alias("dup_gram_frac"),
+    )
