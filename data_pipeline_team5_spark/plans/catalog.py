@@ -198,6 +198,7 @@ _TAIL = (
     # RefinedWeb corpus-repetition signal) and the token-budget quality
     # cut — oracle-backed tail, exact-checked by the local mini-driver.
     "dup_ngram_fraction",
+    "token_budget_cut",
 )
 
 

@@ -26,7 +26,7 @@ registrations (different grains).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.functions.scalars import norm_text_sql
@@ -743,4 +743,156 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_grams == 0, F.lit(0.0))
         .otherwise(n_dup.cast("double") / n_grams.cast("double"))
         .alias("dup_gram_frac"),
+    )
+
+
+# Token-budget quality cut (round 8): "spend a fixed training-token budget
+# on the highest-quality documents" — the selection step every
+# budget-constrained pretraining mix runs after scoring (the data-mix
+# literature's quality-threshold selection, e.g. DoReMi/DataComp-style
+# budget cuts). Per-language budget so one dominant language cannot eat
+# the whole allowance (same concern domain_mixture_sample handles for
+# sampling).
+QCUT_BUDGET = 2_000  # tokens kept per language (fixture-calibrated)
+QCUT_Q_SCALE = 1_000_000  # quality quantization for the bucket key
+
+
+@register(
+    "token_budget_cut",
+    oracle=f"""
+        {_TOKS},
+        sized AS (
+            SELECT doc_id, lang,
+                   CAST({_Q['n_tokens']} AS BIGINT) AS n_tok,
+                   CAST(floor({_Q['quality']} * {QCUT_Q_SCALE}) AS BIGINT)
+                       AS qb
+            FROM toks
+        ),
+        bt AS (
+            SELECT lang, qb, SUM(n_tok) AS btot
+            FROM sized GROUP BY lang, qb
+        ),
+        boff AS (
+            SELECT lang, qb,
+                   COALESCE(SUM(btot) OVER (
+                       PARTITION BY lang ORDER BY qb DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS boff
+            FROM bt
+        ),
+        placed AS (
+            SELECT s.lang, s.n_tok, s.qb,
+                   b.boff + COALESCE(SUM(s.n_tok) OVER (
+                       PARTITION BY s.lang, s.qb ORDER BY s.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS tok_before
+            FROM sized s JOIN boff b USING (lang, qb)
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+               CAST(SUM(CASE WHEN tok_before < {QCUT_BUDGET} THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_docs_kept,
+               CAST(SUM(CASE WHEN tok_before < {QCUT_BUDGET} THEN n_tok
+                             ELSE 0 END) AS BIGINT) AS tokens_kept,
+               CAST(SUM(CASE WHEN tok_before < {QCUT_BUDGET} THEN n_tok
+                             ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(n_tok) AS DOUBLE) AS kept_token_share,
+               CAST(MIN(CASE WHEN tok_before < {QCUT_BUDGET} THEN qb END)
+                   AS BIGINT) AS cutoff_qbucket
+        FROM placed
+        GROUP BY lang ORDER BY lang
+    """,
+    doc="⊕ token-budget quality cut: per language, keep the highest-"
+    f"quality documents until a {QCUT_BUDGET}-token training budget is "
+    "spent (a doc whose start offset falls inside the budget is kept — "
+    "the pack_training_sequences convention), and report the per-lang "
+    "keep counts, token shares and the effective quality cutoff. "
+    "Selection rule is EXACT and engine-portable: quality is quantized "
+    f"to floor(q·{QCUT_Q_SCALE}) buckets (the shared bitwise-identical "
+    "double, one deterministic IEEE multiply+floor), budget is charged "
+    "bucket-major (qb descending) with doc_id as the deterministic "
+    "in-bucket tie-break. Scale shape — NO global sort and NO whole-"
+    "language single-task window (the trap pack_bins documents): the "
+    "only corpus-sized exchange is the in-bucket cumsum window's hash on "
+    "(lang, qb); the bucket-total agg ships map-side-combined bucket "
+    "partials, and the "
+    "budget walk happens on the bucket-grain offsets table (≤ langs × "
+    "quality buckets rows, orders of magnitude smaller than the corpus), "
+    "joined back by (lang, qb). Per-task sort cost is bounded by bucket "
+    "occupancy, set by QCUT_Q_SCALE. All counters exact BIGINT; the one "
+    "double division is integer/integer (engine decimal policy).",
+    headline=True,
+    tags=("text", "quality", "sampling", "curation", "budget"),
+)
+def token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # Token array bound to a column BEFORE the quality expressions consume
+    # it — see dup_ngram_fraction above for the measured HOF re-evaluation
+    # pathology this avoids (quality_exprs contains an F.filter lambda).
+    base = docs.select("doc_id", "lang", tokens_expr("text").alias("_t"))
+    q = quality_exprs(F.col("_t"))
+    sized = base.select(
+        "doc_id",
+        "lang",
+        q["n_tokens"].cast("long").alias("n_tok"),
+        F.floor(q["quality"] * QCUT_Q_SCALE).cast("long").alias("qb"),
+    )
+    totals = sized.groupBy("lang", "qb").agg(
+        F.sum("n_tok").cast("long").alias("_btot")
+    )
+    w_bucket = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("qb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "lang",
+        "qb",
+        F.coalesce(F.sum("_btot").over(w_bucket), F.lit(0))
+        .cast("long")
+        .alias("_boff"),
+    )
+    w_local = (
+        Window.partitionBy("lang", "qb")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        sized.withColumn(
+            "_lb",
+            F.coalesce(F.sum("n_tok").over(w_local), F.lit(0)).cast("long"),
+        )
+        .join(offsets, ["lang", "qb"])
+        .withColumn("_kept", (F.col("_boff") + F.col("_lb")) < QCUT_BUDGET)
+    )
+    kept = F.when(F.col("_kept"), F.col("n_tok"))
+    return (
+        placed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
+            F.sum("n_tok").cast("bigint").alias("tokens_total"),
+            F.sum(F.when(F.col("_kept"), F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_docs_kept"),
+            F.sum(F.coalesce(kept, F.lit(0))).cast("bigint").alias(
+                "tokens_kept"
+            ),
+            F.min(F.when(F.col("_kept"), F.col("qb")))
+            .cast("bigint")
+            .alias("cutoff_qbucket"),
+        )
+        .select(
+            "lang",
+            "n_docs_total",
+            "tokens_total",
+            "n_docs_kept",
+            "tokens_kept",
+            (
+                F.col("tokens_kept").cast("double")
+                / F.col("tokens_total").cast("double")
+            ).alias("kept_token_share"),
+            "cutoff_qbucket",
+        )
+        .orderBy("lang")
     )
