@@ -690,11 +690,13 @@ DUP_NGRAM_N = DECON_N
     "within-doc repeats don't count (per-doc array_distinct before the "
     "corpus exchange), so the signal is orthogonal to text_doc_profile's "
     "in-row Gopher fractions. Scale shape = tfidf_doc_scores: n_grams is "
-    "computed IN-ROW (zero shuffle); only the dup count pays the one "
-    "(doc, gram) exchange, and the gram→df table is filtered to df≥2 "
-    "BEFORE the join back, so the join build side holds only actually- "
-    "duplicated grams (a small fraction of a web corpus's mostly-unique "
-    "gram space). Zero-gram docs (< N tokens) keep a row with frac 0.0 "
+    "computed IN-ROW (zero shuffle); only the dup count pays a gram-keyed "
+    "exchange — document frequency comes from a count window over the "
+    "gram partition, so the (doc, gram) load crosses exactly ONE corpus-"
+    "sized exchange (a groupBy(gram)→join-back shape pays it twice; 1.9× "
+    "slower measured at 10×), and everything df==1 — a web corpus's "
+    "mostly-unique gram space — dies in the post-window filter before "
+    "the doc rollup. Zero-gram docs (< N tokens) keep a row with frac 0.0 "
     "via the doc-grain left join — same empty-doc discipline as "
     "line_boilerplate_scrub. Fraction = one double division of exact "
     "BIGINTs (engine decimal policy).",
@@ -724,14 +726,21 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.size(grams).cast("bigint").alias("n_grams")
     )
     dg = base.select("doc_id", F.explode(grams).alias("gram"))
-    dupg = (
-        dg.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # df via a count window over the gram partition, NOT groupBy(gram) →
+    # join-back: the window ships the (doc, gram) load through ONE gram-
+    # keyed exchange, where the join-back shape pays that exchange twice
+    # (once into the agg, once into the join probe). Measured on the 10×
+    # stress corpus — where replication makes EVERY gram df≥10, the worst
+    # case, since the whole gram load then survives the filter — the
+    # window form is 19.5 s vs 36.5 s for join-back (1.7 s vs 2.1 s at
+    # sf0.1). dg is per-doc DISTINCT grams, so the partition count IS
+    # document frequency.
+    w_gram = Window.partitionBy("gram")
+    dpd = (
+        dg.withColumn("df", F.count(F.lit(1)).over(w_gram))
         .filter(F.col("df") >= 2)
-        .select("gram")
-    )
-    dpd = dg.join(dupg, "gram").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_dup")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
     )
     n_dup = F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint")
     n_grams = F.col("n_grams")
