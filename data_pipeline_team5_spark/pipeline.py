@@ -853,6 +853,26 @@ def compact_fold_stores(
                 f"compact_fold_stores: {root} is not a batch_id-"
                 "partitioned fold store"
             )
+        # Partition-type guard: if every existing batch_id value is
+        # numeric-looking (e.g. "20240101"), Spark's partition inference
+        # types the column numeric on THIS read, while the rewritten store
+        # (single batch_id=<into> partition) will always infer string —
+        # a silent schema flip that breaks unions/comparisons between
+        # pre- and post-compaction reads of the same store. Refuse loudly
+        # instead; the fold loop itself always writes string-shaped ids
+        # (dYYYY-MM-DD), so this only fires for hand-built stores.
+        from pyspark.sql.types import StringType
+
+        if not isinstance(df.schema["batch_id"].dataType, StringType):
+            raise ValueError(
+                f"compact_fold_stores: {root} has all-numeric batch_id "
+                f"partition values (inferred "
+                f"{df.schema['batch_id'].dataType.simpleString()}); "
+                f"compacting into batch_id={into!r} would flip the "
+                "inferred partition type to string and silently change "
+                "the store schema. Use non-numeric batch ids (the fold "
+                "loop's dYYYY-MM-DD shape) for compactable stores."
+            )
         n_rows = df.count()
         files_before = parquet_file_count(root)
         tmp, bak = f"{root}__compact_tmp", f"{root}__pre_compact"
@@ -882,9 +902,23 @@ def compact_fold_stores(
             raise RuntimeError(f"compact: could not swap {tmp} into {root}")
         n_after = spark.read.parquet(root).count()
         if n_after != n_rows:
+            # Never leave the mismatched tree ACTIVE: park it for
+            # forensics and swap the verified-good original back in, so
+            # concurrent/subsequent probes and folds keep reading the
+            # correct store even when this raise goes unhandled.
+            bad = f"{root}__compact_bad"
+            fs.delete(fs_path(bad), True)  # stale bad tree from before
+            fs.rename(fs_path(root), fs_path(bad))
+            if not fs.rename(fs_path(bak), fs_path(root)):
+                raise RuntimeError(
+                    f"compact: row count changed for {root} "
+                    f"({n_rows} -> {n_after}) AND restoring the backup "
+                    f"failed — original at {bak}, bad tree at {bad}"
+                )
             raise RuntimeError(
                 f"compact: row count changed for {root} "
-                f"({n_rows} -> {n_after}); original kept at {bak}"
+                f"({n_rows} -> {n_after}); original restored, bad tree "
+                f"kept at {bad}"
             )
         fs.delete(fs_path(bak), True)
         report[root] = {

@@ -478,3 +478,76 @@ def test_compact_clears_stale_backup_from_prior_crash(spark, tmp_path, capsys):
         tuple(r) for r in spark.read.parquet(corpus).collect()
     )
     assert after == before
+
+
+def test_compact_swaps_back_on_count_mismatch(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """ADVICE r8 (medium): when the post-swap row-count verification
+    fails, the mismatched compacted tree must NOT stay active at the
+    store root — the verified-good original swaps back in (bad tree
+    parked at __compact_bad for forensics), so any concurrent or
+    subsequent probe/fold keeps reading correct data even when the
+    raise goes unhandled."""
+    # patch the CONCRETE class — in PySpark 4 pyspark.sql.DataFrame is
+    # the abstract parent and type(df) overrides count
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from data_pipeline_team5_spark import pipeline as pl
+
+    docs, paths = _days(spark, tmp_path)
+    corpus = str(tmp_path / "mm_corpus")
+    _run(capsys, ["init-corpus", "--docs", paths["day0"],
+                  "--corpus", corpus])
+    before = sorted(tuple(r) for r in spark.read.parquet(corpus).collect())
+
+    real_count = DataFrame.count
+    calls = {"n": 0}
+
+    def lying_count(self):
+        # call 1 = pre-compaction n_rows; call 2 = post-swap n_after —
+        # lie on the second to simulate a rewrite that lost rows
+        calls["n"] += 1
+        n = real_count(self)
+        return n + 1 if calls["n"] == 2 else n
+
+    monkeypatch.setattr(DataFrame, "count", lying_count)
+    with pytest.raises(RuntimeError, match="row count changed"):
+        pl.compact_fold_stores(spark, [corpus])
+    monkeypatch.undo()
+
+    # the ACTIVE tree is the verified-good original, bitwise
+    after = sorted(tuple(r) for r in spark.read.parquet(corpus).collect())
+    assert after == before
+    # bad tree kept for forensics; backup slot consumed by the swap-back
+    assert os.path.isdir(corpus + "__compact_bad")
+    assert not os.path.isdir(corpus + "__pre_compact")
+    # and a later compact run (counts now honest) clears the debris
+    r = pl.compact_fold_stores(spark, [corpus])
+    assert r[corpus]["rows"] == len(before)
+
+
+def test_compact_refuses_numeric_batch_id_partitions(spark, tmp_path):
+    """ADVICE r8 (low): a store whose batch_id partition values are all
+    numeric-looking strings is read back with an INFERRED NUMERIC
+    partition column; compacting it into batch_id='base' would silently
+    flip the store's inferred schema to string. compact_fold_stores must
+    refuse loudly instead of silently changing the schema."""
+    from data_pipeline_team5_spark import pipeline as pl
+
+    root = str(tmp_path / "numstore")
+    (
+        spark.range(10)
+        .withColumn("batch_id", F.lit("20240101"))  # string on write...
+        .write.partitionBy("batch_id")
+        .parquet(root)
+    )
+    # ...but numeric on read-back — the silent-flip precondition
+    assert not isinstance(
+        spark.read.parquet(root).schema["batch_id"].dataType,
+        __import__("pyspark.sql.types", fromlist=["StringType"]).StringType,
+    )
+    with pytest.raises(ValueError, match="all-numeric batch_id"):
+        pl.compact_fold_stores(spark, [root])
+    # store untouched — no swap was attempted
+    assert spark.read.parquet(root).count() == 10
