@@ -616,14 +616,21 @@ def source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
+    # ONE corpus-sized exchange, genuinely shared: repartition('fp')
+    # hash-distributes the fingerprints once, and HashPartitioning(fp)
+    # satisfies BOTH downstream distribution requirements — the
+    # (fp, source) aggregation (clustering keys are a superset of the
+    # partitioning keys) and the fp window. Without it Catalyst plans
+    # Exchange(fp, source) for the groupBy and then a SECOND
+    # Exchange(fp) for the window, because HashPartitioning(fp, source)
+    # does NOT satisfy ClusteredDistribution(fp) (ADVICE r8; pinned by
+    # tests/test_plan_invariants.py::test_source_dup_report_single_exchange).
     per_fp_source = (
         docs.select("source", fingerprint_md5("text").alias("fp"))
+        .repartition("fp")
         .groupBy("fp", "source")
         .agg(F.count(F.lit(1)).alias("n_in_source"))
     )
-    # fp grain is tiny relative to the corpus; the window avoids a second
-    # self-join shuffle — it reuses the (fp) hash partitioning Catalyst
-    # already has from the groupBy above.
     n_sources = F.count(F.lit(1)).over(Window.partitionBy("fp"))
     spread = per_fp_source.withColumn("n_sources", n_sources)
     return (

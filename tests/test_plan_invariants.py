@@ -39,3 +39,24 @@ def test_rel_join_panel_has_all_three_join_types(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for join_type in ("LeftOuter", "LeftSemi", "LeftAnti"):
         assert join_type in plan, f"{join_type} missing from rel_join_panel plan"
+
+
+def test_source_dup_report_single_corpus_exchange(spark):
+    """source_dup_report claims ONE corpus-sized shuffle (the fp
+    repartition shared by the (fp, source) aggregation and the fp
+    window). HashPartitioning(fp, source) would NOT satisfy the window's
+    ClusteredDistribution(fp), so without the explicit repartition
+    Catalyst plans a second corpus-grain exchange (ADVICE r8). Pin that
+    exactly one hashpartitioning exchange mentions fp, and that no
+    exchange partitions on (fp, source)."""
+    import re
+
+    df = QUERIES["source_dup_report"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    fp_exchanges = [e for e in exchanges if "fp#" in e]
+    assert len(fp_exchanges) == 1, f"expected one fp exchange: {exchanges}"
+    assert "source#" not in fp_exchanges[0], (
+        f"fp exchange also clusters on source — the window cannot reuse "
+        f"it: {fp_exchanges[0]}"
+    )
