@@ -89,7 +89,15 @@ def cumulative(df: DataFrame, key_col: str, day_col: str, metric_col: str,
                out: str = "sales_acc", typ: str = MONEY) -> DataFrame:
     """W5 — ``salesAcc``/``audiAcc``: running total over the entity timeline.
 
-    Summed in DECIMAL (exact, order-independent) and cast to DOUBLE once.
+    Summed in DECIMAL (exact, order-independent) and emitted via
+    ``dec_to_double``'s string route. NOTE the cost model: window output
+    is per-INPUT-row, so unlike the group-grain aggregates this pays the
+    format+parse once per fact row — measured ~200 ns/row, +17% on the
+    whole window pipeline at sf0.1 (SCALING.md round-9). Kept anyway:
+    running money totals cross 2^53, where direct decimal→double casts
+    round differently per engine and break bitwise parity. Swap
+    ``dec_to_double`` for a plain ``.cast("double")`` here (and in
+    ``moving_frame``) if bitwise-reproducible doubles aren't required.
     """
     w = (
         timeline_window(key_col, day_col)

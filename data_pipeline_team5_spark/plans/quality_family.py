@@ -327,6 +327,13 @@ def decontaminate_embedding_overlap(
         emb.filter(~is_bench)
         .crossJoin(F.broadcast(bench_row))
         .select("vec_id", F.aggregate("bench", init, fold).alias("r"))
+        # Empty-bench guard (ADVICE r8): with zero benchmark vectors the
+        # fold returns its init (best_b = -1) for EVERY corpus row, while
+        # the oracle's cross join yields zero rows. Dropping the
+        # sentinel rows makes both engines agree on that corpus shape;
+        # with a non-empty bench every row has best_b >= 0, so this
+        # filters nothing (pinned in tests/test_quality_family.py).
+        .filter(F.col("r.best_b") >= 0)
         .select(
             "vec_id",
             F.col("r.best_b").alias("bench_id"),
