@@ -81,3 +81,23 @@ def sqdist_sql(a: str, b: str) -> str:
         f"p -> (p[1] - p[2]) * (p[1] - p[2]))),"
         f" (acc, x) -> acc + x)"
     )
+
+
+def sqdist_sql_spark(vec: str, centroid: list[float]) -> str:
+    """SPARK-dialect twin of :func:`sqdist_expr` against a LITERAL
+    centroid, for single-parse ``F.expr`` construction (the Column route
+    costs ~1 s of Py4J round-trips per call at k=8 × dim=64 — see
+    ``kmeans_assign``). Exactly the same Catalyst fold as
+    :func:`sqdist_expr`: zip_with diff in DOUBLE, then a left-to-right
+    (x−y)² accumulate. Doubles are embedded as ``CAST('<repr>' AS
+    DOUBLE)`` — Python ``repr`` round-trips the shortest decimal and
+    Java's string→double parse is correctly rounded, so the JVM literal
+    is bit-identical to the Python float."""
+    lit = "array(" + ",".join(
+        f"CAST('{float(x)!r}' AS DOUBLE)" for x in centroid
+    ) + ")"
+    return (
+        f"aggregate(zip_with({vec}, {lit}, "
+        f"(x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, w) -> acc + w * w)"
+    )

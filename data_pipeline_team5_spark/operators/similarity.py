@@ -387,26 +387,38 @@ def kmeans_assign(
     """Assign each vector to its nearest centroid (squared Euclidean) with
     the centroids inlined as LITERALS — k is small (MLlib's KMeans makes
     the same call: centroids are driver state broadcast per iteration), so
-    assignment is a pure shuffle-free projection inside the scan stage:
-    k sequential-fold distance columns, ``least`` for the minimum, and a
-    when-chain whose order breaks exact ties toward the smaller cluster id
-    (the pure-Python mirror in tests reproduces the same first-wins walk).
+    assignment is a pure shuffle-free projection inside the scan stage.
+
+    Construction is ONE ``F.expr`` parse of a generated SQL string rather
+    than per-dimension ``F.lit`` / Python-lambda Column building: the
+    Column route costs ~1 s of Py4J round-trips PER CALL at k=8 × dim=64
+    (round-9 profile — it dominated the whole k-means fit, 4 calls ≈
+    3.6 s of driver-side expression construction), while the string
+    parses JVM-side in ~0.1 s. Semantics are bit-identical to the old
+    tree and to the pure-Python mirror in tests/test_clustering.py:
+    distances use the same sequential zip_with/aggregate fold (double
+    literals embedded via ``CAST('<repr>' AS DOUBLE)`` — repr round-trips
+    and string→double parse is correctly rounded, so the JVM sees the
+    exact same doubles), the minimum is ``array_min`` over the k distance
+    slots, and ``array_position`` returns the FIRST slot equal to it —
+    the same smaller-cluster-id tie-break as the old when-chain walk.
     Adds ``cluster`` (int) and ``_sqd`` (double, distance to the winner).
     """
-    from data_pipeline_team5_spark.functions.vectors import sqdist_expr
+    from data_pipeline_team5_spark.functions.vectors import sqdist_sql_spark
 
-    dcols = [
-        sqdist_expr(
-            F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
-        )
-        for c in centroids
-    ]
-    m = F.least(*dcols) if len(dcols) > 1 else dcols[0]
-    cl = F.when(dcols[0] == m, F.lit(0))
-    for i in range(1, len(dcols)):
-        cl = cl.when(dcols[i] == m, F.lit(i))
-    return vectors.select(
-        "*", cl.cast("int").alias("cluster"), m.alias("_sqd")
+    vec = f"`{vec_col}`"
+    d = "array(" + ",".join(
+        sqdist_sql_spark(vec, c) for c in centroids
+    ) + ")"
+    s = F.expr(
+        "named_struct("
+        f"'cluster', CAST(array_position({d}, array_min({d})) - 1 AS INT), "
+        f"'_sqd', array_min({d}))"
+    )
+    return (
+        vectors.select("*", s.alias("_assign"))
+        .select("*", "_assign.cluster", "_assign._sqd")
+        .drop("_assign")
     )
 
 
