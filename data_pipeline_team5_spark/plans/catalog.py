@@ -181,12 +181,13 @@ _TAIL = (
     "event_funnel",
     "nearest_centroid_confusion",
     "semantic_dedup",
-    # Round-7 third wave: the scrub family (PII redaction, line-level
-    # boilerplate dedup) and the corpus snapshot diff — oracle-backed
-    # tail entries, exact-checked by the local mini-driver every CI run
-    # like the rest of the tail.
-    "pii_scrub",
-    "line_boilerplate_scrub",
+    # Round-7 third wave: the corpus snapshot diff — oracle-backed tail,
+    # exact-checked by the local mini-driver every CI run like the rest
+    # of the tail. (The scrub pair that sat here — pii_scrub and
+    # line_boilerplate_scrub — was PROMOTED into the driver window in
+    # round 9, into the two slots freed by consolidating the grouping
+    # family's four queries into grouping_margins_panel +
+    # setops_salted_panel.)
     "corpus_snapshot_diff",
     # Round 8: embedding-space decontamination (the semantic sibling of
     # the promoted decontaminate_ngram_overlap) and the per-source

@@ -31,96 +31,94 @@ from data_pipeline_team5_spark.plans.catalog import register, table
 
 
 @register(
-    "rollup_region_nation",
+    "grouping_margins_panel",
     oracle=f"""
-        SELECT COALESCE(r.r_name, 'ALL') AS region,
-               COALESCE(n.n_name, 'ALL') AS nation,
+        SELECT 'cube_status_priority' AS section,
+               COALESCE(o_orderstatus, 'ALL') AS k1,
+               COALESCE(o_orderpriority, 'ALL') AS k2,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+                   AS lvl,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {dsum_sql('o_totalprice', 'total')}
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        UNION ALL
+        SELECT 'rollup_region_nation' AS section,
+               COALESCE(r.r_name, 'ALL') AS k1,
+               COALESCE(n.n_name, 'ALL') AS k2,
                CAST(GROUPING(r.r_name, n.n_name) AS BIGINT) AS lvl,
-               CAST(COUNT(*) AS BIGINT) AS n_custs,
-               {dsum_sql('c.c_acctbal', 'total_acctbal')}
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {dsum_sql('c.c_acctbal', 'total')}
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY ROLLUP(r.r_name, n.n_name)
-        ORDER BY lvl, region, nation
+        ORDER BY section, lvl, k1, k2
     """,
-    doc="ROLLUP(region, nation): per-nation rows, per-region subtotals, and "
-    "the grand total in one pass — the dashboard 'with subtotals' table the "
-    "reference would need a UNION of three queries for. grouping_id() "
-    "disambiguates a real NULL key from a subtotal row; dims broadcast, "
-    "the Expand runs over ~125 partial groups, not input rows.",
+    doc="Grouping-sets margin panel — round-9 same-family consolidation "
+    "of the former rollup_region_nation + cube_status_priority queries "
+    "into one driver-window slot (the union_source_panel trade: both "
+    "operator shapes stay in ONE plan, freeing a window slot for the "
+    "scrub family). Section 'rollup_region_nation': ROLLUP(region, "
+    "nation) — per-nation rows, per-region subtotals, grand total in one "
+    "pass; dims broadcast, the Expand runs over ~125 partial groups, not "
+    "input rows. Section 'cube_status_priority': CUBE(status, priority) "
+    "— all four grouping combinations (full cross-margin table); the "
+    "shuffle carries ≤ 4×15 group rows regardless of input size. "
+    "grouping_id() disambiguates a real NULL key from a subtotal row on "
+    "both sides of the oracle pair.",
     headline=True,
-    tags=("agg", "rollup", "grouping"),
+    tags=("agg", "rollup", "cube", "grouping"),
 )
-def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def grouping_margins_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
     joined = c.join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    return (
+    rollup_side = (
         joined.rollup("r_name", "n_name")
         .agg(
             F.grouping_id().cast("bigint").alias("lvl"),
-            F.count(F.lit(1)).alias("n_custs"),
-            dsum("c_acctbal", "total_acctbal"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("c_acctbal", "total"),
         )
         .select(
-            F.coalesce("r_name", F.lit("ALL")).alias("region"),
-            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.lit("rollup_region_nation").alias("section"),
+            F.coalesce("r_name", F.lit("ALL")).alias("k1"),
+            F.coalesce("n_name", F.lit("ALL")).alias("k2"),
             "lvl",
-            "n_custs",
-            "total_acctbal",
+            "n_rows",
+            "total",
         )
-        .orderBy("lvl", "region", "nation")
     )
-
-
-@register(
-    "cube_status_priority",
-    oracle=f"""
-        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-               COALESCE(o_orderpriority, 'ALL') AS priority,
-               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
-                   AS lvl,
-               CAST(COUNT(*) AS BIGINT) AS n_orders,
-               {dsum_sql('o_totalprice', 'total_sales')}
-        FROM orders
-        GROUP BY CUBE(o_orderstatus, o_orderpriority)
-        ORDER BY lvl, status, priority
-    """,
-    doc="CUBE(status, priority): all four grouping combinations (full "
-    "cross-margin table) in one aggregation — 3 statuses × 5 priorities "
-    "plus both margins and the grand total. Same Expand-over-partials "
-    "shape as rollup_region_nation; the shuffle carries ≤ 4×15 group rows "
-    "regardless of input size.",
-    tags=("agg", "cube", "grouping"),
-)
-def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_orderpriority", "o_totalprice"
     )
-    return (
+    cube_side = (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.grouping_id().cast("bigint").alias("lvl"),
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice", "total_sales"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "total"),
         )
         .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.lit("cube_status_priority").alias("section"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("k1"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("k2"),
             "lvl",
-            "n_orders",
-            "total_sales",
+            "n_rows",
+            "total",
         )
-        .orderBy("lvl", "status", "priority")
+    )
+    return rollup_side.unionByName(cube_side).orderBy(
+        "section", "lvl", "k1", "k2"
     )
 
 
 @register(
-    "setops_repeat_customers",
+    "setops_salted_panel",
     oracle="""
         WITH y97 AS (
             SELECT DISTINCT o_custkey FROM orders
@@ -131,63 +129,71 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT DISTINCT o_custkey FROM orders
             WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
         )
-        SELECT 'both' AS cohort, o_custkey
+        SELECT 'setops_repeat_customers' AS section, 'both' AS k,
+               CAST(o_custkey AS BIGINT) AS v
         FROM (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98)
         UNION ALL
-        SELECT 'churned' AS cohort, o_custkey
+        SELECT 'setops_repeat_customers' AS section, 'churned' AS k,
+               CAST(o_custkey AS BIGINT) AS v
         FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98)
-        ORDER BY cohort, o_custkey
+        UNION ALL
+        SELECT 'salted_distinct_per_priority' AS section,
+               o_orderpriority AS k,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS v
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY section, k, v
     """,
-    doc="INTERSECT / EXCEPT cohort algebra: customers active in both 1997 "
-    "and 1998 ('both') vs active in 1997 only ('churned'). Both sides are "
-    "pre-projected to the single key column before the set op, so the "
-    "hash shuffle carries 8-byte keys — the 100 TB-safe way to run set "
-    "algebra (never on wide rows).",
-    tags=("setop", "intersect", "except"),
+    doc="Set-operation + skew-salting panel — round-9 same-family "
+    "consolidation of the former setops_repeat_customers + "
+    "salted_distinct_per_priority queries into one driver-window slot. "
+    "Section 'setops_repeat_customers': INTERSECT / EXCEPT cohort "
+    "algebra (customers active in both 1997 and 1998 vs 1997-only), "
+    "full per-customer membership emitted so the value hash covers the "
+    "whole cohort set; both sides pre-projected to the single key column "
+    "so the hash shuffle carries 8-byte keys — the 100 TB-safe way to "
+    "run set algebra. Section 'salted_distinct_per_priority': exact "
+    "per-key COUNT(DISTINCT) under aggregation-state skew, the distinct "
+    "domain hash-sharded 16 ways so no single reducer materializes a hot "
+    "key's whole value set (operators/skew.py:salted_distinct — shard "
+    "counts add exactly because the shards partition the domain; AQE "
+    "skew-join splitting can't fix this case, this pattern does).",
+    tags=("setop", "intersect", "except", "distinct", "skew"),
 )
-def setops_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def setops_salted_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     day = F.to_date("o_orderdate")
     y97 = o.filter(
         day.between(F.lit("1997-01-01"), F.lit("1997-12-31"))
     ).select("o_custkey")
     y98 = o.filter(day >= F.lit("1998-01-01")).select("o_custkey")
+    sec_setops = F.lit("setops_repeat_customers").alias("section")
     both = y97.intersect(y98).select(
-        F.lit("both").alias("cohort"), "o_custkey"
+        sec_setops, F.lit("both").alias("k"), F.col("o_custkey").alias("v")
     )
     churned = y97.subtract(y98).select(
-        F.lit("churned").alias("cohort"), "o_custkey"
+        sec_setops,
+        F.lit("churned").alias("k"),
+        F.col("o_custkey").alias("v"),
     )
-    return both.unionByName(churned).orderBy("cohort", "o_custkey")
-
-
-@register(
-    "salted_distinct_per_priority",
-    oracle="""
-        SELECT o_orderpriority AS priority,
-               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
-        FROM orders
-        GROUP BY o_orderpriority
-        ORDER BY priority
-    """,
-    doc="Exact per-key COUNT(DISTINCT) under aggregation-state skew: 5 hot "
-    "priority keys, each holding a huge distinct-customer set at scale. "
-    "The distinct domain is hash-sharded 16 ways so no single reducer "
-    "materializes a hot key's whole value set; shard counts add exactly "
-    "because the shards partition the domain (operators/skew.py:"
-    "salted_distinct). Oracle = the plain COUNT(DISTINCT) — salting is "
-    "semantics-preserving. AQE skew-join splitting can't fix this case; "
-    "this is the pattern that does at 100 TB.",
-    tags=("agg", "distinct", "skew"),
-)
-def salted_distinct_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
-    out = salted_distinct(
-        o, ["o_orderpriority"], "o_custkey", "n_custs", n=16
+    salted = (
+        salted_distinct(
+            o.select("o_orderpriority", "o_custkey"),
+            ["o_orderpriority"],
+            "o_custkey",
+            "n_custs",
+            n=16,
+        ).select(
+            F.lit("salted_distinct_per_priority").alias("section"),
+            F.col("o_orderpriority").alias("k"),
+            F.col("n_custs").alias("v"),
+        )
     )
-    return out.select(
-        F.col("o_orderpriority").alias("priority"), "n_custs"
-    ).orderBy("priority")
+    return (
+        both.unionByName(churned)
+        .unionByName(salted)
+        .orderBy("section", "k", "v")
+    )
 
 
 @register(
