@@ -189,6 +189,11 @@ _TAIL = (
     # family's four queries into grouping_margins_panel +
     # setops_salted_panel.)
     "corpus_snapshot_diff",
+    # Round 9: the snapshot diff's distributional sibling — per-feature
+    # drift (language mix, length profile, TV distance) between two
+    # corpus versions. Oracle-backed tail, exact-checked by the local
+    # mini-driver every CI run.
+    "corpus_drift_report",
     # Round 8: embedding-space decontamination (the semantic sibling of
     # the promoted decontaminate_ngram_overlap) and the per-source
     # duplication/syndication report — oracle-backed tail, exact-checked

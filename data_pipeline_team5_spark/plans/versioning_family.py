@@ -26,6 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_pipeline_team5_spark.functions.scalars import (
+    dec_to_double,
+    dec_to_double_sql,
+)
 from data_pipeline_team5_spark.operators.textops import (
     fingerprint_md5,
     fingerprint_md5_sql,
@@ -139,3 +143,169 @@ def snapshot_diff(a_docs: DataFrame, b_docs: DataFrame) -> DataFrame:
 def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return snapshot_diff(docs, _v2(docs)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift report (round 9): the DISTRIBUTIONAL sibling of the per-doc
+# snapshot diff — after every fold, a maintained corpus wants "did today's
+# batch shift the corpus makeup" (language mix, length profile) as one
+# small table, the check that catches a collapsed scraper or a
+# mis-weighted source long before eval metrics move. The drift statistic
+# is total-variation distance, chosen over PSI/KL deliberately: TV needs
+# no logarithm, so the whole computation stays in EXACT integer/decimal
+# arithmetic until one final double division — bitwise cross-engine,
+# where ln() is not (JVM Math.log and libm need not agree in the last
+# ulp). tv = Σ_buckets |cnt_old·tot_new − cnt_new·tot_old| /
+# (2·tot_old·tot_new), algebraically identical to ½·Σ|share_old −
+# share_new| but with the division deferred past all the sums.
+
+_DRIFT_LEN_BIN = 64  # chars per length bucket; 20 buckets capped at 19
+# (fixture n_chars spans 44-577, so 64-char bins give ~10 informative
+# buckets; the +64-char additions shift the new side by one full bin)
+
+
+def _drift_len_bucket(n_chars):
+    return F.lpad(
+        F.least(
+            F.floor(n_chars / F.lit(float(_DRIFT_LEN_BIN))), F.lit(19)
+        )
+        .cast("int")
+        .cast("string"),
+        2,
+        "0",
+    )
+
+
+_DRIFT_LEN_BUCKET_SQL = (
+    f"LPAD(CAST(CAST(LEAST(FLOOR(n_chars / {_DRIFT_LEN_BIN}.0), 19) "
+    "AS INT) AS VARCHAR), 2, '0')"
+)
+
+
+@register(
+    "corpus_drift_report",
+    oracle=f"""
+        WITH v2d AS (
+            SELECT lang, n_chars FROM documents WHERE doc_id % 11 <> 0
+            UNION ALL
+            SELECT lang, n_chars + 64 FROM documents WHERE doc_id % 13 = 0
+        ),
+        tagged AS (
+            SELECT 'lang' AS feature, lang AS bucket, side FROM (
+                SELECT lang, 0 AS side FROM documents
+                UNION ALL SELECT lang, 1 FROM v2d)
+            UNION ALL
+            SELECT 'len' AS feature, {_DRIFT_LEN_BUCKET_SQL} AS bucket,
+                   side
+            FROM (SELECT n_chars, 0 AS side FROM documents
+                  UNION ALL SELECT n_chars, 1 FROM v2d)
+        ),
+        grid AS (
+            SELECT feature, bucket,
+                   CAST(COUNT(CASE WHEN side = 0 THEN 1 END) AS BIGINT)
+                       AS cnt_old,
+                   CAST(COUNT(CASE WHEN side = 1 THEN 1 END) AS BIGINT)
+                       AS cnt_new
+            FROM tagged GROUP BY feature, bucket
+        ),
+        tot AS (
+            SELECT *,
+                   SUM(cnt_old) OVER (PARTITION BY feature) AS tot_old,
+                   SUM(cnt_new) OVER (PARTITION BY feature) AS tot_new
+            FROM grid
+        )
+        SELECT feature, bucket, cnt_old, cnt_new,
+               CAST(cnt_old AS DOUBLE) / CAST(tot_old AS DOUBLE)
+                   AS share_old,
+               CAST(cnt_new AS DOUBLE) / CAST(tot_new AS DOUBLE)
+                   AS share_new,
+               {dec_to_double_sql(
+                   "SUM(ABS(CAST(cnt_old AS DECIMAL(18,0)) * tot_new"
+                   " - CAST(cnt_new AS DECIMAL(18,0)) * tot_old))"
+                   " OVER (PARTITION BY feature)")}
+               / {dec_to_double_sql(
+                   "2 * CAST(tot_old AS DECIMAL(18,0)) * tot_new")}
+                   AS tv
+        FROM tot
+        ORDER BY feature, bucket
+    """,
+    doc="⊕ corpus drift report — distributional observability between two "
+    "corpus snapshots (the per-doc snapshot diff's statistical sibling): "
+    "per (feature, bucket) old/new counts and shares for the language "
+    "mix and the 64-char length profile, plus each feature's "
+    "total-variation distance. Snapshot 2 derives deterministically from "
+    "the fixture (removals % 11, additions % 13 arriving 64 chars "
+    "longer), mirrored in the oracle. TV over PSI/KL is deliberate: no "
+    "logarithm, so drift = Σ|cnt_old·tot_new − cnt_new·tot_old| / "
+    "(2·tot_old·tot_new) stays in exact bigint/decimal arithmetic "
+    "(order-independent sums) until ONE final double division — bitwise "
+    "on both engines. Plan shape at 100 TB: metadata-only scans (lang, "
+    "n_chars — text never read, the parquet scan prunes to two "
+    "columns), map-side explode to (feature, bucket, side), ONE shuffle "
+    "on the (feature, bucket) grain, and the window totals run over the "
+    "few-hundred-row aggregated grid, not the corpus.",
+    tags=("versioning", "quality", "drift", "curation"),
+)
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    v2d = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "lang", "n_chars"
+    ).unionAll(
+        docs.filter(F.col("doc_id") % 13 == 0).select(
+            "lang", (F.col("n_chars") + F.lit(64)).alias("n_chars")
+        )
+    )
+
+    def feats(df: DataFrame, side: int) -> DataFrame:
+        pair = F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lang").alias("feature"),
+                    F.col("lang").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("len").alias("feature"),
+                    _drift_len_bucket(F.col("n_chars")).alias("bucket"),
+                ),
+            )
+        )
+        return df.select(pair.alias("f"), F.lit(side).alias("side")).select(
+            "f.feature", "f.bucket", "side"
+        )
+
+    grid = (
+        feats(docs, 0)
+        .unionByName(feats(v2d, 1))
+        .groupBy("feature", "bucket")
+        .agg(
+            F.count(F.when(F.col("side") == 0, F.lit(1))).alias("cnt_old"),
+            F.count(F.when(F.col("side") == 1, F.lit(1))).alias("cnt_new"),
+        )
+    )
+    wf = Window.partitionBy("feature")
+    dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    tot = grid.withColumn("tot_old", F.sum("cnt_old").over(wf)).withColumn(
+        "tot_new", F.sum("cnt_new").over(wf)
+    )
+    num = F.sum(
+        F.abs(
+            dec(F.col("cnt_old")) * F.col("tot_new")
+            - dec(F.col("cnt_new")) * F.col("tot_old")
+        )
+    ).over(wf)
+    den = F.lit(2) * dec(F.col("tot_old")) * F.col("tot_new")
+    return tot.select(
+        "feature",
+        "bucket",
+        "cnt_old",
+        "cnt_new",
+        (F.col("cnt_old").cast("double") / F.col("tot_old").cast("double"))
+        .alias("share_old"),
+        (F.col("cnt_new").cast("double") / F.col("tot_new").cast("double"))
+        .alias("share_new"),
+        (dec_to_double(num) / dec_to_double(den)).alias("tv"),
+    ).orderBy("feature", "bucket")
