@@ -63,12 +63,29 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens_expr(col))
 
 
-def shingles_expr(tokens: Column, n: int = 3) -> Column:
+def shingles_expr(tokens: Column | str, n: int = 3) -> Column:
     """Distinct n-gram shingles of a token array (per-row, no shuffle).
 
     Docs shorter than ``n`` tokens contribute their whole text as the single
     shingle so no document silently drops out of dedup.
+
+    Pass the token column NAME (not a Column) on hot construction paths:
+    the string form builds the whole expression with ONE JVM-side
+    ``F.expr`` parse instead of ~40 Py4J round-trips (the round-9 profile
+    found plan CONSTRUCTION, not execution, dominating the LSH family's
+    wall time locally). Both forms produce the same values.
     """
+    if isinstance(tokens, str):
+        t = f"`{tokens}`"
+        gram_parts = ", ".join(
+            f"element_at({t}, i + {j})" for j in range(n)
+        )
+        return F.expr(
+            f"array_distinct(CASE WHEN size({t}) >= {n} THEN "
+            f"transform(sequence(1, size({t}) - {n - 1}), "
+            f"i -> concat_ws(' ', {gram_parts})) "
+            f"ELSE array(concat_ws(' ', {t})) END)"
+        )
     idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
     gram = F.transform(
         idx,
@@ -100,7 +117,21 @@ def ngrams_expr(tokens: Column, n: int) -> Column:
     shorter than ``n`` tokens contribute an EMPTY array (a 1-token doc has
     no bigram; a whole-text fallback would score it top_bigram_frac = 1.0
     and flag it repetitive).
+
+    As with :func:`shingles_expr`, pass the column NAME on hot paths for
+    single-parse construction.
     """
+    if isinstance(tokens, str):
+        t = f"`{tokens}`"
+        gram_parts = ", ".join(
+            f"element_at({t}, i + {j})" for j in range(n)
+        )
+        return F.expr(
+            f"CASE WHEN size({t}) >= {n} THEN "
+            f"transform(sequence(1, size({t}) - {n - 1}), "
+            f"i -> concat_ws(' ', {gram_parts})) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
     idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
     gram = F.transform(
         idx,

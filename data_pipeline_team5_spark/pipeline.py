@@ -315,8 +315,8 @@ def _curation_filter_stage(
     if max_top_bigram_frac is not None or max_dup_trigram_frac is not None:
         grams = kept.select(
             "*",
-            ngrams_expr(F.col("_t"), 2).alias("_g2"),
-            ngrams_expr(F.col("_t"), 3).alias("_g3"),
+            ngrams_expr("_t", 2).alias("_g2"),
+            ngrams_expr("_t", 3).alias("_g3"),
         )
         keep = F.lit(True)
         if max_top_bigram_frac is not None:

@@ -145,8 +145,8 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toked = base.select(
         "*",
-        ngrams_expr(F.col("_t"), 2).alias("_g2"),
-        ngrams_expr(F.col("_t"), 3).alias("_g3"),
+        ngrams_expr("_t", 2).alias("_g2"),
+        ngrams_expr("_t", 3).alias("_g3"),
     )
     q = quality_exprs(F.col("_t"))
     s = sentiment_exprs(F.col("_t"))
@@ -728,7 +728,7 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (text_family.py:140); CollapseProject will not re-inline `_t`
     # because it is referenced ~8 times inside the gram expression.
     base = docs.select("doc_id", "lang", tokens_expr("text").alias("_t"))
-    grams = F.array_distinct(ngrams_expr(F.col("_t"), DUP_NGRAM_N))
+    grams = F.array_distinct(ngrams_expr("_t", DUP_NGRAM_N))
     stats = base.select(
         "doc_id", "lang", F.size(grams).cast("bigint").alias("n_grams")
     )
