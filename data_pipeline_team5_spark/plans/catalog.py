@@ -205,6 +205,10 @@ _TAIL = (
     # cut — oracle-backed tail, exact-checked by the local mini-driver.
     "dup_ngram_fraction",
     "token_budget_cut",
+    # Round 9: DSIR importance weighting — rows-only by design (the
+    # log-likelihood ratio needs ln(), which is not bitwise across
+    # engines); exact-parity vs a pure-Python mirror in tests/test_dsir.py.
+    "dsir_importance_weights",
 )
 
 

@@ -323,3 +323,116 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (round 9): Data Selection via Importance
+# Resampling (Xie et al. 2023, NeurIPS — arXiv:2302.03169). The published
+# recipe: featurize documents as hashed n-gram counts, fit bag-of-words
+# distributions over the hash buckets for the TARGET domain and the RAW
+# pool, and weight each raw document by its log-likelihood ratio
+# log p_target(doc) − log p_raw(doc) = Σ_tokens λ[bucket(token)]; resample
+# by those weights. Here the selection rule is the deterministic core
+# (weight > 0 ⇔ the doc is more target-like than pool-like); the paper's
+# Gumbel-top-k draw is one extra column of seeded noise over these same
+# weights.
+
+DSIR_BUCKETS = 256  # hashed-unigram feature dim (paper: 10k; fixture: 256)
+DSIR_TARGET_MOD = 3  # with DSIR_TARGET_TERM: the in-query target slice
+DSIR_TARGET_TERM = "stream"  # topical marker defining the target domain
+
+
+def _dsir_bucket_sql(tok: str) -> str:
+    """Spark-SQL hashed-feature bucket of a token: first 8 md5 hex chars →
+    bigint → pmod  — md5 so the pure-Python mirror (hashlib) reproduces it
+    exactly (xxhash64's seed/variant has no stdlib twin)."""
+    return (
+        f"CAST(pmod(CAST(conv(substring(md5({tok}), 1, 8), 16, 10) "
+        f"AS BIGINT), {DSIR_BUCKETS}) AS INT)"
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=None,  # log-likelihood ratios need ln(): JVM Math.log and
+    # DuckDB's libm need not agree in the last ulp, so no bitwise SQL
+    # oracle is possible. Exact-parity checks live in tests/test_dsir.py:
+    # bucket counts and totals are integer-exact against a pure-Python
+    # mirror (hashlib md5), weights match the mirror's identical
+    # left-to-right fold to 1e-9 relative.
+    doc="⊕ DSIR importance weighting (Xie et al. 2023): per-document "
+    "log-likelihood ratio between a target-domain and a raw-pool hashed "
+    "unigram distribution (+1-smoothed over 256 md5 buckets), with "
+    "selected = weight > 0. The target set is the id%3==0 documents "
+    "containing 'stream' — a TOPICAL slice, the in-query stand-in for a "
+    "distributionally distinct curated target corpus (the fixture's "
+    "lang labels are synthetic — every language shares one vocabulary — "
+    "so language cannot carry content signal, and a target drawn i.i.d. "
+    "from the pool would make every LLR negative and the selection rule "
+    "vacuous; the mirror test guards both). Pool docs sharing the "
+    "target's topical vocabulary surface with the highest weights. Plan shape at 100 TB — two passes, "
+    "no corpus-sized shuffle: pass 1 aggregates bucket counts for both "
+    "sides in ONE scan (the only exchange is 256 bucket keys after "
+    "map-side combine), the 256 λ values collect to the driver (k-means "
+    "centroid discipline: fixed-size model state, never corpus rows) and "
+    "embed as ONE literal array; pass 2 scores every doc MAP-SIDE with a "
+    "sequential aggregate fold over its token array — element_at into "
+    "the broadcast-literal λ — inside the scan stage, zero shuffle. "
+    "Weights are reproducible bit-for-bit across runs and partitionings "
+    "(the fold is per-doc left-to-right in token order; λ literals embed "
+    "via repr → correctly-rounded string→double parse).",
+    tags=("sampling", "curation", "dsir", "importance"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from data_pipeline_team5_spark.operators.textops import tokens_expr
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens_expr("text").alias("_t")
+    )
+    is_target = (F.col("doc_id") % DSIR_TARGET_MOD == 0) & F.col(
+        "text"
+    ).contains(DSIR_TARGET_TERM)
+
+    # pass 1: hashed-unigram bucket counts, both sides from one scan
+    ex = docs.select(is_target.alias("tgt"), F.explode("_t").alias("tok"))
+    counts = (
+        ex.groupBy(F.expr(_dsir_bucket_sql("tok")).alias("b"))
+        .agg(
+            F.count(F.when(F.col("tgt"), F.lit(1))).alias("ct"),
+            F.count(F.when(~F.col("tgt"), F.lit(1))).alias("cr"),
+        )
+        .collect()
+    )
+    ct = [0] * DSIR_BUCKETS
+    cr = [0] * DSIR_BUCKETS
+    for r in counts:
+        ct[r["b"]] = r["ct"]
+        cr[r["b"]] = r["cr"]
+    tot_t = sum(ct) + DSIR_BUCKETS  # +1 smoothing mass
+    tot_r = sum(cr) + DSIR_BUCKETS
+    lam = [
+        math.log((ct[b] + 1) / tot_t) - math.log((cr[b] + 1) / tot_r)
+        for b in range(DSIR_BUCKETS)
+    ]
+
+    # pass 2: map-only scoring — λ as one literal array, per-doc fold
+    lam_sql = "array(" + ",".join(
+        f"CAST('{float(v)!r}' AS DOUBLE)" for v in lam
+    ) + ")"
+    weight = F.expr(
+        f"aggregate(transform(_t, t -> element_at({lam_sql}, "
+        f"{_dsir_bucket_sql('t')} + 1)), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x)"
+    )
+    return (
+        docs.filter(~is_target)
+        .select(
+            "doc_id",
+            F.size("_t").alias("n_tokens"),
+            weight.alias("weight"),
+        )
+        .withColumn("selected", F.col("weight") > F.lit(0.0))
+        .orderBy("doc_id")
+    )
