@@ -209,6 +209,9 @@ _TAIL = (
     # log-likelihood ratio needs ln(), which is not bitwise across
     # engines); exact-parity vs a pure-Python mirror in tests/test_dsir.py.
     "dsir_importance_weights",
+    # Round 9: sliding-window context chunking — oracle-backed tail,
+    # exact-checked by the local mini-driver every CI run.
+    "chunk_for_context_window",
 )
 
 

@@ -381,6 +381,7 @@ def _dsir_bucket_sql(tok: str) -> str:
     "Weights are reproducible bit-for-bit across runs and partitionings "
     "(the fold is per-doc left-to-right in token order; λ literals embed "
     "via repr → correctly-rounded string→double parse).",
+    headline=True,
     tags=("sampling", "curation", "dsir", "importance"),
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,4 +436,76 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("selected", F.col("weight") > F.lit(0.0))
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (round 9): the step BEFORE pack_training_sequences
+# for documents longer than the model context — split each doc's token
+# stream into fixed-size training chunks with a stride overlap (the
+# standard HF/LM-pretraining sliding window), so no text is silently
+# truncated and boundary context is preserved across chunk edges.
+
+CHUNK_TOKENS = 48  # chunk length in whitespace tokens (fixture-sized:
+# docs span ~10-99 tokens, so 48/32 exercises 1..4-chunk docs; production
+# would use e.g. 2048/1792)
+CHUNK_STRIDE = 32  # step between chunk starts; overlap = 48 - 32 = 16
+
+
+@register(
+    "chunk_for_context_window",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, CAST(u.k AS BIGINT) AS chunk_id,
+                   list_slice(t, u.k * {CHUNK_STRIDE} + 1,
+                              u.k * {CHUNK_STRIDE} + {CHUNK_TOKENS}) AS c
+            FROM toks, UNNEST(range(0, 1 + CAST(GREATEST(0,
+                 CEIL((len(t) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0))
+                 AS BIGINT))) AS u(k)
+        )
+        SELECT doc_id, chunk_id,
+               CAST(len(c) AS INT) AS n_tok,
+               array_to_string(c, ' ') AS chunk
+        FROM chunks
+        ORDER BY doc_id, chunk_id
+    """,
+    doc="⊕ context-window chunking: each document's whitespace-token "
+    "stream sliced into 48-token training chunks every 32 tokens "
+    "(16-token overlap, the sliding-window pre-packing step for docs "
+    "longer than the model context; short docs yield exactly one chunk). "
+    "Pure map-side array work — slice boundaries come from a per-row "
+    "sequence over ceil((n−chunk)/stride), the explode multiplies rows "
+    "only by each doc's own chunk count, and NOTHING shuffles (the only "
+    "exchange is the output ORDER BY, dropped in production where the "
+    "chunks stream straight into the packer). Text moves because text "
+    "is the product here — this op EMITS training data; at 100 TB it "
+    "runs inside the scan stage and writes behind a partitioned sink. "
+    "Bitwise oracle: token slicing and the space re-join are exact "
+    "string ops on both engines.",
+    tags=("sampling", "packing", "chunking"),
+)
+def chunk_for_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_t")
+    )
+    chunk = F.expr(
+        f"explode(transform(sequence(0, int(greatest(0, "
+        f"ceil((size(_t) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0)))), "
+        f"k -> named_struct('chunk_id', CAST(k AS BIGINT), "
+        f"'c', slice(_t, k * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS}))))"
+    )
+    return (
+        docs.select("doc_id", chunk.alias("ck"))
+        .select(
+            "doc_id",
+            F.col("ck.chunk_id").alias("chunk_id"),
+            F.size("ck.c").alias("n_tok"),
+            F.concat_ws(" ", "ck.c").alias("chunk"),
+        )
+        .orderBy("doc_id", "chunk_id")
     )

@@ -244,6 +244,7 @@ _DRIFT_LEN_BUCKET_SQL = (
     "columns), map-side explode to (feature, bucket, side), ONE shuffle "
     "on the (feature, bucket) grain, and the window totals run over the "
     "few-hundred-row aggregated grid, not the corpus.",
+    headline=True,
     tags=("versioning", "quality", "drift", "curation"),
 )
 def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
