@@ -23,7 +23,7 @@ bucketing it is a single sort-merge shuffle at fp-row width.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.functions.scalars import (
@@ -248,8 +248,6 @@ _DRIFT_LEN_BUCKET_SQL = (
     tags=("versioning", "quality", "drift", "curation"),
 )
 def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
@@ -260,6 +258,16 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", (F.col("n_chars") + F.lit(64)).alias("n_chars")
         )
     )
+    return drift_report(docs.select("lang", "n_chars"), v2d)
+
+
+def drift_report(a_docs: DataFrame, b_docs: DataFrame) -> DataFrame:
+    """The drift core both the catalog query and production callers run:
+    two (lang, n_chars) snapshots → per-(feature, bucket) counts/shares +
+    per-feature total-variation distance, all-exact arithmetic until one
+    final double division (see the module comment above). Identity
+    contract: drift_report(x, x) has tv == 0.0 and share_old == share_new
+    on every row — pinned in tests/test_quality_family.py."""
 
     def feats(df: DataFrame, side: int) -> DataFrame:
         pair = F.explode(
@@ -279,8 +287,8 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     grid = (
-        feats(docs, 0)
-        .unionByName(feats(v2d, 1))
+        feats(a_docs, 0)
+        .unionByName(feats(b_docs, 1))
         .groupBy("feature", "bucket")
         .agg(
             F.count(F.when(F.col("side") == 0, F.lit(1))).alias("cnt_old"),

@@ -42,3 +42,21 @@ def test_decontaminate_embedding_guard_is_noop_with_bench(spark):
     out = decontaminate_embedding_overlap(spark, SF_SMALL)
     assert out.count() == n_corpus
     assert out.filter(F.col("bench_id") < 0).count() == 0
+
+
+def test_drift_report_identity_is_exactly_zero(spark):
+    """drift_report(x, x): every bucket's shares are equal and every
+    feature's total-variation distance is EXACTLY 0.0 — the all-integer
+    numerator is identically zero, so no float epsilon is involved (the
+    property the exact-arithmetic design buys)."""
+    from data_pipeline_team5_spark.plans.versioning_family import (
+        drift_report,
+    )
+
+    docs = table(spark, SF_SMALL, "documents").select("lang", "n_chars")
+    rows = drift_report(docs, docs).collect()
+    assert rows
+    for r in rows:
+        assert r["cnt_old"] == r["cnt_new"]
+        assert r["share_old"] == r["share_new"]
+        assert r["tv"] == 0.0
