@@ -487,6 +487,7 @@ CHUNK_STRIDE = 32  # step between chunk starts; overlap = 48 - 32 = 16
     "runs inside the scan stage and writes behind a partitioned sink. "
     "Bitwise oracle: token slicing and the space re-join are exact "
     "string ops on both engines.",
+    headline=True,
     tags=("sampling", "packing", "chunking"),
 )
 def chunk_for_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
