@@ -196,6 +196,22 @@ def main(argv: list[str] | None = None) -> int:
                             "no longer be replayed with --fold-batch-id — "
                             "compact only beyond the crash-recovery "
                             "horizon")
+    p_drf = sub.add_parser(
+        "drift",
+        help="distribution drift (language mix, length profile, "
+             "total-variation distance) between two corpus snapshots — "
+             "the post-fold observability check",
+    )
+    p_drf.add_argument("--old", required=True,
+                       help="old corpus parquet root")
+    p_drf.add_argument("--new", required=True,
+                       help="new corpus parquet root (may equal --old)")
+    p_drf.add_argument("--exclude-batch-id", default=None,
+                       help="when --old is a batch_id-partitioned fold "
+                            "store, drop this batch from the OLD side — "
+                            "i.e. drift of the latest fold against the "
+                            "pre-fold corpus, from one store")
+
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name=f"curate_{args.cmd}")
@@ -236,6 +252,32 @@ def main(argv: list[str] | None = None) -> int:
         report = compact_fold_stores(spark, args.roots, into=args.into)
         print(json.dumps({"status": "ok", "cmd": "compact",
                           "into": args.into, "stores": report}))
+    elif args.cmd == "drift":
+        from data_pipeline_team5_spark.plans.versioning_family import (
+            drift_report,
+        )
+
+        old = spark.read.parquet(args.old)
+        new = spark.read.parquet(args.new)
+        if args.exclude_batch_id is not None:
+            if "batch_id" not in old.columns:
+                raise ValueError(
+                    "drift --exclude-batch-id: --old is not a batch_id-"
+                    "partitioned fold store"
+                )
+            old = old.filter(F.col("batch_id") != args.exclude_batch_id)
+        rows = drift_report(
+            old.select("lang", "n_chars"), new.select("lang", "n_chars")
+        ).collect()
+        print(json.dumps({
+            "status": "ok",
+            "cmd": "drift",
+            "tv": {
+                r["feature"]: r["tv"]
+                for r in rows
+            },
+            "n_buckets": len(rows),
+        }))
     elif args.cmd == "stream":
         # The per-micro-batch body is exactly the `incremental
         # --fold-batch-id` daily loop with fold = "s{batch_id}"; Structured

@@ -551,3 +551,35 @@ def test_compact_refuses_numeric_batch_id_partitions(spark, tmp_path):
         pl.compact_fold_stores(spark, [root])
     # store untouched — no swap was attempted
     assert spark.read.parquet(root).count() == 10
+
+
+def test_cli_drift_between_fold_days(spark, tmp_path, capsys):
+    """`curate drift` (round 9): the post-fold observability check.
+    Self-drift of a root against itself is EXACTLY zero on every
+    feature; drift between the pre-fold corpus (--exclude-batch-id) and
+    the folded store is a finite TV in (0, 1]."""
+    docs, paths = _days(spark, tmp_path)
+    corpus = str(tmp_path / "dr_corpus")
+    _run(capsys, ["init-corpus", "--docs", paths["day0"],
+                  "--corpus", corpus, "--batch-id", "d0"])
+
+    r = _run(capsys, ["drift", "--old", corpus, "--new", corpus])
+    assert r["status"] == "ok" and set(r["tv"]) == {"lang", "len"}
+    assert all(v == 0.0 for v in r["tv"].values())
+
+    # grow the store by a second day, then diff pre-fold vs post-fold
+    # from the one batch_id-partitioned root
+    from data_pipeline_team5_spark.pipeline import append_corpus_batch
+
+    append_corpus_batch(spark.read.parquet(paths["day1"]), corpus, "d1")
+    r = _run(capsys, ["drift", "--old", corpus, "--new", corpus,
+                      "--exclude-batch-id", "d1"])
+    assert r["status"] == "ok"
+    assert all(0.0 < v <= 1.0 for v in r["tv"].values()), r["tv"]
+
+    # --exclude-batch-id against a non-partitioned root refuses loudly
+    flat = str(tmp_path / "flat_docs")
+    spark.read.parquet(paths["day0"]).write.parquet(flat)
+    with pytest.raises(ValueError, match="not a batch_id"):
+        main(["drift", "--old", flat, "--new", flat,
+              "--exclude-batch-id", "d1"])
