@@ -309,3 +309,50 @@ def test_shared_window_pairs_finds_every_planted_run(spark, docs, run_seed):
         if a < b
     }
     assert got == want
+
+
+def test_chunking_reconstructs_every_token_stream(spark):
+    """chunk_for_context_window coverage/reconstruction property: for
+    every document, chunk 0 plus each later chunk minus its
+    CHUNK_TOKENS−CHUNK_STRIDE overlap tokens re-concatenates to exactly
+    the document's whitespace-token stream — no token lost at any
+    boundary, no chunk misaligned, for 1-chunk and multi-chunk docs
+    alike."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_team5_spark.plans.catalog import QUERIES, table
+    from data_pipeline_team5_spark.plans.sampling_family import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+    from tests.conftest import SF_SMALL
+
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+    out = (
+        QUERIES["chunk_for_context_window"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    )
+    chunks: dict[int, list[tuple[int, str]]] = {}
+    for r in out:
+        chunks.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk"])
+        )
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(chunks) == set(docs)
+    multi = 0
+    for doc_id, parts in chunks.items():
+        parts.sort()
+        assert [k for k, _ in parts] == list(range(len(parts)))
+        toks: list[str] = []
+        for k, chunk in parts:
+            ctoks = chunk.split(" ")
+            toks.extend(ctoks if k == 0 else ctoks[overlap:])
+        assert toks == docs[doc_id].strip().split(), doc_id
+        multi += int(len(parts) > 1)
+    assert multi > 0, "fixture exercised only single-chunk docs"
