@@ -209,9 +209,11 @@ _TAIL = (
     # log-likelihood ratio needs ln(), which is not bitwise across
     # engines); exact-parity vs a pure-Python mirror in tests/test_dsir.py.
     "dsir_importance_weights",
-    # Round 9: sliding-window context chunking — oracle-backed tail,
-    # exact-checked by the local mini-driver every CI run.
+    # Round 9: sliding-window context chunking and the quality-aware
+    # dedup survivor policy — oracle-backed tail, exact-checked by the
+    # local mini-driver every CI run.
     "chunk_for_context_window",
+    "dedup_quality_survivor",
 )
 
 

@@ -431,3 +431,96 @@ def exact_substring_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "doc_id", "text", n=SUBSTR_W)
     return shared_window_pairs(sh, min_shared=1).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_quality_survivor",
+    oracle=f"""
+        {_SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)},
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM shing a
+            JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+            JOIN sizes sa ON a.doc_id = sa.doc_id
+            JOIN sizes sb ON b.doc_id = sb.doc_id
+            GROUP BY 1, 2
+            HAVING CAST(COUNT(*) AS DOUBLE) /
+                   CAST((MIN(sa.n) + MIN(sb.n) - COUNT(*)) AS DOUBLE)
+                   >= {JACCARD_T}
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, lab) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a
+        ),
+        comp AS (
+            SELECT node AS doc_id, MIN(lab) AS group_id
+            FROM reach GROUP BY node
+        ),
+        scored AS (
+            SELECT c.doc_id, c.group_id,
+                   (0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) + 0.3 * (1.0 - (CAST(len(list_filter(t, t -> t IN ('a', 'and', 'das', 'der', 'die', 'ein', 'el', 'es', 'est', 'et', 'in', 'is', 'ist', 'la', 'las', 'le', 'les', 'los', 'of', 'the', 'to', 'una', 'und', 'une', 'y'))) AS DOUBLE) / CAST(len(t) AS DOUBLE))) + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))) AS quality
+            FROM comp c JOIN toks USING (doc_id)
+        )
+        SELECT doc_id, group_id, quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY group_id
+                   ORDER BY quality DESC, doc_id
+               ) = 1 AS keep
+        FROM scored
+        ORDER BY doc_id
+    """,
+    doc="⊕ QUALITY-AWARE dedup survivor selection (round 9): per near-dup "
+    "component, keep the HIGHEST-QUALITY member (the text-profile linear "
+    "score; ties break to the smaller doc_id) instead of "
+    "dedup_components' min-id convention — the retention policy "
+    "production pipelines actually want, where the canonical copy should "
+    "be the cleanest one, not the first-crawled one. Composition: the "
+    "same exact-Jaccard component set (large-star/small-star rewriting; "
+    "recursive-CTE oracle), one shuffle-free quality projection over the "
+    "docs scan, and a row_number window on the component grain — one "
+    "extra group_id exchange over dedup_components, carrying (id, group, "
+    "double) rows, never text. Quality doubles are the bitwise-matched "
+    "text_doc_profile arithmetic, so the DESC comparison and therefore "
+    "the survivor choice are engine-identical.",
+    tags=("dedup", "components", "quality", "curation"),
+)
+def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from data_pipeline_team5_spark.operators.components import (
+        connected_components,
+    )
+    from data_pipeline_team5_spark.operators.textops import (
+        quality_exprs,
+        tokens_expr,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, "doc_id", "text")
+    pairs = jaccard_pairs(sh, JACCARD_T).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    )
+    q = quality_exprs(tokens_expr("text"))["quality"]
+    scored = (
+        docs.select("doc_id", q.alias("quality"))
+        .join(comp, comp.id == F.col("doc_id"))
+        .select("doc_id", F.col("component").alias("group_id"), "quality")
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "group_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    ).orderBy("doc_id")

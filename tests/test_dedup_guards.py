@@ -392,3 +392,30 @@ def test_connected_components_string_ids_both_paths(spark):
             ).collect()
         }
         assert got == expect, f"gate={gate}"
+
+
+def test_quality_survivor_policy_differs_from_min_id(spark):
+    """dedup_quality_survivor must actually exercise its retention
+    policy on the fixture: exactly one keeper per group, and at least
+    one multi-doc group whose highest-quality member is NOT the min-id
+    doc (otherwise the query would be indistinguishable from
+    dedup_components and the policy untested)."""
+    from data_pipeline_team5_spark.plans.catalog import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["dedup_quality_survivor"].fn(spark, SF_SMALL).collect()
+    groups: dict[int, list] = {}
+    for r in rows:
+        groups.setdefault(r["group_id"], []).append(r)
+    for g, members in groups.items():
+        assert sum(r["keep"] for r in members) == 1, g
+        keeper = next(r for r in members if r["keep"])
+        best = max(members, key=lambda r: (r["quality"], -r["doc_id"]))
+        assert keeper["doc_id"] == best["doc_id"], g
+    multi = [v for v in groups.values() if len(v) > 1]
+    assert multi, "fixture has no multi-doc dedup groups"
+    assert any(
+        next(r["doc_id"] for r in v if r["keep"])
+        != min(r["doc_id"] for r in v)
+        for v in multi
+    ), "quality survivor never diverged from the min-id policy"
