@@ -214,6 +214,10 @@ _TAIL = (
     # local mini-driver every CI run.
     "chunk_for_context_window",
     "dedup_quality_survivor",
+    # Round 9: zlib entropy-proxy quality signal — rows-only by design
+    # (no zlib in DuckDB SQL); integer-exact parity vs the stdlib-zlib
+    # mirror in tests/test_compression_signal.py.
+    "compression_ratio_signal",
 )
 
 

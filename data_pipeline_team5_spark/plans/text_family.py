@@ -912,3 +912,71 @@ def token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (round 9): the gzip/zlib entropy proxy
+# Dolma and RefinedWeb publish as a repetitiveness filter — highly
+# compressible text (low compressed/raw ratio) is boilerplate or
+# template spam; near-incompressible text (ratio ≈ 1) is often binary
+# junk or hash dumps. The complement of the Gopher n-gram fractions:
+# those count exact token repeats, this catches ANY low-entropy
+# regularity (including character-level and structural repetition the
+# token metrics miss).
+
+ZRATIO_LO = 0.45  # below → repetitive/templated (fixture p27)
+ZRATIO_HI = 1.00  # above → incompressible junk (ratio > 1 = zlib overhead)
+
+
+@register(
+    "compression_ratio_signal",
+    oracle=None,  # zlib is not expressible in DuckDB SQL; exactness is
+    # pinned instead by tests/test_compression_signal.py — the SAME
+    # CPython zlib runs in the executors and the mirror, level fixed, so
+    # byte counts match integer-exactly and the ratio is one double
+    # division of those integers.
+    doc="⊕ compression-ratio quality signal (the Dolma/RefinedWeb zlib "
+    "entropy proxy): per-doc raw/compressed byte counts, their ratio, "
+    "and a keep flag (repetitive below the low cut, junk above the high "
+    "cut). The one text-family operator that genuinely needs Python — "
+    "there is no JVM-side zlib expression — so it is the sanctioned "
+    "Arrow path: mapInPandas streams record batches, zlib level is "
+    "pinned (deterministic output bytes for a given input on any "
+    "zlib build — rerun- and partitioning-stable), and the plan stays "
+    "a single map-side pass inside the scan stage with zero shuffle. "
+    "At 100 TB: compression throughput (~100 MB/s/core) is the honest "
+    "cost — the same work any pipeline materializing compressed "
+    "training shards pays anyway; fuse this signal into that write "
+    "rather than paying a second pass.",
+    tags=("text", "quality", "entropy", "udf"),
+)
+def compression_ratio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out_schema = (
+        "doc_id bigint, n_bytes int, n_zbytes int, zratio double, "
+        "keep boolean"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in it:
+            raw = pdf["text"].str.encode("utf-8")
+            n_bytes = raw.map(len)
+            n_z = raw.map(lambda b: len(zlib.compress(b, 6)))
+            zratio = n_z / n_bytes
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "n_zbytes": n_z,
+                    "zratio": zratio,
+                    "keep": (zratio >= ZRATIO_LO) & (zratio <= ZRATIO_HI),
+                }
+            )
+
+    return docs.mapInPandas(batches, out_schema).orderBy("doc_id")
