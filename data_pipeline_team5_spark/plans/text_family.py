@@ -948,6 +948,7 @@ ZRATIO_HI = 1.00  # above → incompressible junk (ratio > 1 = zlib overhead)
     "cost — the same work any pipeline materializing compressed "
     "training shards pays anyway; fuse this signal into that write "
     "rather than paying a second pass.",
+    headline=True,
     tags=("text", "quality", "entropy", "udf"),
 )
 def compression_ratio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
