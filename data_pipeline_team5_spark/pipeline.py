@@ -365,6 +365,7 @@ def curate_training_data(
     target_mix: dict[str, float] | None = None,
     scrub_pii: bool = False,
     scratch_dir: str | None = None,
+    survivor_policy: str = "min_id",
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
     composed from the engine's tested stages into ONE lazy plan:
@@ -390,7 +391,14 @@ def curate_training_data(
     2. **exact dedup** — one survivor per normalized-prefix md5 key
        (dedup_exact_survivor's key);
     3. **near-dup removal** — guarded production Jaccard pairs →
-       connected components → keep each group's min-id representative;
+       connected components → one representative per group:
+       ``survivor_policy="min_id"`` (default — cheapest: the component
+       label IS the survivor id, zero extra work) or ``"quality"``
+       (round 9 — keep the component's highest text-profile quality
+       member, ties to the smaller id: the keep-the-cleanest retention
+       real pipelines want, at the cost of one quality projection and
+       one component-grain row_number window; the catalog's
+       dedup_quality_survivor is its oracle-checked twin);
        then optionally ``target_mix``: waterline domain-mixture
        reweighting over the DEDUPED survivors
        (operators/sampling.py:mixture_filter) — after dedup so
@@ -471,12 +479,45 @@ def curate_training_data(
         uniq.select("doc_id"), pairs, id_col="doc_id",
         scratch_dir=scratch_dir,
     )
-    survivors = uniq.join(
-        comp.filter(F.col("id") == F.col("component")).select(
-            F.col("id").alias("doc_id")
-        ),
-        "doc_id",
-    )
+    if survivor_policy == "min_id":
+        survivors = uniq.join(
+            comp.filter(F.col("id") == F.col("component")).select(
+                F.col("id").alias("doc_id")
+            ),
+            "doc_id",
+        )
+    elif survivor_policy == "quality":
+        # keep-the-cleanest: argmax quality per component (ties to the
+        # smaller id) — one map-side quality projection over the already
+        # materialized curated layer + a component-grain window carrying
+        # (id, component, double) rows, never text. Bitwise-deterministic
+        # for the same reason dedup_quality_survivor's oracle matches:
+        # the quality arithmetic is the text-profile constant sequence.
+        from pyspark.sql import Window as _W
+
+        from data_pipeline_team5_spark.operators.textops import (
+            quality_exprs,
+            tokens_expr,
+        )
+
+        q = quality_exprs(tokens_expr("text"))["quality"]
+        scored = uniq.select("doc_id", q.alias("_q")).join(
+            comp, comp.id == F.col("doc_id")
+        )
+        w = _W.partitionBy("component").orderBy(
+            F.desc("_q"), F.asc("doc_id")
+        )
+        keep_ids = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id")
+        )
+        survivors = uniq.join(keep_ids, "doc_id")
+    else:
+        raise ValueError(
+            f"curate_training_data: unknown survivor_policy "
+            f"{survivor_policy!r} (use 'min_id' or 'quality')"
+        )
 
     # 3.5 optional domain-mixture reweighting over the DEDUPED survivors
     # (rates computed after dedup, or duplicate-heavy languages would be

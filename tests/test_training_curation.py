@@ -358,3 +358,61 @@ def test_incremental_batch_curation_invariants(spark):
         ).collect()
     )
     assert again == rows
+
+
+def test_survivor_policy_quality_keeps_cleanest_per_group(spark):
+    """survivor_policy='quality' (round 9): same number of survivors as
+    the min-id default (one per near-dup component over the identical
+    guarded pair set), but membership diverges on the fixture — the
+    kept representative is the component's highest-quality doc, not its
+    smallest id. Unknown policies refuse loudly."""
+    import pytest as _pytest
+
+    from data_pipeline_team5_spark.pipeline import curate_training_data
+    from data_pipeline_team5_spark.plans.catalog import table
+    from tests.conftest import SF_SMALL
+
+    from pyspark.sql import functions as F
+
+    base = table(spark, SF_SMALL, "documents")
+    # The fixture's near-dup groups are near-IDENTICAL copies, so their
+    # quality scores tie and the quality argmax tie-breaks to the min id
+    # — both policies agree. Craft the divergence case instead: a HIGHER-
+    # QUALITY near-dup of a surviving doc under a LARGER id (same text
+    # plus distinct new tokens → longer and more unique → strictly higher
+    # quality; ~80% shared shingles keeps it one component).
+    surv = {
+        r["doc_id"]
+        for r in curate_training_data(base).select("doc_id").collect()
+    }
+    donor = next(
+        r
+        for r in base.orderBy("doc_id").collect()
+        if r["doc_id"] in surv and 40 < len(r["text"].split()) < 90
+    )
+    extra = " ".join(f"freshtok{i}" for i in range(8))
+    new_id = int(
+        base.agg(F.max("doc_id")).first()[0]
+    ) + 1
+    # change the FIRST word as well: exact dedup keys on the md5 of the
+    # 40-char normalized prefix, so an unmodified prefix would collapse
+    # the pair at stage 2 before near-dup ever sees it
+    words = donor["text"].split()
+    words[0] = "zzzqualityzzz"
+    new_text = " ".join(words) + " " + extra
+    crafted = spark.createDataFrame(
+        [(new_id, donor["lang"], len(new_text), donor["source"], new_text)],
+        ["doc_id", "lang", "n_chars", "source", "text"],
+    )
+    docs = base.unionByName(crafted.select(*base.columns))
+
+    a = curate_training_data(docs)
+    b = curate_training_data(docs, survivor_policy="quality")
+    ids_a = {r["doc_id"] for r in a.select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in b.select("doc_id").collect()}
+    assert len(ids_a) == len(ids_b), "one survivor per component either way"
+    # min-id keeps the original; quality keeps the longer crafted copy
+    assert donor["doc_id"] in ids_a and new_id not in ids_a
+    assert new_id in ids_b and donor["doc_id"] not in ids_b
+    with _pytest.raises(ValueError, match="survivor_policy"):
+        curate_training_data(docs, survivor_policy="longest")
