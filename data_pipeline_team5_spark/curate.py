@@ -112,6 +112,12 @@ def main(argv: list[str] | None = None) -> int:
                              "init-corpus / the batch) so the retained "
                              "corpus, its indexes, and each batch probe "
                              "with the same text")
+    p_full.add_argument("--survivor-policy", choices=["min_id", "quality"],
+                        default="min_id",
+                        help="near-dup group retention: min_id (default) "
+                             "or quality — keep each group's highest "
+                             "text-profile-quality member (ties to the "
+                             "smaller id)")
 
     p_seed = sub.add_parser(
         "init-corpus", help="seed the maintained retained-corpus root"
@@ -228,6 +234,7 @@ def main(argv: list[str] | None = None) -> int:
             neardup_method=args.method,
             benchmark_docs=bench_docs,
             scrub_pii=args.scrub_pii,
+            survivor_policy=args.survivor_policy,
         )
         out.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()

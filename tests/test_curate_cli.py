@@ -583,3 +583,16 @@ def test_cli_drift_between_fold_days(spark, tmp_path, capsys):
     with pytest.raises(ValueError, match="not a batch_id"):
         main(["drift", "--old", flat, "--new", flat,
               "--exclude-batch-id", "d1"])
+
+
+def test_cli_full_survivor_policy_flag(spark, tmp_path, capsys):
+    """`curate full --survivor-policy quality` threads the round-9
+    retention policy through the CLI (same kept count as the default —
+    one survivor per component either way)."""
+    docs, paths = _days(spark, tmp_path)
+    out_a = str(tmp_path / "a.parquet")
+    out_b = str(tmp_path / "b.parquet")
+    ra = _run(capsys, ["full", "--docs", paths["day0"], "--out", out_a])
+    rb = _run(capsys, ["full", "--docs", paths["day0"], "--out", out_b,
+                       "--survivor-policy", "quality"])
+    assert ra["kept"] == rb["kept"] > 0
