@@ -158,6 +158,12 @@ def main(argv: list[str] | None = None) -> int:
                             "into the signature index, key index, AND the "
                             "--corpus root under this batch_id — the "
                             "complete daily loop in one command")
+    p_inc.add_argument("--report-drift", action="store_true",
+                       help="with --fold-batch-id: after folding, append "
+                            "per-feature total-variation drift of the "
+                            "folded corpus vs the pre-fold corpus to the "
+                            "JSON summary (the post-fold observability "
+                            "check; see the drift subcommand)")
 
     p_str = sub.add_parser(
         "stream",
@@ -398,8 +404,28 @@ def main(argv: list[str] | None = None) -> int:
             build_exact_key_index(survivors, args.key, batch_id=fold)
             # the corpus grows too — see module docstring (ADVICE r6 #1)
             append_corpus_batch(survivors, args.corpus, fold)
-        print(json.dumps({"status": "ok", "cmd": "incremental", "kept": n,
-                          "out": args.out, "folded": fold}))
+        summary = {"status": "ok", "cmd": "incremental", "kept": n,
+                   "out": args.out, "folded": fold}
+        if getattr(args, "report_drift", False):
+            if fold is None:
+                raise ValueError(
+                    "--report-drift requires --fold-batch-id (drift is "
+                    "defined against the maintained corpus root)"
+                )
+            from data_pipeline_team5_spark.plans.versioning_family import (
+                drift_report,
+            )
+
+            grown = spark.read.parquet(args.corpus)
+            pre = grown.filter(F.col("batch_id") != fold)
+            summary["drift_tv"] = {
+                r["feature"]: r["tv"]
+                for r in drift_report(
+                    pre.select("lang", "n_chars"),
+                    grown.select("lang", "n_chars"),
+                ).collect()
+            }
+        print(json.dumps(summary))
     return 0
 
 

@@ -596,3 +596,24 @@ def test_cli_full_survivor_policy_flag(spark, tmp_path, capsys):
     rb = _run(capsys, ["full", "--docs", paths["day0"], "--out", out_b,
                        "--survivor-policy", "quality"])
     assert ra["kept"] == rb["kept"] > 0
+
+
+def test_cli_incremental_report_drift(spark, tmp_path, capsys):
+    """`curate incremental --fold-batch-id D --report-drift` appends the
+    post-fold TV drift (folded corpus vs pre-fold corpus) to the daily
+    summary line; without --fold-batch-id it refuses."""
+    docs, paths = _days(spark, tmp_path)
+    s = _store_args(tmp_path)
+    _run(capsys, ["init-corpus", "--docs", paths["day0"],
+                  "--corpus", s["corpus"]])
+    _run(capsys, ["build-index", "--docs", s["corpus"],
+                  "--sig", s["sig"], "--key", s["key"]])
+    r = _run(capsys, _inc_argv(s, paths["day1"], "day1")
+             + ["--report-drift"])
+    assert set(r["drift_tv"]) == {"lang", "len"}
+    assert all(0.0 <= v <= 1.0 for v in r["drift_tv"].values())
+
+    with pytest.raises(ValueError, match="report-drift"):
+        main(["incremental", "--new", paths["day2"],
+              "--corpus", s["corpus"], "--sig", s["sig"],
+              "--key", s["key"], "--out", s["out"], "--report-drift"])
