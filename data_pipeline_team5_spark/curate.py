@@ -28,6 +28,12 @@ tests/test_incremental_neardup, tests/test_curate_cli):
                ``batch_id=base`` partition (small-files hygiene; run
                only beyond the replay horizon — a compacted day can no
                longer be replayed via ``--fold-batch-id``)
+  drift        observability: per-feature total-variation drift between
+               two corpus snapshots (language mix + length profile;
+               exact arithmetic, plans/versioning_family.drift_report) —
+               or of the latest fold vs the pre-fold corpus from one
+               store via ``--exclude-batch-id``. The daily loop can also
+               get this inline with ``incremental --report-drift``.
 
 The fold step grows all THREE stores together — signature index, key
 index, AND the retained-corpus root — because an index that knows docs the
