@@ -218,6 +218,9 @@ _TAIL = (
     # (no zlib in DuckDB SQL); integer-exact parity vs the stdlib-zlib
     # mirror in tests/test_compression_signal.py.
     "compression_ratio_signal",
+    # Round 9: dedup cluster-size observability report — oracle-backed
+    # tail, exact-checked by the local mini-driver every CI run.
+    "dedup_cluster_size_report",
 )
 
 

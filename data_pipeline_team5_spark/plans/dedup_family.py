@@ -524,3 +524,101 @@ def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         (F.row_number().over(w) == 1).alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_cluster_size_report",
+    oracle=f"""
+        {_SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)},
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM shing a
+            JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+            JOIN sizes sa ON a.doc_id = sa.doc_id
+            JOIN sizes sb ON b.doc_id = sb.doc_id
+            GROUP BY 1, 2
+            HAVING CAST(COUNT(*) AS DOUBLE) /
+                   CAST((MIN(sa.n) + MIN(sb.n) - COUNT(*)) AS DOUBLE)
+                   >= {JACCARD_T}
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, lab) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a
+        ),
+        comp AS (
+            SELECT node AS doc_id, MIN(lab) AS group_id
+            FROM reach GROUP BY node
+        ),
+        per_cluster AS (
+            SELECT group_id, COUNT(*) AS cluster_size
+            FROM comp GROUP BY group_id
+        )
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+               CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_dropped,
+               CAST(SUM(cluster_size) - COUNT(*) AS DOUBLE)
+                   / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                   AS drop_frac
+        FROM per_cluster
+        GROUP BY cluster_size
+        ORDER BY cluster_size
+    """,
+    doc="⊕ dedup cluster-size report (round 9): the observability table a "
+    "data team reads after a dedup run — how many near-dup clusters of "
+    "each size exist, how many documents they hold, how many a "
+    "one-survivor-per-cluster policy drops, and each size's share of "
+    "the corpus. Size-1 rows are the untouched singletons; a sudden "
+    "mass at large sizes is the signature of template spam or a "
+    "crawler loop. Composition: the SAME exact-Jaccard component set "
+    "as dedup_components (recursive-CTE oracle), then two tiny "
+    "aggregations — component grain → cluster sizes → size histogram — "
+    "so beyond the pair stage the report adds two exchanges over "
+    "component-count rows, never documents. drop_frac's denominator "
+    "rides in as a broadcast one-row aggregate (no driver collect).",
+    tags=("dedup", "components", "report", "observability"),
+)
+def dedup_cluster_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, "doc_id", "text")
+    pairs = jaccard_pairs(sh, JACCARD_T).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    )
+    per_cluster = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    n_total = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    return (
+        per_cluster.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+            (F.sum("cluster_size") - F.count(F.lit(1))).alias("n_dropped"),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            "n_dropped",
+            (F.col("n_dropped").cast("double") / F.col("_n")).alias(
+                "drop_frac"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
