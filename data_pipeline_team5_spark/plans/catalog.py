@@ -221,6 +221,10 @@ _TAIL = (
     # Round 9: dedup cluster-size observability report — oracle-backed
     # tail, exact-checked by the local mini-driver every CI run.
     "dedup_cluster_size_report",
+    # Round 9: streaming drift monitor — oracle-backed tail (batch-
+    # equivalent under the AvailableNow drain), exact-checked by the
+    # local mini-driver every CI run.
+    "stream_drift_monitor",
 )
 
 

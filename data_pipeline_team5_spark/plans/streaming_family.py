@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.plans._facts import SESSION_ORACLE_SQL
 from data_pipeline_team5_spark.plans.catalog import register
@@ -284,3 +285,119 @@ def _set_stream_neardup_oracle() -> None:
 
 
 _set_stream_neardup_oracle()
+
+
+@register(
+    "stream_drift_monitor",
+    oracle="""
+        WITH ref AS (SELECT lang, n_chars FROM documents
+                     WHERE doc_id % 3 <> 0),
+        tagged AS (
+            SELECT 'lang' AS feature, lang AS bucket, side FROM (
+                SELECT lang, 0 AS side FROM ref
+                UNION ALL SELECT lang, 1 FROM documents)
+            UNION ALL
+            SELECT 'len' AS feature,
+                   LPAD(CAST(CAST(LEAST(FLOOR(n_chars / 64.0), 19)
+                        AS INT) AS VARCHAR), 2, '0') AS bucket, side
+            FROM (SELECT n_chars, 0 AS side FROM ref
+                  UNION ALL SELECT n_chars, 1 FROM documents)
+        ),
+        grid AS (
+            SELECT feature, bucket,
+                   CAST(COUNT(CASE WHEN side = 0 THEN 1 END) AS BIGINT)
+                       AS cnt_old,
+                   CAST(COUNT(CASE WHEN side = 1 THEN 1 END) AS BIGINT)
+                       AS cnt_new
+            FROM tagged GROUP BY feature, bucket
+        ),
+        tot AS (
+            SELECT *,
+                   SUM(cnt_old) OVER (PARTITION BY feature) AS tot_old,
+                   SUM(cnt_new) OVER (PARTITION BY feature) AS tot_new
+            FROM grid
+        )
+        SELECT feature, bucket, cnt_old, cnt_new,
+               CAST(cnt_old AS DOUBLE) / CAST(tot_old AS DOUBLE)
+                   AS share_old,
+               CAST(cnt_new AS DOUBLE) / CAST(tot_new AS DOUBLE)
+                   AS share_new,
+               CAST(CAST(SUM(ABS(CAST(cnt_old AS DECIMAL(18,0)) * tot_new
+                    - CAST(cnt_new AS DECIMAL(18,0)) * tot_old))
+                    OVER (PARTITION BY feature) AS STRING) AS DOUBLE)
+               / CAST(CAST(2 * CAST(tot_old AS DECIMAL(18,0)) * tot_new
+                    AS STRING) AS DOUBLE) AS tv
+        FROM tot
+        ORDER BY feature, bucket
+    """,
+    doc="⊕ STREAMING drift monitor (round 9): the ingest-side twin of "
+    "corpus_drift_report — the arriving corpus streams through a "
+    "stateful (feature, bucket) count aggregation (complete mode, the "
+    "state is the few-hundred-row grid, bounded by bucket cardinality "
+    "not stream length), and the drained counts full-outer-join a "
+    "static reference distribution (the retained corpus — here its "
+    "deterministic doc_id%3<>0 stand-in) to produce the same exact-"
+    "arithmetic TV table. This is the shape a production ingest runs "
+    "CONTINUOUSLY: per micro-batch the sink holds updated bucket "
+    "counts, and drift against the reference is a constant-size "
+    "computation regardless of how much has streamed. Batch-equivalent "
+    "under the AvailableNow drain, so the oracle is the full drift SQL; "
+    "shares/tv are bitwise (drift_from_grid's integer/decimal "
+    "arithmetic, one final double division).",
+    tags=("streaming", "quality", "drift"),
+)
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.plans.catalog import table
+    from data_pipeline_team5_spark.plans.versioning_family import (
+        _drift_len_bucket,
+        drift_from_grid,
+    )
+
+    def feats(df: DataFrame) -> DataFrame:
+        pair = F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lang").alias("feature"),
+                    F.col("lang").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("len").alias("feature"),
+                    _drift_len_bucket(F.col("n_chars")).alias("bucket"),
+                ),
+            )
+        )
+        return df.select(pair.alias("f")).select("f.feature", "f.bucket")
+
+    arriving = (
+        spark.readStream.schema(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+            "n_chars BIGINT"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    new_counts = drain_to_memory(
+        feats(arriving)
+        .groupBy("feature", "bucket")
+        .count()
+        .withColumnRenamed("count", "cnt_new")
+    )
+    ref_counts = (
+        feats(
+            table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % 3 != 0
+            )
+        )
+        .groupBy("feature", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt_old"))
+    )
+    grid = (
+        ref_counts.join(new_counts, ["feature", "bucket"], "full_outer")
+        .select(
+            "feature",
+            "bucket",
+            F.coalesce("cnt_old", F.lit(0)).alias("cnt_old"),
+            F.coalesce("cnt_new", F.lit(0)).alias("cnt_new"),
+        )
+    )
+    return drift_from_grid(grid)

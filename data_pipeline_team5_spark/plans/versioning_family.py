@@ -295,6 +295,15 @@ def drift_report(a_docs: DataFrame, b_docs: DataFrame) -> DataFrame:
             F.count(F.when(F.col("side") == 1, F.lit(1))).alias("cnt_new"),
         )
     )
+    return drift_from_grid(grid)
+
+
+def drift_from_grid(grid: DataFrame) -> DataFrame:
+    """The tail arithmetic of :func:`drift_report` over an ALREADY-COUNTED
+    ``(feature, bucket, cnt_old, cnt_new)`` grid — shared with the
+    streaming monitor, whose counts come out of a stateful streaming
+    aggregation instead of a batch groupBy. Exact-arithmetic contract as
+    above: integer/decimal all the way to one final double division."""
     wf = Window.partitionBy("feature")
     dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
     tot = grid.withColumn("tot_old", F.sum("cnt_old").over(wf)).withColumn(
