@@ -273,8 +273,10 @@ def connected_components(
         ]
         cur = spark.createDataFrame(stars, schema=cur.schema)
         converged = True
+        local = True
     else:
         converged = False
+        local = False
     for _ in () if converged else range(max_iter):
         nxt, nxt_fp = materialize(
             _star_round(_star_round(cur, large=True), large=False),
@@ -315,7 +317,17 @@ def connected_components(
             "id", F.coalesce(cur.b, F.col("id")).alias("component")
         )
     )
-    out, _ = materialize(labels, "labels")
+    if local:
+        # Fast path: `cur` is a DRIVER-LOCAL star list (createDataFrame),
+        # not a scratch-file read, so the labels plan has no dependency
+        # on the edge files deleted below — return it lazily and skip a
+        # whole write+read job (~0.9 s of the semantic_dedup total at
+        # sf0.1; re-execution only re-scans the cheap vertices source and
+        # re-joins the tiny local list). The distributed path MUST
+        # materialize: its `cur` reads the per-round edge files.
+        out = labels
+    else:
+        out, _ = materialize(labels, "labels")
     # The per-round edge lists are pure intermediates — drop them so a
     # long-lived scratch root (cluster runs) doesn't accumulate one full
     # edge-list copy per call. The labels file stays: `out` reads from it.
