@@ -239,3 +239,38 @@ def flattened_weights(
     raw = {g: (n / total) ** alpha for g, n in counts.items()}
     z = sum(raw.values())
     return {g: v / z for g, v in raw.items()}
+
+
+def shard_assign(
+    df: DataFrame, key: str, n_shards: int
+) -> DataFrame:
+    """Append the training-output shard id and the deterministic
+    intra-shard shuffle key derived from one md5 of the row key:
+    hex chars 17-24 → ``shard_id`` in [0, n_shards), hex chars 9-16 →
+    ``sort_key`` (fixed-width lowercase hex, so string order == numeric
+    order), suffixed with the zero-padded key so the order is total even
+    under a 32-bit digest-prefix collision. Chars 1-8 are deliberately NOT
+    used: they are :func:`hash_bucket`'s bits, and because 16 divides
+    10000, ``% n_shards`` of those bits would be a pure function of the
+    split bucket — val docs would deal into a split-correlated shard
+    pattern instead of independently.
+
+    Independent bits of the same digest make shard and order uncorrelated
+    with each other and with ingestion order, and — unlike
+    ``df.orderBy(rand())`` — reproducible across runs, partitionings and
+    engines. Map-side projection only; the physical write is
+    sources/writers.py:write_training_shards (one shuffle).
+    """
+    d = F.md5(F.col(key).cast("string"))
+    return df.withColumn(
+        "shard_id",
+        F.conv(F.substring(d, 17, 8), 16, 10).cast("long")
+        % int(n_shards),
+    ).withColumn(
+        "sort_key",
+        F.concat(
+            F.substring(d, 9, 8),
+            F.lit(":"),
+            F.lpad(F.col(key).cast("string"), 12, "0"),
+        ),
+    )

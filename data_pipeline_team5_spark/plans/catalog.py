@@ -225,6 +225,13 @@ _TAIL = (
     # equivalent under the AvailableNow drain), exact-checked by the
     # local mini-driver every CI run.
     "stream_drift_monitor",
+    # Round 9 continued: the training-shard manifest (deterministic
+    # md5-dealt output shards + balance audit; physical twin
+    # sources/writers.py:write_training_shards) and the tokenizer-prep
+    # vocabulary coverage curve — oracle-backed tail, exact-checked by
+    # the local mini-driver every CI run.
+    "shard_manifest",
+    "vocab_coverage",
 )
 
 

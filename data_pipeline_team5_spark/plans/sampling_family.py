@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_pipeline_team5_spark.functions.scalars import norm_text_sql
 from data_pipeline_team5_spark.operators.sampling import (
     BUCKETS,
     frac_to_buckets,
@@ -265,6 +266,91 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("max_jaccard"),
         )
         .orderBy("split_lo", "split_hi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard manifest (round 9): the LAST step of a curation pipeline —
+# deal the retained corpus into N equal output shards in a deterministic
+# global shuffle order, and audit the balance. shard = md5(doc_id) bits,
+# intra-shard order = DIFFERENT bits of the same digest — so the "shuffle"
+# is reproducible across runs/partitionings/engines (no partition-seeded
+# RNG), yet uncorrelated with doc_id order (adjacent docs scatter).
+
+N_SHARDS = 16
+
+
+@register(
+    "shard_manifest",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, n_chars,
+                   CAST(len(string_split(
+                       {norm_text_sql('text')}, ' ')) AS BIGINT) AS n_tok,
+                   md5(CAST(doc_id AS VARCHAR)) AS d
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, n_chars, n_tok,
+                   CAST(('0x' || substr(d, 17, 8))::UBIGINT
+                        % {N_SHARDS} AS BIGINT) AS shard_id,
+                   substr(d, 9, 8) || ':'
+                       || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS sort_key
+            FROM h
+        )
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+               MIN(sort_key) AS first_sort_key
+        FROM s
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+    doc="⊕ training-shard manifest: the corpus dealt into 16 output shards "
+    "by md5(doc_id) bits, with a deterministic intra-shard shuffle order "
+    "(hex chars 9-16 of the SAME digest — independent bits, so shard and "
+    "order are uncorrelated with each other and with ingestion order) and "
+    "per-shard balance stats (docs, chars, tokens, id checksum, first sort "
+    "key). This is the step that turns a curated corpus into the files a "
+    "training run actually reads: shard_id is the output partition, "
+    "sort_key the within-shard order, and the manifest is the audit that "
+    "every rerun produced byte-identical shards (checksums match ⇔ same "
+    "docs, first_sort_key matches ⇔ same order). No partition-seeded RNG "
+    "anywhere — a repartition, cluster resize, or engine switch never "
+    "re-deals a document. Spark shape at 100 TB: shard+key are map-side "
+    "projections inside the scan stage; the manifest is a 16-key rollup "
+    "(map-side combine, O(shards) exchange); the writer twin "
+    "(sources/writers.py:write_training_shards) is repartition(shard) + "
+    "sortWithinPartitions(sort_key) — exactly one shuffle to produce the "
+    "physical shards.",
+    tags=("sampling", "sharding", "reproducible", "writer"),
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.sampling import shard_assign
+
+    docs = table(spark, sf_dir, "documents")
+    from data_pipeline_team5_spark.operators.textops import token_count
+
+    dealt = shard_assign(docs, "doc_id", N_SHARDS)
+    return (
+        dealt.select(
+            "shard_id",
+            "sort_key",
+            "doc_id",
+            "n_chars",
+            token_count("text").cast("long").alias("n_tok"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.min("sort_key").alias("first_sort_key"),
+        )
+        .orderBy("shard_id")
     )
 
 

@@ -981,3 +981,85 @@ def compression_ratio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(batches, out_schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage (round 9 continued): the tokenizer-training prep step —
+# corpus-global term frequencies, ranked, with the cumulative fraction of all
+# running text a top-K vocabulary would cover. The coverage curve is how a
+# vocab size is actually chosen (where the curve flattens, stop), and the
+# ranked list is the seed vocabulary for BPE-style tokenizer induction.
+
+VOCAB_TOP_K = 24
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+        {_TOKS},
+        terms AS (
+            SELECT u.tok AS term, CAST(COUNT(*) AS BIGINT) AS term_count
+            FROM toks, UNNEST(t) AS u(tok)
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(term_count) AS BIGINT) AS total FROM terms
+        ),
+        top AS (
+            SELECT term, term_count FROM terms
+            ORDER BY term_count DESC, term
+            LIMIT {VOCAB_TOP_K}
+        )
+        SELECT CAST(ROW_NUMBER() OVER
+                   (ORDER BY term_count DESC, term) AS INT) AS term_rank,
+               term,
+               term_count,
+               CAST(SUM(term_count) OVER
+                        (ORDER BY term_count DESC, term
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / CAST(total AS DOUBLE) AS cum_coverage
+        FROM top, tot
+        ORDER BY term_rank
+    """,
+    doc="⊕ vocabulary coverage curve: corpus-global term frequencies over "
+    "normalized whitespace tokens, top-24 by (count DESC, term) with each "
+    "rank's cumulative share of ALL running tokens — the tokenizer-"
+    "training prep step (the curve's knee picks the vocab size; the ranked "
+    "list seeds BPE induction) and the complement of text_corpus_stats' "
+    "per-group view. Spark shape at 100 TB: the ONLY corpus-sized exchange "
+    "is the term count (map-side combine collapses each partition to its "
+    "local vocab first); top-K is TakeOrderedAndProject (no global sort "
+    "materializes the billion-term tail); the denominator is a 1-row "
+    "aggregate of the already-grouped counts, broadcast back; the rank/"
+    "cumsum window runs over exactly K rows. Deterministic total order "
+    "(ties break on the term string) and a single double division keep "
+    "the oracle bitwise.",
+    tags=("text", "vocab", "tokenizer", "coverage"),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    terms = (
+        docs.select(F.explode(tokens_expr("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+    )
+    total = terms.agg(
+        F.sum("term_count").cast("long").alias("total")
+    )
+    top = terms.orderBy(F.desc("term_count"), "term").limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.desc("term_count"), "term")
+    cum = (
+        F.sum("term_count")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("int").alias("term_rank"),
+            "term",
+            "term_count",
+            (cum / F.col("total").cast("double")).alias("cum_coverage"),
+        )
+        .orderBy("term_rank")
+    )

@@ -89,6 +89,42 @@ def write_bucketed(
     )
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key: str = "doc_id",
+    n_shards: int = 16,
+) -> None:
+    """Physical twin of the ``shard_manifest`` query: write ``df`` as
+    ``n_shards`` deterministic training shards under
+    ``path/shard_id=K/``, each shard internally ordered by the md5-derived
+    shuffle key (operators/sampling.py:shard_assign).
+
+    Exactly ONE shuffle: ``repartition(n_shards, shard_id)`` routes every
+    row to its shard's writer task, ``sortWithinPartitions(shard_id,
+    sort_key)`` orders it there (spill-backed sort, no global order-by),
+    and ``partitionBy`` names the directories. The sort leads with
+    ``shard_id`` deliberately: the V1 file writer REQUIRES task rows
+    ordered by the partition columns and inserts its own (unstable,
+    sort_key-destroying) sort when they aren't — leading with shard_id
+    satisfies that required ordering so the writer keeps ours. Rerunning produces byte-identical shard
+    contents — shard and order derive from row keys, not from an RNG or
+    partition layout — which is what makes a 100 TB training corpus
+    reproducible from its manifest. The ``sort_key`` column is persisted
+    so a reader can verify the order without recomputing digests.
+    """
+    from data_pipeline_team5_spark.operators.sampling import shard_assign
+
+    dealt = shard_assign(df, key, n_shards)
+    (
+        dealt.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "sort_key")
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 def create_if_not_exists(df: DataFrame, table_name: str) -> None:
     """S6: the reference's ``create_redshift_table`` DDL
     (daily_csv_pipeline.py:118-154, daily_parquet_pipeline.py:105-141 —

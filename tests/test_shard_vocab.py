@@ -1,0 +1,119 @@
+"""Round-9 shard manifest + vocab coverage: the properties the bitwise
+oracle can't express — partition-independence of the deal, the physical
+writer's determinism, and the coverage curve's shape invariants."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.operators.sampling import shard_assign
+from data_pipeline_team5_spark.plans.catalog import QUERIES, table
+from data_pipeline_team5_spark.plans.sampling_family import N_SHARDS
+from data_pipeline_team5_spark.plans.text_family import VOCAB_TOP_K
+from data_pipeline_team5_spark.sources.writers import write_training_shards
+from tests.conftest import SF_SMALL
+
+
+def test_shard_assign_partition_independent(spark):
+    """The deal must not change under repartitioning — the property
+    ``df.sample``/``rand()`` lacks and the whole reason the shard derives
+    from the row key."""
+    docs = table(spark, SF_SMALL, "documents")
+    base = shard_assign(docs, "doc_id", N_SHARDS).select(
+        "doc_id", "shard_id", "sort_key"
+    )
+    redealt = shard_assign(
+        docs.repartition(7, "lang"), "doc_id", N_SHARDS
+    ).select("doc_id", "shard_id", "sort_key")
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, redealt.collect())
+    )
+
+
+def test_shard_manifest_covers_corpus_and_balances(spark):
+    rows = QUERIES["shard_manifest"].fn(spark, SF_SMALL).collect()
+    docs_total = table(spark, SF_SMALL, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == docs_total
+    assert {r["shard_id"] for r in rows} <= set(range(N_SHARDS))
+    # md5 deal ⇒ no shard should be grossly over/under-subscribed even at
+    # 50 docs (expected ~3/shard): bound the spread loosely, not tightly.
+    counts = [r["n_docs"] for r in rows]
+    assert max(counts) <= 6 * max(1, min(counts))
+
+
+def test_shard_independent_of_split_bucket(spark):
+    """Regression for the bits-reuse trap: hash_bucket uses md5 hex 1-8 and
+    16 | 10000, so a shard drawn from the same hex chars would be a pure
+    function of the split bucket. Using hex 17-24 must break that
+    determination — over the fixture, at least one pair of docs shares a
+    bucket residue class mod 16 but lands in different shards."""
+    from data_pipeline_team5_spark.operators.sampling import hash_bucket
+
+    docs = table(spark, SF_SMALL, "documents")
+    dealt = shard_assign(docs, "doc_id", N_SHARDS).select(
+        (hash_bucket("doc_id") % N_SHARDS).alias("bucket_mod"),
+        "shard_id",
+    )
+    pairs = dealt.distinct().groupBy("bucket_mod").count().collect()
+    assert any(r["count"] > 1 for r in pairs)
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    docs = table(spark, SF_SMALL, "documents")
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(docs, p1, n_shards=4)
+    write_training_shards(docs.repartition(13), p2, n_shards=4)
+
+    def shard_contents(root: str) -> dict[int, list[tuple]]:
+        df = spark.read.parquet(root)
+        out: dict[int, list[tuple]] = {}
+        for s in range(4):
+            rows = (
+                df.filter(F.col("shard_id") == s)
+                .orderBy("sort_key")
+                .select("doc_id", "sort_key")
+                .collect()
+            )
+            out[s] = [tuple(r) for r in rows]
+        return out
+
+    c1, c2 = shard_contents(p1), shard_contents(p2)
+    assert c1 == c2
+    assert sum(len(v) for v in c1.values()) == docs.count()
+    # each shard directory holds its rows pre-sorted by sort_key on disk
+    # (one file per shard after the n_shards-way repartition)
+    import glob
+
+    files = glob.glob(f"{p1}/shard_id=*/*.parquet")
+    assert files, "partitioned shard directories missing"
+    for f in files:
+        keys = pq.read_table(f, columns=["sort_key"])["sort_key"].to_pylist()
+        assert keys == sorted(keys)
+
+
+def test_vocab_coverage_curve_shape(spark):
+    rows = QUERIES["vocab_coverage"].fn(spark, SF_SMALL).collect()
+    assert [r["term_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= VOCAB_TOP_K
+    counts = [r["term_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    cov = [r["cum_coverage"] for r in rows]
+    assert all(0.0 < c <= 1.0 for c in cov)
+    assert cov == sorted(cov)  # strictly accumulating
+    # top-K of a zipf-ish fixture vocabulary must cover a meaningful share
+    assert cov[-1] > 0.3
+
+
+def test_vocab_coverage_takeordered_plan(spark):
+    """The top-K must be TakeOrderedAndProject — a global Sort before the
+    limit would materialize the full vocabulary order at 100 TB."""
+    plan = (
+        QUERIES["vocab_coverage"]
+        .fn(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
