@@ -274,3 +274,111 @@ def shard_assign(
             F.lpad(F.col(key).cast("string"), 12, "0"),
         ),
     )
+
+
+INSPECT_SALT = "inspect:"  # decorrelates the review draw from split/shard
+# digests (md5(key) prefix bits ARE hash_bucket's split bits — an unsalted
+# smallest-md5-per-group draw would sample mostly val-split docs at scale)
+
+
+def inspect_key(key: Column | str) -> Column:
+    """The review-sample rank key: md5 of the SALTED row key (full 32-hex
+    string — fixed-width lowercase hex, so string order is digest order),
+    deterministic and uncorrelated with split/shard/ingestion order."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.md5(F.concat(F.lit(INSPECT_SALT), c.cast("string")))
+
+
+def inspect_key_sql(expr: str) -> str:
+    return f"md5('{INSPECT_SALT}' || CAST({expr} AS VARCHAR))"
+
+
+def inspection_sample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    k: int,
+    safety: int = 50,
+) -> DataFrame:
+    """The K smallest-salted-digest rows per group — a deterministic
+    human-review sample (same docs every run/partitioning/engine), ranked
+    ``pick_rank`` 1..K within each group.
+
+    Semantics are EXACTLY ``row_number() over (partition by group order by
+    inspect_key, key) <= k`` — but the naive single window funnels the
+    whole corpus through |groups| window sorts, the classic 100 TB
+    scale-killer when groups are few and large. Two phases instead:
+
+    1. PREFILTER on a prefix of the rank key itself: keep rows whose
+       digest sorts below a threshold sized from the smallest group
+       (expected ``safety × k`` candidates per group — a tiny count agg,
+       driver-side scalar, no corpus shuffle). Because the filter is a
+       prefix of the ORDER key, every true top-k row whose group has ≥ k
+       candidates under the threshold is provably retained.
+    2. WINDOW over the surviving sliver only, then VERIFY per group:
+       a group that produced fewer picks than ``min(k, its row count)``
+       under-filtered (digest fluke) — those groups, and only those,
+       fall back to an exact window over their full rows. The fallback
+       is a per-group correctness net, not a performance path; with
+       ``safety=50`` its probability per group is astronomically small
+       (Chernoff: P[Binomial(n, 50k/n) < k] at n ≥ 50k).
+
+    At fixture scale the threshold saturates (frac ≥ 1 ⇒ no pruning) and
+    phase 1 is a no-op — the pattern exists for the 100 TB shape, where
+    the window input shrinks from the corpus to ~safety·k·|groups| rows.
+    Both phases are bitwise-reproducible, so the DuckDB oracle is the
+    naive single-window form.
+    """
+    import math
+
+    d = inspect_key(key).alias("_ik")
+    keyed = df.select("*", d)
+
+    counts = keyed.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    rows = counts.collect()  # |groups| rows — driver-side model state
+    if not rows:
+        empty = keyed.withColumn("pick_rank", F.lit(1).cast("int"))
+        return empty.filter(F.lit(False)).drop("_ik")
+    min_n = min(r["_n"] for r in rows)
+    frac = min(1.0, (safety * k) / max(min_n, 1))
+    w = Window.partitionBy(group_col).orderBy("_ik", key)
+    if frac >= 1.0:
+        cand = keyed  # threshold saturated: no pruning (fixture-scale path)
+    else:
+        # threshold on the first 8 hex chars (2^32 space), as a hex
+        # literal so the comparison stays a pure string < — same trick at
+        # any digest width. Capped at 2^32-1 (the 8-hex maximum); the
+        # 1/2^32 under-inclusion risk at the cap lands in the fallback.
+        t = min(int(math.ceil(frac * (1 << 32))), (1 << 32) - 1)
+        cand = keyed.filter(F.substring("_ik", 1, 8) < F.lit(format(t, "08x")))
+    ranked = (
+        cand.withColumn("pick_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("pick_rank") <= k)
+    )
+
+    if frac >= 1.0:
+        return ranked.drop("_ik")  # no pruning happened: already exact
+
+    # verify: groups whose pick count fell short of min(k, group size)
+    got = ranked.groupBy(group_col).agg(F.count(F.lit(1)).alias("_got"))
+    short = (
+        counts.join(got, group_col, "left")
+        .filter(
+            F.coalesce(F.col("_got"), F.lit(0))
+            < F.least(F.lit(k), F.col("_n"))
+        )
+        .select(group_col)
+    )
+    short_groups = [r[0] for r in short.collect()]
+    if not short_groups:
+        return ranked.drop("_ik")
+    exact_fallback = (
+        keyed.filter(F.col(group_col).isin(short_groups))
+        .withColumn("pick_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("pick_rank") <= k)
+    )
+    return (
+        ranked.filter(~F.col(group_col).isin(short_groups))
+        .unionByName(exact_fallback)
+        .drop("_ik")
+    )

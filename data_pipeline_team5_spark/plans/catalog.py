@@ -232,6 +232,10 @@ _TAIL = (
     # the local mini-driver every CI run.
     "shard_manifest",
     "vocab_coverage",
+    # Round 9 continued: deterministic K-per-source human-review sample
+    # (two-phase top-K-per-group; single-window oracle) — oracle-backed
+    # tail, exact-checked by the local mini-driver every CI run.
+    "inspection_sample",
 )
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from data_pipeline_team5_spark.functions.scalars import norm_text_sql
 from data_pipeline_team5_spark.operators.sampling import (
     BUCKETS,
+    inspect_key_sql,
     frac_to_buckets,
     hash_bucket,
     hash_bucket_sql,
@@ -325,6 +326,7 @@ N_SHARDS = 16
     "(sources/writers.py:write_training_shards) is repartition(shard) + "
     "sortWithinPartitions(sort_key) — exactly one shuffle to produce the "
     "physical shards.",
+    headline=True,
     tags=("sampling", "sharding", "reproducible", "writer"),
 )
 def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,4 +597,63 @@ def chunk_for_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", "ck.c").alias("chunk"),
         )
         .orderBy("doc_id", "chunk_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inspection sample (round 9 continued): the human-review draw — K docs per
+# source, the same K docs on every run. Every data-quality loop needs one
+# (spot-check a source before trusting its volume; re-pull the SAME docs
+# after a pipeline change to diff behavior), and partition-seeded
+# sample()/ORDER BY rand() can't provide the rerun stability.
+
+INSPECT_K = 5
+
+
+@register(
+    "inspection_sample",
+    oracle=f"""
+        WITH r AS (
+            SELECT source, doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY {inspect_key_sql('doc_id')}, doc_id
+                   ) AS pick_rank
+            FROM documents
+        )
+        SELECT source, CAST(pick_rank AS INT) AS pick_rank,
+               doc_id, lang, n_chars
+        FROM r
+        WHERE pick_rank <= {INSPECT_K}
+        ORDER BY source, pick_rank
+    """,
+    doc="⊕ deterministic inspection sample: the 5 smallest-salted-digest "
+    "docs per source — the human-review draw every quality loop needs, "
+    "stable across reruns/partitionings/engines so a reviewer can diff "
+    "the SAME documents before and after a pipeline change (sample()/"
+    "ORDER BY rand() reshuffle on every run). The digest is salted "
+    "('inspect:' prefix) because unsalted md5(doc_id) prefix bits ARE the "
+    "split-assignment bits — a smallest-raw-digest draw would review "
+    "mostly val-split docs. Spark shape at 100 TB (operators/sampling.py:"
+    "inspection_sample): NOT one window over the corpus — a prefix-of-the-"
+    "rank-key threshold (sized from the smallest group, one tiny count "
+    "agg) shrinks the window input to ~safety·K·|groups| candidate rows, "
+    "with a per-group verification count and an exact per-group fallback "
+    "as the correctness net (two-phase top-K-per-group; the single-window "
+    "form is the oracle and the equivalence is pinned in tests/"
+    "test_shard_vocab.py, including a forced-fallback run).",
+    tags=("sampling", "inspection", "reproducible"),
+)
+def inspection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.sampling import (
+        inspection_sample as _inspect,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "lang", "n_chars"
+    )
+    return (
+        _inspect(docs, "source", "doc_id", INSPECT_K)
+        .select("source", "pick_rank", "doc_id", "lang", "n_chars")
+        .orderBy("source", "pick_rank")
     )

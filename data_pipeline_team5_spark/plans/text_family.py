@@ -1034,6 +1034,7 @@ VOCAB_TOP_K = 24
     "cumsum window runs over exactly K rows. Deterministic total order "
     "(ties break on the term string) and a single double division keep "
     "the oracle bitwise.",
+    headline=True,
     tags=("text", "vocab", "tokenizer", "coverage"),
 )
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:

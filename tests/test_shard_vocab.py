@@ -117,3 +117,78 @@ def test_vocab_coverage_takeordered_plan(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def _naive_inspection(spark, docs, k):
+    from pyspark.sql import Window as W
+
+    from data_pipeline_team5_spark.operators.sampling import inspect_key
+
+    w = W.partitionBy("source").orderBy(inspect_key("doc_id"), "doc_id")
+    return (
+        docs.withColumn("pick_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("pick_rank") <= k)
+        .select("source", "pick_rank", "doc_id")
+    )
+
+
+@pytest.mark.parametrize("safety", [1, 2, 50])
+def test_inspection_two_phase_equals_naive(spark, safety):
+    """The two-phase (prefilter + verify + fallback) draw must be
+    EXACTLY the naive single-window draw at every safety factor — tiny
+    safety forces the prefilter (and, on this fixture, the fallback)
+    to actually execute."""
+    from data_pipeline_team5_spark.operators.sampling import (
+        inspection_sample,
+    )
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "source", "doc_id", "lang", "n_chars"
+    )
+    k = 5
+    got = sorted(
+        map(
+            tuple,
+            inspection_sample(docs, "source", "doc_id", k, safety=safety)
+            .select("source", "pick_rank", "doc_id")
+            .collect(),
+        )
+    )
+    want = sorted(map(tuple, _naive_inspection(spark, docs, k).collect()))
+    assert got == want
+
+
+def test_inspection_fallback_is_exercised_at_tiny_safety(spark):
+    """Replicate the operator's threshold math and confirm that at
+    safety=1 on this fixture at least one group under-fills — i.e. the
+    equivalence test above genuinely covers the fallback branch, not just
+    the happy prefilter path."""
+    import math
+
+    from data_pipeline_team5_spark.operators.sampling import inspect_key
+
+    docs = table(spark, SF_SMALL, "documents").select("source", "doc_id")
+    k, safety = 5, 1
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    min_n = min(counts.values())
+    frac = min(1.0, (safety * k) / max(min_n, 1))
+    assert frac < 1.0, "fixture too small to force the prefilter"
+    t = min(int(math.ceil(frac * (1 << 32))), (1 << 32) - 1)
+    under = (
+        docs.withColumn("_ik", inspect_key("doc_id"))
+        .filter(F.substring("_ik", 1, 8) < F.lit(format(t, "08x")))
+        .groupBy("source")
+        .agg(F.count("*").alias("got"))
+        .collect()
+    )
+    got = {r["source"]: r["got"] for r in under}
+    short = [
+        s for s, n in counts.items() if got.get(s, 0) < min(k, n)
+    ]
+    assert short, (
+        "no group under-filled at safety=1 — pick a smaller safety in "
+        "test_inspection_two_phase_equals_naive to cover the fallback"
+    )
