@@ -1039,10 +1039,16 @@ VOCAB_TOP_K = 24
 )
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    # localCheckpoint (the multi-consumer idiom, cf. tfidf_doc_scores):
+    # the aggregated term counts feed BOTH the top-K branch and the
+    # total-tokens denominator — without it Spark re-derives the
+    # scan→explode→term shuffle subtree twice (verified in PLANS.md),
+    # i.e. two corpus passes at 100 TB instead of one.
     terms = (
         docs.select(F.explode(tokens_expr("text")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("term_count"))
+        .localCheckpoint()
     )
     total = terms.agg(
         F.sum("term_count").cast("long").alias("total")
