@@ -236,6 +236,10 @@ _TAIL = (
     # (two-phase top-K-per-group; single-window oracle) — oracle-backed
     # tail, exact-checked by the local mini-driver every CI run.
     "inspection_sample",
+    # Round 9 continued: Zipf count-of-counts spectrum with the
+    # Good-Turing singleton share — oracle-backed tail, exact-checked by
+    # the local mini-driver every CI run.
+    "term_spectrum",
 )
 
 

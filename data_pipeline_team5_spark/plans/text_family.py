@@ -1070,3 +1070,90 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Term frequency spectrum (round 9 continued): the count-of-counts view of
+# the vocabulary — how many distinct terms occur exactly once, 2-3 times,
+# 4-7, ... (log2 bins). vocab_coverage reports the HEAD of the Zipf curve;
+# the spectrum reports the TAIL, where the corpus-health signals live: the
+# singleton share of running tokens is the Good-Turing estimate of unseen-
+# vocabulary mass (how often the NEXT corpus sample will produce a token
+# this corpus never saw — the number that decides whether a tokenizer's
+# vocab is big enough).
+
+
+@register(
+    "term_spectrum",
+    oracle=f"""
+        {_TOKS},
+        terms AS (
+            SELECT u.tok AS term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks, UNNEST(t) AS u(tok)
+            GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM terms),
+        spec AS (
+            SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS count_bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(c) AS BIGINT) AS bin_tokens,
+                   CAST(MIN(c) AS BIGINT) AS min_count,
+                   CAST(MAX(c) AS BIGINT) AS max_count
+            FROM terms GROUP BY 1
+        )
+        SELECT count_bin, n_terms, bin_tokens, min_count, max_count,
+               CAST(bin_tokens AS DOUBLE) / CAST(total AS DOUBLE)
+                   AS token_share
+        FROM spec, tot
+        ORDER BY count_bin
+    """,
+    doc="⊕ term-frequency spectrum: distinct-term and token counts per "
+    "log2 occurrence bin (bin 0 = hapax legomena, whose token share IS "
+    "the Good-Turing unseen-vocabulary mass estimate — the number that "
+    "says whether a tokenizer vocab or LM sample is big enough), with "
+    "exact min/max counts per bin. The tail view complementing "
+    "vocab_coverage's head view, from the SAME aggregation shape: the "
+    "only corpus-sized exchange is the map-side-combined term count; the "
+    "spectrum rollup exchanges ≤64 bin keys and the denominator is a "
+    "1-row aggregate of the already-grouped counts. The bin index is "
+    "INTEGER-EXACT on both engines (binary-digit count minus one — no "
+    "floating log2, whose cross-engine ulp at power-of-two counts would "
+    "flip a bin); the one double division per row keeps the oracle "
+    "bitwise.",
+    tags=("text", "vocab", "spectrum", "good-turing"),
+)
+def term_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # same multi-consumer checkpoint as vocab_coverage: the term counts
+    # feed the spectrum AND the total-token denominator
+    terms = (
+        docs.select(F.explode(tokens_expr("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    total = terms.agg(F.sum("c").cast("long").alias("total"))
+    count_bin = (
+        F.length(F.conv(F.col("c").cast("string"), 10, 2)) - 1
+    ).cast("bigint")
+    spec = terms.groupBy(count_bin.alias("count_bin")).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("c").cast("bigint").alias("bin_tokens"),
+        F.min("c").cast("bigint").alias("min_count"),
+        F.max("c").cast("bigint").alias("max_count"),
+    )
+    return (
+        spec.crossJoin(F.broadcast(total))
+        .select(
+            "count_bin",
+            "n_terms",
+            "bin_tokens",
+            "min_count",
+            "max_count",
+            (
+                F.col("bin_tokens").cast("double")
+                / F.col("total").cast("double")
+            ).alias("token_share"),
+        )
+        .orderBy("count_bin")
+    )

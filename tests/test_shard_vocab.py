@@ -192,3 +192,30 @@ def test_inspection_fallback_is_exercised_at_tiny_safety(spark):
         "no group under-filled at safety=1 — pick a smaller safety in "
         "test_inspection_two_phase_equals_naive to cover the fallback"
     )
+
+
+def test_term_spectrum_partitions_vocabulary(spark):
+    rows = QUERIES["term_spectrum"].fn(spark, SF_SMALL).collect()
+    bins = [r["count_bin"] for r in rows]
+    assert bins == sorted(bins)
+    # bins partition the vocabulary: min/max counts nest inside [2^b, 2^(b+1))
+    for r in rows:
+        assert (1 << r["count_bin"]) <= r["min_count"] <= r["max_count"]
+        assert r["max_count"] < (1 << (r["count_bin"] + 1))
+    # token shares over ALL bins sum to 1 (exact integer ratios summed)
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-12
+    # cross-check the Good-Turing numerator against an independent count:
+    # bin 0 holds exactly the hapax terms
+    from data_pipeline_team5_spark.operators.textops import tokens_expr
+
+    hapax = (
+        table(spark, SF_SMALL, "documents")
+        .select(F.explode(tokens_expr("text")).alias("t"))
+        .groupBy("t")
+        .count()
+        .filter(F.col("count") == 1)
+        .count()
+    )
+    bin0 = [r for r in rows if r["count_bin"] == 0]
+    got = bin0[0]["n_terms"] if bin0 else 0
+    assert got == hapax
