@@ -240,6 +240,10 @@ _TAIL = (
     # Good-Turing singleton share — oracle-backed tail, exact-checked by
     # the local mini-driver every CI run.
     "term_spectrum",
+    # Round 9 continued: hard-negative mining (closest impostor per query
+    # vector, the contrastive-training data op) — oracle-backed tail,
+    # exact-checked by the local mini-driver every CI run.
+    "hard_negative_mining",
 )
 
 

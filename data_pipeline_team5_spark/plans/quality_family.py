@@ -342,3 +342,103 @@ def decontaminate_embedding_overlap(
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (round 9 continued): the retrieval/embedding-training
+# data op — for each query vector, the most similar vector carrying a
+# DIFFERENT label (the "closest impostor"). Contrastive training wants
+# exactly these pairs; random negatives are trivially separable and teach
+# nothing. Query set = a deterministic corpus slice (vec_id % 59 == 3), the
+# in-query stand-in for the anchor batch a trainer would supply.
+
+HARDNEG_MOD = 59
+HARDNEG_RES = 3
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e
+            WHERE vec_id % {HARDNEG_MOD} = {HARDNEG_RES}
+        ),
+        scored AS (
+            SELECT q.q_id, q.q_label,
+                   e.vec_id AS n_id, e.label AS n_label,
+                   {cosine_sql('e.v', 'q.qv')} AS cos
+            FROM e CROSS JOIN q
+            WHERE e.label <> q.q_label
+        ),
+        best AS (
+            SELECT q_id, q_label, n_id, n_label, cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, n_id) AS rn
+            FROM scored
+        )
+        SELECT q_id, q_label,
+               CAST(n_id AS BIGINT) AS hard_neg_id,
+               n_label AS hard_neg_label,
+               cos AS hard_cos
+        FROM best WHERE rn = 1
+        ORDER BY q_id
+    """,
+    doc="⊕ hard-negative mining for contrastive training: each query "
+    "vector's closest impostor — the max-cosine corpus vector with a "
+    "DIFFERENT label (random negatives are trivially separable; these "
+    "pairs carry the training signal). Plan shape at 100 TB — the "
+    "INVERSE of decontaminate_embedding_overlap's fold: there the argmax "
+    "key is the corpus row (fold over a broadcast array, map-only); here "
+    "the argmax key is the QUERY, which lives on the broadcast side, so "
+    "the right shape is pair rows (BroadcastNestedLoopJoin of the tiny "
+    "anchor batch onto the corpus scan) collapsed by a partial aggregate "
+    "INSIDE each scan partition — the exchange carries |queries| keys × "
+    "partitions, never the corpus and never the pair explosion. (The "
+    "struct-typed max buffer makes the partial agg a SortAggregate, so "
+    "each partition locally sorts its pair stream by q_id first — a "
+    "log-factor on pair count with a tiny key, dominated by the O(dim) "
+    "cosine work per pair that any algorithm must do.) Argmax "
+    "is MAX over a (cos, -id) struct (lexicographic, so ties break to "
+    "the smallest impostor id) against the oracle's independent "
+    "window-argmax algorithm; the cosine kernel is the shared "
+    "sequential fold (functions/vectors.py), bitwise on both engines.",
+    tags=("quality", "embedding", "contrastive", "mining"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    q = emb.filter(
+        F.col("vec_id") % HARDNEG_MOD == HARDNEG_RES
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "q_label",
+            F.struct(
+                cosine_expr(F.col("v"), F.col("qv")).alias("cos"),
+                (-F.col("vec_id")).alias("neg_sort"),
+                F.col("label").alias("n_label"),
+            ).alias("cand"),
+        )
+    )
+    best = pairs.groupBy("q_id", "q_label").agg(F.max("cand").alias("b"))
+    return best.select(
+        "q_id",
+        "q_label",
+        (-F.col("b.neg_sort")).alias("hard_neg_id"),
+        F.col("b.n_label").alias("hard_neg_label"),
+        F.col("b.cos").alias("hard_cos"),
+    ).orderBy("q_id")
