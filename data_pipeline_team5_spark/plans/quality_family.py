@@ -406,6 +406,7 @@ HARDNEG_RES = 3
     "the smallest impostor id) against the oracle's independent "
     "window-argmax algorithm; the cosine kernel is the shared "
     "sequential fold (functions/vectors.py), bitwise on both engines.",
+    headline=True,
     tags=("quality", "embedding", "contrastive", "mining"),
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -642,6 +642,7 @@ INSPECT_K = 5
     "as the correctness net (two-phase top-K-per-group; the single-window "
     "form is the oracle and the equivalence is pinned in tests/"
     "test_shard_vocab.py, including a forced-fallback run).",
+    headline=True,
     tags=("sampling", "inspection", "reproducible"),
 )
 def inspection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

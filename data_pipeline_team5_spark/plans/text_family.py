@@ -1120,6 +1120,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "floating log2, whose cross-engine ulp at power-of-two counts would "
     "flip a bin); the one double division per row keeps the oracle "
     "bitwise.",
+    headline=True,
     tags=("text", "vocab", "spectrum", "good-turing"),
 )
 def term_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
