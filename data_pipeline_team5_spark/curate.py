@@ -34,6 +34,12 @@ tests/test_incremental_neardup, tests/test_curate_cli):
                or of the latest fold vs the pre-fold corpus from one
                store via ``--exclude-batch-id``. The daily loop can also
                get this inline with ``incremental --report-drift``.
+  shard        delivery: deal the curated corpus into N deterministic
+               training shards on disk (sources/writers.py:
+               write_training_shards — md5-dealt shard + intra-shard
+               shuffle order, ONE shuffle) and print the per-shard
+               manifest (docs, id checksum) as the reproducibility audit;
+               rerunning produces byte-identical shards
 
 The fold step grows all THREE stores together — signature index, key
 index, AND the retained-corpus root — because an index that knows docs the
@@ -229,6 +235,17 @@ def main(argv: list[str] | None = None) -> int:
                             "store, drop this batch from the OLD side — "
                             "i.e. drift of the latest fold against the "
                             "pre-fold corpus, from one store")
+    p_shd = sub.add_parser(
+        "shard",
+        help="deal the curated corpus into N deterministic training "
+             "shards (the delivery step; reruns are byte-identical)",
+    )
+    p_shd.add_argument("--docs", required=True,
+                       help="curated documents parquet root")
+    p_shd.add_argument("--out", required=True, help="shard output root")
+    p_shd.add_argument("--n-shards", type=int, default=16)
+    p_shd.add_argument("--key", default="doc_id",
+                       help="row key the shard/order digests derive from")
 
     args = ap.parse_args(argv)
 
@@ -296,6 +313,39 @@ def main(argv: list[str] | None = None) -> int:
                 for r in rows
             },
             "n_buckets": len(rows),
+        }))
+    elif args.cmd == "shard":
+        from data_pipeline_team5_spark.operators.sampling import (
+            shard_assign,
+        )
+        from data_pipeline_team5_spark.sources.writers import (
+            write_training_shards,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        write_training_shards(
+            docs, args.out, key=args.key, n_shards=args.n_shards
+        )
+        manifest = (
+            shard_assign(docs, args.key, args.n_shards)
+            .groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(args.key).alias("ck"),
+            )
+            .orderBy("shard_id")
+            .collect()
+        )
+        print(json.dumps({
+            "status": "ok",
+            "cmd": "shard",
+            "out": args.out,
+            "n_shards": args.n_shards,
+            "docs": int(sum(r["n"] for r in manifest)),
+            "manifest": {
+                str(r["shard_id"]): [int(r["n"]), int(r["ck"])]
+                for r in manifest
+            },
         }))
     elif args.cmd == "stream":
         # The per-micro-batch body is exactly the `incremental

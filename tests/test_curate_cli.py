@@ -617,3 +617,35 @@ def test_cli_incremental_report_drift(spark, tmp_path, capsys):
         main(["incremental", "--new", paths["day2"],
               "--corpus", s["corpus"], "--sig", s["sig"],
               "--key", s["key"], "--out", s["out"], "--report-drift"])
+
+
+def test_shard_subcommand_reproducible(spark, tmp_path, capsys):
+    """`curate shard` deals the corpus into N shards; a rerun (and a rerun
+    from a differently-partitioned copy of the same docs) produces
+    byte-identical shard contents and the same printed manifest."""
+    docs = table(spark, SF_SMALL, "documents").select(*COLS)
+    d1 = str(tmp_path / "docs1.parquet")
+    d2 = str(tmp_path / "docs2.parquet")
+    docs.write.parquet(d1)
+    docs.repartition(9).write.parquet(d2)
+
+    outs = {}
+    for tag, src in (("a", d1), ("b", d2)):
+        out = str(tmp_path / f"shards_{tag}")
+        summary = _run(capsys, [
+            "shard", "--docs", src, "--out", out, "--n-shards", "4",
+        ])
+        assert summary["cmd"] == "shard"
+        assert summary["docs"] == docs.count()
+        assert len(summary["manifest"]) <= 4
+        outs[tag] = (out, summary["manifest"])
+
+    assert outs["a"][1] == outs["b"][1]  # identical printed manifests
+
+    def contents(root):
+        df = spark.read.parquet(root)
+        return sorted(
+            map(tuple, df.select("shard_id", "sort_key", "doc_id").collect())
+        )
+
+    assert contents(outs["a"][0]) == contents(outs["b"][0])
