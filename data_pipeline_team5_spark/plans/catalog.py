@@ -244,6 +244,10 @@ _TAIL = (
     # vector, the contrastive-training data op) — oracle-backed tail,
     # exact-checked by the local mini-driver every CI run.
     "hard_negative_mining",
+    # Round 9 continued: two-grain key-skew diagnosis over the events
+    # fact (the measurement step feeding operators/skew.py) —
+    # oracle-backed tail, exact-checked by the local mini-driver.
+    "skew_key_report",
 )
 
 

@@ -225,3 +225,106 @@ def sketch_weekly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("week", "n_exact", "n_hll")
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnosis (round 9 continued): the report you run BEFORE picking a
+# salting/AQE strategy — per-key row shares at two grains of the events
+# fact (the coarse event_type dimension and the top-10 heaviest user_id
+# hot keys), each with the salt factor operators/skew.py:salted_join /
+# salted_distinct would need: ceil(share × shuffle_partitions) splits a
+# hot key's single reducer into average-sized pieces.
+
+SKEW_PARTITIONS = 32  # the salt formula's P (matches session default)
+SKEW_TOP_USERS = 10
+
+
+@register(
+    "skew_key_report",
+    oracle=f"""
+        WITH g AS (
+            SELECT event_type, CAST(user_id AS VARCHAR) AS uid,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   GROUPING(event_type) AS g_et
+            FROM events
+            GROUP BY GROUPING SETS ((event_type), (CAST(user_id AS VARCHAR)))
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events),
+        et AS (
+            SELECT 'event_type' AS grain, event_type AS key, n
+            FROM g WHERE g_et = 0
+        ),
+        hu AS (
+            SELECT 'user_id' AS grain, uid AS key, n
+            FROM g WHERE g_et = 1
+            ORDER BY n DESC, key LIMIT {SKEW_TOP_USERS}
+        ),
+        u AS (SELECT * FROM et UNION ALL SELECT * FROM hu)
+        SELECT grain, key, n AS n_rows,
+               CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+               CAST(CEIL(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                         * CAST({SKEW_PARTITIONS} AS DOUBLE)) AS INT)
+                   AS salt_factor
+        FROM u, tot
+        ORDER BY grain, n_rows DESC, key
+    """,
+    doc="⊕ join/agg-key skew diagnosis: per-key row shares of the events "
+    "fact at two grains from ONE scan — every event_type (the coarse "
+    "dimension a groupBy would key on) and the top-10 heaviest user_id "
+    "hot keys (TakeOrderedAndProject over the per-user counts; the "
+    "billion-user tail never sorts globally) — each with the salt factor "
+    "the skew operators would apply: ceil(share × 32 partitions) is how "
+    "many ways a hot key must split for its reducer to shrink to the "
+    "average partition's load. GROUPING SETS computes both grains in one "
+    "Expand(×2) over a single scan instead of two corpus passes; "
+    "GROUPING() selects the set (null-value-proof, unlike IS NULL "
+    "markers). This is the measurement step feeding operators/skew.py's "
+    "salted_join/salted_distinct and the AQE-vs-explicit-salting call "
+    "documented there. share and the salt product are single double "
+    "operations — bitwise cross-engine.",
+    tags=("agg", "skew", "diagnosis", "grouping"),
+)
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    # one corpus scan, two grains: Expand ×2 via grouping sets; the
+    # grouped frame is (|event_types| + |users|) rows — checkpointed so
+    # the sections and the TakeOrdered top-10 don't re-derive the scan
+    g = (
+        ev.groupingSets([["event_type"], ["uid"]], "event_type", "uid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("event_type").alias("g_et"),
+        )
+        .localCheckpoint()
+    )
+    total = table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).cast("long").alias("total")
+    )
+    et = g.filter(F.col("g_et") == 0).select(
+        F.lit("event_type").alias("grain"),
+        F.col("event_type").alias("key"),
+        "n",
+    )
+    hu = (
+        g.filter(F.col("g_et") == 1)
+        .select(F.lit("user_id").alias("grain"), F.col("uid").alias("key"), "n")
+        .orderBy(F.desc("n"), "key")
+        .limit(SKEW_TOP_USERS)
+    )
+    share = F.col("n").cast("double") / F.col("total").cast("double")
+    return (
+        et.unionByName(hu)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "grain",
+            "key",
+            F.col("n").alias("n_rows"),
+            share.alias("share"),
+            F.ceil(share * F.lit(float(SKEW_PARTITIONS)))
+            .cast("int")
+            .alias("salt_factor"),
+        )
+        .orderBy("grain", F.desc("n_rows"), "key")
+    )
