@@ -34,6 +34,12 @@ tests/test_incremental_neardup, tests/test_curate_cli):
                or of the latest fold vs the pre-fold corpus from one
                store via ``--exclude-batch-id``. The daily loop can also
                get this inline with ``incremental --report-drift``.
+  datacard     release artifact: assemble the dataset's data card —
+               corpus stats, curation funnel, split sizes, cross-split
+               leakage, vocabulary coverage head, term spectrum (with
+               the Good-Turing unseen-mass estimate), and optional drift
+               vs a baseline snapshot — into one JSON file by running
+               the corresponding catalog queries against the corpus dir
   shard        delivery: deal the curated corpus into N deterministic
                training shards on disk (sources/writers.py:
                write_training_shards — md5-dealt shard + intra-shard
@@ -235,6 +241,19 @@ def main(argv: list[str] | None = None) -> int:
                             "store, drop this batch from the OLD side — "
                             "i.e. drift of the latest fold against the "
                             "pre-fold corpus, from one store")
+    p_dc = sub.add_parser(
+        "datacard",
+        help="assemble the dataset's data-card JSON from the catalog's "
+             "corpus-health queries",
+    )
+    p_dc.add_argument("--dir", required=True,
+                      help="corpus dir holding documents.parquet "
+                           "(fixture layout — the same dirs the catalog "
+                           "queries read)")
+    p_dc.add_argument("--out", required=True, help="data-card JSON path")
+    p_dc.add_argument("--baseline", default=None,
+                      help="optional baseline corpus dir; adds a drift "
+                           "section (TV distance per feature)")
     p_shd = sub.add_parser(
         "shard",
         help="deal the curated corpus into N deterministic training "
@@ -313,6 +332,51 @@ def main(argv: list[str] | None = None) -> int:
                 for r in rows
             },
             "n_buckets": len(rows),
+        }))
+    elif args.cmd == "datacard":
+        from data_pipeline_team5_spark.plans.catalog import QUERIES
+
+        sections = (
+            "text_corpus_stats",
+            "curation_funnel",
+            "sample_split_report",
+            "split_leakage_audit",
+            "vocab_coverage",
+            "term_spectrum",
+        )
+        card: dict = {"corpus_dir": args.dir, "sections": {}}
+        for name in sections:
+            rows = QUERIES[name].fn(spark, args.dir).collect()
+            card["sections"][name] = [r.asDict(recursive=True) for r in rows]
+        spectrum = card["sections"]["term_spectrum"]
+        bin0 = [r for r in spectrum if r["count_bin"] == 0]
+        card["good_turing_unseen_mass"] = (
+            bin0[0]["token_share"] if bin0 else 0.0
+        )
+        if args.baseline is not None:
+            from data_pipeline_team5_spark.plans.versioning_family import (
+                drift_report,
+            )
+
+            old_docs = spark.read.parquet(
+                f"{args.baseline}/documents.parquet"
+            )
+            new_docs = spark.read.parquet(f"{args.dir}/documents.parquet")
+            rows = drift_report(
+                old_docs.select("lang", "n_chars"),
+                new_docs.select("lang", "n_chars"),
+            ).collect()
+            card["sections"]["drift_vs_baseline"] = {
+                r["feature"]: r["tv"] for r in rows
+            }
+        with open(args.out, "w") as f:
+            json.dump(card, f, indent=1, default=str)
+        print(json.dumps({
+            "status": "ok",
+            "cmd": "datacard",
+            "out": args.out,
+            "sections": sorted(card["sections"]),
+            "good_turing_unseen_mass": card["good_turing_unseen_mass"],
         }))
     elif args.cmd == "shard":
         from data_pipeline_team5_spark.operators.sampling import (

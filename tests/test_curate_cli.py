@@ -649,3 +649,35 @@ def test_shard_subcommand_reproducible(spark, tmp_path, capsys):
         )
 
     assert contents(outs["a"][0]) == contents(outs["b"][0])
+
+
+def test_datacard_subcommand(spark, tmp_path, capsys):
+    """`curate datacard` assembles the release artifact from the catalog's
+    corpus-health queries; spot-check one section against the query it
+    claims to embed, and the drift section's identity contract."""
+    out = str(tmp_path / "card.json")
+    summary = _run(capsys, [
+        "datacard", "--dir", SF_SMALL, "--out", out,
+        "--baseline", SF_SMALL,
+    ])
+    assert summary["cmd"] == "datacard"
+    card = json.load(open(out))
+    expected = {
+        "text_corpus_stats", "curation_funnel", "sample_split_report",
+        "split_leakage_audit", "vocab_coverage", "term_spectrum",
+        "drift_vs_baseline",
+    }
+    assert set(card["sections"]) == expected
+    # the embedded section is exactly the catalog query's result
+    from data_pipeline_team5_spark.plans.catalog import QUERIES
+
+    direct = [
+        r.asDict() for r in QUERIES["vocab_coverage"].fn(spark, SF_SMALL).collect()
+    ]
+    assert card["sections"]["vocab_coverage"] == direct
+    # drift of a corpus against itself is exactly zero per feature
+    assert set(card["sections"]["drift_vs_baseline"]) and all(
+        v == 0.0 for v in card["sections"]["drift_vs_baseline"].values()
+    )
+    # Good-Turing mass = bin-0 token share, in (0, 1)
+    assert 0.0 <= summary["good_turing_unseen_mass"] < 1.0
