@@ -248,6 +248,10 @@ _TAIL = (
     # fact (the measurement step feeding operators/skew.py) —
     # oracle-backed tail, exact-checked by the local mini-driver.
     "skew_key_report",
+    # Round 9 continued: packed-sequence emission (the materialization
+    # twin of pack_training_sequences' audit) — oracle-backed tail,
+    # exact-checked by the local mini-driver.
+    "pack_emit_sequences",
 )
 
 

@@ -658,3 +658,80 @@ def inspection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "pick_rank", "doc_id", "lang", "n_chars")
         .orderBy("source", "pick_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed-sequence materialization (round 9 continued): pack_training_
+# sequences AUDITS the bin layout; this op EMITS the product — each bin's
+# documents concatenated in deterministic doc_id order with an explicit
+# separator token, plus the per-bin doc/token counts a loader sanity-checks
+# against the audit. Text moves because text is the product here (the same
+# contract as chunk_for_context_window).
+
+PACK_SEP = " <|eos|> "
+
+
+@register(
+    "pack_emit_sequences",
+    oracle=f"""
+        WITH sized AS (
+            SELECT lang, doc_id, text,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tok
+            FROM documents
+        ),
+        placed AS (
+            SELECT lang, doc_id, text, n_tok,
+                   CAST(COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // {TOKEN_BUDGET} AS BIGINT) AS bin_id
+            FROM sized
+        )
+        SELECT lang, bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+               STRING_AGG(text, '{PACK_SEP}' ORDER BY doc_id) AS seq
+        FROM placed
+        GROUP BY lang, bin_id
+        ORDER BY lang, bin_id
+    """,
+    doc="⊕ packed-sequence emission: the materialization step after "
+    "pack_training_sequences' layout audit — each (lang, bin) becomes ONE "
+    "training sequence, documents concatenated in doc_id order with an "
+    "explicit separator token, alongside the same doc/token counts the "
+    "audit reports (a loader cross-checks the two). Placement reuses "
+    "pack_bins' two-level prefix sum (no per-language serial sort); the "
+    "emission itself is one (lang, bin_id) exchange whose value payload "
+    "is each doc's text moving to its bin writer — unavoidable and "
+    "final, text is the product (same contract as chunking). In-bin "
+    "order is pinned by sorting the collected (doc_id, text) structs, "
+    "not by shuffle arrival order, so the emitted sequence is bitwise "
+    "reproducible across partitionings and matches STRING_AGG ... ORDER "
+    "BY exactly. Bin token sums stay BIGINT end to end.",
+    tags=("sampling", "packing", "emit"),
+)
+def pack_emit_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok")
+    sized = docs.select("lang", "doc_id", "text", n_tok)
+    placed = pack_bins(
+        sized, order_key="doc_id", size_col="n_tok", budget=TOKEN_BUDGET
+    )
+    seq = F.concat_ws(
+        PACK_SEP,
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "text"))
+            ),
+            lambda s: s.text,
+        ),
+    )
+    return (
+        placed.groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+            seq.alias("seq"),
+        )
+        .orderBy("lang", "bin_id")
+    )
