@@ -92,3 +92,14 @@ def read_json_landed(
         F.col("value").alias(corrupt_col)
     )
     return good, quarantine
+
+
+def read_orc_table(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """ORC scan (breadth beyond the reference's CSV/Parquet/JSON surface —
+    the other columnar format a warehouse migration hands you). Same
+    contract as :func:`read_parquet_table`: pass ``columns`` to prune at
+    the scan; ORC pushes filters/projections like parquet does."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df

@@ -262,3 +262,21 @@ def retention_sweep(
                 ) from e
             removed.append(v)
     return sorted(removed)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC encode sink, same idempotent-partition contract as
+    :func:`write_parquet_partitioned` when ``partition_by`` is given
+    (dynamic overwrite replaces only the partitions present in ``df``)."""
+    w = df.write.option("partitionOverwriteMode", "dynamic").mode(mode)
+    if partition_by:
+        cols = (
+            [partition_by] if isinstance(partition_by, str) else partition_by
+        )
+        w = w.partitionBy(*cols)
+    w.orc(path)
