@@ -344,9 +344,27 @@ def main(argv: list[str] | None = None) -> int:
             "vocab_coverage",
             "term_spectrum",
         )
+
+        def _as_fixture_dir(d: str) -> str:
+            """The catalog queries read ``{dir}/documents.parquet``; accept
+            a bare documents/corpus parquet root (e.g. the maintained
+            fold-store corpus) by staging a fixture-layout view of it —
+            one symlink, no data copied."""
+            if os.path.exists(os.path.join(d, "documents.parquet")):
+                return d
+            import tempfile
+
+            staged = tempfile.mkdtemp(prefix="datacard_")
+            os.symlink(
+                os.path.abspath(d),
+                os.path.join(staged, "documents.parquet"),
+            )
+            return staged
+
+        docs_dir = _as_fixture_dir(args.dir)
         card: dict = {"corpus_dir": args.dir, "sections": {}}
         for name in sections:
-            rows = QUERIES[name].fn(spark, args.dir).collect()
+            rows = QUERIES[name].fn(spark, docs_dir).collect()
             card["sections"][name] = [r.asDict(recursive=True) for r in rows]
         spectrum = card["sections"]["term_spectrum"]
         bin0 = [r for r in spectrum if r["count_bin"] == 0]
@@ -359,9 +377,9 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             old_docs = spark.read.parquet(
-                f"{args.baseline}/documents.parquet"
+                f"{_as_fixture_dir(args.baseline)}/documents.parquet"
             )
-            new_docs = spark.read.parquet(f"{args.dir}/documents.parquet")
+            new_docs = spark.read.parquet(f"{docs_dir}/documents.parquet")
             rows = drift_report(
                 old_docs.select("lang", "n_chars"),
                 new_docs.select("lang", "n_chars"),

@@ -681,3 +681,17 @@ def test_datacard_subcommand(spark, tmp_path, capsys):
     )
     # Good-Turing mass = bin-0 token share, in (0, 1)
     assert 0.0 <= summary["good_turing_unseen_mass"] < 1.0
+
+
+def test_datacard_accepts_bare_corpus_root(spark, tmp_path, capsys):
+    """A maintained corpus root (bare parquet dir, the fold-store form) is
+    accepted directly — the card must equal the fixture-layout run's."""
+    docs = table(spark, SF_SMALL, "documents")
+    root = str(tmp_path / "corpus_root")
+    docs.write.parquet(root)
+    out = str(tmp_path / "card_root.json")
+    _run(capsys, ["datacard", "--dir", root, "--out", out])
+    out_ref = str(tmp_path / "card_ref.json")
+    _run(capsys, ["datacard", "--dir", SF_SMALL, "--out", out_ref])
+    card, ref = json.load(open(out)), json.load(open(out_ref))
+    assert card["sections"] == ref["sections"]
