@@ -299,8 +299,12 @@ def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    total = table(spark, sf_dir, "events").agg(
-        F.count(F.lit(1)).cast("long").alias("total")
+    # total from the checkpointed grid, not a second events scan: the
+    # event_type grain partitions every row exactly once, so its n-sum IS
+    # the fact count
+    total = (
+        g.filter(F.col("g_et") == 0)
+        .agg(F.sum("n").cast("long").alias("total"))
     )
     et = g.filter(F.col("g_et") == 0).select(
         F.lit("event_type").alias("grain"),
