@@ -252,6 +252,10 @@ _TAIL = (
     # twin of pack_training_sequences' audit) — oracle-backed tail,
     # exact-checked by the local mini-driver.
     "pack_emit_sequences",
+    # rows-only by design: Greenwald-Khanna quantile sketch (engine-
+    # specific state, no DuckDB twin); rank-error bound pinned in
+    # tests/test_sketches.py.
+    "sketch_length_quantiles",
 )
 
 

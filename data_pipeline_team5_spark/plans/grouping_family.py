@@ -332,3 +332,41 @@ def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grain", F.desc("n_rows"), "key")
     )
+
+
+QUANTILE_PS = [0.5, 0.9, 0.99]
+QUANTILE_ACC = 10_000  # percentile_approx accuracy (error ≤ 1/acc of rank)
+
+
+@register(
+    "sketch_length_quantiles",
+    oracle=None,  # percentile_approx is Spark's Greenwald-Khanna variant —
+    # engine-specific sketch state, no DuckDB twin; the rank-error bound
+    # vs exact percentiles is pinned in tests/test_sketches.py
+    doc="Quantile-sketch rollup — the companion to sketch_weekly_distinct "
+    "for the OTHER sketch every 100 TB pipeline stores: per-language "
+    "p50/p90/p99 document lengths via percentile_approx "
+    "(Greenwald-Khanna, bounded state, mergeable across partitions — "
+    "one pass, map-side partial sketches, no sort), with the exact "
+    "percentiles computed alongside for validation (affordable at test "
+    "SF only; the pytest pins the ≤1/accuracy rank-error contract at "
+    "three SFs). The exact form needs a per-language sort — this sketch "
+    "is what replaces it when a language is most of the corpus.",
+    tags=("sketch", "quantile", "text"),
+)
+def sketch_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("lang", "n_chars")
+    ps = F.array(*[F.lit(p) for p in QUANTILE_PS])
+    approx = docs.groupBy("lang").agg(
+        F.percentile_approx("n_chars", ps, F.lit(QUANTILE_ACC)).alias("q_approx")
+    )
+    exact = docs.groupBy("lang").agg(
+        F.expr(
+            f"percentile(n_chars, array({','.join(map(str, QUANTILE_PS))}))"
+        ).alias("q_exact")
+    )
+    return (
+        approx.join(exact, "lang")
+        .select("lang", "q_approx", "q_exact")
+        .orderBy("lang")
+    )
