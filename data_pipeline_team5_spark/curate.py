@@ -265,6 +265,12 @@ def main(argv: list[str] | None = None) -> int:
     p_shd.add_argument("--n-shards", type=int, default=16)
     p_shd.add_argument("--key", default="doc_id",
                        help="row key the shard/order digests derive from")
+    p_shd.add_argument("--batch-id", default=None,
+                       help="incremental delivery: land --docs as "
+                            "shard_id=K/batch_id=<id>/ partitions under "
+                            "an accumulating shard root (idempotent "
+                            "dynamic overwrite — a replayed day "
+                            "converges); omit for a full re-deal")
 
     args = ap.parse_args(argv)
 
@@ -406,7 +412,8 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = spark.read.parquet(args.docs)
         write_training_shards(
-            docs, args.out, key=args.key, n_shards=args.n_shards
+            docs, args.out, key=args.key, n_shards=args.n_shards,
+            batch_id=getattr(args, "batch_id", None),
         )
         manifest = (
             shard_assign(docs, args.key, args.n_shards)

@@ -94,6 +94,7 @@ def write_training_shards(
     path: str,
     key: str = "doc_id",
     n_shards: int = 16,
+    batch_id: str | None = None,
 ) -> None:
     """Physical twin of the ``shard_manifest`` query: write ``df`` as
     ``n_shards`` deterministic training shards under
@@ -112,14 +113,34 @@ def write_training_shards(
     partition layout — which is what makes a 100 TB training corpus
     reproducible from its manifest. The ``sort_key`` column is persisted
     so a reader can verify the order without recomputing digests.
+
+    INCREMENTAL delivery (``batch_id``): the daily loop's survivors land
+    as ``shard_id=K/batch_id=<day>/`` partitions under the same root —
+    the fold-store convention — via dynamic partition overwrite, so a
+    replayed day converges instead of doubling and a full re-deal is
+    never needed (the digest deal guarantees a doc's shard is the same
+    in every batch). Each batch's files stay internally sort_key-ordered;
+    a reader of the accumulated shard merges per-batch runs (or sorts on
+    read) — the standard LSM-ish trade for append-style delivery.
     """
     from data_pipeline_team5_spark.operators.sampling import shard_assign
 
     dealt = shard_assign(df, key, n_shards)
+    if batch_id is None:
+        (
+            dealt.repartition(n_shards, "shard_id")
+            .sortWithinPartitions("shard_id", "sort_key")
+            .write.partitionBy("shard_id")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        return
     (
-        dealt.repartition(n_shards, "shard_id")
+        dealt.withColumn("batch_id", F.lit(batch_id))
+        .repartition(n_shards, "shard_id")
         .sortWithinPartitions("shard_id", "sort_key")
-        .write.partitionBy("shard_id")
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard_id", "batch_id")
         .mode("overwrite")
         .parquet(path)
     )

@@ -695,3 +695,36 @@ def test_datacard_accepts_bare_corpus_root(spark, tmp_path, capsys):
     _run(capsys, ["datacard", "--dir", SF_SMALL, "--out", out_ref])
     card, ref = json.load(open(out)), json.load(open(out_ref))
     assert card["sections"] == ref["sections"]
+
+
+def test_shard_incremental_batches_idempotent(spark, tmp_path, capsys):
+    """Incremental shard delivery: daily batches land as
+    shard_id/batch_id partitions; a replayed day converges (no doubling),
+    and the accumulated shards hold exactly the union — with every doc in
+    the SAME shard a full re-deal would put it in."""
+    from data_pipeline_team5_spark.operators.sampling import shard_assign
+    from data_pipeline_team5_spark.sources.writers import (
+        write_training_shards,
+    )
+
+    docs = table(spark, SF_SMALL, "documents").select(*COLS)
+    d0 = docs.filter(F.col("doc_id") % 2 == 0)
+    d1 = docs.filter(F.col("doc_id") % 2 == 1)
+    root = str(tmp_path / "inc_shards")
+    write_training_shards(d0, root, n_shards=4, batch_id="day0")
+    write_training_shards(d1, root, n_shards=4, batch_id="day1")
+    write_training_shards(d1, root, n_shards=4, batch_id="day1")  # replay
+
+    acc = spark.read.parquet(root)
+    assert acc.count() == docs.count()  # replay did not double day1
+    got = {
+        (r["doc_id"], r["shard_id"])
+        for r in acc.select("doc_id", "shard_id").collect()
+    }
+    want = {
+        (r["doc_id"], r["shard_id"])
+        for r in shard_assign(docs, "doc_id", 4)
+        .select("doc_id", "shard_id")
+        .collect()
+    }
+    assert got == want  # same shard per doc as a full re-deal
