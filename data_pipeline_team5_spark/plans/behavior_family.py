@@ -209,3 +209,94 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("users").cast("double") / F.col("u1")).alias("pct_of_first"),
         pct_prev.alias("pct_of_prev"),
     ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (round 9 continued): the third classic product-analytics
+# query — per-user Recency / Frequency / Monetary quartiles and the segment
+# grid marketing actually acts on. Monetary is quantized to exact integer
+# cents BEFORE summing (floor(value·100) — a raw double SUM is
+# shuffle-order-dependent and can never hash-match an oracle).
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MAX(CAST(ts AS DATE)) AS last_day,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY user_id
+        ),
+        scored AS (
+            SELECT user_id, last_day, freq, cents,
+                   CAST(NTILE(4) OVER (ORDER BY last_day, user_id)
+                        AS INT) AS r_q,
+                   CAST(NTILE(4) OVER (ORDER BY freq, user_id)
+                        AS INT) AS f_q,
+                   CAST(NTILE(4) OVER (ORDER BY cents, user_id)
+                        AS INT) AS m_q
+            FROM per_user
+        )
+        SELECT r_q, f_q, m_q,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(freq) AS BIGINT) AS sum_events,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM scored
+        GROUP BY r_q, f_q, m_q
+        ORDER BY r_q, f_q, m_q
+    """,
+    doc="⊕ RFM segmentation: per-user recency (last active day), "
+    "frequency (events) and monetary value, each quartiled with NTILE "
+    "over a deterministic (metric, user_id) total order, rolled up to "
+    "the 4×4×4 segment grid with user/event/cents counts — the classic "
+    "marketing segmentation the cohort/funnel pair completes. Monetary "
+    "sums EXACT INTEGER CENTS (floor(value·100) per event): a raw double "
+    "SUM is shuffle-order-dependent, so it could never hash-match; the "
+    "quantized sum is associative and bitwise on both engines. Plan "
+    "shape: one events scan → per-user agg (the natural high-cardinality "
+    "shuffle key), then three NTILE windows over the USER-grain table — "
+    "each an explicit global sort of users, fine to ~1e8 users and the "
+    "honest cost of exact quartiles; at the 1e9+ scale swap the windows "
+    "for percentile_approx cutoffs broadcast onto the same per_user "
+    "frame (the sketch_length_quantiles pattern) at the price of "
+    "approximate quartile edges. NTILE's uneven-bucket rule (first N mod "
+    "4 buckets get the extra row) is the SQL standard on both engines, "
+    "and the (metric, user_id) order makes it deterministic.",
+    tags=("behavior", "rfm", "segmentation", "window"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(cents).cast("long").alias("cents"),
+    )
+    scored = per_user.select(
+        "freq",
+        "cents",
+        F.ntile(4)
+        .over(Window.orderBy("last_day", "user_id"))
+        .cast("int")
+        .alias("r_q"),
+        F.ntile(4)
+        .over(Window.orderBy("freq", "user_id"))
+        .cast("int")
+        .alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy("cents", "user_id"))
+        .cast("int")
+        .alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("freq").cast("long").alias("sum_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

@@ -256,6 +256,9 @@ _TAIL = (
     # specific state, no DuckDB twin); rank-error bound pinned in
     # tests/test_sketches.py.
     "sketch_length_quantiles",
+    # Round 9 continued: RFM user segmentation (third behavior-analytics
+    # classic) — oracle-backed tail, exact-checked by the mini-driver.
+    "rfm_segments",
 )
 
 
