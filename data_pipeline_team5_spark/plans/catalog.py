@@ -259,6 +259,9 @@ _TAIL = (
     # Round 9 continued: RFM user segmentation (third behavior-analytics
     # classic) — oracle-backed tail, exact-checked by the mini-driver.
     "rfm_segments",
+    # rows-only by design: Misra-Gries counter eviction has no SQL form;
+    # the merged-summary error bound is pinned in tests/test_sketches.py.
+    "sketch_heavy_hitters",
 )
 
 

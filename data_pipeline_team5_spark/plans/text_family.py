@@ -1158,3 +1158,49 @@ def term_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("count_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitters sketch (round 9 continued): Misra-Gries over the corpus
+# token stream — the bounded-memory answer to "what dominates?" when the
+# vocabulary itself no longer fits (operators/sketches.py has the
+# algorithm + merge-bound citations).
+
+MG_K = 48  # counters per partition; guarantee threshold = N/(K+1)
+MG_TOP = 16  # rows emitted
+
+
+@register(
+    "sketch_heavy_hitters",
+    oracle=None,  # the counter-eviction stream algorithm has no SQL
+    # form; the MG error contract (superset above N/(k+1), estimates in
+    # [true − N/(k+1), true]) is pinned against exact counts at three
+    # SFs in tests/test_sketches.py
+    doc="⊕ Misra-Gries heavy hitters over the corpus token stream: the "
+    "top-16 sketch survivors with their merged estimates AND the exact "
+    "count alongside for validation (affordable at test SF only — "
+    "exactly the sketch_weekly_distinct convention). O(48) counters per "
+    "partition held across that partition's Arrow batches in "
+    "mapInPandas, ≤ 48×P partial rows merged by one tiny groupBy-sum — "
+    "no vocabulary-sized state anywhere, which is what replaces "
+    "vocab_coverage's exact term-count table when 100 TB of web text "
+    "makes the vocabulary itself too wide. Merged estimates keep the "
+    "one-sided MG bound (Agarwal et al. 2013 mergeable summaries): "
+    "true − N/49 ≤ est ≤ true, so every term above the N/49 threshold "
+    "is guaranteed present. Deterministic output: ties broken by term; "
+    "rows-only by design with the bound pinned in tests/test_sketches.py.",
+    tags=("sketch", "heavy-hitters", "text"),
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.sketches import heavy_hitters
+
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokens_expr("text")).alias("term"))
+    est = heavy_hitters(terms, "term", MG_K)
+    exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        est.join(exact, "term")
+        .orderBy(F.desc("est"), "term")
+        .limit(MG_TOP)
+        .select("term", "est", "n_true")
+    )

@@ -52,3 +52,69 @@ def test_quantile_sketch_rank_error_bound(spark, sf_dir):
             )
         # exact column sanity: within the value range
         assert all(vals[0] <= q <= vals[-1] for q in r["q_exact"])
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ],
+)
+def test_misra_gries_merged_bound(spark, sf_dir):
+    """Merged MG estimates keep the one-sided bound
+    true − N/(k+1) ≤ est ≤ true, and every term above the N/(k+1)
+    threshold survives the sketch (superset guarantee)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_team5_spark.operators.sketches import heavy_hitters
+    from data_pipeline_team5_spark.operators.textops import tokens_expr
+    from data_pipeline_team5_spark.plans.text_family import MG_K
+
+    terms = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens_expr("text")).alias("term"))
+    )
+    n_total = terms.count()
+    slack = n_total // (MG_K + 1)
+    est = {r["term"]: r["est"] for r in heavy_hitters(terms, "term", MG_K).collect()}
+    true = {
+        r["term"]: r["n"]
+        for r in terms.groupBy("term").agg(F.count("*").alias("n")).collect()
+    }
+    assert est, "sketch returned nothing"
+    for t, e in est.items():
+        assert true[t] - slack <= e <= true[t], (t, e, true[t], slack)
+    for t, n in true.items():
+        if n > slack:
+            assert t in est and est[t] > 0, (t, n, slack)
+
+
+def test_misra_gries_matches_sequential_mirror(spark):
+    """The distributed (per-partition + merge) sketch must equal a
+    from-scratch single-pass Python MG run per partition — pin the
+    partition-level algorithm itself, not just the bound."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_team5_spark.operators.sketches import heavy_hitters
+    from data_pipeline_team5_spark.operators.textops import tokens_expr
+
+    terms = (
+        table(spark, "/root/testdata/sf0.001", "documents")
+        .select(F.explode(tokens_expr("text")).alias("term"))
+        .repartition(1)  # one partition → distributed == sequential
+    )
+    k = 8
+    got = {
+        r["term"]: r["est"] for r in heavy_hitters(terms, "term", k).collect()
+    }
+    counters: dict[str, int] = {}
+    for (t,) in terms.collect():
+        if t in counters:
+            counters[t] += 1
+        elif len(counters) < k:
+            counters[t] = 1
+        else:
+            counters = {x: c - 1 for x, c in counters.items() if c > 1}
+    assert got == counters
