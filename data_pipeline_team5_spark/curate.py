@@ -130,12 +130,19 @@ def main(argv: list[str] | None = None) -> int:
                              "init-corpus / the batch) so the retained "
                              "corpus, its indexes, and each batch probe "
                              "with the same text")
-    p_full.add_argument("--survivor-policy", choices=["min_id", "quality"],
+    p_full.add_argument("--survivor-policy",
+                        choices=["min_id", "quality", "source_rank"],
                         default="min_id",
-                        help="near-dup group retention: min_id (default) "
-                             "or quality — keep each group's highest "
-                             "text-profile-quality member (ties to the "
-                             "smaller id)")
+                        help="near-dup group retention: min_id (default); "
+                             "quality — keep each group's highest "
+                             "text-profile-quality member; source_rank — "
+                             "keep the member from the best-ranked source "
+                             "per --source-priority (ties to the smaller "
+                             "id)")
+    p_full.add_argument("--source-priority", default=None,
+                        help="comma-separated source names, best first "
+                             "(source_rank policy); unlisted sources rank "
+                             "equal-worst")
 
     p_seed = sub.add_parser(
         "init-corpus", help="seed the maintained retained-corpus root"
@@ -289,6 +296,11 @@ def main(argv: list[str] | None = None) -> int:
             benchmark_docs=bench_docs,
             scrub_pii=args.scrub_pii,
             survivor_policy=args.survivor_policy,
+            source_priority=(
+                args.source_priority.split(",")
+                if args.source_priority
+                else None
+            ),
         )
         out.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()

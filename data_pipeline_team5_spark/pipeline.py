@@ -366,6 +366,7 @@ def curate_training_data(
     scrub_pii: bool = False,
     scratch_dir: str | None = None,
     survivor_policy: str = "min_id",
+    source_priority: list[str] | None = None,
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
     composed from the engine's tested stages into ONE lazy plan:
@@ -398,7 +399,11 @@ def curate_training_data(
        member, ties to the smaller id: the keep-the-cleanest retention
        real pipelines want, at the cost of one quality projection and
        one component-grain row_number window; the catalog's
-       dedup_quality_survivor is its oracle-checked twin);
+       dedup_quality_survivor is its oracle-checked twin) or
+       ``"source_rank"`` (round 9 — keep the doc from the
+       highest-priority source per ``source_priority`` order, unlisted
+       sources rank equal-worst, ties to the smaller id: the provenance
+       rule for curated-source-vs-crawl collisions);
        then optionally ``target_mix``: waterline domain-mixture
        reweighting over the DEDUPED survivors
        (operators/sampling.py:mixture_filter) — after dedup so
@@ -513,10 +518,50 @@ def curate_training_data(
             .select("doc_id")
         )
         survivors = uniq.join(keep_ids, "doc_id")
+    elif survivor_policy == "source_rank":
+        # keep-the-most-trusted: the doc from the highest-priority SOURCE
+        # wins its component (ties: smaller id). The real-world collision
+        # rule when the same text arrives from a curated source and a
+        # crawl — prefer provenance, not content heuristics. Priorities
+        # come from `source_priority` (first = best); sources absent from
+        # the list rank after every listed one (equal worst rank), so an
+        # unlisted source never beats a listed one. Cost: one broadcast
+        # ~|sources|-row rank map + the same component-grain window the
+        # quality policy pays — (id, component, int) rows, never text.
+        from pyspark.sql import Window as _W
+
+        ranks = {s_: i for i, s_ in enumerate(source_priority or [])}
+        worst = len(ranks)
+        rank_col = F.coalesce(
+            F.create_map(
+                *[F.lit(x) for kv in sorted(ranks.items()) for x in kv]
+            )[F.col("source")].cast("int"),
+            F.lit(worst),
+        ) if ranks else F.lit(0)
+        # the shared filter stage projects source away (the other
+        # policies never need it); rejoin it at id grain from the raw
+        # input — (id, source) rows only, never text
+        src_map = docs.select("doc_id", "source")
+        scored = (
+            uniq.select("doc_id")
+            .join(src_map, "doc_id")
+            .select("doc_id", rank_col.alias("_r"))
+            .join(comp, comp.id == F.col("doc_id"))
+        )
+        w = _W.partitionBy("component").orderBy(
+            F.asc("_r"), F.asc("doc_id")
+        )
+        keep_ids = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id")
+        )
+        survivors = uniq.join(keep_ids, "doc_id")
     else:
         raise ValueError(
             f"curate_training_data: unknown survivor_policy "
-            f"{survivor_policy!r} (use 'min_id' or 'quality')"
+            f"{survivor_policy!r} (use 'min_id', 'quality' or "
+            f"'source_rank')"
         )
 
     # 3.5 optional domain-mixture reweighting over the DEDUPED survivors

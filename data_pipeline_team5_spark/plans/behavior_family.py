@@ -265,6 +265,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approximate quartile edges. NTILE's uneven-bucket rule (first N mod "
     "4 buckets get the extra row) is the SQL standard on both engines, "
     "and the (metric, user_id) order makes it deterministic.",
+    headline=True,
     tags=("behavior", "rfm", "segmentation", "window"),
 )
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -708,6 +708,7 @@ PACK_SEP = " <|eos|> "
     "not by shuffle arrival order, so the emitted sequence is bitwise "
     "reproducible across partitionings and matches STRING_AGG ... ORDER "
     "BY exactly. Bin token sums stay BIGINT end to end.",
+    headline=True,
     tags=("sampling", "packing", "emit"),
 )
 def pack_emit_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -416,3 +416,56 @@ def test_survivor_policy_quality_keeps_cleanest_per_group(spark):
     assert new_id in ids_b and donor["doc_id"] not in ids_b
     with _pytest.raises(ValueError, match="survivor_policy"):
         curate_training_data(docs, survivor_policy="longest")
+
+
+def test_survivor_policy_source_rank_prefers_trusted_source(spark):
+    """survivor_policy='source_rank' (round 9): a near-dup of a surviving
+    doc arriving from a PREFERRED source displaces it, while an unlisted
+    source never displaces a listed one."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_team5_spark.pipeline import curate_training_data
+    from data_pipeline_team5_spark.plans.catalog import table
+    from tests.conftest import SF_SMALL
+
+    base = table(spark, SF_SMALL, "documents")
+    surv = {
+        r["doc_id"]
+        for r in curate_training_data(base).select("doc_id").collect()
+    }
+    donor = next(
+        r
+        for r in base.orderBy("doc_id").collect()
+        if r["doc_id"] in surv and 40 < len(r["text"].split()) < 90
+    )
+    # near-dup twin under a LARGER id (min_id would drop it) from a
+    # dedicated source; first word changed so exact dedup can't collapse
+    # the pair before the near-dup stage sees it
+    words = donor["text"].split()
+    words[0] = "prefixswap"
+    twin_text = " ".join(words)
+    new_id = int(base.agg(F.max("doc_id")).first()[0]) + 1
+    twin = spark.createDataFrame(
+        [(new_id, twin_text, donor["lang"], "golden_source",
+          len(twin_text))],
+        base.schema,
+    )
+    corpus = base.unionByName(twin)
+
+    preferred = curate_training_data(
+        corpus,
+        survivor_policy="source_rank",
+        source_priority=["golden_source"],
+    )
+    kept = {r["doc_id"] for r in preferred.select("doc_id").collect()}
+    assert new_id in kept and donor["doc_id"] not in kept
+
+    # unlisted twin source ⇒ both rank equal-worst ⇒ tie to smaller id:
+    # the original survives, the twin does not
+    unlisted = curate_training_data(
+        corpus,
+        survivor_policy="source_rank",
+        source_priority=["some_other_source"],
+    )
+    kept2 = {r["doc_id"] for r in unlisted.select("doc_id").collect()}
+    assert donor["doc_id"] in kept2 and new_id not in kept2
