@@ -301,3 +301,91 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Volume-anomaly monitor (round 9 continued): the pipeline-operations
+# query — flag days whose event volume deviates > 3σ from the trailing
+# week. The z-test is algebraically rearranged to PURE INTEGER arithmetic
+# ((x·w − s)² > 9·w·(q·w − s²) ⟺ (x − s/w)² > 9·((q·w − s²)/w²) · w ...
+# with variance-of-mean scaling folded in), so the flag is bitwise
+# cross-engine by construction — no sqrt, no division, no doubles.
+
+ANOM_TRAIL = 7  # trailing window (days), current day excluded
+ANOM_MIN_N = 3  # minimum trailing days before flagging
+ANOM_Z2 = 9  # z² threshold (3σ)
+
+
+@register(
+    "events_rate_anomaly",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
+        ),
+        trail AS (
+            SELECT day, n_events,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS w_n,
+                   CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS s,
+                   CAST(COALESCE(SUM(n_events * n_events) OVER w, 0)
+                        AS BIGINT) AS q
+            FROM daily
+            WINDOW w AS (ORDER BY day
+                         ROWS BETWEEN {ANOM_TRAIL} PRECEDING
+                                  AND 1 PRECEDING)
+        )
+        SELECT day, n_events, w_n AS trail_days, s AS trail_sum,
+               CASE WHEN w_n >= {ANOM_MIN_N}
+                    THEN (n_events * w_n - s) * (n_events * w_n - s)
+                         > {ANOM_Z2} * w_n * (q * w_n - s * s)
+                    ELSE FALSE END AS is_anomaly
+        FROM trail
+        ORDER BY day
+    """,
+    doc="⊕ event-volume anomaly monitor: each day's count tested against "
+    "its trailing-week mean at 3σ — the pipeline-operations query that "
+    "catches a broken ingest (volume collapse) or a duplicate-replay "
+    "(volume spike) the morning it happens. The z-test is rearranged to "
+    "pure BIGINT arithmetic — (x·w − s)² > 9·w·(q·w − s²), i.e. "
+    "(x − μ)² > 9σ²·w with both sides multiplied through by w² — so the "
+    "flag involves no sqrt, no division, no doubles, and is bitwise "
+    "cross-engine by construction (the corr-matrix/decimal policy taken "
+    "to its logical end: don't round-trip the float, eliminate it). "
+    "Plan: one events scan → day-grain agg (map-side combine; the "
+    "exchange carries |days| rows) → a |days|-row window — the monitor "
+    "costs one scan regardless of corpus size, and in production the "
+    "daily counts come from the stored ingest manifest instead, making "
+    "it corpus-free.",
+    tags=("behavior", "anomaly", "monitoring", "window"),
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-ANOM_TRAIL, -1)
+    )
+    trail = daily.select(
+        "day",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).alias("s"),
+        F.coalesce(
+            F.sum(F.col("n_events") * F.col("n_events")).over(w), F.lit(0)
+        ).alias("q"),
+    )
+    dev = F.col("n_events") * F.col("w_n") - F.col("s")
+    var_term = F.col("q") * F.col("w_n") - F.col("s") * F.col("s")
+    return trail.select(
+        "day",
+        "n_events",
+        F.col("w_n").alias("trail_days"),
+        F.col("s").alias("trail_sum"),
+        F.when(
+            F.col("w_n") >= ANOM_MIN_N,
+            dev * dev > F.lit(ANOM_Z2) * F.col("w_n") * var_term,
+        )
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    ).orderBy("day")

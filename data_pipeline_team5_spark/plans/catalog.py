@@ -262,6 +262,9 @@ _TAIL = (
     # rows-only by design: Misra-Gries counter eviction has no SQL form;
     # the merged-summary error bound is pinned in tests/test_sketches.py.
     "sketch_heavy_hitters",
+    # Round 9 continued: event-volume anomaly monitor (pure-integer 3σ
+    # test) — oracle-backed tail, exact-checked by the mini-driver.
+    "events_rate_anomaly",
 )
 
 
