@@ -301,3 +301,45 @@ def write_orc(
         )
         w = w.partitionBy(*cols)
     w.orc(path)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Sort-clustered parquet layout for DATA SKIPPING — the storage-side
+    lever partition directories can't provide for high-cardinality or
+    range-queried columns (a directory per value would explode; a range
+    cluster keeps file count free while making min/max footer stats
+    selective).
+
+    ``repartitionByRange(cluster_by)`` routes disjoint key ranges to
+    disjoint files, ``sortWithinPartitions`` orders rows inside each so
+    row-group stats are tight too. A later scan with a predicate on the
+    cluster columns then prunes at TWO levels before reading data pages:
+    whole files (footer min/max disjoint from the predicate) and row
+    groups within surviving files. At 100 TB this is the difference
+    between "read 3 files" and "read the corpus" for a range query —
+    exactly what Delta/Iceberg Z-ordering buys, available in plain
+    parquet for single-column-prefix predicates (multi-dimensional
+    predicates genuinely need the space-filling-curve variant; this
+    writer documents that boundary rather than pretending otherwise).
+
+    Size ``num_files`` to target-SF volume (files ≈ bytes / 128 MB);
+    left None, the range shuffle uses the session parallelism and AQE may
+    coalesce small inputs to one file (fine for data, useless for
+    demonstrating skipping).
+    """
+    parted = (
+        df.repartitionByRange(int(num_files), *cluster_by)
+        if num_files
+        else df.repartitionByRange(*cluster_by)
+    )
+    (
+        parted.sortWithinPartitions(*cluster_by)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -54,3 +54,60 @@ def test_orc_partitioned_write_is_idempotent(spark, tmp_path):
         "d1",
         "d2",
     }
+
+
+def test_range_clustered_layout_enables_skipping(spark, tmp_path):
+    """write_range_clustered must produce files whose footer min/max
+    ranges on the cluster column are (near-)disjoint — the property data
+    skipping actually consumes. Contrast with the unclustered layout,
+    where every file spans ~the whole key range and nothing can skip."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_pipeline_team5_spark.sources.writers import (
+        write_range_clustered,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .repartition(8)  # scatter first: worst-case incoming layout
+    )
+    clustered = str(tmp_path / "clustered")
+    plain = str(tmp_path / "plain")
+    write_range_clustered(docs, clustered, ["n_chars"], num_files=6)
+    docs.write.parquet(plain)
+
+    def ranges(root):
+        out = []
+        for f in sorted(glob.glob(f"{root}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("n_chars")
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            if los:
+                out.append((min(los), max(his)))
+        return out
+
+    def overlap_pairs(rs):
+        return sum(
+            1
+            for i, (lo1, hi1) in enumerate(rs)
+            for lo2, hi2 in rs[i + 1:]
+            if lo1 <= hi2 and lo2 <= hi1
+        )
+
+    c, p = ranges(clustered), ranges(plain)
+    assert len(c) > 1, "need multiple files to demonstrate skipping"
+    # clustered: file ranges disjoint (range partitioner boundaries);
+    # plain: essentially every pair overlaps
+    assert overlap_pairs(c) == 0
+    assert overlap_pairs(p) > 0
+    # and the data survived intact
+    assert (
+        spark.read.parquet(clustered).count()
+        == spark.read.parquet(plain).count()
+    )
