@@ -265,6 +265,10 @@ _TAIL = (
     # Round 9 continued: event-volume anomaly monitor (pure-integer 3σ
     # test) — oracle-backed tail, exact-checked by the mini-driver.
     "events_rate_anomaly",
+    # Round 9 continued: four-shape subquery panel (EXISTS / NOT EXISTS /
+    # scalar / IN — Catalyst decorrelation evidence) — oracle-backed
+    # tail, exact-checked by the mini-driver.
+    "rel_subquery_panel",
 )
 
 

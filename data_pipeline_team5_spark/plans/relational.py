@@ -313,3 +313,83 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("campaign_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Subquery panel (round 9 continued): EXISTS / NOT EXISTS / uncorrelated IN
+# / integer scalar subquery in ONE registration — the §2.3 surface a SQL
+# user migrating from a warehouse writes on day one. The point on Spark is
+# what Catalyst DOES with them: every correlated predicate decorrelates to
+# a semi/anti join (RewritePredicateSubquery), never a per-row re-execution
+# and never a CartesianProduct (the plan-invariant sweep machine-checks the
+# latter for every catalog query; tests/test_relational_extras.py pins the
+# semi/anti rewrite here explicitly).
+
+_SUBQ_PANEL_SQL = """
+    SELECT 'exists_1997' AS section, n.n_name AS k,
+           CAST(COUNT(*) AS BIGINT) AS v
+    FROM {cust} c JOIN {nat} n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM {ords} o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND CAST(o.o_orderdate AS DATE)
+                        BETWEEN DATE '1997-01-01' AND DATE '1997-12-31')
+    GROUP BY n.n_name
+    UNION ALL
+    SELECT 'never_ordered' AS section, n.n_name AS k,
+           CAST(COUNT(*) AS BIGINT) AS v
+    FROM {cust} c JOIN {nat} n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM {ords} o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    UNION ALL
+    SELECT 'power_buyers' AS section, 'ALL' AS k,
+           CAST(COUNT(*) AS BIGINT) AS v
+    FROM (SELECT o_custkey, COUNT(*) AS n_ord FROM {ords}
+          GROUP BY o_custkey) pc
+    WHERE pc.n_ord = (SELECT MAX(n_ord) FROM
+                      (SELECT COUNT(*) AS n_ord FROM {ords}
+                       GROUP BY o_custkey))
+    UNION ALL
+    SELECT 'in_region_nations' AS section, n.n_name AS k,
+           CAST(COUNT(*) AS BIGINT) AS v
+    FROM {cust} c JOIN {nat} n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_nationkey IN (SELECT n2.n_nationkey FROM {nat} n2
+                            JOIN {reg} r ON n2.n_regionkey = r.r_regionkey
+                            WHERE r.r_name = 'EUROPE')
+    GROUP BY n.n_name
+    ORDER BY section, k
+"""
+
+
+@register(
+    "rel_subquery_panel",
+    oracle=_SUBQ_PANEL_SQL.format(
+        cust="customer", nat="nation", ords="orders", reg="region"
+    ),
+    doc="⊕ subquery panel: correlated EXISTS (customers active in 1997), "
+    "correlated NOT EXISTS (customers who never ordered), an integer "
+    "scalar subquery (customers tying the corpus-max order count) and an "
+    "uncorrelated IN (nations of one region) — four subquery shapes, one "
+    "registration, identical SQL text on both engines. What matters on "
+    "Spark is the rewrite: Catalyst decorrelates EXISTS/NOT EXISTS to "
+    "LeftSemi/LeftAnti hash joins and the IN to a semi join on the "
+    "broadcast nation list (RewritePredicateSubquery) — no per-row "
+    "subquery re-execution, no CartesianProduct (machine-checked by the "
+    "plan-invariant sweep), the semi/anti rewrite pinned explicitly in "
+    "tests/test_relational_extras.py. The scalar subquery is two tiny "
+    "aggregates reused from one orders scan. All-integer outputs keep "
+    "the oracle bitwise trivially.",
+    tags=("join", "subquery", "exists", "semi", "anti"),
+)
+def rel_subquery_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = {}
+    for alias, name in (
+        ("cust", "customer"),
+        ("nat", "nation"),
+        ("ords", "orders"),
+        ("reg", "region"),
+    ):
+        vname = f"subq_{name}"
+        table(spark, sf_dir, name).createOrReplaceTempView(vname)
+        views[alias] = vname
+    return spark.sql(_SUBQ_PANEL_SQL.format(**views))
