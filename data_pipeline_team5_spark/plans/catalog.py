@@ -269,6 +269,10 @@ _TAIL = (
     # scalar / IN — Catalyst decorrelation evidence) — oracle-backed
     # tail, exact-checked by the mini-driver.
     "rel_subquery_panel",
+    # Round 9 continued: streaming volume monitor (ingest-side twin of
+    # events_rate_anomaly, batch-equivalent under AvailableNow) —
+    # oracle-backed tail, exact-checked by the mini-driver.
+    "stream_rate_monitor",
 )
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.plans._facts import SESSION_ORACLE_SQL
@@ -401,3 +401,78 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drift_from_grid(grid)
+
+
+@register(
+    "stream_rate_monitor",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
+        ),
+        trail AS (
+            SELECT day, n_events,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS w_n,
+                   CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS s,
+                   CAST(COALESCE(SUM(n_events * n_events) OVER w, 0)
+                        AS BIGINT) AS q
+            FROM daily
+            WINDOW w AS (ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT day, n_events, w_n AS trail_days, s AS trail_sum,
+               CASE WHEN w_n >= 3
+                    THEN (n_events * w_n - s) * (n_events * w_n - s)
+                         > 9 * w_n * (q * w_n - s * s)
+                    ELSE FALSE END AS is_anomaly
+        FROM trail
+        ORDER BY day
+    """,
+    doc="⊕ STREAMING volume monitor: the ingest-side twin of "
+    "events_rate_anomaly — per-day event counts accumulate in a "
+    "stateful aggregation as events arrive (state = one row per day, "
+    "bounded by calendar length not stream volume), and the drained "
+    "day-grain table gets the same integer-exact trailing-week 3σ test "
+    "(the |days|-row window is a constant-size post-drain computation "
+    "per micro-batch in production). Batch-equivalent under the "
+    "AvailableNow drain, so the oracle is events_rate_anomaly's SQL "
+    "verbatim — same pure-BIGINT flag, bitwise by construction.",
+    tags=("streaming", "anomaly", "monitoring"),
+)
+def stream_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.plans.behavior_family import (
+        ANOM_MIN_N,
+        ANOM_TRAIL,
+        ANOM_Z2,
+    )
+
+    daily = drain_to_memory(
+        read_events_stream(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.orderBy("day").rowsBetween(-ANOM_TRAIL, -1)
+    trail = daily.select(
+        "day",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).alias("s"),
+        F.coalesce(
+            F.sum(F.col("n_events") * F.col("n_events")).over(w), F.lit(0)
+        ).alias("q"),
+    )
+    dev = F.col("n_events") * F.col("w_n") - F.col("s")
+    var_term = F.col("q") * F.col("w_n") - F.col("s") * F.col("s")
+    return trail.select(
+        "day",
+        "n_events",
+        F.col("w_n").alias("trail_days"),
+        F.col("s").alias("trail_sum"),
+        F.when(
+            F.col("w_n") >= ANOM_MIN_N,
+            dev * dev > F.lit(ANOM_Z2) * F.col("w_n") * var_term,
+        )
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    ).orderBy("day")
