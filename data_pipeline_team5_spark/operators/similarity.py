@@ -466,3 +466,54 @@ def kmeans_fit(
         }
         cents = [new.get(i, cents[i]) for i in range(k)]
     return kmeans_assign(vectors, cents, vec_col), cents
+
+
+def pq_fit(
+    vectors: DataFrame,
+    m_blocks: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product quantization (Jégou et al. 2011, "Product quantization for
+    nearest neighbor search"): split each vector into ``m_blocks``
+    contiguous sub-vectors and k-means each block independently — a
+    vector compresses to ``m_blocks`` small code ids (here 4 bytes
+    replacing 256) whose per-block centroid distances reconstruct
+    approximate distances. The third ANN scale path beside sign-LSH and
+    IVF: IVF prunes WHICH vectors to score, PQ shrinks WHAT is stored
+    and scored per vector — FAISS's IVF-PQ composes both.
+
+    Everything reuses :func:`kmeans_fit`'s deterministic machinery
+    (smallest-id init, quantized-mean updates), so codebooks and codes
+    are bit-identical across reruns/partitionings and reproducible by an
+    independent sequential implementation. Per-block cost = kmeans_fit's
+    (one scan + one k×(dim/M)-key agg per iteration); the M fits share
+    nothing and could run concurrently from a thread pool on a cluster.
+
+    Returns (codes DataFrame: id, block, code, sqd; codebooks
+    [block][code][dim/M]).
+    """
+    dim = len(vectors.select(vec_col).first()[0])
+    if dim % m_blocks:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by {m_blocks}")
+    step = dim // m_blocks
+    out = None
+    books: list[list[list[float]]] = []
+    for b in range(m_blocks):
+        block_vecs = vectors.select(
+            id_col, F.slice(vec_col, b * step + 1, step).alias("_bv")
+        )
+        assigned, cents = kmeans_fit(
+            block_vecs, k=k, iters=iters, id_col=id_col, vec_col="_bv"
+        )
+        books.append(cents)
+        part = assigned.select(
+            id_col,
+            F.lit(b).alias("block"),
+            F.col("cluster").alias("code"),
+            F.col("_sqd").alias("sqd"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out, books

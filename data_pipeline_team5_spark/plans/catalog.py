@@ -273,6 +273,9 @@ _TAIL = (
     # events_rate_anomaly, batch-equivalent under AvailableNow) —
     # oracle-backed tail, exact-checked by the mini-driver.
     "stream_rate_monitor",
+    # rows-only by design: per-block Lloyd's is iterative; pure-Python
+    # per-block mirror parity in tests/test_clustering.py.
+    "pq_compression_report",
 )
 
 

@@ -221,3 +221,47 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+PQ_BLOCKS = 4
+PQ_CODES = 8
+PQ_ITERS = 2
+
+
+@register(
+    "pq_compression_report",
+    oracle=None,  # per-block Lloyd's is iterative (driver-looped) — not
+    # SQL-expressible; exact parity vs the pure-Python k-means mirror per
+    # block plus structural invariants live in tests/test_clustering.py
+    doc="⊕ product-quantization report (Jégou 2011 — FAISS's PQ): each "
+    "64-dim vector k-means'd per 16-dim block into 4 one-byte codes "
+    "(256 bytes → 4, the storage side of ANN at 100 TB; IVF prunes "
+    "which vectors to score, PQ shrinks what each costs), reported per "
+    "(block, code) with membership count and summed squared "
+    "reconstruction error. Reuses kmeans_fit's deterministic machinery "
+    "wholesale — smallest-id init, shuffle-free literal-centroid "
+    "assignment, quantized-mean updates — so codebooks and codes are "
+    "bit-identical across reruns and reproducible by the independent "
+    "pure-Python mirror (tests/test_clustering.py pins per-block "
+    "equality). Per block: one scan per iteration + a k×16-key agg; the "
+    "4 blocks are independent (concurrent on a cluster). Rows-only by "
+    "design (iterative).",
+    tags=("similarity", "embedding", "pq", "compression"),
+)
+def pq_compression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.similarity import pq_fit
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    codes, _ = pq_fit(
+        emb, m_blocks=PQ_BLOCKS, k=PQ_CODES, iters=PQ_ITERS
+    )
+    return (
+        codes.groupBy("block", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("sqd").alias("sse"),
+        )
+        .orderBy("block", "code")
+    )

@@ -154,3 +154,49 @@ def test_kmeans_empty_input_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="no vectors"):
         kmeans_fit(df, k=4, iters=1)
+
+
+def test_pq_blocks_match_pure_python_bitwise(spark):
+    """Each PQ block's codes must equal an independent pure-Python
+    Lloyd's run on that block's sub-vectors (same smallest-id init and
+    quantized-mean update) — per-block exact parity, the same contract
+    embedding_kmeans carries for the full vectors."""
+    from data_pipeline_team5_spark.operators.similarity import pq_fit
+    from data_pipeline_team5_spark.plans.similarity_family import (
+        PQ_BLOCKS,
+        PQ_CODES,
+        PQ_ITERS,
+    )
+
+    vecs = _load_vectors(SF_SMALL)
+    dim = len(next(iter(vecs.values())))
+    step = dim // PQ_BLOCKS
+
+    from pyspark.sql import functions as F
+
+    emb = table(spark, SF_SMALL, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    codes, books = pq_fit(
+        emb, m_blocks=PQ_BLOCKS, k=PQ_CODES, iters=PQ_ITERS
+    )
+    got = {
+        (r["vec_id"], r["block"]): r["code"] for r in codes.collect()
+    }
+    assert len(books) == PQ_BLOCKS
+
+    for b in range(PQ_BLOCKS):
+        sub = {
+            vid: v[b * step : (b + 1) * step] for vid, v in vecs.items()
+        }
+        assign, cents = _py_kmeans(sub, k=PQ_CODES, iters=PQ_ITERS)
+        for vid, (cl, _) in assign.items():
+            assert got[(vid, b)] == cl, (b, vid)
+        assert books[b] == cents
+
+    # every vector carries exactly one code per block
+    from collections import Counter
+
+    per_vec = Counter(vid for vid, _ in got)
+    assert set(per_vec.values()) == {PQ_BLOCKS}
