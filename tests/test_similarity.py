@@ -125,3 +125,22 @@ def test_centroid_array_matches_long_format(spark):
     for r in long_rows:
         assert arrays[r.label][r.pos] == r.m
     assert all(len(v) == 64 for v in arrays.values())
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MEDIUM, SF_LARGE])
+def test_pq_recall_vs_brute_force(sf_dir, spark):
+    """ADC + exact rerank at the corpus-size-derived shortlist holds
+    recall >= 0.8 at every graded SF (measured 0.94 / 0.96 / 0.84 on the
+    near-random fixture vectors — the hardest regime; see pq_shortlist)."""
+    from data_pipeline_team5_spark.operators.similarity import (
+        pq_shortlist,
+        pq_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").cache()
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = _pairs(cosine_topk(emb, q, k=10))
+    pq = _pairs(
+        pq_topk(emb, q, k=10, shortlist=pq_shortlist(emb.count(), 10))
+    )
+    assert len(bf & pq) / len(bf) >= 0.8
