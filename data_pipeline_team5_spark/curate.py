@@ -219,6 +219,14 @@ def main(argv: list[str] | None = None) -> int:
                             "processes only files that arrived since the "
                             "last run — the cron-free form of the daily "
                             "loop")
+    p_str.add_argument("--shard-root", default=None,
+                       help="optional delivery leg: ALSO land each "
+                            "micro-batch's survivors as deterministic "
+                            "training-shard partitions (shard_id=K/"
+                            "batch_id=<fold>/) under this root — the "
+                            "idempotent incremental form of `shard "
+                            "--batch-id`, completing ingest → curate → "
+                            "fold → deliver in one streaming command")
     p_cmp = sub.add_parser(
         "compact",
         help="collapse per-day batch_id partitions into one base "
@@ -492,6 +500,14 @@ def main(argv: list[str] | None = None) -> int:
             build_signature_index(survivors, args.sig, batch_id=fold)
             build_exact_key_index(survivors, args.key, batch_id=fold)
             append_corpus_batch(survivors, args.corpus, fold)
+            if args.shard_root:
+                from data_pipeline_team5_spark.sources.writers import (
+                    write_training_shards,
+                )
+
+                write_training_shards(
+                    survivors, args.shard_root, batch_id=fold
+                )
             processed.append(fold)
 
         ckpt = args.checkpoint or (args.out.rstrip("/") + "_ckpt")

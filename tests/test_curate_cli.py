@@ -728,3 +728,70 @@ def test_shard_incremental_batches_idempotent(spark, tmp_path, capsys):
         .collect()
     }
     assert got == want  # same shard per doc as a full re-deal
+
+
+def test_cli_stream_shard_delivery_leg(spark, tmp_path, capsys):
+    """`stream --shard-root`: each micro-batch's survivors ALSO land as
+    shard_id/batch_id partitions — the shard set equals the fold set per
+    batch, every doc sits in the shard a full re-deal would choose, and a
+    rerun with no new arrivals leaves the shard root untouched."""
+    from data_pipeline_team5_spark.operators.sampling import shard_assign
+
+    docs, paths = _days(spark, tmp_path)
+    s = _store_args(tmp_path)
+    _run(capsys, ["init-corpus", "--docs", paths["day0"],
+                  "--corpus", s["corpus"]])
+    _run(capsys, ["build-index", "--docs", s["corpus"],
+                  "--sig", s["sig"], "--key", s["key"]])
+
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    for day in ("day1", "day2"):
+        df = spark.read.parquet(paths[day])
+        df.coalesce(1).write.parquet(str(tmp_path / f"stage_{day}"))
+        part = next(
+            p for p in (tmp_path / f"stage_{day}").iterdir()
+            if p.name.endswith(".parquet")
+        )
+        part.rename(arrivals / f"{day}.parquet")
+
+    shard_root = str(tmp_path / "shards")
+    argv = ["stream", "--arrivals", str(arrivals), "--corpus", s["corpus"],
+            "--sig", s["sig"], "--key", s["key"], "--out", s["out"],
+            "--shard-root", shard_root]
+    r = _run(capsys, argv)
+    assert len(r["batches"]) == 2
+
+    shards = spark.read.parquet(shard_root)
+    out = spark.read.parquet(s["out"])
+    # per batch, the sharded doc set == the folded survivor set
+    for fold in ("s0", "s1"):
+        delivered = {
+            x.doc_id
+            for x in shards.filter(F.col("batch_id") == fold)
+            .select("doc_id").collect()
+        }
+        folded = {
+            x.doc_id
+            for x in out.filter(F.col("batch_id") == fold)
+            .select("doc_id").distinct().collect()
+        }
+        assert delivered == folded and delivered
+    # deal agreement with a from-scratch full re-deal
+    got = {(x.doc_id, x.shard_id)
+           for x in shards.select("doc_id", "shard_id").collect()}
+    want = {
+        (x.doc_id, x.shard_id)
+        for x in shard_assign(
+            shards.select("doc_id").distinct(), "doc_id", 16
+        ).collect()
+    }
+    assert got == want
+
+    before = sorted(str(p) for p in __import__("pathlib").Path(
+        shard_root).rglob("*.parquet"))
+    r2 = _run(capsys, argv)
+    assert r2["batches"] == []
+    after = sorted(str(p) for p in __import__("pathlib").Path(
+        shard_root).rglob("*.parquet"))
+    assert before == after  # untouched on a no-op rerun
