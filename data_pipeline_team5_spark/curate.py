@@ -22,7 +22,9 @@ tests/test_incremental_neardup, tests/test_curate_cli):
                directory as a file-source stream (one micro-batch per
                file, ``Trigger.AvailableNow``), run the curate+fold body
                per micro-batch, and keep a DURABLE checkpoint so a rerun
-               processes only files that arrived since the last run
+               processes only files that arrived since the last run;
+               ``--shard-root`` adds the delivery leg (each micro-batch's
+               survivors also land as shard_id/batch_id partitions)
   compact      maintenance: collapse each fold store's accumulated
                per-day ``batch_id`` partitions into one consolidated
                ``batch_id=base`` partition (small-files hygiene; run
