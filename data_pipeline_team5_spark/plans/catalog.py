@@ -279,6 +279,9 @@ _TAIL = (
     # rows-only by design (iterative + ADC lookup); recall ≥ 0.8 vs
     # brute force pinned at three SFs in tests/test_similarity.py.
     "knn_pq",
+    # Round 9 continued: fixed-grid resize over the Arrow blob path
+    # (padding-agnostic byte-sum oracle) — oracle-backed tail.
+    "mm_resize_grid",
 )
 
 

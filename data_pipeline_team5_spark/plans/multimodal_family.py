@@ -100,3 +100,68 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # doc-grain output: no final global sort
     return decode_features(attach_bmp_blob(docs), backend="bmp")
+
+
+RESIZE_W, RESIZE_H = 8, 8
+_N_OUT = RESIZE_W * RESIZE_H
+
+
+@register(
+    "mm_resize_grid",
+    oracle=f"""
+        SELECT doc_id,
+               CAST({RESIZE_W} AS INT) AS out_w,
+               CAST({RESIZE_H} AS INT) AS out_h,
+               CAST(GREATEST(0, {_N_OUT} - length(text)) AS INT)
+                   AS n_padded,
+               CAST(CASE WHEN length(text) >= {_N_OUT}
+                    THEN list_sum(list_transform(range({_N_OUT}),
+                         i -> ord(substr(text,
+                              1 + i * (length(text) // {_N_OUT}), 1))))
+                    ELSE list_sum(list_transform(range(length(text)),
+                         i -> ord(substr(text, 1 + i, 1))))
+               END AS BIGINT) AS byte_sum
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="⊕ multimodal fixed-grid resize: every payload downsampled to an "
+    "8×8 byte grid by deterministic strided sampling (operators/"
+    "multimodal.py:resize_blob — the gated stand-in for bilinear resize; "
+    "a PIL branch drops in behind the same BINARY→BINARY schema), with "
+    "the pad count and the grid's byte sum reported. The byte sum is "
+    "PADDING-AGNOSTIC by construction (zero bytes add zero), which is "
+    "what lets the ASCII-payload oracle reproduce the Arrow path's "
+    "output exactly — the same hash-the-plumbing strategy as "
+    "mm_blob_features, now covering the resize operator too. One "
+    "map-side Arrow pass; rows never fan out; output size is "
+    "schema-constant (the property a fixed-shape feature extractor "
+    "downstream relies on).",
+    tags=("multimodal", "mapInPandas", "resize"),
+)
+def mm_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_team5_spark.operators.multimodal import resize_blob
+
+    docs = table(spark, sf_dir, "documents")
+    resized = resize_blob(
+        attach_blob(docs), out_w=RESIZE_W, out_h=RESIZE_H
+    )
+    byte_sum = F.expr(
+        "aggregate(sequence(1, length(resized)), 0L, "
+        "(a, i) -> a + ascii(substring(CAST(resized AS STRING), i, 1)))"
+    )
+    n = docs.select("doc_id", F.length("text").alias("_n"))
+    return (
+        resized.join(n, "doc_id")
+        .select(
+            "doc_id",
+            "out_w",
+            "out_h",
+            F.greatest(F.lit(0), F.lit(_N_OUT) - F.col("_n"))
+            .cast("int")
+            .alias("n_padded"),
+            byte_sum.alias("byte_sum"),
+        )
+        .orderBy("doc_id")
+    )
