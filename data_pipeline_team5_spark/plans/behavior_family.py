@@ -316,6 +316,26 @@ ANOM_MIN_N = 3  # minimum trailing days before flagging
 ANOM_Z2 = 9  # z² threshold (3σ)
 
 
+def anomaly_flag(n, w_n, s, q, z2: int = ANOM_Z2, min_n: int = ANOM_MIN_N):
+    """The shared integer-exact 3σ flag: (x·w − s)² > z²·w·(q·w − s²),
+    computed in DECIMAL(38,0) — int64 wraps silently once daily counts
+    pass ~1e9 (dev² ~ 1e19+), and DuckDB's 128-bit path would NOT wrap,
+    a latent cross-engine divergence the fixture can't see. Shared by
+    events_rate_anomaly and stream_rate_monitor; the overflow regime is
+    pinned directly in tests/test_behavior_family.py."""
+    # promote BEFORE any multiply: under ANSI mode an int64 overflow in
+    # s*s or dev*dev throws (and without ANSI it would wrap) — every
+    # operand enters the arithmetic as DECIMAL(38,0)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731 - local shorthand
+    dev = d(n) * d(w_n) - d(s)
+    var_term = d(q) * d(w_n) - d(s) * d(s)
+    return F.when(
+        w_n >= min_n,
+        dev * dev > d(F.lit(z2)) * d(w_n) * var_term,
+    ).otherwise(F.lit(False))
+
+
+
 @register(
     "events_rate_anomaly",
     oracle=f"""
@@ -328,8 +348,9 @@ ANOM_Z2 = 9  # z² threshold (3σ)
             SELECT day, n_events,
                    CAST(COUNT(*) OVER w AS BIGINT) AS w_n,
                    CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS s,
-                   CAST(COALESCE(SUM(n_events * n_events) OVER w, 0)
-                        AS BIGINT) AS q
+                   CAST(COALESCE(SUM(CAST(n_events AS DECIMAL(38,0))
+                                      * n_events) OVER w, 0)
+                        AS DECIMAL(38,0)) AS q
             FROM daily
             WINDOW w AS (ORDER BY day
                          ROWS BETWEEN {ANOM_TRAIL} PRECEDING
@@ -337,8 +358,10 @@ ANOM_Z2 = 9  # z² threshold (3σ)
         )
         SELECT day, n_events, w_n AS trail_days, s AS trail_sum,
                CASE WHEN w_n >= {ANOM_MIN_N}
-                    THEN (n_events * w_n - s) * (n_events * w_n - s)
-                         > {ANOM_Z2} * w_n * (q * w_n - s * s)
+                    THEN CAST(n_events * w_n - s AS DECIMAL(38,0))
+                         * CAST(n_events * w_n - s AS DECIMAL(38,0))
+                         > CAST({ANOM_Z2} * w_n AS DECIMAL(38,0))
+                           * CAST(q * w_n - s * s AS DECIMAL(38,0))
                     ELSE FALSE END AS is_anomaly
         FROM trail
         ORDER BY day
@@ -371,21 +394,23 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.count(F.lit(1)).over(w).alias("w_n"),
         F.coalesce(F.sum("n_events").over(w), F.lit(0)).alias("s"),
+        # Σx² in DECIMAL: the sum of squares itself passes int64 once
+        # daily counts reach ~2e9 (x² ~ 4e18, a week of them ~ 3e19)
         F.coalesce(
-            F.sum(F.col("n_events") * F.col("n_events")).over(w), F.lit(0)
+            F.sum(
+                (F.col("n_events") * F.col("n_events")).cast(
+                    "decimal(38,0)"
+                )
+            ).over(w),
+            F.lit(0).cast("decimal(38,0)"),
         ).alias("q"),
     )
-    dev = F.col("n_events") * F.col("w_n") - F.col("s")
-    var_term = F.col("q") * F.col("w_n") - F.col("s") * F.col("s")
     return trail.select(
         "day",
         "n_events",
         F.col("w_n").alias("trail_days"),
         F.col("s").alias("trail_sum"),
-        F.when(
-            F.col("w_n") >= ANOM_MIN_N,
-            dev * dev > F.lit(ANOM_Z2) * F.col("w_n") * var_term,
-        )
-        .otherwise(F.lit(False))
-        .alias("is_anomaly"),
+        anomaly_flag(
+            F.col("n_events"), F.col("w_n"), F.col("s"), F.col("q")
+        ).alias("is_anomaly"),
     ).orderBy("day")

@@ -415,16 +415,19 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT day, n_events,
                    CAST(COUNT(*) OVER w AS BIGINT) AS w_n,
                    CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS s,
-                   CAST(COALESCE(SUM(n_events * n_events) OVER w, 0)
-                        AS BIGINT) AS q
+                   CAST(COALESCE(SUM(CAST(n_events AS DECIMAL(38,0))
+                                      * n_events) OVER w, 0)
+                        AS DECIMAL(38,0)) AS q
             FROM daily
             WINDOW w AS (ORDER BY day
                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
         )
         SELECT day, n_events, w_n AS trail_days, s AS trail_sum,
                CASE WHEN w_n >= 3
-                    THEN (n_events * w_n - s) * (n_events * w_n - s)
-                         > 9 * w_n * (q * w_n - s * s)
+                    THEN CAST(n_events * w_n - s AS DECIMAL(38,0))
+                         * CAST(n_events * w_n - s AS DECIMAL(38,0))
+                         > CAST(9 * w_n AS DECIMAL(38,0))
+                           * CAST(q * w_n - s * s AS DECIMAL(38,0))
                     ELSE FALSE END AS is_anomaly
         FROM trail
         ORDER BY day
@@ -458,21 +461,27 @@ def stream_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.count(F.lit(1)).over(w).alias("w_n"),
         F.coalesce(F.sum("n_events").over(w), F.lit(0)).alias("s"),
+        # Σx² in DECIMAL: the sum of squares itself passes int64 once
+        # daily counts reach ~2e9 (x² ~ 4e18, a week of them ~ 3e19)
         F.coalesce(
-            F.sum(F.col("n_events") * F.col("n_events")).over(w), F.lit(0)
+            F.sum(
+                (F.col("n_events") * F.col("n_events")).cast(
+                    "decimal(38,0)"
+                )
+            ).over(w),
+            F.lit(0).cast("decimal(38,0)"),
         ).alias("q"),
     )
-    dev = F.col("n_events") * F.col("w_n") - F.col("s")
-    var_term = F.col("q") * F.col("w_n") - F.col("s") * F.col("s")
+    from data_pipeline_team5_spark.plans.behavior_family import (
+        anomaly_flag,
+    )
+
     return trail.select(
         "day",
         "n_events",
         F.col("w_n").alias("trail_days"),
         F.col("s").alias("trail_sum"),
-        F.when(
-            F.col("w_n") >= ANOM_MIN_N,
-            dev * dev > F.lit(ANOM_Z2) * F.col("w_n") * var_term,
-        )
-        .otherwise(F.lit(False))
-        .alias("is_anomaly"),
+        anomaly_flag(
+            F.col("n_events"), F.col("w_n"), F.col("s"), F.col("q")
+        ).alias("is_anomaly"),
     ).orderBy("day")

@@ -135,3 +135,49 @@ def test_cohort_retention_invariants(spark):
         assert r["active_users"] <= r["cohort_size"]
         assert 0.0 < r["retention"] <= 1.0
         assert r["day_offset"] >= 0
+
+
+def test_anomaly_flag_survives_int64_overflow_regime(spark):
+    """The decimal-routed z-test must stay correct where the naive BIGINT
+    form wraps: daily counts ~2e9 make (x*w - s)^2 ~ 1e20 > 2^63. Check
+    the Spark flag against exact Python big-int arithmetic on crafted
+    trailing-window states, including one flagged and one unflagged case
+    at that magnitude."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_team5_spark.plans.behavior_family import (
+        ANOM_MIN_N,
+        ANOM_Z2,
+        anomaly_flag,
+    )
+
+    base = 2_000_000_000
+    rows = [
+        # (n_events, w_n, s, q): steady week then one quiet / one spike
+        (base, 7, 7 * base, 7 * base * base),            # dead steady
+        (base // 2, 7, 7 * base, 7 * base * base),       # 50% collapse
+        (3 * base, 7, 7 * base + 70, 7 * base * base + 9999),  # spike
+        (base, 2, 2 * base, 2 * base * base),            # short window
+    ]
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(n, w, s_, Decimal(q)) for n, w, s_, q in rows],
+        "n_events BIGINT, w_n BIGINT, s BIGINT, q DECIMAL(38,0)",
+    )
+    got = [
+        r["flag"]
+        for r in df.select(
+            anomaly_flag(
+                F.col("n_events"), F.col("w_n"), F.col("s"), F.col("q")
+            ).alias("flag")
+        ).collect()
+    ]
+    want = []
+    for n, w, s_, q in rows:
+        if w < ANOM_MIN_N:
+            want.append(False)
+        else:
+            want.append((n * w - s_) ** 2 > ANOM_Z2 * w * (q * w - s_ * s_))
+    assert got == want
+    assert want == [False, True, True, False]  # the crafted regimes
