@@ -358,10 +358,11 @@ def anomaly_flag(n, w_n, s, q, z2: int = ANOM_Z2, min_n: int = ANOM_MIN_N):
         )
         SELECT day, n_events, w_n AS trail_days, s AS trail_sum,
                CASE WHEN w_n >= {ANOM_MIN_N}
-                    THEN CAST(n_events * w_n - s AS DECIMAL(38,0))
-                         * CAST(n_events * w_n - s AS DECIMAL(38,0))
+                    THEN (CAST(n_events AS DECIMAL(38,0)) * w_n - s)
+                         * (CAST(n_events AS DECIMAL(38,0)) * w_n - s)
                          > CAST({ANOM_Z2} * w_n AS DECIMAL(38,0))
-                           * CAST(q * w_n - s * s AS DECIMAL(38,0))
+                           * (q * w_n
+                              - CAST(s AS DECIMAL(38,0)) * s)
                     ELSE FALSE END AS is_anomaly
         FROM trail
         ORDER BY day

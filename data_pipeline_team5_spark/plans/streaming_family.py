@@ -424,10 +424,11 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT day, n_events, w_n AS trail_days, s AS trail_sum,
                CASE WHEN w_n >= 3
-                    THEN CAST(n_events * w_n - s AS DECIMAL(38,0))
-                         * CAST(n_events * w_n - s AS DECIMAL(38,0))
+                    THEN (CAST(n_events AS DECIMAL(38,0)) * w_n - s)
+                         * (CAST(n_events AS DECIMAL(38,0)) * w_n - s)
                          > CAST(9 * w_n AS DECIMAL(38,0))
-                           * CAST(q * w_n - s * s AS DECIMAL(38,0))
+                           * (q * w_n
+                              - CAST(s AS DECIMAL(38,0)) * s)
                     ELSE FALSE END AS is_anomaly
         FROM trail
         ORDER BY day
