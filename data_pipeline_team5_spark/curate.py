@@ -307,7 +307,8 @@ def main(argv: list[str] | None = None) -> int:
             scrub_pii=args.scrub_pii,
             survivor_policy=args.survivor_policy,
             source_priority=(
-                args.source_priority.split(",")
+                [p.strip() for p in args.source_priority.split(",")
+                 if p.strip()]
                 if args.source_priority
                 else None
             ),
@@ -425,9 +426,6 @@ def main(argv: list[str] | None = None) -> int:
             "good_turing_unseen_mass": card["good_turing_unseen_mass"],
         }))
     elif args.cmd == "shard":
-        from data_pipeline_team5_spark.operators.sampling import (
-            shard_assign,
-        )
         from data_pipeline_team5_spark.sources.writers import (
             write_training_shards,
         )
@@ -437,12 +435,26 @@ def main(argv: list[str] | None = None) -> int:
             docs, args.out, key=args.key, n_shards=args.n_shards,
             batch_id=getattr(args, "batch_id", None),
         )
+        # manifest from the WRITTEN root (no second deal/scan of --docs;
+        # with --batch-id it reflects the full accumulated root, which is
+        # what an operator audits). Checksum is a type-agnostic hash sum
+        # (a plain SUM over a string key would be NULL and crash the
+        # int() below), coalesced so an empty shard root still prints.
         manifest = (
-            shard_assign(docs, args.key, args.n_shards)
+            spark.read.parquet(args.out)
             .groupBy("shard_id")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(args.key).alias("ck"),
+                F.coalesce(
+                    # decimal accumulator: xxhash64 spans the full int64
+                    # range, so a plain BIGINT sum overflows under ANSI
+                    F.sum(
+                        F.xxhash64(F.col(args.key).cast("string")).cast(
+                            "decimal(38,0)"
+                        )
+                    ),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("ck"),
             )
             .orderBy("shard_id")
             .collect()

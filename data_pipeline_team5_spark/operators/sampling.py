@@ -248,8 +248,11 @@ def shard_assign(
     intra-shard shuffle key derived from one md5 of the row key:
     hex chars 17-24 → ``shard_id`` in [0, n_shards), hex chars 9-16 →
     ``sort_key`` (fixed-width lowercase hex, so string order == numeric
-    order), suffixed with the zero-padded key so the order is total even
-    under a 32-bit digest-prefix collision. Chars 1-8 are deliberately NOT
+    order), suffixed with the FULL key string so the order is total even
+    under a 32-bit digest-prefix collision (no padding: lpad TRUNCATES
+    keys longer than its width, which would break totality for 19-digit
+    bigint ids — among collisions the tiebreak order is lexicographic,
+    i.e. arbitrary-but-deterministic, which is all totality needs). Chars 1-8 are deliberately NOT
     used: they are :func:`hash_bucket`'s bits, and because 16 divides
     10000, ``% n_shards`` of those bits would be a pure function of the
     split bucket — val docs would deal into a split-correlated shard
@@ -271,7 +274,7 @@ def shard_assign(
         F.concat(
             F.substring(d, 9, 8),
             F.lit(":"),
-            F.lpad(F.col(key).cast("string"), 12, "0"),
+            F.col(key).cast("string"),
         ),
     )
 
@@ -372,13 +375,23 @@ def inspection_sample(
     short_groups = [r[0] for r in short.collect()]
     if not short_groups:
         return ranked.drop("_ik")
+    # membership must be NULL-SAFE: a NULL group value makes isin()
+    # three-valued (NULL), which would silently drop the NULL group from
+    # BOTH branches — and a None inside the list would poison every
+    # comparison. Split the sentinel out explicitly.
+    non_null = [g for g in short_groups if g is not None]
+    is_short = F.col(group_col).isin(non_null) if non_null else F.lit(False)
+    if any(g is None for g in short_groups):
+        is_short = is_short | F.col(group_col).isNull()
+    else:
+        is_short = F.coalesce(is_short, F.lit(False))
     exact_fallback = (
-        keyed.filter(F.col(group_col).isin(short_groups))
+        keyed.filter(is_short)
         .withColumn("pick_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("pick_rank") <= k)
     )
     return (
-        ranked.filter(~F.col(group_col).isin(short_groups))
+        ranked.filter(~F.coalesce(is_short, F.lit(False)))
         .unionByName(exact_fallback)
         .drop("_ik")
     )

@@ -495,7 +495,10 @@ def pq_fit(
     Returns (codes DataFrame: id, block, code, sqd; codebooks
     [block][code][dim/M]).
     """
-    dim = len(vectors.select(vec_col).first()[0])
+    head = vectors.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("pq_fit: no vectors to quantize")
+    dim = len(head[0])
     if dim % m_blocks:
         raise ValueError(f"pq_fit: dim {dim} not divisible by {m_blocks}")
     step = dim // m_blocks

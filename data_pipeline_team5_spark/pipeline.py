@@ -994,7 +994,17 @@ def compact_fold_stores(
             # correct store even when this raise goes unhandled.
             bad = f"{root}__compact_bad"
             fs.delete(fs_path(bad), True)  # stale bad tree from before
-            fs.rename(fs_path(root), fs_path(bad))
+            if not fs.rename(fs_path(root), fs_path(bad)):
+                # the park itself failed: the corrupt tree is STILL live
+                # at root — say so precisely instead of claiming a
+                # restore happened (a restore attempt over the occupied
+                # root would fail too and mislead the operator twice)
+                raise RuntimeError(
+                    f"compact: row count changed for {root} "
+                    f"({n_rows} -> {n_after}) AND parking the bad tree "
+                    f"failed — the BAD tree is still ACTIVE at {root}; "
+                    f"verified-good original at {bak}"
+                )
             if not fs.rename(fs_path(bak), fs_path(root)):
                 raise RuntimeError(
                     f"compact: row count changed for {root} "

@@ -316,6 +316,28 @@ ANOM_MIN_N = 3  # minimum trailing days before flagging
 ANOM_Z2 = 9  # z² threshold (3σ)
 
 
+def rate_trail(daily: DataFrame) -> DataFrame:
+    """Trailing-week window state over a (day, n_events) frame — shared
+    by events_rate_anomaly and stream_rate_monitor so the overflow test
+    drives the REAL construction: the sum of squares promotes to DECIMAL
+    BEFORE the multiply (an int64 product throws under ANSI once daily
+    counts pass ~3.04e9, and silently wraps without ANSI)."""
+    w = Window.orderBy("day").rowsBetween(-ANOM_TRAIL, -1)
+    return daily.select(
+        "day",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).alias("s"),
+        F.coalesce(
+            F.sum(
+                F.col("n_events").cast("decimal(38,0)")
+                * F.col("n_events")
+            ).over(w),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("q"),
+    )
+
+
 def anomaly_flag(n, w_n, s, q, z2: int = ANOM_Z2, min_n: int = ANOM_MIN_N):
     """The shared integer-exact 3σ flag: (x·w − s)² > z²·w·(q·w − s²),
     computed in DECIMAL(38,0) — int64 wraps silently once daily counts
@@ -386,26 +408,7 @@ def anomaly_flag(n, w_n, s, q, z2: int = ANOM_Z2, min_n: int = ANOM_MIN_N):
 def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
     daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n_events"))
-    w = (
-        Window.orderBy("day")
-        .rowsBetween(-ANOM_TRAIL, -1)
-    )
-    trail = daily.select(
-        "day",
-        "n_events",
-        F.count(F.lit(1)).over(w).alias("w_n"),
-        F.coalesce(F.sum("n_events").over(w), F.lit(0)).alias("s"),
-        # Σx² in DECIMAL: the sum of squares itself passes int64 once
-        # daily counts reach ~2e9 (x² ~ 4e18, a week of them ~ 3e19)
-        F.coalesce(
-            F.sum(
-                (F.col("n_events") * F.col("n_events")).cast(
-                    "decimal(38,0)"
-                )
-            ).over(w),
-            F.lit(0).cast("decimal(38,0)"),
-        ).alias("q"),
-    )
+    trail = rate_trail(daily)
     return trail.select(
         "day",
         "n_events",

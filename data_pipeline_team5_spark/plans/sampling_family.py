@@ -296,7 +296,7 @@ N_SHARDS = 16
                    CAST(('0x' || substr(d, 17, 8))::UBIGINT
                         % {N_SHARDS} AS BIGINT) AS shard_id,
                    substr(d, 9, 8) || ':'
-                       || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS sort_key
+                       || CAST(doc_id AS VARCHAR) AS sort_key
             FROM h
         )
         SELECT shard_id,

@@ -349,24 +349,9 @@ _set_stream_neardup_oracle()
 def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_team5_spark.plans.catalog import table
     from data_pipeline_team5_spark.plans.versioning_family import (
-        _drift_len_bucket,
+        drift_feats as feats,
         drift_from_grid,
     )
-
-    def feats(df: DataFrame) -> DataFrame:
-        pair = F.explode(
-            F.array(
-                F.struct(
-                    F.lit("lang").alias("feature"),
-                    F.col("lang").alias("bucket"),
-                ),
-                F.struct(
-                    F.lit("len").alias("feature"),
-                    _drift_len_bucket(F.col("n_chars")).alias("bucket"),
-                ),
-            )
-        )
-        return df.select(pair.alias("f")).select("f.feature", "f.bucket")
 
     arriving = (
         spark.readStream.schema(
@@ -446,9 +431,8 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_team5_spark.plans.behavior_family import (
-        ANOM_MIN_N,
-        ANOM_TRAIL,
-        ANOM_Z2,
+        anomaly_flag,
+        rate_trail,
     )
 
     daily = drain_to_memory(
@@ -456,27 +440,7 @@ def stream_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    w = Window.orderBy("day").rowsBetween(-ANOM_TRAIL, -1)
-    trail = daily.select(
-        "day",
-        "n_events",
-        F.count(F.lit(1)).over(w).alias("w_n"),
-        F.coalesce(F.sum("n_events").over(w), F.lit(0)).alias("s"),
-        # Σx² in DECIMAL: the sum of squares itself passes int64 once
-        # daily counts reach ~2e9 (x² ~ 4e18, a week of them ~ 3e19)
-        F.coalesce(
-            F.sum(
-                (F.col("n_events") * F.col("n_events")).cast(
-                    "decimal(38,0)"
-                )
-            ).over(w),
-            F.lit(0).cast("decimal(38,0)"),
-        ).alias("q"),
-    )
-    from data_pipeline_team5_spark.plans.behavior_family import (
-        anomaly_flag,
-    )
-
+    trail = rate_trail(daily)
     return trail.select(
         "day",
         "n_events",

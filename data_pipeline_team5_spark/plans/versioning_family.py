@@ -261,6 +261,27 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_report(docs.select("lang", "n_chars"), v2d)
 
 
+def drift_feats(df: DataFrame) -> DataFrame:
+    """The ONE definition of the drift feature/bucket explosion —
+    ('lang', lang) and ('len', 64-char bucket) per row — shared by
+    drift_report and the streaming monitor so a bucket-scheme change can
+    never desynchronize the batch report from its streaming twin (the
+    prose-contract-rot class VERDICT r7 #5 flagged for snapshot diff)."""
+    pair = F.explode(
+        F.array(
+            F.struct(
+                F.lit("lang").alias("feature"),
+                F.col("lang").alias("bucket"),
+            ),
+            F.struct(
+                F.lit("len").alias("feature"),
+                _drift_len_bucket(F.col("n_chars")).alias("bucket"),
+            ),
+        )
+    )
+    return df.select(pair.alias("f")).select("f.feature", "f.bucket")
+
+
 def drift_report(a_docs: DataFrame, b_docs: DataFrame) -> DataFrame:
     """The drift core both the catalog query and production callers run:
     two (lang, n_chars) snapshots → per-(feature, bucket) counts/shares +
@@ -270,21 +291,7 @@ def drift_report(a_docs: DataFrame, b_docs: DataFrame) -> DataFrame:
     on every row — pinned in tests/test_quality_family.py."""
 
     def feats(df: DataFrame, side: int) -> DataFrame:
-        pair = F.explode(
-            F.array(
-                F.struct(
-                    F.lit("lang").alias("feature"),
-                    F.col("lang").alias("bucket"),
-                ),
-                F.struct(
-                    F.lit("len").alias("feature"),
-                    _drift_len_bucket(F.col("n_chars")).alias("bucket"),
-                ),
-            )
-        )
-        return df.select(pair.alias("f"), F.lit(side).alias("side")).select(
-            "f.feature", "f.bucket", "side"
-        )
+        return drift_feats(df).select("*", F.lit(side).alias("side"))
 
     grid = (
         feats(a_docs, 0)

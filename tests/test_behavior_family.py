@@ -181,3 +181,26 @@ def test_anomaly_flag_survives_int64_overflow_regime(spark):
             want.append((n * w - s_) ** 2 > ANOM_Z2 * w * (q * w - s_ * s_))
     assert got == want
     assert want == [False, True, True, False]  # the crafted regimes
+
+
+def test_rate_trail_construction_survives_overflow_regime(spark):
+    """Drive the REAL q construction (not injected literals): daily
+    counts past ~3.04e9 make n_events*n_events exceed int64 — the shared
+    rate_trail must compute the sum of squares exactly where an
+    unpromoted multiply throws under ANSI mode."""
+    import datetime
+
+    from data_pipeline_team5_spark.plans.behavior_family import rate_trail
+
+    base = datetime.date(2025, 1, 1)
+    daily = spark.createDataFrame(
+        [(base + datetime.timedelta(days=i), 4_000_000_000 + i)
+         for i in range(9)],
+        "day DATE, n_events BIGINT",
+    )
+    rows = rate_trail(daily).orderBy("day").collect()
+    n = 4_000_000_000
+    # exact python big-int cross-check of the 9th day's trailing week
+    expect_q = sum((n + i) * (n + i) for i in range(1, 8))
+    assert int(rows[-1]["q"]) == expect_q
+    assert rows[-1]["s"] == sum(n + i for i in range(1, 8))

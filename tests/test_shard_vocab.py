@@ -219,3 +219,41 @@ def test_term_spectrum_partitions_vocabulary(spark):
     bin0 = [r for r in rows if r["count_bin"] == 0]
     got = bin0[0]["n_terms"] if bin0 else 0
     assert got == hapax
+
+
+@pytest.mark.parametrize("safety", [1, 50])
+def test_inspection_handles_null_groups(spark, safety):
+    """NULL group values must survive both phases: isin() is three-valued
+    and would silently drop the NULL partition from ranked AND fallback
+    branches (and a None inside the membership list would poison every
+    comparison)."""
+    from data_pipeline_team5_spark.operators.sampling import (
+        inspection_sample,
+    )
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "source", "doc_id", "lang", "n_chars"
+    )
+    # a NULL-source slice big enough to be its own group
+    nulled = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("source")
+        ),
+    )
+    k = 5
+    got = sorted(
+        map(
+            tuple,
+            inspection_sample(nulled, "source", "doc_id", k, safety=safety)
+            .select("source", "pick_rank", "doc_id")
+            .collect(),
+        ),
+        key=lambda t: (t[0] is None, t),
+    )
+    want = sorted(
+        map(tuple, _naive_inspection(spark, nulled, k).collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert got == want
+    assert any(t[0] is None for t in got)  # the NULL group IS sampled
