@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_team5_spark.operators.ranks import exact_ntile_bucket
 from data_pipeline_team5_spark.plans.catalog import register, table
 
 # Funnel stage order: acquisition → engagement → intent → conversion.
@@ -249,33 +250,78 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r_q, f_q, m_q
     """,
     doc="⊕ RFM segmentation: per-user recency (last active day), "
-    "frequency (events) and monetary value, each quartiled with NTILE "
-    "over a deterministic (metric, user_id) total order, rolled up to "
-    "the 4×4×4 segment grid with user/event/cents counts — the classic "
-    "marketing segmentation the cohort/funnel pair completes. Monetary "
-    "sums EXACT INTEGER CENTS (floor(value·100) per event): a raw double "
-    "SUM is shuffle-order-dependent, so it could never hash-match; the "
+    "frequency (events) and monetary value, each quartiled over a "
+    "deterministic (metric, user_id) total order, rolled up to the 4×4×4 "
+    "segment grid with user/event/cents counts — the classic marketing "
+    "segmentation the cohort/funnel pair completes. Monetary sums EXACT "
+    "INTEGER CENTS (floor(value·100) per event): a raw double SUM is "
+    "shuffle-order-dependent, so it could never hash-match; the "
     "quantized sum is associative and bitwise on both engines. Plan "
-    "shape: one events scan → per-user agg (the natural high-cardinality "
-    "shuffle key), then three NTILE windows over the USER-grain table — "
-    "each an explicit global sort of users, fine to ~1e8 users and the "
-    "honest cost of exact quartiles; at the 1e9+ scale swap the windows "
-    "for percentile_approx cutoffs broadcast onto the same per_user "
-    "frame (the sketch_length_quantiles pattern) at the price of "
-    "approximate quartile edges. NTILE's uneven-bucket rule (first N mod "
-    "4 buckets get the extra row) is the SQL standard on both engines, "
-    "and the (metric, user_id) order makes it deterministic.",
+    "shape (round 10, replacing the three single-partition NTILE "
+    "windows): one events scan → per-user agg (the natural "
+    "high-cardinality shuffle key, checkpoint-pinned), then per metric a "
+    "NARROW (metric, user_id) range exchange + per-partition counts "
+    "resolve the three exact NTILE cut-rank elements "
+    "(operators/ranks.py), which fold back as literal struct "
+    "comparisons — bucket assignment is a map-side projection, every "
+    "exchange is range- or hash-partitioned across the cluster, and NO "
+    "window moves the user grain to one task, so the plan survives 1e9+ "
+    "users. Buckets are BITWISE the NTILE result (ranks are exact; the "
+    "SQL-standard uneven rule — first N mod 4 buckets get the extra row "
+    "— is encoded in the cut ranks), so the oracle keeps the canonical "
+    "NTILE form and tests/test_behavior_family.py pins parity against "
+    "the retained NTILE twin (_rfm_ntile_form).",
     headline=True,
     tags=("behavior", "rfm", "segmentation", "window"),
 )
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = _rfm_per_user(spark, sf_dir).localCheckpoint()
+    n = per_user.count()
+    scored = per_user.select(
+        "freq",
+        "cents",
+        exact_ntile_bucket(
+            per_user, ["last_day", "user_id"], 4, n=n
+        ).alias("r_q"),
+        exact_ntile_bucket(
+            per_user, ["freq", "user_id"], 4, n=n
+        ).alias("f_q"),
+        exact_ntile_bucket(
+            per_user, ["cents", "user_id"], 4, n=n
+        ).alias("m_q"),
+    )
+    return _rfm_grid(scored)
+
+
+def _rfm_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
     cents = F.floor(F.col("value") * 100).cast("long")
-    per_user = ev.groupBy("user_id").agg(
+    return ev.groupBy("user_id").agg(
         F.max(F.to_date("ts")).alias("last_day"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(cents).cast("long").alias("cents"),
     )
+
+
+def _rfm_grid(scored: DataFrame) -> DataFrame:
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("freq").cast("long").alias("sum_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+def _rfm_ntile_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical NTILE twin (the catalog query's shape in rounds ≤9,
+    and still the oracle's SQL): correct and bitwise-equal, but its three
+    unpartitioned windows each move the whole user grain to ONE task —
+    retained unregistered as the parity reference the scale-safe plan is
+    tested against (the hard_negative_mining two-form convention)."""
+    per_user = _rfm_per_user(spark, sf_dir)
     scored = per_user.select(
         "freq",
         "cents",
@@ -292,15 +338,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("m_q"),
     )
-    return (
-        scored.groupBy("r_q", "f_q", "m_q")
-        .agg(
-            F.count(F.lit(1)).alias("n_users"),
-            F.sum("freq").cast("long").alias("sum_events"),
-            F.sum("cents").cast("long").alias("sum_cents"),
-        )
-        .orderBy("r_q", "f_q", "m_q")
-    )
+    return _rfm_grid(scored)
 
 
 # ---------------------------------------------------------------------------

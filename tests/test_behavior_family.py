@@ -204,3 +204,68 @@ def test_rate_trail_construction_survives_overflow_regime(spark):
     expect_q = sum((n + i) * (n + i) for i in range(1, 8))
     assert int(rows[-1]["q"]) == expect_q
     assert rows[-1]["s"] == sum(n + i for i in range(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# RFM: the round-10 scale-safe quartile path (operators/ranks.py) must be
+# BITWISE the NTILE form — not approximately, since the catalog oracle
+# keeps the canonical NTILE SQL.
+
+
+def test_rfm_scale_safe_matches_ntile_twin(spark):
+    from data_pipeline_team5_spark.plans.behavior_family import (
+        _rfm_ntile_form,
+        rfm_segments,
+    )
+
+    got = rfm_segments(spark, SF_SMALL).collect()
+    want = _rfm_ntile_form(spark, SF_SMALL).collect()
+    assert got == want
+    assert len(got) > 0
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 7, 8, 9, 16, 17])
+def test_exact_ntile_bucket_edge_sizes(spark, n):
+    """exact_ntile_bucket == F.ntile for every small-n uneven-bucket edge
+    (n < buckets → empty trailing buckets; n mod 4 ∈ {0..3}), including
+    duplicate metric values forcing the user_id tie-break."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_team5_spark.operators.ranks import exact_ntile_bucket
+
+    rows = [(i, (i * 7) % 3, i % 5) for i in range(n)]  # dup metric values
+    df = spark.createDataFrame(rows, "user_id INT, m INT, m2 INT")
+    got = df.select(
+        "user_id",
+        exact_ntile_bucket(df, ["m", "user_id"], 4).alias("b"),
+        exact_ntile_bucket(df, ["m2", "user_id"], 4).alias("b2"),
+    )
+    want = df.select(
+        "user_id",
+        F.ntile(4).over(Window.orderBy("m", "user_id")).alias("b"),
+        F.ntile(4).over(Window.orderBy("m2", "user_id")).alias("b2"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_rows_at_global_ranks_exact(spark):
+    from data_pipeline_team5_spark.operators.ranks import (
+        ntile_cut_ranks,
+        rows_at_global_ranks,
+    )
+
+    vals = [((i * 37) % 101, i) for i in range(101)]
+    df = spark.createDataFrame(vals, "v INT, uid INT")
+    got = rows_at_global_ranks(df, ["v", "uid"], [1, 50, 101], num_partitions=7)
+    ordered = sorted(vals)
+    assert [(r["v"], r["uid"]) for r in got] == [
+        ordered[0], ordered[49], ordered[100]
+    ]
+    # cut-rank math: SQL-standard uneven rule
+    assert ntile_cut_ranks(10, 4) == [3, 6, 8]
+    assert ntile_cut_ranks(8, 4) == [2, 4, 6]
+    assert ntile_cut_ranks(2, 4) == [1, 2, 2]
+    assert ntile_cut_ranks(1, 4) == [1, 1, 1]

@@ -8,7 +8,13 @@ by hand. Allowed: BroadcastNestedLoopJoin (broadcast-bounded, e.g. the
 - CartesianProduct — an unbounded all-pairs shuffle join;
 - BatchEvalPython — a row-at-a-time Python UDF in the plan (Arrow-batched
   ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas are the sanctioned
-  Python surfaces).
+  Python surfaces);
+- Window with an EMPTY partition spec over an unbounded grain — Spark
+  executes it by moving every row to ONE task ("WindowExec: No Partition
+  Defined for Window operation"), the third scale-killer class (VERDICT
+  r9 #1: rfm_segments shipped exactly this while the sweep only checked
+  the other two). Bounded-cardinality uses are allowlisted BY NAME with
+  a justification, so a new unpartitioned window fails loudly.
 """
 
 from __future__ import annotations
@@ -20,6 +26,40 @@ from tests.conftest import SF_SMALL
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
+# Unpartitioned windows whose input grain is PROVABLY bounded at any
+# corpus size — each entry must say why. Anything not listed here fails.
+GLOBAL_WINDOW_ALLOWED = {
+    # Window input is the top-K branch (≤ VOCAB_TOP_K = 24 rows after
+    # TakeOrderedAndProject); the corpus-sized term table never enters it.
+    "vocab_coverage",
+    # Window.partitionBy() total over the genre grid — ≤ |genres| (~25)
+    # rows at any scale; the fact table was aggregated two levels before.
+    "d9_d10_genre_panel",
+    # Day-grain trailing-week frame: |days| rows regardless of corpus
+    # size (and in production the daily counts come from the ingest
+    # manifest, making it corpus-free — see the query doc).
+    "events_rate_anomaly",
+    # Same rate_trail day-grain frame, driven from the streaming drain.
+    "stream_rate_monitor",
+}
+
+
+def _unpartitioned_windows(df) -> list[str]:
+    """Window nodes with an empty partitionSpec in the optimized logical
+    plan (py4j walk; subquery-expression plans are not traversed — every
+    catalog window lives in the main plan)."""
+    hits: list[str] = []
+
+    def walk(node) -> None:
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            hits.append(node.simpleString(120))
+        children = node.children()
+        for i in range(children.length()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return hits
+
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_plan_has_no_scale_killers(name, spark):
@@ -27,6 +67,13 @@ def test_plan_has_no_scale_killers(name, spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for op in FORBIDDEN:
         assert op not in plan, f"{name}: {op} in physical plan"
+    if name not in GLOBAL_WINDOW_ALLOWED:
+        bad = _unpartitioned_windows(df)
+        assert not bad, (
+            f"{name}: unpartitioned Window (single-task at scale) — "
+            f"either partition it, rebuild on operators/ranks.py, or "
+            f"allowlist it with a bounded-grain justification: {bad}"
+        )
 
 
 def test_rel_join_panel_has_all_three_join_types(spark):
@@ -60,3 +107,14 @@ def test_source_dup_report_single_corpus_exchange(spark):
         f"fp exchange also clusters on source — the window cannot reuse "
         f"it: {fp_exchanges[0]}"
     )
+
+
+def test_global_window_allowlist_is_exact(spark):
+    """Every allowlisted name must actually plan an unpartitioned window
+    — a stale entry would silently re-open the loophole the sweep closes."""
+    for name in sorted(GLOBAL_WINDOW_ALLOWED):
+        df = QUERIES[name].fn(spark, SF_SMALL)
+        assert _unpartitioned_windows(df), (
+            f"{name}: allowlisted but plans no unpartitioned window — "
+            "remove it from GLOBAL_WINDOW_ALLOWED"
+        )
