@@ -28,7 +28,7 @@ def dec_to_double(c: Column) -> Column:
     Direct decimal→double casts are NOT correctly rounded in either
     engine for values past 2^53 (both divide an integer mantissa by a
     power of ten in double arithmetic — two roundings), and the two
-    engines round DIFFERENTLY: at sf0.1 `dash_corr_matrix`'s Σxy moment
+    engines round DIFFERENTLY: at sf0.1 `dash_movie_panel`'s corr Σxy moment (standalone `dash_corr_matrix` until round 9)
     (~1.9e16) differed in the last ulp, breaking the value-hash oracle
     (found by the round-8 sf0.1 oracle sweep). String→double parsing IS
     correctly rounded in both (Java `Double.parseDouble`, DuckDB

@@ -262,13 +262,11 @@ _TAIL = (
     # rows-only by design: Misra-Gries counter eviction has no SQL form;
     # the merged-summary error bound is pinned in tests/test_sketches.py.
     "sketch_heavy_hitters",
-    # Round 9 continued: event-volume anomaly monitor (pure-integer 3σ
-    # test) — oracle-backed tail, exact-checked by the mini-driver.
-    "events_rate_anomaly",
-    # Round 9 continued: four-shape subquery panel (EXISTS / NOT EXISTS /
-    # scalar / IN — Catalyst decorrelation evidence) — oracle-backed
-    # tail, exact-checked by the mini-driver.
-    "rel_subquery_panel",
+    # (Round 10: events_rate_anomaly and rel_subquery_panel — which sat
+    # here in round 9 — were PROMOTED into the driver window, into the
+    # two slots freed by consolidating stream_tumbling_daily +
+    # stream_sliding_7d into stream_window_panel and folding
+    # dash_corr_matrix's correlation columns into dash_movie_panel.)
     # Round 9 continued: streaming volume monitor (ingest-side twin of
     # events_rate_anomaly, batch-equivalent under AvailableNow) —
     # oracle-backed tail, exact-checked by the mini-driver.

@@ -22,8 +22,9 @@ Catalog shape (round-3 + round-5 consolidation, VERDICT r2 #1 / r4 #2):
 D1/D2/D4/D7 are one per-movie panel query (``dash_movie_panel`` — same
 group key, one scan instead of four) and D8/D9/D10 are one genre-grain
 panel (``d9_d10_genre_panel`` — the pivot's pre-aggregate IS D8's long
-form, and D10's share rides the same scan). Ten dashboards, seven
-registrations, identical semantics.
+form, and D10's share rides the same scan); since round 10 the D1
+correlation also rides ``dash_movie_panel`` (VERDICT r9 #6). Ten
+dashboards, six registrations, identical semantics.
 """
 
 from __future__ import annotations
@@ -76,9 +77,35 @@ def _brand_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dash_movie_panel",
-    oracle="""
+    oracle=f"""
         WITH cut AS (
             SELECT MAX(CAST(l_shipdate AS DATE)) - 364 AS c FROM lineitem
+        ),
+        g AS (
+            -- DECIMAL(19,2): forces DuckDB onto int128 storage so xd*yd
+            -- cannot overflow the int64 fast path (result DECIMAL(38,4)).
+            SELECT p.p_brand,
+                   CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+                        AS DECIMAL(19,2)) AS xd,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                        AS DECIMAL(19,2)) AS yd
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(CAST(SUM(xd) AS STRING) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(yd) AS STRING) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(xd * yd) AS STRING) AS DOUBLE) AS sxy,
+                   CAST(CAST(SUM(xd * xd) AS STRING) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(yd * yd) AS STRING) AS DOUBLE) AS syy
+            FROM g
+        ),
+        corr AS (
+            SELECT {exact_corr_sql('n', 'sx', 'sy', 'sxy', 'sxx', 'syy')}
+                       AS corr_screens_sales,
+                   CAST(n AS BIGINT) AS n_points
+            FROM m
         )
         SELECT p.p_brand AS p_brand,
                CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
@@ -98,25 +125,37 @@ def _brand_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                         END) AS STRING) AS DOUBLE) AS audience_1y,
                CAST(COUNT(CASE WHEN CAST(l.l_shipdate AS DATE) >= cut.c
                                THEN 1 END) AS BIGINT) AS n_rows_1y,
-               CAST(COUNT(*) AS BIGINT) AS n_rows
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               corr.corr_screens_sales AS corr_screens_sales,
+               corr.n_points AS n_points
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
         CROSS JOIN cut
-        GROUP BY p.p_brand
+        CROSS JOIN corr
+        GROUP BY p.p_brand, corr.corr_screens_sales, corr.n_points
         ORDER BY p_brand
     """,
-    doc="D1+D2+D4+D7 (README.md:164-172,183-186,198-201) as ONE per-movie "
-    "panel — the scatter pairs (screens vs sales, screens vs audience), "
-    "the sales~audience mixed chart with its avg-ticket-price ratio (one "
-    "double division over exact inputs), and the 1-year bubble metrics as "
-    "conditional aggregates over the same scan (365-day scope from the "
-    "data's max day, a 1-row broadcast cutoff). Consolidated per VERDICT "
-    "r2 #1: four dashboards that each re-aggregated the same fact now "
-    "cost one broadcast join + one hash agg total; 25 output rows at any "
-    "scale. 1-year columns are NULL for movies absent from the window "
-    "(SUM over no rows), matching the oracle's CASE semantics.",
+    doc="D1+D2+D4+D7+A6/F9 (README.md:164-172,183-186,198-201) as ONE "
+    "per-movie panel — the scatter pairs (screens vs sales, screens vs "
+    "audience), the sales~audience mixed chart with its avg-ticket-price "
+    "ratio (one double division over exact inputs), the 1-year bubble "
+    "metrics as conditional aggregates over the same scan (365-day scope "
+    "from the data's max day, a 1-row broadcast cutoff), and — round-10 "
+    "consolidation per VERDICT r9 #6 — the D1 Pearson correlation "
+    "between per-movie screens and sales riding the SAME aggregate as "
+    "two broadcast constant columns (a standalone driver-green query in "
+    "rounds ≤9). F.corr's streaming double accumulation is "
+    "order-dependent, so the moments are summed exactly in DECIMAL(19,2) "
+    "— wide enough that DuckDB leaves the int64 fast path and a ~10^16 "
+    "brand sum cannot overflow-to-NULL — and the closed form is one "
+    "fixed double-op sequence (functions/scalars.py:exact_corr), bitwise "
+    "both ways. Plan: one broadcast join + one hash agg; the 25-row grid "
+    "is localCheckpoint-pinned so the corr branch reuses it instead of "
+    "re-scanning the fact table; 25 output rows at any scale. 1-year "
+    "columns are NULL for movies absent from the window (SUM over no "
+    "rows), matching the oracle's CASE semantics.",
     headline=True,
-    tags=("dashboard", "agg", "date"),
+    tags=("dashboard", "agg", "date", "corr"),
 )
 def dash_movie_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
@@ -127,7 +166,7 @@ def dash_movie_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_sub(F.max(to_day("l_shipdate")), 364).alias("cutoff")
     )
     in_1y = to_day("l_shipdate") >= F.col("cutoff")
-    return (
+    grid = (
         li.join(F.broadcast(cutoff))
         .join(F.broadcast(pt), F.col("l_partkey") == pt.p_partkey)
         .groupBy("p_brand")
@@ -147,76 +186,41 @@ def dash_movie_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("audience_1y"),
             F.count(F.when(in_1y, F.lit(1))).alias("n_rows_1y"),
             F.count(F.lit(1)).alias("n_rows"),
-        )
-        .orderBy("p_brand")
-    )
-
-
-@register(
-    "dash_corr_matrix",
-    oracle=f"""
-        WITH g AS (
-            -- DECIMAL(19,2): forces DuckDB onto int128 storage so xd*yd
-            -- cannot overflow the int64 fast path (result DECIMAL(38,4)).
-            SELECT p.p_brand,
-                   CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS xd,
-                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS yd
-            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-            GROUP BY p.p_brand
-        ), m AS (
-            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-                   CAST(CAST(SUM(xd) AS STRING) AS DOUBLE) AS sx,
-                   CAST(CAST(SUM(yd) AS STRING) AS DOUBLE) AS sy,
-                   CAST(CAST(SUM(xd * yd) AS STRING) AS DOUBLE) AS sxy,
-                   CAST(CAST(SUM(xd * xd) AS STRING) AS DOUBLE) AS sxx,
-                   CAST(CAST(SUM(yd * yd) AS STRING) AS DOUBLE) AS syy
-            FROM g
-        )
-        SELECT {exact_corr_sql('n', 'sx', 'sy', 'sxy', 'sxx', 'syy')} AS corr_screens_sales,
-               CAST(n AS BIGINT) AS n_points
-        FROM m
-    """,
-    doc="D1/A6/F9 (README.md:164-167 correlation): Pearson r between "
-    "per-movie screens and sales. F.corr's streaming double accumulation is "
-    "order-dependent, so the moments are summed exactly in DECIMAL and the "
-    "closed form is one fixed double-op sequence — bitwise oracle parity "
-    "(functions/scalars.py:exact_corr).",
-    tags=("dashboard", "corr"),
-)
-def dash_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice"
-    )
-    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    g = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .groupBy("p_brand")
-        .agg(
-            # widen the per-brand sums to decimal(19,2) — the oracle's
-            # type; narrowing back to (18,2) would overflow-to-NULL a
-            # ~10^16 brand sum in non-ANSI mode while DuckDB kept computing
+            # widen the corr moments' inputs to decimal(19,2) — the
+            # oracle's type; narrowing back to (18,2) would
+            # overflow-to-NULL a ~10^16 brand sum in non-ANSI mode while
+            # DuckDB kept computing
             F.sum(F.col("l_quantity").cast(MONEY))
             .cast("decimal(19,2)")
-            .alias("xd"),
+            .alias("_xd"),
             F.sum(F.col("l_extendedprice").cast(MONEY))
             .cast("decimal(19,2)")
-            .alias("yd"),
+            .alias("_yd"),
         )
+        # multi-consumer pin (the vocab_coverage idiom): the 25-row grid
+        # feeds BOTH the panel rows and the corr moments — without it the
+        # corr branch re-derives the whole fact scan + join + agg.
+        .localCheckpoint()
     )
-    m = g.agg(
+    m = grid.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        dec_to_double(F.sum("xd")).alias("sx"),
-        dec_to_double(F.sum("yd")).alias("sy"),
-        dec_to_double(F.sum(F.col("xd") * F.col("yd"))).alias("sxy"),
-        dec_to_double(F.sum(F.col("xd") * F.col("xd"))).alias("sxx"),
-        dec_to_double(F.sum(F.col("yd") * F.col("yd"))).alias("syy"),
+        dec_to_double(F.sum("_xd")).alias("sx"),
+        dec_to_double(F.sum("_yd")).alias("sy"),
+        dec_to_double(F.sum(F.col("_xd") * F.col("_yd"))).alias("sxy"),
+        dec_to_double(F.sum(F.col("_xd") * F.col("_xd"))).alias("sxx"),
+        dec_to_double(F.sum(F.col("_yd") * F.col("_yd"))).alias("syy"),
     )
-    return m.select(
+    corr = m.select(
         exact_corr(
             F.col("n"), F.col("sx"), F.col("sy"),
             F.col("sxy"), F.col("sxx"), F.col("syy"),
         ).alias("corr_screens_sales"),
         F.col("n").cast("bigint").alias("n_points"),
+    )
+    return (
+        grid.drop("_xd", "_yd")
+        .crossJoin(F.broadcast(corr))
+        .orderBy("p_brand")
     )
 
 

@@ -35,49 +35,63 @@ _QSUM_SQL = "CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6"
 
 
 @register(
-    "stream_tumbling_daily",
+    "stream_window_panel",
     oracle=f"""
-        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
-               event_type,
-               COUNT(*) AS n_events,
-               {_QSUM_SQL} AS value_sum
-        FROM events
-        GROUP BY 1, 2
-        ORDER BY 1, 2
+        SELECT * FROM (
+            SELECT 'tumbling' AS section,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   {_QSUM_SQL} AS value_sum
+            FROM events
+            GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT 'sliding_7d' AS section,
+                   date_trunc('day', ts) - (k * INTERVAL 1 DAY) AS win_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   {_QSUM_SQL} AS value_sum
+            FROM events, range(7) t(k)
+            GROUP BY 1, 2, 3
+        )
+        ORDER BY section, win_start, event_type
     """,
-    doc="§2.9 tumbling 1-day windows per event_type with a 1-day watermark "
-    "— the streaming form of the reference's one-table-per-day layout "
-    "(daily_parquet_pipeline.py:174 cron). Batch-equivalent under an "
-    "AvailableNow drain, so the oracle is a plain date_trunc GROUP BY "
-    "(streaming/jobs.py:tumbling_daily).",
+    doc="§2.9 tumbling 1-day + sliding 7-day/1-day windows per event_type "
+    "with a 1-day watermark, as one section-tagged panel (round-10 "
+    "same-scan consolidation per VERDICT r9 #6 — the d5_d6_time_panel "
+    "mechanism; both sections were standalone driver-green queries in "
+    "rounds ≤9). 'tumbling' is the streaming form of the reference's "
+    "one-table-per-day layout (daily_parquet_pipeline.py:174 cron); "
+    "'sliding_7d' is the D6/W6 trendline recomputed as events arrive — "
+    "each event lands in 7 windows, which the oracle mirrors via a 7-way "
+    "day-shift expansion. Both drains are batch-equivalent under "
+    "AvailableNow, so the union oracle is plain GROUP BY SQL "
+    "(streaming/jobs.py:tumbling_daily, sliding_7d).",
     headline=True,
     tags=("streaming", "window"),
 )
-def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = drain_to_memory(tumbling_daily(read_events_stream(spark, sf_dir)))
-    return out.orderBy("day_start", "event_type")
-
-
-@register(
-    "stream_sliding_7d",
-    oracle=f"""
-        SELECT date_trunc('day', ts) - (k * INTERVAL 1 DAY) AS win_start,
-               event_type,
-               COUNT(*) AS n_events,
-               {_QSUM_SQL} AS value_sum
-        FROM events, range(7) t(k)
-        GROUP BY 1, 2
-        ORDER BY 1, 2
-    """,
-    doc="§2.9 ⊕ sliding 7-day/1-day windows per event_type — the D6/W6 "
-    "trendline recomputed as events arrive. Each event lands in 7 windows; "
-    "the oracle mirrors that via a 7-way day-shift expansion "
-    "(streaming/jobs.py:sliding_7d).",
-    tags=("streaming", "window"),
-)
-def stream_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = drain_to_memory(sliding_7d(read_events_stream(spark, sf_dir)))
-    return out.orderBy("win_start", "event_type")
+def stream_window_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tumb = drain_to_memory(
+        tumbling_daily(read_events_stream(spark, sf_dir))
+    ).select(
+        F.lit("tumbling").alias("section"),
+        F.col("day_start").alias("win_start"),
+        "event_type",
+        "n_events",
+        "value_sum",
+    )
+    slid = drain_to_memory(
+        sliding_7d(read_events_stream(spark, sf_dir))
+    ).select(
+        F.lit("sliding_7d").alias("section"),
+        "win_start",
+        "event_type",
+        "n_events",
+        "value_sum",
+    )
+    return tumb.unionByName(slid).orderBy(
+        "section", "win_start", "event_type"
+    )
 
 
 @register(

@@ -2,7 +2,7 @@
 
 Direct decimal→double casts are double-rounded past 2^53 in BOTH engines
 (integer mantissa divided by a power of ten in double arithmetic) and the
-two engines round DIFFERENTLY — at sf0.1 `dash_corr_matrix`'s Σxy moment
+two engines round DIFFERENTLY — at sf0.1 `dash_movie_panel`'s corr Σxy moment (standalone `dash_corr_matrix` until round 9)
 (~1.9e16) diverged in the last ulp and broke the driver's value-hash gate.
 The policy (scalars.dec_to_double / dec_to_double_sql) routes every
 post-aggregation decimal through a string: decimal→string is exact digits
