@@ -374,50 +374,73 @@ def main(argv: list[str] | None = None) -> int:
             "term_spectrum",
         )
 
+        staged_dirs: list[str] = []
+
         def _as_fixture_dir(d: str) -> str:
             """The catalog queries read ``{dir}/documents.parquet``; accept
             a bare documents/corpus parquet root (e.g. the maintained
             fold-store corpus) by staging a fixture-layout view of it —
-            one symlink, no data copied."""
+            one symlink, no data copied. Symlink staging is a LOCAL
+            filesystem mechanism, so remote roots are refused up front
+            (ADVICE r9) — point a remote corpus at a fixture-layout dir
+            or run the component queries directly; the staged dirs are
+            removed once the card is written."""
+            if "://" in d and not d.startswith("file://"):
+                raise SystemExit(
+                    f"datacard: remote corpus root {d!r} cannot be "
+                    "symlink-staged — use a local/fixture-layout path "
+                    "(dir containing documents.parquet)"
+                )
             if os.path.exists(os.path.join(d, "documents.parquet")):
                 return d
             import tempfile
 
             staged = tempfile.mkdtemp(prefix="datacard_")
+            staged_dirs.append(staged)
             os.symlink(
                 os.path.abspath(d),
                 os.path.join(staged, "documents.parquet"),
             )
             return staged
 
-        docs_dir = _as_fixture_dir(args.dir)
-        card: dict = {"corpus_dir": args.dir, "sections": {}}
-        for name in sections:
-            rows = QUERIES[name].fn(spark, docs_dir).collect()
-            card["sections"][name] = [r.asDict(recursive=True) for r in rows]
-        spectrum = card["sections"]["term_spectrum"]
-        bin0 = [r for r in spectrum if r["count_bin"] == 0]
-        card["good_turing_unseen_mass"] = (
-            bin0[0]["token_share"] if bin0 else 0.0
-        )
-        if args.baseline is not None:
-            from data_pipeline_team5_spark.plans.versioning_family import (
-                drift_report,
+        try:
+            docs_dir = _as_fixture_dir(args.dir)
+            card: dict = {"corpus_dir": args.dir, "sections": {}}
+            for name in sections:
+                rows = QUERIES[name].fn(spark, docs_dir).collect()
+                card["sections"][name] = [
+                    r.asDict(recursive=True) for r in rows
+                ]
+            spectrum = card["sections"]["term_spectrum"]
+            bin0 = [r for r in spectrum if r["count_bin"] == 0]
+            card["good_turing_unseen_mass"] = (
+                bin0[0]["token_share"] if bin0 else 0.0
             )
+            if args.baseline is not None:
+                from data_pipeline_team5_spark.plans.versioning_family import (
+                    drift_report,
+                )
 
-            old_docs = spark.read.parquet(
-                f"{_as_fixture_dir(args.baseline)}/documents.parquet"
-            )
-            new_docs = spark.read.parquet(f"{docs_dir}/documents.parquet")
-            rows = drift_report(
-                old_docs.select("lang", "n_chars"),
-                new_docs.select("lang", "n_chars"),
-            ).collect()
-            card["sections"]["drift_vs_baseline"] = {
-                r["feature"]: r["tv"] for r in rows
-            }
-        with open(args.out, "w") as f:
-            json.dump(card, f, indent=1, default=str)
+                old_docs = spark.read.parquet(
+                    f"{_as_fixture_dir(args.baseline)}/documents.parquet"
+                )
+                new_docs = spark.read.parquet(
+                    f"{docs_dir}/documents.parquet"
+                )
+                rows = drift_report(
+                    old_docs.select("lang", "n_chars"),
+                    new_docs.select("lang", "n_chars"),
+                ).collect()
+                card["sections"]["drift_vs_baseline"] = {
+                    r["feature"]: r["tv"] for r in rows
+                }
+            with open(args.out, "w") as f:
+                json.dump(card, f, indent=1, default=str)
+        finally:
+            import shutil
+
+            for d in staged_dirs:
+                shutil.rmtree(d, ignore_errors=True)
         print(json.dumps({
             "status": "ok",
             "cmd": "datacard",

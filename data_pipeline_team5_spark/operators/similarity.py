@@ -27,6 +27,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_pipeline_team5_spark.functions.vectors import cosine_expr, dot_expr
 
@@ -522,6 +523,12 @@ def pq_fit(
     return out, books
 
 
+# Literal-ADC expression budget: |queries| * m_blocks * k_codes double
+# literals in ONE parsed SQL string. 131072 doubles ~ 3 MB of expression
+# text — past that, driver-side parse time dominates the query.
+_MAX_ADC_ENTRIES = 131_072
+
+
 def pq_shortlist(n_corpus: int, k: int) -> int:
     """Corpus-size-derived ADC shortlist factor (the lsh_defaults/
     ivf_defaults discipline — VERDICT r5 #4: defaults must scale with the
@@ -564,6 +571,14 @@ def pq_topk(
     Per-(query, vector) cost drops from dim multiplies to M lookups —
     the storage/computation side of ANN that composes with IVF's
     candidate pruning (FAISS IVF-PQ runs ADC inside probed lists only).
+
+    The query id column may be any orderable type — the broadcast query
+    frames inherit its exact Spark type from ``queries``'s schema. The
+    per-query distance tables embed as ONE literal 3-D array in the
+    generated SQL, so the QUERY BATCH is capped (``_MAX_ADC_ENTRIES``
+    literal doubles ≈ a few MB of expression tree; beyond that the
+    driver-side parse dominates) — run larger query sets in batches of
+    ``_MAX_ADC_ENTRIES / (m_blocks * k_codes)`` queries (ADVICE r9).
     """
     spark = corpus.sparkSession
     codes, books = pq_fit(
@@ -579,6 +594,15 @@ def pq_topk(
     qrows = queries.select(id_col, vec_col).collect()
     if not qrows:
         raise ValueError("pq_topk: empty query set")
+    n_entries = len(qrows) * m_blocks * k_codes
+    if n_entries > _MAX_ADC_ENTRIES:
+        raise ValueError(
+            f"pq_topk: {len(qrows)} queries × {m_blocks} blocks × "
+            f"{k_codes} codes = {n_entries} literal ADC entries exceeds "
+            f"{_MAX_ADC_ENTRIES} (SQL parse-size hazard) — run the "
+            f"query set in batches of "
+            f"{_MAX_ADC_ENTRIES // (m_blocks * k_codes)}"
+        )
     dim = len(qrows[0][1])
     step = dim // m_blocks
 
@@ -607,9 +631,17 @@ def pq_topk(
         ) + ")"
         for tbl in dt
     ) + ")"
+    # inherit the id column's exact Spark type — non-integer query ids
+    # (string doc ids, UUIDs) work unchanged (ADVICE r9)
+    id_type = queries.schema[id_col].dataType
     qidx = spark.createDataFrame(
-        [(int(qid), i) for i, (qid, _) in enumerate(qrows)],
-        f"q_id BIGINT, _qi INT",
+        [(qid, i) for i, (qid, _) in enumerate(qrows)],
+        T.StructType(
+            [
+                T.StructField("q_id", id_type),
+                T.StructField("_qi", T.IntegerType()),
+            ]
+        ),
     )
     approx = F.expr(
         f"aggregate(sequence(0, {m_blocks - 1}), CAST(0.0 AS DOUBLE), "
@@ -628,8 +660,15 @@ def pq_topk(
         .select("q_id", id_col)
     )
     qvecs = spark.createDataFrame(
-        [(int(qid), list(map(float, qv))) for qid, qv in qrows],
-        f"q_id BIGINT, q_vec ARRAY<DOUBLE>",
+        [(qid, list(map(float, qv))) for qid, qv in qrows],
+        T.StructType(
+            [
+                T.StructField("q_id", id_type),
+                T.StructField(
+                    "q_vec", T.ArrayType(T.DoubleType())
+                ),
+            ]
+        ),
     )
     scored = (
         short.join(

@@ -106,6 +106,22 @@ RESIZE_W, RESIZE_H = 8, 8
 _N_OUT = RESIZE_W * RESIZE_H
 
 
+def binary_byte_sum_expr(blob_col: str, hex_col: str) -> str:
+    """SQL summing a BINARY column's raw byte values via its hex encoding
+    — never a UTF-8 decode: ``CAST(binary AS STRING)`` would map any byte
+    >= 0x80 to the replacement character and silently corrupt the sum
+    once a real image codec replaces the gated stand-in (ADVICE r9).
+    ``hex_col`` must hold ``hex(blob_col)`` projected ONCE per row;
+    ``conv()`` is exact for two hex digits. High-byte exactness is pinned
+    in tests/test_multimodal.py."""
+    return (
+        f"CASE WHEN length({blob_col}) = 0 THEN 0L ELSE "
+        f"aggregate(sequence(0, length({blob_col}) - 1), 0L, "
+        f"(a, i) -> a + CAST(conv(substring({hex_col}, 2*i + 1, 2), "
+        f"16, 10) AS BIGINT)) END"
+    )
+
+
 @register(
     "mm_resize_grid",
     oracle=f"""
@@ -147,13 +163,11 @@ def mm_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized = resize_blob(
         attach_blob(docs), out_w=RESIZE_W, out_h=RESIZE_H
     )
-    byte_sum = F.expr(
-        "aggregate(sequence(1, length(resized)), 0L, "
-        "(a, i) -> a + ascii(substring(CAST(resized AS STRING), i, 1)))"
-    )
+    byte_sum = F.expr(binary_byte_sum_expr("resized", "_hex"))
     n = docs.select("doc_id", F.length("text").alias("_n"))
     return (
-        resized.join(n, "doc_id")
+        resized.withColumn("_hex", F.hex("resized"))
+        .join(n, "doc_id")
         .select(
             "doc_id",
             "out_w",

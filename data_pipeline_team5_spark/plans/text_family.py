@@ -1187,8 +1187,13 @@ MG_TOP = 16  # rows emitted
     "makes the vocabulary itself too wide. Merged estimates keep the "
     "one-sided MG bound (Agarwal et al. 2013 mergeable summaries): "
     "true − N/49 ≤ est ≤ true, so every term above the N/49 threshold "
-    "is guaranteed present. Deterministic output: ties broken by term; "
-    "rows-only by design with the bound pinned in tests/test_sketches.py.",
+    "is guaranteed present. Deterministic FOR A FIXED PARTITIONING "
+    "(ties broken by term): est values — and top-16 membership near the "
+    "cut — depend on row-to-partition assignment and intra-partition "
+    "order, so a repartitioning or cluster resize may shift them within "
+    "the bound; only the N/(k+1) error contract is partition-invariant "
+    "(ADVICE r9). Rows-only by design with the bound pinned in "
+    "tests/test_sketches.py.",
     tags=("sketch", "heavy-hitters", "text"),
 )
 def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

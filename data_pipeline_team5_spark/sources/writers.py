@@ -119,9 +119,18 @@ def write_training_shards(
     the fold-store convention — via dynamic partition overwrite, so a
     replayed day converges instead of doubling and a full re-deal is
     never needed (the digest deal guarantees a doc's shard is the same
-    in every batch). Each batch's files stay internally sort_key-ordered;
-    a reader of the accumulated shard merges per-batch runs (or sorts on
-    read) — the standard LSM-ish trade for append-style delivery.
+    in every batch). Dynamic overwrite alone only replaces partitions
+    PRESENT in the replayed frame — a replay whose changed input leaves
+    a previously-populated shard empty for that batch would keep the
+    stale partition live (ADVICE r9) — so the batch's existing
+    ``shard_id=*/batch_id=<id>`` partitions are deleted first through
+    the Hadoop FileSystem API (scheme-agnostic: local, HDFS, s3a). The
+    delete+write pair is not atomic; a crash between them loses only
+    this batch's partitions, which the replay that crashed was about to
+    rewrite anyway. Each batch's files stay internally
+    sort_key-ordered; a reader of the accumulated shard merges
+    per-batch runs (or sorts on read) — the standard LSM-ish trade for
+    append-style delivery.
     """
     from data_pipeline_team5_spark.operators.sampling import shard_assign
 
@@ -135,6 +144,7 @@ def write_training_shards(
             .parquet(path)
         )
         return
+    _drop_batch_partitions(df.sparkSession, path, batch_id)
     (
         dealt.withColumn("batch_id", F.lit(batch_id))
         .repartition(n_shards, "shard_id")
@@ -144,6 +154,22 @@ def write_training_shards(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def _drop_batch_partitions(spark, path: str, batch_id: str) -> None:
+    """Delete every ``shard_id=*/batch_id=<id>`` partition under ``path``
+    so a replay converges even when its changed input no longer touches a
+    shard (dynamic overwrite cannot remove partitions it does not write).
+    Hadoop ``FileSystem`` + ``globStatus`` keeps this scheme-agnostic —
+    the same call works on file://, hdfs:// and s3a:// roots."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    glob = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/shard_id=*/batch_id={batch_id}"
+    )
+    for status in fs.globStatus(glob) or []:
+        fs.delete(status.getPath(), True)
 
 
 def create_if_not_exists(df: DataFrame, table_name: str) -> None:

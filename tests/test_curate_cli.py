@@ -695,6 +695,21 @@ def test_datacard_accepts_bare_corpus_root(spark, tmp_path, capsys):
     _run(capsys, ["datacard", "--dir", SF_SMALL, "--out", out_ref])
     card, ref = json.load(open(out)), json.load(open(out_ref))
     assert card["sections"] == ref["sections"]
+    # the symlink staging dir must not leak (ADVICE r9)
+    import glob as _glob
+    import tempfile
+
+    assert _glob.glob(f"{tempfile.gettempdir()}/datacard_*") == []
+
+
+def test_datacard_refuses_remote_corpus_root(spark, tmp_path, capsys):
+    """Symlink staging is local-only: a remote scheme must fail fast with
+    an actionable message, not an os.symlink traceback (ADVICE r9)."""
+    with pytest.raises(SystemExit, match="symlink-staged"):
+        _run(capsys, [
+            "datacard", "--dir", "s3a://bucket/corpus",
+            "--out", str(tmp_path / "never.json"),
+        ])
 
 
 def test_shard_incremental_batches_idempotent(spark, tmp_path, capsys):

@@ -127,3 +127,26 @@ def test_resize_is_fixed_shape_and_deterministic(spark):
     assert all((r.out_w, r.out_h) == (8, 8) for r in rows)
     again = {r.doc_id: bytes(r.resized) for r in resize_blob(blobs).collect()}
     assert all(bytes(r.resized) == again[r.doc_id] for r in rows)
+
+
+def test_binary_byte_sum_exact_for_high_bytes(spark):
+    """The resize grid's byte sum must be exact for bytes >= 0x80 — a
+    UTF-8 decode route would replace them and silently corrupt the sum
+    (ADVICE r9); the hex route cannot."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_team5_spark.plans.multimodal_family import (
+        binary_byte_sum_expr,
+    )
+
+    payloads = [b"\x00\x80\xff\x01", b"", b"\xfe" * 7, b"abc"]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "i INT, resized BINARY"
+    )
+    got = (
+        df.withColumn("_hex", F.hex("resized"))
+        .select("i", F.expr(binary_byte_sum_expr("resized", "_hex")).alias("s"))
+        .orderBy("i")
+        .collect()
+    )
+    assert [r["s"] for r in got] == [sum(p) for p in payloads]

@@ -257,3 +257,27 @@ def test_inspection_handles_null_groups(spark, safety):
     )
     assert got == want
     assert any(t[0] is None for t in got)  # the NULL group IS sampled
+
+
+def test_batch_replay_drops_stale_shard_partitions(spark, tmp_path):
+    """A replayed batch whose changed input no longer touches a shard must
+    remove that shard's stale partition — dynamic overwrite alone keeps
+    it live (ADVICE r9), so the writer deletes batch partitions first."""
+    import glob as _glob
+
+    root = str(tmp_path / "shards")
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"text {i}") for i in range(40)], "doc_id STRING, text STRING"
+    )
+    write_training_shards(docs, root, n_shards=4, batch_id="day1")
+    before = sorted(_glob.glob(f"{root}/shard_id=*/batch_id=day1"))
+    assert len(before) == 4  # 40 docs deal into all 4 shards
+
+    # replay with ONE doc: at most one shard populated — the other three
+    # day1 partitions must be GONE, not stale
+    one = docs.limit(1)
+    write_training_shards(one, root, n_shards=4, batch_id="day1")
+    after = sorted(_glob.glob(f"{root}/shard_id=*/batch_id=day1"))
+    assert len(after) == 1
+    got = spark.read.parquet(root).filter("batch_id = 'day1'")
+    assert got.count() == 1

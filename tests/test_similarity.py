@@ -144,3 +144,43 @@ def test_pq_recall_vs_brute_force(sf_dir, spark):
         pq_topk(emb, q, k=10, shortlist=pq_shortlist(emb.count(), 10))
     )
     assert len(bf & pq) / len(bf) >= 0.8
+
+
+def test_pq_topk_non_integer_ids_and_batch_cap(spark):
+    """pq_topk inherits the id column's Spark type (string doc ids work —
+    ADVICE r9) and refuses a query batch whose literal ADC table would
+    exceed the parse-size budget with an actionable message."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_pipeline_team5_spark.operators.similarity import (
+        _MAX_ADC_ENTRIES,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (f"doc-{i:03d}", [float(x) for x in rng.standard_normal(16)])
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id STRING, embedding ARRAY<DOUBLE>"
+    )
+    queries = spark.createDataFrame(
+        rows[:3], "vec_id STRING, embedding ARRAY<DOUBLE>"
+    )
+    out = pq_topk(
+        corpus, queries, k=5, m_blocks=4, k_codes=8, shortlist=4
+    ).collect()
+    assert len(out) == 15  # 3 queries × k
+    assert all(isinstance(r["q_id"], str) for r in out)
+    assert all(r["q_id"] != r["vec_id"] for r in out)
+
+    # cap: 4 blocks × 8 codes = 32 entries/query → cap/32 + 1 queries
+    too_many = _MAX_ADC_ENTRIES // 32 + 1
+    big = spark.range(too_many).selectExpr(
+        "CAST(id AS STRING) AS vec_id",
+        "array_repeat(CAST(0.0 AS DOUBLE), 16) AS embedding",
+    )
+    with _pytest.raises(ValueError, match="batches of"):
+        pq_topk(corpus, big, k=5, m_blocks=4, k_codes=8)
