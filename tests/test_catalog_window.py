@@ -69,3 +69,25 @@ def test_tail_queries_are_still_locally_checked():
     # pins that nothing in the tail was dropped from the catalog.
     for n in _TAIL:
         assert n in QUERIES
+
+
+def test_coverage_md_counts_match_catalog():
+    """The documented top-line counts (COVERAGE.md header, README) must
+    agree with the live catalog — a stale count makes every other
+    documented claim need re-verification (VERDICT r9 #3)."""
+    import re
+
+    text = open("/root/repo/COVERAGE.md").read()
+    m = re.search(
+        r"(\d+) catalog queries total \(round \d+\):\s*\n(\d+) "
+        r"oracle-checked, (\d+) deterministic rows-only",
+        text,
+    )
+    assert m, "COVERAGE.md header count sentence not found"
+    total, oracle, rows_only = map(int, m.groups())
+    n_oracle = sum(1 for q in QUERIES.values() if q.oracle is not None)
+    assert total == len(QUERIES)
+    assert oracle == n_oracle
+    assert rows_only == len(QUERIES) - n_oracle
+    m = re.search(r"an explicit (\d+)-entry `_TAIL`", text)
+    assert m and int(m.group(1)) == len(_TAIL)
