@@ -177,6 +177,37 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("quality", "dedup", "embedding", "semantic"),
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup_frame(spark, sf_dir, k=None)
+
+
+# Mean vectors per k-means cell the production posture aims for: the
+# fixture regime (KMEANS_K=8 over sf0.1's 2000 vectors). semantic_k
+# derives k ∝ n around this target — the lsh_defaults/pq_shortlist
+# discipline (VERDICT r5 #4: fixed parameters degrade as the corpus
+# grows; here a fixed k=8 would let within-cell density — and the
+# candidate pair count — grow linearly with the corpus, which is
+# exactly what the 10×-replication stress shows). Under derived k the
+# pair stage stays pairs-per-vector ~constant (measured:
+# tools/stress_10x.py --semantic-derived, SCALING.md round-10).
+SEMANTIC_TARGET_CELL = 250
+
+
+def semantic_k(n_vectors: int) -> int:
+    import math
+
+    from data_pipeline_team5_spark.plans.similarity_family import KMEANS_K
+
+    return max(KMEANS_K, math.ceil(n_vectors / SEMANTIC_TARGET_CELL))
+
+
+def semantic_dedup_frame(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
+    """The SemDeDup pipeline with an explicit cluster count. The catalog
+    query passes ``k=None`` → the fixture constant ``KMEANS_K`` (its
+    mirror test recomputes that form); the production/stress posture
+    passes ``semantic_k(n)`` so cell occupancy — and with it the
+    candidate pair stage — stays corpus-size-independent."""
     from data_pipeline_team5_spark.operators.components import (
         connected_components,
     )
@@ -195,7 +226,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     assigned, _ = kmeans_fit(
-        emb, k=KMEANS_K, iters=KMEANS_ITERS, vec_col="v"
+        emb, k=k if k is not None else KMEANS_K,
+        iters=KMEANS_ITERS, vec_col="v",
     )
     # Materialize the final assignment ONCE: three consumers (both sides
     # of the within-cell self-join + the output's cluster column) would

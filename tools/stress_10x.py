@@ -149,12 +149,65 @@ EMB_QUERIES = [
     "nearest_centroid_confusion",
 ]
 
+STRESS_EMB_FRESH_DIR = os.environ.get(
+    "STRESS_EMB_FRESH_DIR", "/tmp/stress_10x_emb_fresh"
+)
 
-def _semantic_cell_pairs(spark, sf_dir: str) -> tuple[int, int]:
-    """(candidate cell-pair count, vector count) for semantic_dedup's
-    within-cell stage at this scale — the number behind the cell-blocking
-    claim (pairs grow with within-cell density, never corpus²). Rebuilds
-    the query's own intermediates with the query's own constants."""
+
+def build_10x_embeddings_fresh() -> None:
+    """10× embeddings where replicas 1-9 are NEW seeded unit vectors from
+    the fixture's own regime (dim-64 standard normal, L2-normalized —
+    the 'near-random' distribution COSINE_T=0.35 was calibrated against)
+    instead of byte copies. Exact replication is the WRONG input for the
+    derived-k claim: identical copies land in the same cell at ANY k, so
+    every replica pair is a genuine τ-duplicate and the pair count truly
+    grows ~replicas² — real work, not an algorithmic failure (measured:
+    12.6× pairs/vector at 10× under derived k=80, r10). Growing the
+    corpus with fresh points keeps duplicate DENSITY constant, which is
+    the regime the k ∝ n posture actually promises constant
+    pairs-per-vector in."""
+    if os.path.exists(f"{STRESS_EMB_FRESH_DIR}/.complete"):
+        return
+    import numpy as np
+
+    os.makedirs(STRESS_EMB_FRESH_DIR, exist_ok=True)
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    n, dim = t.num_rows, len(t["embedding"][0])
+    off = pc.max(t["vec_id"]).as_py() + 1
+    labels = t["label"].to_pylist()
+    parts = [t]
+    for r in range(1, REPLICAS):
+        rng = np.random.default_rng(1000 + r)
+        v = rng.standard_normal((n, dim))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        part = pa.table(
+            {
+                "vec_id": pa.array(
+                    [r * off + i for i in range(n)], pa.int64()
+                ),
+                "embedding": pa.array(
+                    [row.astype(np.float32) for row in v],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(labels, pa.int32()),
+            }
+        )
+        parts.append(part.cast(t.schema))
+    pq.write_table(
+        pa.concat_tables(parts), f"{STRESS_EMB_FRESH_DIR}/embeddings.parquet"
+    )
+    open(f"{STRESS_EMB_FRESH_DIR}/.complete", "w").close()
+
+
+def _semantic_cell_pairs(
+    spark, sf_dir: str, k: int | None = None
+) -> tuple[int, int, int]:
+    """(candidate cell-pair count, vector count, k used) for
+    semantic_dedup's within-cell stage at this scale — the number behind
+    the cell-blocking claim (pairs grow with within-cell density, never
+    corpus²). Rebuilds the query's own intermediates; ``k=None`` uses
+    the fixture constant, an explicit ``k`` exercises the production
+    derived-k posture (plans/quality_family.py:semantic_k)."""
     from pyspark.sql import functions as F
 
     from data_pipeline_team5_spark.operators.dedup import (
@@ -171,12 +224,73 @@ def _semantic_cell_pairs(spark, sf_dir: str) -> tuple[int, int]:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    assigned, _ = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS, vec_col="v")
+    use_k = k if k is not None else KMEANS_K
+    assigned, _ = kmeans_fit(emb, k=use_k, iters=KMEANS_ITERS, vec_col="v")
     cells = assigned.select(F.col("cluster").alias("cell"), "vec_id", "v")
     n_pairs = cosine_cell_pairs(
         cells, COSINE_T, max_cell=PRODUCTION_MAX_CELL
     ).count()
-    return n_pairs, emb.count()
+    return n_pairs, emb.count(), use_k
+
+
+def main_semantic_derived() -> None:
+    """semantic_dedup's PRODUCTION posture at 10× vectors (VERDICT r9
+    #4): k derived from corpus size (plans/quality_family.py:semantic_k,
+    the lsh_defaults/pq_shortlist discipline) instead of the fixture's
+    fixed k=8, over a corpus grown with FRESH same-distribution points
+    (see build_10x_embeddings_fresh — exact replication makes every
+    replica pair a genuine τ-duplicate, so its pair growth is real work
+    at any k). The claim under test: with k ∝ n and constant duplicate
+    density, cell occupancy — and so the candidate pair count PER VECTOR
+    — stays ~constant at 10×. Prints SCALING.md-ready rows."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from data_pipeline_team5_spark.plans.quality_family import (
+        semantic_dedup_frame,
+        semantic_k,
+    )
+    from data_pipeline_team5_spark.session import get_spark
+
+    build_10x_embeddings_fresh()
+    spark = get_spark(app_name="stress10x_semk")
+
+    def run(d, k):
+        semantic_dedup_frame(spark, d, k=k).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    rows = []
+    for tag, d in (("sf0.1", SF_DIR), ("10x-fresh", STRESS_EMB_FRESH_DIR)):
+        n = spark.read.parquet(f"{d}/embeddings.parquet").count()
+        kd = semantic_k(n)
+        run(d, kd)  # warmup at the same scale (codegen + k-dependent plan)
+        wall = min(
+            _timed(run, d, kd) for _ in range(passes)
+        )
+        pairs, n_vecs, _ = _semantic_cell_pairs(spark, d, k=kd)
+        rows.append((tag, n_vecs, kd, pairs, pairs / n_vecs, wall))
+    print("| scale | vectors | derived k | cell pairs | pairs/vector | wall (s) |")
+    print("|---|---|---|---|---|---|")
+    for tag, n_vecs, kd, pairs, ppv, wall in rows:
+        print(
+            f"| {tag} | {n_vecs} | {kd} | {pairs} | {ppv:.2f} | {wall:.2f} |"
+        )
+    base, ten = rows[0], rows[1]
+    print(
+        f"pairs/vector {base[4]:.2f} → {ten[4]:.2f} "
+        f"({ten[4] / max(base[4], 1e-9):.2f}× at 10× vectors under "
+        f"derived k; fixed k=8 measured {ten[3] / max(base[3], 1):.1f}× "
+        f"total pairs in the r9 stress); wall {base[5]:.2f} → "
+        f"{ten[5]:.2f} s ({ten[5] / base[5]:.1f}×)"
+    )
+
+
+def _timed(fn, *args) -> float:
+    t0 = time.perf_counter()
+    fn(*args)
+    return time.perf_counter() - t0
 
 
 def main_embeddings() -> None:
@@ -223,8 +337,8 @@ def main_embeddings() -> None:
         b = min(raw[(n, "10x")])
         print(f"| {n} | {a:.2f} | {b:.2f} | {b / a:.1f}× |")
     if "semantic_dedup" in names:
-        p1, v1 = _semantic_cell_pairs(spark, SF_DIR)
-        p10, v10 = _semantic_cell_pairs(spark, STRESS_EMB_DIR)
+        p1, v1, _ = _semantic_cell_pairs(spark, SF_DIR)
+        p10, v10, _ = _semantic_cell_pairs(spark, STRESS_EMB_DIR)
         print(
             f"semantic_dedup cell-pair stage: {p1} candidate pairs over "
             f"{v1} vectors at sf0.1 → {p10} over {v10} at 10× "
@@ -406,5 +520,7 @@ if __name__ == "__main__":
         main_incremental()
     elif "--embeddings" in sys.argv:
         main_embeddings()
+    elif "--semantic-derived" in sys.argv:
+        main_semantic_derived()
     else:
         main()
