@@ -331,6 +331,14 @@ def inspection_sample(
     the window input shrinks from the corpus to ~safety·k·|groups| rows.
     Both phases are bitwise-reproducible, so the DuckDB oracle is the
     naive single-window form.
+
+    OBSERVABILITY: each fallback activation logs a WARNING with the
+    short-group count ("inspection_sample fallback: N of M groups…").
+    The fallback window re-sorts those groups' FULL rows, so it is the
+    exact cost the prefilter exists to avoid — one activation is a
+    digest fluke; recurring activations mean ``safety`` is mis-tuned
+    for the group-size distribution (raise it, or check for a group far
+    smaller than the rest, which drags the shared threshold down).
     """
     import math
 
@@ -375,6 +383,15 @@ def inspection_sample(
     short_groups = [r[0] for r in short.collect()]
     if not short_groups:
         return ranked.drop("_ik")
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "inspection_sample fallback: %d of %d groups under-filtered at "
+        "safety=%d (exact re-window over their full rows); recurring "
+        "activations mean safety is mis-tuned for the group-size "
+        "distribution",
+        len(short_groups), len(rows), safety,
+    )
     # membership must be NULL-SAFE: a NULL group value makes isin()
     # three-valued (NULL), which would silently drop the NULL group from
     # BOTH branches — and a None inside the list would poison every

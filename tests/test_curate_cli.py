@@ -297,15 +297,19 @@ def test_cli_full_scrub_pii_flag(spark, tmp_path, capsys):
 def test_cli_stream_crash_mid_fold_resumes_bitwise(
     spark, tmp_path, capsys, monkeypatch
 ):
-    """Crash/resume contract for `curate stream` (VERDICT r7 #6): a
-    micro-batch killed AFTER partial store writes but BEFORE the
-    checkpoint commits must, on restart, be reprocessed as the SAME
-    batch id, and every store must end bitwise-identical to a run that
-    never crashed — the idempotent partition overwrites absorb the
-    replayed fold. The injected failure hits append_corpus_batch, the
-    LAST store write in the fold body, so the crash leaves the maximum
-    partial state (assignments + sig + key written, corpus not)."""
-    import data_pipeline_team5_spark.pipeline as pl
+    """Crash/resume contract for `curate stream` (VERDICT r7 #6, shard
+    leg per VERDICT r9 #7): a micro-batch killed AFTER partial store
+    writes but BEFORE the checkpoint commits must, on restart, be
+    reprocessed as the SAME batch id, and every store — including the
+    --shard-root delivery partitions — must end bitwise-identical to a
+    run that never crashed; the idempotent partition overwrites absorb
+    the replayed fold. The injected failure fires AFTER
+    write_training_shards returns (the LAST store write in the fold
+    body), so the crash leaves the maximum partial state: assignments +
+    sig + key + corpus + shard rows all landed, checkpoint uncommitted
+    — the shard store's idempotency is exercised by a genuine replay,
+    not a clean rerun."""
+    import data_pipeline_team5_spark.sources.writers as wr
 
     docs, paths = _days(spark, tmp_path)
 
@@ -321,7 +325,7 @@ def test_cli_stream_crash_mid_fold_resumes_bitwise(
     def seed(tag):
         s = {
             k: str(tmp_path / f"{tag}_{k}")
-            for k in ("corpus", "sig", "key", "out")
+            for k in ("corpus", "sig", "key", "out", "shard")
         }
         _run(capsys, ["init-corpus", "--docs", paths["day0"],
                       "--corpus", s["corpus"]])
@@ -331,28 +335,33 @@ def test_cli_stream_crash_mid_fold_resumes_bitwise(
         arrivals.mkdir()
         argv = ["stream", "--arrivals", str(arrivals),
                 "--corpus", s["corpus"], "--sig", s["sig"],
-                "--key", s["key"], "--out", s["out"]]
+                "--key", s["key"], "--out", s["out"],
+                "--shard-root", s["shard"]]
         return s, arrivals, argv
 
     # --- run A: crash mid-fold on the first micro-batch, then resume ---
     sa, arrivals_a, argv_a = seed("a")
     stage_file("day1", arrivals_a)
-    real_append = pl.append_corpus_batch
-    monkeypatch.setattr(
-        pl, "append_corpus_batch",
-        lambda *a, **k: (_ for _ in ()).throw(
-            RuntimeError("injected mid-fold crash")
-        ),
-    )
+    real_shards = wr.write_training_shards
+
+    def shards_then_crash(*a, **k):
+        real_shards(*a, **k)
+        raise RuntimeError("injected mid-fold crash")
+
+    monkeypatch.setattr(wr, "write_training_shards", shards_then_crash)
     with pytest.raises(Exception, match="injected mid-fold crash"):
         main(argv_a)
     capsys.readouterr()
-    monkeypatch.setattr(pl, "append_corpus_batch", real_append)
-    # partial state proves the kill point: sig/key/out folded s0 already,
-    # the corpus has not, and the checkpoint has no committed batch
+    monkeypatch.setattr(wr, "write_training_shards", real_shards)
+    # partial state proves the kill point: every store — including the
+    # shard delivery partitions — folded s0, but the checkpoint has no
+    # committed batch, so the restart must replay s0 over landed data
     assert os.path.isdir(os.path.join(sa["sig"], "batch_id=s0"))
     assert os.path.isdir(os.path.join(sa["out"], "batch_id=s0"))
-    assert not os.path.isdir(os.path.join(sa["corpus"], "batch_id=s0"))
+    assert os.path.isdir(os.path.join(sa["corpus"], "batch_id=s0"))
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(sa["shard"], "shard_id=*", "batch_id=s0"))
 
     r = _run(capsys, argv_a)  # restart: replays EXACTLY the crashed file
     assert r["batches"] == ["s0"], r
@@ -369,7 +378,7 @@ def test_cli_stream_crash_mid_fold_resumes_bitwise(
     r = _run(capsys, argv_b)
     assert r["batches"] == ["s1"], r
 
-    for k in ("corpus", "sig", "key", "out"):
+    for k in ("corpus", "sig", "key", "out", "shard"):
         a_rows = sorted(
             tuple(x) for x in spark.read.parquet(sa[k]).collect()
         )
