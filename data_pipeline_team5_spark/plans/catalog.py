@@ -280,6 +280,11 @@ _TAIL = (
     # Round 9 continued: fixed-grid resize over the Arrow blob path
     # (padding-agnostic byte-sum oracle) — oracle-backed tail.
     "mm_resize_grid",
+    # Round 10: exact distributed quantiles via operators/ranks.py (the
+    # RFM select-k machinery as a first-class query; order-statistic
+    # selection is bitwise by construction) — oracle-backed tail,
+    # exact-checked by the local mini-driver every CI run.
+    "exact_value_quantiles",
 )
 
 

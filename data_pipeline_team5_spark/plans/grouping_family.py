@@ -370,3 +370,73 @@ def sketch_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "q_approx", "q_exact")
         .orderBy("lang")
     )
+
+
+# Exact corpus-wide order statistics — the third point of the quantile
+# triangle: percentile() is exact but single-reducer (SortAggregate
+# collects every value into one task's memory), percentile_approx/GK are
+# distributed but approximate; rows_at_global_ranks (operators/ranks.py,
+# the round-10 RFM machinery) is BOTH — a range exchange + per-partition
+# counts select the exact k-th elements with no single-task stage and no
+# approximation boundary. Selection does no arithmetic on the values, so
+# the result is bitwise cross-engine by construction.
+
+QUANTILE_PCTS = (25, 50, 75, 90, 99)
+
+
+@register(
+    "exact_value_quantiles",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT l_extendedprice AS v,
+                   ROW_NUMBER() OVER (
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM lineitem
+        ), pcts(pct) AS (VALUES {", ".join(f"({p})" for p in QUANTILE_PCTS)})
+        SELECT CAST(pct AS INT) AS pct,
+               CAST(v AS DOUBLE) AS value,
+               CAST(rn AS BIGINT) AS at_rank,
+               CAST(n AS BIGINT) AS n_rows
+        FROM ordered JOIN pcts ON rn = (n * pct + 99) // 100
+        ORDER BY pct
+    """,
+    doc="⊕ exact distributed quantiles of the price column (p25/50/75/"
+    "90/99): each percentile is the TRUE order statistic at rank "
+    "ceil(n·p) — integer-exact rank math ((n·p + 99) div 100), a total "
+    "order with (l_orderkey, l_linenumber) tie-break, and the element "
+    "fetched by operators/ranks.py:rows_at_global_ranks: one NARROW "
+    "range exchange, a |partitions|-row count collect, and a window "
+    "over ONLY the ≤5 partitions holding requested ranks (each bounded "
+    "by n/P rows) — no single-task sort, no sketch error. Selection "
+    "performs zero arithmetic on the values, so Spark and DuckDB agree "
+    "bitwise by construction. This is the production form of the exact "
+    "side of sketch_length_quantiles (whose percentile() aggregate is "
+    "single-reducer) — the quality-cutoff / SLA-threshold query a "
+    "curation pipeline runs on corpus-sized numeric columns.",
+    headline=True,
+    tags=("grouping", "quantile", "ranks"),
+)
+def exact_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.ranks import (
+        rows_at_global_ranks,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    n = li.count()
+    ranks = [(n * p + 99) // 100 for p in QUANTILE_PCTS]
+    rows = rows_at_global_ranks(
+        li, ["v", "l_orderkey", "l_linenumber"], ranks
+    )
+    out = [
+        (int(p), float(r["v"]), int(k), int(n))
+        for p, r, k in zip(QUANTILE_PCTS, rows, ranks)
+    ]
+    return spark.createDataFrame(
+        out, "pct INT, value DOUBLE, at_rank BIGINT, n_rows BIGINT"
+    ).orderBy("pct")
