@@ -385,7 +385,11 @@ def main(argv: list[str] | None = None) -> int:
             (ADVICE r9) — point a remote corpus at a fixture-layout dir
             or run the component queries directly; the staged dirs are
             removed once the card is written."""
-            if "://" in d and not d.startswith("file://"):
+            if d.startswith("file://"):
+                # normalize the URI to a plain local path — the staging
+                # below is os.path/os.symlink territory
+                d = d[len("file://"):]
+            if "://" in d:
                 raise SystemExit(
                     f"datacard: remote corpus root {d!r} cannot be "
                     "symlink-staged — use a local/fixture-layout path "

@@ -581,16 +581,9 @@ def pq_topk(
     ``_MAX_ADC_ENTRIES / (m_blocks * k_codes)`` queries (ADVICE r9).
     """
     spark = corpus.sparkSession
-    codes, books = pq_fit(
-        corpus, m_blocks=m_blocks, k=k_codes, iters=iters,
-        id_col=id_col, vec_col=vec_col,
-    )
-    code_rows = codes.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("block", "code"))),
-            lambda s: s.code,
-        ).alias("_codes")
-    )
+    # validate the query batch BEFORE pq_fit — the fit is the expensive
+    # corpus-scale stage (m_blocks k-means passes), and the cap needs
+    # only the cheap query-side collect
     qrows = queries.select(id_col, vec_col).collect()
     if not qrows:
         raise ValueError("pq_topk: empty query set")
@@ -603,6 +596,16 @@ def pq_topk(
             f"query set in batches of "
             f"{_MAX_ADC_ENTRIES // (m_blocks * k_codes)}"
         )
+    codes, books = pq_fit(
+        corpus, m_blocks=m_blocks, k=k_codes, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    code_rows = codes.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("block", "code"))),
+            lambda s: s.code,
+        ).alias("_codes")
+    )
     dim = len(qrows[0][1])
     step = dim // m_blocks
 

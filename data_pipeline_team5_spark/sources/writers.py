@@ -162,14 +162,22 @@ def _drop_batch_partitions(spark, path: str, batch_id: str) -> None:
     shard (dynamic overwrite cannot remove partitions it does not write).
     Hadoop ``FileSystem`` + ``globStatus`` keeps this scheme-agnostic —
     the same call works on file://, hdfs:// and s3a:// roots."""
+    if "/" in batch_id:
+        raise ValueError(f"batch_id may not contain '/': {batch_id!r}")
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    glob = jvm.org.apache.hadoop.fs.Path(
-        f"{path}/shard_id=*/batch_id={batch_id}"
-    )
+    # glob ONLY on the fixed-safe shard_id=* segment; the batch_id is
+    # joined as an exact child path, never a pattern — a batch id
+    # containing glob metachars (*, ?, {}, []) must not be able to
+    # match — and delete — OTHER batches' partitions
+    glob = jvm.org.apache.hadoop.fs.Path(f"{path}/shard_id=*")
     for status in fs.globStatus(glob) or []:
-        fs.delete(status.getPath(), True)
+        child = jvm.org.apache.hadoop.fs.Path(
+            status.getPath(), f"batch_id={batch_id}"
+        )
+        if fs.exists(child):
+            fs.delete(child, True)
 
 
 def create_if_not_exists(df: DataFrame, table_name: str) -> None:

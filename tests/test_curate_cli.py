@@ -298,17 +298,21 @@ def test_cli_stream_crash_mid_fold_resumes_bitwise(
     spark, tmp_path, capsys, monkeypatch
 ):
     """Crash/resume contract for `curate stream` (VERDICT r7 #6, shard
-    leg per VERDICT r9 #7): a micro-batch killed AFTER partial store
+    leg per VERDICT r9 #7): a micro-batch killed after partial store
     writes but BEFORE the checkpoint commits must, on restart, be
     reprocessed as the SAME batch id, and every store — including the
     --shard-root delivery partitions — must end bitwise-identical to a
     run that never crashed; the idempotent partition overwrites absorb
-    the replayed fold. The injected failure fires AFTER
-    write_training_shards returns (the LAST store write in the fold
-    body), so the crash leaves the maximum partial state: assignments +
-    sig + key + corpus + shard rows all landed, checkpoint uncommitted
-    — the shard store's idempotency is exercised by a genuine replay,
-    not a clean rerun."""
+    the replayed fold. TWO kill points, one per day, so both replay
+    regimes are pinned: day1 crashes INSIDE append_corpus_batch
+    (asymmetric partial state — out/sig/key folded, corpus and shards
+    NOT; the restart must converge from a sig index that already
+    contains the fold its corpus lacks), day2 crashes AFTER
+    write_training_shards returns (every store written, checkpoint
+    uncommitted — the shard store replays over fully-landed data
+    through the delete-first path, a genuine replay rather than a
+    clean rerun)."""
+    import data_pipeline_team5_spark.pipeline as pl
     import data_pipeline_team5_spark.sources.writers as wr
 
     docs, paths = _days(spark, tmp_path)
@@ -340,32 +344,54 @@ def test_cli_stream_crash_mid_fold_resumes_bitwise(
         return s, arrivals, argv
 
     # --- run A: crash mid-fold on the first micro-batch, then resume ---
+    import glob as _glob
+
     sa, arrivals_a, argv_a = seed("a")
+
+    # --- day1: crash INSIDE append_corpus_batch (asymmetric state) ---
     stage_file("day1", arrivals_a)
+    real_append = pl.append_corpus_batch
+    monkeypatch.setattr(
+        pl, "append_corpus_batch",
+        lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("injected mid-fold crash")
+        ),
+    )
+    with pytest.raises(Exception, match="injected mid-fold crash"):
+        main(argv_a)
+    capsys.readouterr()
+    monkeypatch.setattr(pl, "append_corpus_batch", real_append)
+    # kill point: out/sig/key folded s0; corpus and shards have NOT
+    assert os.path.isdir(os.path.join(sa["sig"], "batch_id=s0"))
+    assert os.path.isdir(os.path.join(sa["out"], "batch_id=s0"))
+    assert not os.path.isdir(os.path.join(sa["corpus"], "batch_id=s0"))
+    assert not _glob.glob(
+        os.path.join(sa["shard"], "shard_id=*", "batch_id=s0")
+    )
+
+    r = _run(capsys, argv_a)  # restart: replays EXACTLY the crashed file
+    assert r["batches"] == ["s0"], r
+
+    # --- day2: crash AFTER write_training_shards (all stores landed) ---
+    stage_file("day2", arrivals_a)
     real_shards = wr.write_training_shards
 
     def shards_then_crash(*a, **k):
         real_shards(*a, **k)
-        raise RuntimeError("injected mid-fold crash")
+        raise RuntimeError("injected post-shard crash")
 
     monkeypatch.setattr(wr, "write_training_shards", shards_then_crash)
-    with pytest.raises(Exception, match="injected mid-fold crash"):
+    with pytest.raises(Exception, match="injected post-shard crash"):
         main(argv_a)
     capsys.readouterr()
     monkeypatch.setattr(wr, "write_training_shards", real_shards)
-    # partial state proves the kill point: every store — including the
-    # shard delivery partitions — folded s0, but the checkpoint has no
-    # committed batch, so the restart must replay s0 over landed data
-    assert os.path.isdir(os.path.join(sa["sig"], "batch_id=s0"))
-    assert os.path.isdir(os.path.join(sa["out"], "batch_id=s0"))
-    assert os.path.isdir(os.path.join(sa["corpus"], "batch_id=s0"))
-    import glob as _glob
+    # kill point: EVERY store folded s1, checkpoint uncommitted — the
+    # restart must replay s1 over fully-landed shard partitions
+    assert os.path.isdir(os.path.join(sa["corpus"], "batch_id=s1"))
+    assert _glob.glob(
+        os.path.join(sa["shard"], "shard_id=*", "batch_id=s1")
+    )
 
-    assert _glob.glob(os.path.join(sa["shard"], "shard_id=*", "batch_id=s0"))
-
-    r = _run(capsys, argv_a)  # restart: replays EXACTLY the crashed file
-    assert r["batches"] == ["s0"], r
-    stage_file("day2", arrivals_a)
     r = _run(capsys, argv_a)
     assert r["batches"] == ["s1"], r
 
@@ -692,9 +718,15 @@ def test_datacard_subcommand(spark, tmp_path, capsys):
     assert 0.0 <= summary["good_turing_unseen_mass"] < 1.0
 
 
-def test_datacard_accepts_bare_corpus_root(spark, tmp_path, capsys):
+def test_datacard_accepts_bare_corpus_root(spark, tmp_path, capsys, monkeypatch):
     """A maintained corpus root (bare parquet dir, the fold-store form) is
     accepted directly — the card must equal the fixture-layout run's."""
+    import glob as _glob
+    import tempfile
+
+    # pin THIS test's staging into tmp_path so the leak assertion cannot
+    # see other processes' (or crashed runs') datacard_* dirs
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
     docs = table(spark, SF_SMALL, "documents")
     root = str(tmp_path / "corpus_root")
     docs.write.parquet(root)
@@ -705,10 +737,7 @@ def test_datacard_accepts_bare_corpus_root(spark, tmp_path, capsys):
     card, ref = json.load(open(out)), json.load(open(out_ref))
     assert card["sections"] == ref["sections"]
     # the symlink staging dir must not leak (ADVICE r9)
-    import glob as _glob
-    import tempfile
-
-    assert _glob.glob(f"{tempfile.gettempdir()}/datacard_*") == []
+    assert _glob.glob(str(tmp_path / "datacard_*")) == []
 
 
 def test_datacard_refuses_remote_corpus_root(spark, tmp_path, capsys):

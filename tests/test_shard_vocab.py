@@ -281,3 +281,32 @@ def test_batch_replay_drops_stale_shard_partitions(spark, tmp_path):
     assert len(after) == 1
     got = spark.read.parquet(root).filter("batch_id = 'day1'")
     assert got.count() == 1
+
+
+def test_batch_id_with_glob_metachars_cannot_delete_other_batches(
+    spark, tmp_path
+):
+    """The replay delete-first step must treat batch_id as an exact path
+    segment, never a Hadoop glob — a batch id containing '*' must not
+    match (and delete) OTHER batches' shard partitions."""
+    import glob as _glob
+
+    root = str(tmp_path / "shards")
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"text {i}") for i in range(20)],
+        "doc_id STRING, text STRING",
+    )
+    write_training_shards(docs, root, n_shards=2, batch_id="day1")
+    write_training_shards(docs, root, n_shards=2, batch_id="day2")
+    assert _glob.glob(f"{root}/shard_id=*/batch_id=day1")
+    assert _glob.glob(f"{root}/shard_id=*/batch_id=day2")
+
+    write_training_shards(docs.limit(3), root, n_shards=2, batch_id="day*")
+    # the metachar batch landed, and day1/day2 are untouched
+    assert _glob.glob(f"{root}/shard_id=*/batch_id=day1")
+    assert _glob.glob(f"{root}/shard_id=*/batch_id=day2")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="may not contain"):
+        write_training_shards(docs, root, n_shards=2, batch_id="a/b")

@@ -281,9 +281,9 @@ def main_semantic_derived() -> None:
     print(
         f"pairs/vector {base[4]:.2f} → {ten[4]:.2f} "
         f"({ten[4] / max(base[4], 1e-9):.2f}× at 10× vectors under "
-        f"derived k; fixed k=8 measured {ten[3] / max(base[3], 1):.1f}× "
-        f"total pairs in the r9 stress); wall {base[5]:.2f} → "
-        f"{ten[5]:.2f} s ({ten[5] / base[5]:.1f}×)"
+        f"derived k; {ten[3] / max(base[3], 1):.1f}× total pairs this "
+        f"run); wall {base[5]:.2f} → {ten[5]:.2f} s "
+        f"({ten[5] / base[5]:.1f}×)"
     )
 
 
