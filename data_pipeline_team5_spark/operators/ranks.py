@@ -154,3 +154,100 @@ def exact_ntile_bucket(
         )
         bucket = bucket + (x > t).cast("int")
     return bucket.cast("int")
+
+
+def grouped_rows_at_group_ranks(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    ranks_for: "callable",
+    num_partitions: int | None = None,
+) -> list[tuple]:
+    """Exact per-group order statistics without per-group global sorts —
+    the grouped companion of :func:`rows_at_global_ranks`.
+
+    ``Window.partitionBy(group)`` is already scale-safe when groups are
+    MANY and SMALL (each window partition bounded by group size); the
+    regime it dies in is FEW HUGE groups — one task per language over a
+    trillion-token corpus. This operator targets exactly that regime:
+
+    1. ONE range exchange on ``(group, order)`` — rows of a group span a
+       contiguous run of partitions, each bounded by ``n/P`` rows;
+    2. one ``(partition, group)`` count collect — driver state is
+       ``O(P × |groups|)``, trivially small precisely when groups are
+       few (the regime this exists for; with millions of groups use the
+       plain window instead);
+    3. ``ranks_for(n_g)`` names each group's wanted 1-based ranks
+       (e.g. ``ceil(n·p)`` quantile ranks); the rows at those ranks are
+       fetched with ONE window over only the partitions that hold them,
+       partitioned by ``(pid, group)`` — never a whole group in a task.
+
+    Returns ``[(group_key_tuple, group_row_count, rank, Row), ...]``
+    sorted by (group, rank). Selection does no arithmetic on the values — results are
+    engine-exact. ``order_cols`` must total-order rows WITHIN a group
+    (unique tie-breaker last).
+    """
+    spark = df.sparkSession
+    p = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    s = (
+        df.select(*group_cols, *order_cols)
+        .repartitionByRange(p, *group_cols, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    cnt_rows = (
+        s.groupBy("_pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    # per group: pid → count, in pid (= range) order
+    per_group: dict[tuple, dict[int, int]] = {}
+    for r in cnt_rows:
+        key = tuple(r[c] for c in group_cols)
+        per_group.setdefault(key, {})[r["_pid"]] = r["cnt"]
+    # address every wanted (group, rank) as (pid, local-rank-in-pid)
+    targets: dict[tuple[int, tuple, int], int] = {}  # (pid,key,local)->rank
+    group_n: dict[tuple, int] = {}
+    for key, counts in per_group.items():
+        n_g = sum(counts.values())
+        group_n[key] = n_g
+        ranks = sorted(set(ranks_for(n_g)))
+        bad = [k for k in ranks if not 1 <= k <= n_g]
+        if bad:
+            raise ValueError(f"group {key}: ranks {bad} outside [1, {n_g}]")
+        offsets: dict[int, int] = {}
+        running = 0
+        for pid in sorted(counts):
+            offsets[pid] = running
+            running += counts[pid]
+        for k in ranks:
+            pid = max(
+                q for q in offsets if offsets[q] < k and counts[q] > 0
+            )
+            targets[(pid, key, k - offsets[pid])] = k
+    need_pids = sorted({pid for pid, _, _ in targets})
+    w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    ranked = (
+        s.filter(F.col("_pid").isin(need_pids))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    hit = F.lit(False)
+    for (pid, key, local) in targets:
+        cond = (F.col("_pid") == pid) & (F.col("_rn") == local)
+        for c, v in zip(group_cols, key):
+            cond = cond & (
+                F.col(c).isNull() if v is None else (F.col(c) == v)
+            )
+        hit = hit | cond
+    fetched = ranked.filter(hit).collect()
+    by_addr = {
+        (r["_pid"], tuple(r[c] for c in group_cols), r["_rn"]): r
+        for r in fetched
+    }
+    out = []
+    for (pid, key, local), rank in targets.items():
+        out.append((key, group_n[key], rank, by_addr[(pid, key, local)]))
+    out.sort(key=lambda t: (tuple(map(str, t[0])), t[2]))
+    return out

@@ -285,6 +285,10 @@ _TAIL = (
     # selection is bitwise by construction) — oracle-backed tail,
     # exact-checked by the local mini-driver every CI run.
     "exact_value_quantiles",
+    # Round 10: its per-group companion (few-huge-groups regime —
+    # per-language quantiles with no per-language sort) — oracle-backed
+    # tail, exact-checked by the local mini-driver every CI run.
+    "exact_grouped_quantiles",
 )
 
 

@@ -440,3 +440,75 @@ def exact_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "pct INT, value DOUBLE, at_rank BIGINT, n_rows BIGINT"
     ).orderBy("pct")
+
+
+@register(
+    "exact_grouped_quantiles",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT lang, n_chars AS v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY n_chars, doc_id
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+        ), pcts(pct) AS (VALUES (50), (90), (99))
+        SELECT lang,
+               CAST(pct AS INT) AS pct,
+               CAST(v AS BIGINT) AS value,
+               CAST(rn AS BIGINT) AS at_rank,
+               CAST(n AS BIGINT) AS n_rows
+        FROM ordered JOIN pcts ON rn = (n * pct + 99) // 100
+        ORDER BY lang, pct
+    """,
+    doc="⊕ exact PER-GROUP quantiles (p50/90/99 of document length per "
+    "language): the grouped companion of exact_value_quantiles, and the "
+    "exact form sketch_length_quantiles' doc names as needing a "
+    "per-language sort — now WITHOUT one. Window.partitionBy(lang) is "
+    "fine when groups are many and small; with FEW HUGE groups (three "
+    "languages over a trillion-token corpus) each window partition IS "
+    "the corpus-sized group in one task. operators/ranks.py:"
+    "grouped_rows_at_group_ranks instead: one (lang, n_chars, doc_id) "
+    "range exchange whose partitions are each bounded by n/P rows, a "
+    "(partition × lang) count collect (driver state tiny exactly when "
+    "groups are few), per-group integer-exact quantile ranks, and one "
+    "(partition, lang)-windowed fetch over only the partitions holding "
+    "requested ranks. Selection does no value arithmetic — bitwise "
+    "cross-engine by construction, verified at three SFs.",
+    headline=True,
+    tags=("grouping", "quantile", "ranks", "text"),
+)
+def exact_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.ranks import (
+        grouped_rows_at_group_ranks,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "lang", "n_chars", "doc_id"
+    )
+    pcts = (50, 90, 99)
+
+    def ranks_for(n_g: int) -> list[int]:
+        return [(n_g * p + 99) // 100 for p in pcts]
+
+    got = grouped_rows_at_group_ranks(
+        docs, ["lang"], ["n_chars", "doc_id"], ranks_for
+    )
+    by_group_rank = {
+        (key, rank): (n_g, row) for key, n_g, rank, row in got
+    }
+    # one output row per (group, pct) — a rank shared by two pcts (tiny
+    # groups where ceil(n·p) collides) must emit BOTH rows
+    out = []
+    for key, n_g, _, _ in got:
+        for p in pcts:
+            rank = (n_g * p + 99) // 100
+            _, row = by_group_rank[(key, rank)]
+            out.append(
+                (key[0], int(p), int(row["n_chars"]), int(rank), int(n_g))
+            )
+    out = sorted(set(out))
+    return spark.createDataFrame(
+        out,
+        "lang STRING, pct INT, value BIGINT, at_rank BIGINT, n_rows BIGINT",
+    ).orderBy("lang", "pct")

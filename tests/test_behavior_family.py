@@ -269,3 +269,42 @@ def test_rows_at_global_ranks_exact(spark):
     assert ntile_cut_ranks(8, 4) == [2, 4, 6]
     assert ntile_cut_ranks(2, 4) == [1, 2, 2]
     assert ntile_cut_ranks(1, 4) == [1, 1, 1]
+
+
+def test_grouped_rows_at_group_ranks_matches_sorted_python(spark):
+    """Grouped select-k == per-group sorted-list indexing, including a
+    NULL group key, a 1-row group (all pct ranks collide at 1), and
+    groups spanning multiple range partitions."""
+    from data_pipeline_team5_spark.operators.ranks import (
+        grouped_rows_at_group_ranks,
+    )
+
+    rows = []
+    for g, size in (("a", 57), ("b", 8), ("c", 1), (None, 13)):
+        for i in range(size):
+            rows.append((g, (i * 31) % size, f"{g}-{i}"))
+    df = spark.createDataFrame(rows, "g STRING, v INT, uid STRING")
+    pcts = (50, 90, 99)
+
+    def ranks_for(n):
+        return [(n * p + 99) // 100 for p in pcts]
+
+    got = grouped_rows_at_group_ranks(
+        df, ["g"], ["v", "uid"], ranks_for, num_partitions=7
+    )
+    expect = []
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, v, uid in rows:
+        groups[g].append((v, uid))
+    for g, vals in groups.items():
+        vals.sort()
+        for k in sorted(set(ranks_for(len(vals)))):
+            expect.append(((g,), len(vals), k, vals[k - 1]))
+    order = lambda t: (str(t[0]), t[2])  # noqa: E731 — None-safe key
+    got_cmp = sorted(
+        ((key, n, k, (row["v"], row["uid"])) for key, n, k, row in got),
+        key=order,
+    )
+    assert got_cmp == sorted(expect, key=order)
