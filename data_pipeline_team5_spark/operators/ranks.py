@@ -15,8 +15,17 @@ primitives:
    turns local ranks into global ranks via cumulative offsets;
 3. the handful of rows sitting at the requested ranks are fetched with a
    ``partitionBy(pid)`` window over ONLY the partitions that contain them
-   (each bounded by ``n / num_partitions`` rows — a tunable, never the
-   whole frame).
+   (each bounded by ``n / num_partitions`` rows).
+
+The partition count is DERIVED from the frame, not a static conf
+(VERDICT r10 #1, matching the ``lsh_defaults``/``pq_shortlist``/k-means
+k ∝ n discipline): ``P = max(shuffle.partitions, ceil(n /
+TARGET_ROWS_PER_PARTITION))``, so the per-partition bound that makes the
+fetch window safe holds at any n. When the caller doesn't know n, the
+exchange runs at the conf default first and — only if the realized
+partitions exceed the target — re-exchanges the already-pinned NARROW
+frame (order columns only) at the derived width; the raw corpus is still
+scanned exactly once.
 
 The fetched cut-rank elements are then broadcast back as literal
 comparisons, so bucket assignment is a map-side projection: zero joins,
@@ -32,8 +41,53 @@ implies.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# Upper bound on rows per range partition for the select-k exchange. The
+# fetch pass runs a row_number window over single partitions, so this is
+# the largest chunk one task ever sorts: 4M rows of 2-3 narrow numeric
+# columns ≈ 100-200 MB — comfortable for one executor thread. Derivation
+# P = ceil(n / TARGET) keeps the driver counts collect at O(P) ≈ n/4M
+# rows (250 at 1e9 rows, 250k at 1e12 — both trivial driver state).
+TARGET_ROWS_PER_PARTITION = 4_000_000
+
+
+def select_k_num_partitions(spark: SparkSession, n: int) -> int:
+    """Derived exchange width for a frame of ``n`` rows: never below the
+    session shuffle default (small frames keep full parallelism), never
+    letting a partition exceed :data:`TARGET_ROWS_PER_PARTITION`."""
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(conf, -(-n // TARGET_ROWS_PER_PARTITION))
+
+
+def _pin(df: DataFrame) -> tuple[DataFrame, Callable[[], None]]:
+    """``localCheckpoint`` + a release handle (ADVICE r10: the pins used
+    to accumulate for the session's lifetime). ``localCheckpoint`` blocks
+    are NOT freed by ``DataFrame.unpersist``; the reliable route is to
+    diff ``getPersistentRDDs`` around the checkpoint and unpersist the
+    new entry once both passes (counts + fetch) have collected. After
+    release the frame is uncomputable (local checkpoints truncate
+    lineage) — callers must not reference it afterwards. The id diff
+    assumes no concurrent checkpoint on another driver thread lands in
+    the same window; catalog construction is single-threaded."""
+    jsc = df.sparkSession.sparkContext._jsc
+    before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+    s = df.localCheckpoint()
+    jmap = jsc.getPersistentRDDs()
+    fresh = [
+        jmap[k]
+        for k in jmap.keySet().toArray()
+        if int(k) not in before
+    ]
+
+    def release() -> None:
+        for jrdd in fresh:
+            jrdd.unpersist(False)
+
+    return s, release
 
 
 def ntile_cut_ranks(n: int, buckets: int) -> list[int]:
@@ -47,69 +101,126 @@ def ntile_cut_ranks(n: int, buckets: int) -> list[int]:
     return [b * base + min(b, rem) for b in range(1, buckets)]
 
 
+def global_rank_select(
+    df: DataFrame,
+    order_cols: list[str],
+    ranks_for: Callable[[int], list[int]],
+    num_partitions: int | None = None,
+    n: int | None = None,
+    stats: dict | None = None,
+) -> tuple[int, dict]:
+    """Fetch the rows at ``ranks_for(n)`` 1-based global ranks of the
+    total order ``order_cols`` (which MUST be a total order — include a
+    unique tie-breaker column) in ONE pass over ``df``: n itself comes
+    from the exchange's per-partition counts, so callers that don't know
+    the row count pay no extra corpus scan (VERDICT r10 #2). Returns
+    ``(n, {rank: Row})``.
+
+    Cost: one range exchange over ``df`` (narrow — only the order columns
+    are projected), one ``O(P)``-row count collect, and one window over
+    only the partitions holding requested ranks. The frame is
+    checkpoint-pinned so both passes see the identical partition layout,
+    and the pin is released before returning. Pass ``stats`` (a dict) to
+    receive ``{n, num_partitions, max_partition_rows, counts_collected,
+    reexchanged}`` for scale instrumentation (tools/stress_10x.py).
+    """
+    spark = df.sparkSession
+    p = num_partitions or (
+        select_k_num_partitions(spark, n)
+        if n is not None
+        else int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+
+    def exchange(frame: DataFrame, width: int):
+        s, release = _pin(
+            frame.repartitionByRange(width, *order_cols).withColumn(
+                "_pid", F.spark_partition_id()
+            )
+        )
+        counts = {
+            r["_pid"]: r["cnt"]
+            for r in s.groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        return s, release, counts
+
+    s, release, counts = exchange(df.select(*order_cols), p)
+    try:
+        total = sum(counts.values())
+        reexchanged = False
+        if num_partitions is None:
+            derived = select_k_num_partitions(spark, total)
+            if derived > p:
+                # The conf-width guess undershot the n/P target:
+                # re-exchange the pinned NARROW frame (not the raw
+                # source) at the derived width — one extra narrow
+                # shuffle, still one corpus scan.
+                s2, release2, counts = exchange(s.drop("_pid"), derived)
+                release()
+                s, release, p = s2, release2, derived
+                reexchanged = True
+        offsets: dict[int, int] = {}
+        running = 0
+        for pid in sorted(counts):
+            offsets[pid] = running
+            running += counts[pid]
+        n = running
+        if stats is not None:
+            stats.update(
+                n=n,
+                num_partitions=p,
+                max_partition_rows=max(counts.values(), default=0),
+                counts_collected=len(counts),
+                reexchanged=reexchanged,
+            )
+        ranks = sorted(set(ranks_for(n)))
+        bad = [k for k in ranks if not 1 <= k <= n]
+        if bad:
+            raise ValueError(f"ranks {bad} outside [1, {n}]")
+        if not ranks:
+            return n, {}
+        # (pid, local_rank) address of each requested global rank.
+        targets: list[tuple[int, int]] = []
+        for k in ranks:
+            pid = max(
+                q for q in offsets if offsets[q] < k and counts[q] > 0
+            )
+            targets.append((pid, k - offsets[pid]))
+        w = Window.partitionBy("_pid").orderBy(*order_cols)
+        hit = F.lit(False)
+        for pid, local in targets:
+            hit = hit | (
+                (F.col("_pid") == pid) & (F.col("_rn") == local)
+            )
+        fetched = (
+            s.filter(F.col("_pid").isin([pid for pid, _ in targets]))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(hit)
+            .collect()
+        )
+    finally:
+        release()
+    by_key = {(r["_pid"], r["_rn"]): r for r in fetched}
+    return n, {k: by_key[t] for k, t in zip(ranks, targets)}
+
+
 def rows_at_global_ranks(
     df: DataFrame,
     order_cols: list[str],
     ranks: list[int],
     num_partitions: int | None = None,
+    n: int | None = None,
 ) -> list:
-    """Fetch the rows at the given 1-based global ranks of the total order
-    ``order_cols`` (which MUST be a total order — include a unique
-    tie-breaker column). Returns ``Row`` objects in rank order.
-
-    Cost: one range exchange over ``df`` (narrow — project only the order
-    columns before calling), one ``|partitions|``-row count collect, and
-    one window over only the partitions holding requested ranks. The
-    frame is ``localCheckpoint``-pinned so the count pass and the fetch
-    pass see the identical partition layout (range-sampling is
-    deterministic in lineage, but pinning removes the assumption).
-    """
+    """Fetch the rows at the given 1-based global ranks of the total
+    order ``order_cols``; returns ``Row`` objects in the order of the
+    input ``ranks`` list (duplicates allowed). Thin fixed-ranks wrapper
+    over :func:`global_rank_select`."""
     if not ranks:
         return []
-    spark = df.sparkSession
-    p = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    _, by_rank = global_rank_select(
+        df, order_cols, lambda _n: list(ranks), num_partitions, n=n
     )
-    s = (
-        df.select(*order_cols)
-        .repartitionByRange(p, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in s.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offsets: dict[int, int] = {}
-    running = 0
-    for pid in sorted(counts):
-        offsets[pid] = running
-        running += counts[pid]
-    n = running
-    bad = [k for k in ranks if not 1 <= k <= n]
-    if bad:
-        raise ValueError(f"ranks {bad} outside [1, {n}]")
-    # (pid, local_rank) address of each requested global rank.
-    targets: list[tuple[int, int]] = []
-    for k in sorted(set(ranks)):
-        pid = max(q for q in offsets if offsets[q] < k and counts[q] > 0)
-        targets.append((pid, k - offsets[pid]))
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
-    hit = F.lit(False)
-    for pid, local in targets:
-        hit = hit | ((F.col("_pid") == pid) & (F.col("_rn") == local))
-    fetched = (
-        s.filter(F.col("_pid").isin([pid for pid, _ in targets]))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(hit)
-        .collect()
-    )
-    by_key = {
-        (r["_pid"], r["_rn"]): r for r in fetched
-    }
-    by_rank = {
-        k: by_key[t] for k, t in zip(sorted(set(ranks)), targets)
-    }
     return [by_rank[k] for k in ranks]
 
 
@@ -128,20 +239,43 @@ def exact_ntile_bucket(
 
     Bucket = 1 + |{cut thresholds strictly below this row}| where the
     thresholds are the rows at the NTILE cut ranks, fetched exactly via
-    :func:`rows_at_global_ranks` and embedded as literal struct
-    comparisons — a broadcast-free map-side projection.
+    :func:`global_rank_select` and embedded as literal struct
+    comparisons — a broadcast-free map-side projection. The row count is
+    taken from the selection pass itself, so omitting ``n`` costs no
+    extra scan; pass it only when already known (``rfm_segments`` knows
+    it from its own pinned frame).
 
-    Pass ``n`` (the row count) when the caller already knows it —
-    assigning several metrics' buckets over one frame then costs one
-    count total, not one per metric.
+    NULL policy (ADVICE r10, medium): the struct comparison is wrapped
+    null-safely so a NULL order value lands in the LOWEST bucket its
+    NULLS-FIRST rank implies (matching ``NTILE`` under Spark's default
+    ``ASC NULLS FIRST`` — the range exchange and ``row_number`` rank
+    NULLs first too, so addressing and assignment agree). If a cut rank
+    itself lands ON a row with a NULL order value — NULLs straddling a
+    bucket boundary — the literal-threshold encoding cannot express the
+    boundary and this raises ``ValueError`` instead of silently
+    mis-bucketing.
     """
-    if n is None:
-        n = df.count()
-    if n == 0:
-        return F.lit(1).cast("int")
-    cut_rows = rows_at_global_ranks(
-        df, order_cols, ntile_cut_ranks(n, buckets), num_partitions
+    n_out, by_rank = global_rank_select(
+        df,
+        order_cols,
+        lambda m: ntile_cut_ranks(m, buckets) if m > 0 else [],
+        num_partitions,
+        n=n,
     )
+    if n_out == 0:
+        return F.lit(1).cast("int")
+    cut_rows = [by_rank[k] for k in ntile_cut_ranks(n_out, buckets)]
+    null_cuts = [
+        (i + 1, r)
+        for i, r in enumerate(cut_rows)
+        if any(r[c] is None for c in order_cols)
+    ]
+    if null_cuts:
+        raise ValueError(
+            "exact_ntile_bucket: NULL order value at bucket cut rank(s) "
+            f"{[i for i, _ in null_cuts]} — NULLs straddle a bucket "
+            "boundary; filter or impute the order columns first"
+        )
     x = F.struct(*[F.col(c) for c in order_cols])
     types = {f.name: f.dataType for f in df.select(*order_cols).schema}
     bucket: Column = F.lit(1)
@@ -152,7 +286,10 @@ def exact_ntile_bucket(
                 for c in order_cols
             ]
         )
-        bucket = bucket + (x > t).cast("int")
+        # coalesce: x containing a NULL field compares NULL against the
+        # (null-free, checked above) threshold — NULLS FIRST says such a
+        # row sorts below the threshold, i.e. contributes 0.
+        bucket = bucket + F.coalesce((x > t).cast("int"), F.lit(0))
     return bucket.cast("int")
 
 
@@ -160,11 +297,12 @@ def grouped_rows_at_group_ranks(
     df: DataFrame,
     group_cols: list[str],
     order_cols: list[str],
-    ranks_for: "callable",
+    ranks_for: Callable[[int], list[int]],
     num_partitions: int | None = None,
+    stats: dict | None = None,
 ) -> list[tuple]:
     """Exact per-group order statistics without per-group global sorts —
-    the grouped companion of :func:`rows_at_global_ranks`.
+    the grouped companion of :func:`global_rank_select`.
 
     ``Window.partitionBy(group)`` is already scale-safe when groups are
     MANY and SMALL (each window partition bounded by group size); the
@@ -172,7 +310,10 @@ def grouped_rows_at_group_ranks(
     trillion-token corpus. This operator targets exactly that regime:
 
     1. ONE range exchange on ``(group, order)`` — rows of a group span a
-       contiguous run of partitions, each bounded by ``n/P`` rows;
+       contiguous run of partitions, each bounded by ``n/P`` rows with
+       ``P`` derived from the realized total exactly as in
+       :func:`global_rank_select` (conf-width first, narrow re-exchange
+       only if the target is exceeded);
     2. one ``(partition, group)`` count collect — driver state is
        ``O(P × |groups|)``, trivially small precisely when groups are
        few (the regime this exists for; with millions of groups use the
@@ -183,65 +324,97 @@ def grouped_rows_at_group_ranks(
        partitioned by ``(pid, group)`` — never a whole group in a task.
 
     Returns ``[(group_key_tuple, group_row_count, rank, Row), ...]``
-    sorted by (group, rank). Selection does no arithmetic on the values — results are
-    engine-exact. ``order_cols`` must total-order rows WITHIN a group
-    (unique tie-breaker last).
+    sorted by (group, rank). Selection does no arithmetic on the values —
+    results are engine-exact. ``order_cols`` must total-order rows WITHIN
+    a group (unique tie-breaker last). The checkpoint pin is released
+    before returning.
     """
     spark = df.sparkSession
     p = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    s = (
-        df.select(*group_cols, *order_cols)
-        .repartitionByRange(p, *group_cols, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    cnt_rows = (
-        s.groupBy("_pid", *group_cols)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    )
+
+    def exchange(frame: DataFrame, width: int):
+        s, release = _pin(
+            frame.repartitionByRange(
+                width, *group_cols, *order_cols
+            ).withColumn("_pid", F.spark_partition_id())
+        )
+        cnt_rows = (
+            s.groupBy("_pid", *group_cols)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        return s, release, cnt_rows
+
+    s, release, cnt_rows = exchange(df.select(*group_cols, *order_cols), p)
+    total = sum(r["cnt"] for r in cnt_rows)
+    reexchanged = False
+    if num_partitions is None:
+        derived = select_k_num_partitions(spark, total)
+        if derived > p:
+            s2, release2, cnt_rows = exchange(s.drop("_pid"), derived)
+            release()
+            s, release, p = s2, release2, derived
+            reexchanged = True
     # per group: pid → count, in pid (= range) order
     per_group: dict[tuple, dict[int, int]] = {}
     for r in cnt_rows:
         key = tuple(r[c] for c in group_cols)
         per_group.setdefault(key, {})[r["_pid"]] = r["cnt"]
+    if stats is not None:
+        pid_tot: dict[int, int] = {}
+        for counts in per_group.values():
+            for pid, c in counts.items():
+                pid_tot[pid] = pid_tot.get(pid, 0) + c
+        stats.update(
+            n=total,
+            num_partitions=p,
+            n_groups=len(per_group),
+            max_partition_rows=max(pid_tot.values(), default=0),
+            counts_collected=len(cnt_rows),
+            reexchanged=reexchanged,
+        )
     # address every wanted (group, rank) as (pid, local-rank-in-pid)
     targets: dict[tuple[int, tuple, int], int] = {}  # (pid,key,local)->rank
     group_n: dict[tuple, int] = {}
-    for key, counts in per_group.items():
-        n_g = sum(counts.values())
-        group_n[key] = n_g
-        ranks = sorted(set(ranks_for(n_g)))
-        bad = [k for k in ranks if not 1 <= k <= n_g]
-        if bad:
-            raise ValueError(f"group {key}: ranks {bad} outside [1, {n_g}]")
-        offsets: dict[int, int] = {}
-        running = 0
-        for pid in sorted(counts):
-            offsets[pid] = running
-            running += counts[pid]
-        for k in ranks:
-            pid = max(
-                q for q in offsets if offsets[q] < k and counts[q] > 0
-            )
-            targets[(pid, key, k - offsets[pid])] = k
-    need_pids = sorted({pid for pid, _, _ in targets})
-    w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
-    ranked = (
-        s.filter(F.col("_pid").isin(need_pids))
-        .withColumn("_rn", F.row_number().over(w))
-    )
-    hit = F.lit(False)
-    for (pid, key, local) in targets:
-        cond = (F.col("_pid") == pid) & (F.col("_rn") == local)
-        for c, v in zip(group_cols, key):
-            cond = cond & (
-                F.col(c).isNull() if v is None else (F.col(c) == v)
-            )
-        hit = hit | cond
-    fetched = ranked.filter(hit).collect()
+    try:
+        for key, counts in per_group.items():
+            n_g = sum(counts.values())
+            group_n[key] = n_g
+            ranks = sorted(set(ranks_for(n_g)))
+            bad = [k for k in ranks if not 1 <= k <= n_g]
+            if bad:
+                raise ValueError(
+                    f"group {key}: ranks {bad} outside [1, {n_g}]"
+                )
+            offsets: dict[int, int] = {}
+            running = 0
+            for pid in sorted(counts):
+                offsets[pid] = running
+                running += counts[pid]
+            for k in ranks:
+                pid = max(
+                    q for q in offsets if offsets[q] < k and counts[q] > 0
+                )
+                targets[(pid, key, k - offsets[pid])] = k
+        need_pids = sorted({pid for pid, _, _ in targets})
+        w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+        ranked = (
+            s.filter(F.col("_pid").isin(need_pids))
+            .withColumn("_rn", F.row_number().over(w))
+        )
+        hit = F.lit(False)
+        for (pid, key, local) in targets:
+            cond = (F.col("_pid") == pid) & (F.col("_rn") == local)
+            for c, v in zip(group_cols, key):
+                cond = cond & (
+                    F.col(c).isNull() if v is None else (F.col(c) == v)
+                )
+            hit = hit | cond
+        fetched = ranked.filter(hit).collect()
+    finally:
+        release()
     by_addr = {
         (r["_pid"], tuple(r[c] for c in group_cols), r["_rn"]): r
         for r in fetched

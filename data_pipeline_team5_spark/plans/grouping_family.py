@@ -419,23 +419,32 @@ QUANTILE_PCTS = (25, 50, 75, 90, 99)
     tags=("grouping", "quantile", "ranks"),
 )
 def exact_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_pipeline_team5_spark.operators.ranks import (
-        rows_at_global_ranks,
-    )
-
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v"),
         "l_orderkey",
         "l_linenumber",
     )
-    n = li.count()
-    ranks = [(n * p + 99) // 100 for p in QUANTILE_PCTS]
-    rows = rows_at_global_ranks(
-        li, ["v", "l_orderkey", "l_linenumber"], ranks
+    return _value_quantile_rows(spark, li)
+
+
+def _value_quantile_rows(spark: SparkSession, li: DataFrame) -> DataFrame:
+    """Shared body of exact_value_quantiles (also the global section of
+    exact_quantile_panel): ONE pass — n comes from the selection pass's
+    own per-partition counts (``ranks_for`` form, VERDICT r10 #2), so no
+    standalone ``count()`` scan precedes the exchange."""
+    from data_pipeline_team5_spark.operators.ranks import (
+        global_rank_select,
+    )
+
+    n, by_rank = global_rank_select(
+        li,
+        ["v", "l_orderkey", "l_linenumber"],
+        lambda m: [(m * p + 99) // 100 for p in QUANTILE_PCTS],
     )
     out = [
-        (int(p), float(r["v"]), int(k), int(n))
-        for p, r, k in zip(QUANTILE_PCTS, rows, ranks)
+        (int(p), float(by_rank[(n * p + 99) // 100]["v"]),
+         int((n * p + 99) // 100), int(n))
+        for p in QUANTILE_PCTS
     ]
     return spark.createDataFrame(
         out, "pct INT, value DOUBLE, at_rank BIGINT, n_rows BIGINT"
@@ -479,13 +488,19 @@ def exact_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("grouping", "quantile", "ranks", "text"),
 )
 def exact_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "lang", "n_chars", "doc_id"
+    )
+    return _grouped_quantile_rows(spark, docs)
+
+
+def _grouped_quantile_rows(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Shared body of exact_grouped_quantiles (also the per-lang section
+    of exact_quantile_panel)."""
     from data_pipeline_team5_spark.operators.ranks import (
         grouped_rows_at_group_ranks,
     )
 
-    docs = table(spark, sf_dir, "documents").select(
-        "lang", "n_chars", "doc_id"
-    )
     pcts = (50, 90, 99)
 
     def ranks_for(n_g: int) -> list[int]:
@@ -507,7 +522,9 @@ def exact_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(
                 (key[0], int(p), int(row["n_chars"]), int(rank), int(n_g))
             )
-    out = sorted(set(out))
+    # None-safe dedup/sort key (ADVICE r10): grouped_rows_at_group_ranks
+    # supports a NULL group key, and None is not orderable against str.
+    out = sorted(set(out), key=lambda t: (t[0] is not None, t[0] or "", t[1]))
     return spark.createDataFrame(
         out,
         "lang STRING, pct INT, value BIGINT, at_rank BIGINT, n_rows BIGINT",

@@ -308,3 +308,116 @@ def test_grouped_rows_at_group_ranks_matches_sorted_python(spark):
         key=order,
     )
     assert got_cmp == sorted(expect, key=order)
+
+
+# ---------------------------------------------------------------------------
+# Round 11: derived partition count (VERDICT r10 #1), single-pass ranks_for
+# form (#2), checkpoint release and the NULL policy (ADVICE r10).
+
+
+def test_select_k_partition_count_derives_from_frame(spark, monkeypatch):
+    """With the per-partition target forced tiny, the operator must
+    re-exchange at the derived width P = ceil(n/target) — and the result
+    must stay bitwise identical to the conf-width answer."""
+    from data_pipeline_team5_spark.operators import ranks
+
+    vals = [((i * 37) % 101, i) for i in range(101)]
+    df = spark.createDataFrame(vals, "v INT, uid INT")
+    want = [
+        (r["v"], r["uid"])
+        for r in ranks.rows_at_global_ranks(
+            df, ["v", "uid"], [1, 50, 101], num_partitions=7
+        )
+    ]
+
+    monkeypatch.setattr(ranks, "TARGET_ROWS_PER_PARTITION", 10)
+    stats: dict = {}
+    n, by_rank = ranks.global_rank_select(
+        df, ["v", "uid"], lambda m: [1, 50, 101], stats=stats
+    )
+    assert n == 101
+    assert stats["reexchanged"] is True
+    assert stats["num_partitions"] == ranks.select_k_num_partitions(
+        spark, 101
+    ) > int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert stats["max_partition_rows"] <= 10 + 5  # range-sampler slack
+    got = [(by_rank[k]["v"], by_rank[k]["uid"]) for k in (1, 50, 101)]
+    assert got == want
+
+    # grouped companion takes the same derivation path
+    gstats: dict = {}
+    gdf = spark.createDataFrame(
+        [("g" if i % 2 else "h", (i * 37) % 101, i) for i in range(101)],
+        "g STRING, v INT, uid STRING",
+    )
+    out = ranks.grouped_rows_at_group_ranks(
+        gdf, ["g"], ["v", "uid"], lambda m: [1, m], stats=gstats
+    )
+    assert gstats["reexchanged"] is True and gstats["n"] == 101
+    assert len(out) == 4  # 2 groups × {min, max}
+
+
+def test_select_k_releases_checkpoint_blocks(spark):
+    """ADVICE r10: the localCheckpoint pin must not outlive the call —
+    repeated catalog construction in one session previously accumulated
+    blocks in executor storage."""
+    from data_pipeline_team5_spark.operators.ranks import (
+        rows_at_global_ranks,
+    )
+
+    sc = spark.sparkContext
+
+    def pinned_ids():
+        return {
+            int(k)
+            for k in sc._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    before = pinned_ids()
+    df = spark.createDataFrame(
+        [((i * 37) % 101, i) for i in range(101)], "v INT, uid INT"
+    )
+    rows_at_global_ranks(df, ["v", "uid"], [50], num_partitions=5)
+    assert pinned_ids() == before
+
+
+def test_exact_ntile_bucket_null_metric_nulls_first(spark):
+    """NULL order values must land where NTILE's default ASC NULLS FIRST
+    puts them (bucket 1 when they fit under the first cut), not silently
+    produce NULL buckets (ADVICE r10, medium)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_team5_spark.operators.ranks import (
+        exact_ntile_bucket,
+    )
+
+    rows = [(i, None if i < 2 else (i * 7) % 13) for i in range(16)]
+    df = spark.createDataFrame(rows, "user_id INT, m INT")
+    got = df.select(
+        "user_id", exact_ntile_bucket(df, ["m", "user_id"], 4).alias("b")
+    )
+    want = df.select(
+        "user_id",
+        F.ntile(4).over(Window.orderBy("m", "user_id")).alias("b"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert all(r["b"] is not None for r in got.collect())
+
+
+def test_exact_ntile_bucket_null_at_cut_raises(spark):
+    """When NULLs straddle a bucket boundary the literal-threshold
+    encoding cannot express it — fail loudly, never mis-bucket."""
+    import pytest as _pytest
+
+    from data_pipeline_team5_spark.operators.ranks import (
+        exact_ntile_bucket,
+    )
+
+    # 8 rows, 4 buckets → cuts at ranks 2,4,6; 5 NULLs cover rank 2 & 4
+    rows = [(i, None if i < 5 else i) for i in range(8)]
+    df = spark.createDataFrame(rows, "user_id INT, m INT")
+    with _pytest.raises(ValueError, match="NULL order value"):
+        df.select(exact_ntile_bucket(df, ["m", "user_id"], 4))
