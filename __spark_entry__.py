@@ -23,10 +23,12 @@ SF0001 = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    Flagship = showrange_daily_agg: the reference's box_office_showrange dbt
-    model (per-day multi-SUM aggregation) on the lineitem fixture.
+    Flagship = daily_metrics_panel: the reference's box_office_showrange
+    dbt model (per-day multi-SUM aggregation) plus its unpivot closure on
+    the lineitem fixture (round-11 consolidation of the rounds-1-10
+    flagship showrange_daily_agg with unpivot_daily_metrics).
     """
-    return QUERIES["showrange_daily_agg"].fn(spark, SF0001)
+    return QUERIES["daily_metrics_panel"].fn(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -383,10 +383,7 @@ def sketch_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUANTILE_PCTS = (25, 50, 75, 90, 99)
 
-
-@register(
-    "exact_value_quantiles",
-    oracle=f"""
+_VALUE_Q_SQL = f"""
         WITH ordered AS (
             SELECT l_extendedprice AS v,
                    ROW_NUMBER() OVER (
@@ -400,8 +397,12 @@ QUANTILE_PCTS = (25, 50, 75, 90, 99)
                CAST(rn AS BIGINT) AS at_rank,
                CAST(n AS BIGINT) AS n_rows
         FROM ordered JOIN pcts ON rn = (n * pct + 99) // 100
-        ORDER BY pct
-    """,
+"""
+
+
+@register(
+    "exact_value_quantiles",
+    oracle=_VALUE_Q_SQL + " ORDER BY pct",
     doc="⊕ exact distributed quantiles of the price column (p25/50/75/"
     "90/99): each percentile is the TRUE order statistic at rank "
     "ceil(n·p) — integer-exact rank math ((n·p + 99) div 100), a total "
@@ -451,9 +452,7 @@ def _value_quantile_rows(spark: SparkSession, li: DataFrame) -> DataFrame:
     ).orderBy("pct")
 
 
-@register(
-    "exact_grouped_quantiles",
-    oracle=f"""
+_GROUPED_Q_SQL = """
         WITH ordered AS (
             SELECT lang, n_chars AS v,
                    ROW_NUMBER() OVER (
@@ -468,8 +467,12 @@ def _value_quantile_rows(spark: SparkSession, li: DataFrame) -> DataFrame:
                CAST(rn AS BIGINT) AS at_rank,
                CAST(n AS BIGINT) AS n_rows
         FROM ordered JOIN pcts ON rn = (n * pct + 99) // 100
-        ORDER BY lang, pct
-    """,
+"""
+
+
+@register(
+    "exact_grouped_quantiles",
+    oracle=_GROUPED_Q_SQL + " ORDER BY lang, pct",
     doc="⊕ exact PER-GROUP quantiles (p50/90/99 of document length per "
     "language): the grouped companion of exact_value_quantiles, and the "
     "exact form sketch_length_quantiles' doc names as needing a "
@@ -529,3 +532,66 @@ def _grouped_quantile_rows(spark: SparkSession, docs: DataFrame) -> DataFrame:
         out,
         "lang STRING, pct INT, value BIGINT, at_rank BIGINT, n_rows BIGINT",
     ).orderBy("lang", "pct")
+
+
+@register(
+    "exact_quantile_panel",
+    oracle=f"""
+        SELECT * FROM (
+            SELECT 'global_price' AS section,
+                   CAST(NULL AS VARCHAR) AS lang,
+                   pct, value, at_rank, n_rows
+            FROM ({_VALUE_Q_SQL})
+            UNION ALL
+            SELECT 'per_lang_chars' AS section,
+                   lang, pct, CAST(value AS DOUBLE) AS value,
+                   at_rank, n_rows
+            FROM ({_GROUPED_Q_SQL})
+        )
+        ORDER BY section, lang NULLS FIRST, pct
+    """,
+    doc="⊕ the round-10 exact-order-statistics operator as one DRIVER-"
+    "GRADED panel (VERDICT r10 #3 — the select-k machinery's only "
+    "in-window exposure was indirect via rfm_segments): section "
+    "'global_price' = exact_value_quantiles (p25/50/75/90/99 of the "
+    "price column via operators/ranks.py:global_rank_select — single "
+    "pass, n from the exchange's own partition counts, partition width "
+    "derived P = max(conf, ceil(n/4M))), section 'per_lang_chars' = "
+    "exact_grouped_quantiles (per-language p50/90/99 document length, "
+    "few-huge-groups regime, no per-language sort). Both standalone "
+    "queries keep their own oracles in the tail (mini-driver bitwise); "
+    "this panel puts a driver hash on the order statistics themselves. "
+    "Values are exact order statistics — selection does no value "
+    "arithmetic, so DOUBLE emission (chars are small-int-exact in "
+    "double) is bitwise cross-engine by construction.",
+    headline=True,
+    tags=("grouping", "quantile", "ranks", "text"),
+)
+def exact_quantile_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "lang", "n_chars", "doc_id"
+    )
+    global_q = _value_quantile_rows(spark, li).select(
+        F.lit("global_price").alias("section"),
+        F.lit(None).cast("string").alias("lang"),
+        "pct",
+        "value",
+        "at_rank",
+        "n_rows",
+    )
+    per_lang = _grouped_quantile_rows(spark, docs).select(
+        F.lit("per_lang_chars").alias("section"),
+        "lang",
+        "pct",
+        F.col("value").cast("double").alias("value"),
+        "at_rank",
+        "n_rows",
+    )
+    return global_q.unionByName(per_lang).orderBy(
+        "section", F.col("lang").asc_nulls_first(), "pct"
+    )

@@ -30,32 +30,26 @@ from data_pipeline_team5_spark.operators.pivoting import pivot_max_cells, unpivo
 from data_pipeline_team5_spark.plans.catalog import register, table
 
 
-@register(
-    "showrange_daily_agg",
-    oracle=f"""
-        SELECT CAST(l_shipdate AS DATE) AS show_range,
-               {dsum_sql('l_quantity', 'sum_qty')},
-               {dsum_sql('l_extendedprice', 'sum_sales')},
-               {dec_to_double_sql("SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,4))))")} AS sum_revenue,
-               {dsum_sql('l_discount', 'sum_disc', 'DECIMAL(8,4)')},
-               CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
-        FROM lineitem
-        GROUP BY CAST(l_shipdate AS DATE)
-        ORDER BY show_range
-    """,
-    doc="A1+A2 (box_office_showrange.sql:6-29): per-day multi-SUM hash agg. "
-    "The reference's manual partial→final two-phase collapses to one groupBy: "
-    "Catalyst's HashAggregate already does partial (map-side) + final across "
-    "the shuffle. COUNT(DISTINCT) runs as its own aggregation joined back on "
-    "the 2.5k-row day key — mixed into the SUM agg it would force the Expand "
-    "path (every input row duplicated through both aggregation groups; "
-    "measured ~2x on this query at sf0.1). Partitioned-by-day parquet at "
-    "scale makes this a pruned scan.",
-    headline=True,
-    tags=("agg", "reference"),
-)
-def showrange_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+_DAILY_METRICS = [
+    "sum_qty",
+    "sum_sales",
+    "sum_revenue",
+    "sum_disc",
+    "n_rows",
+    "n_orders",
+]
+_RECENT_METRICS = ["sum_qty", "sum_sales", "sum_disc"]
+_RECENT_FROM = "1998-11-01"
+
+
+def _daily_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's box_office_showrange daily aggregate (A1+A2): one
+    groupBy — Catalyst's HashAggregate already does partial (map-side) +
+    final across the shuffle, collapsing the reference's manual two-phase.
+    COUNT(DISTINCT) runs as its own aggregation joined back on the
+    2.5k-row day key — mixed into the SUM agg it would force the Expand
+    path (every input row duplicated through both aggregation groups;
+    measured ~2x on this query at sf0.1)."""
     li = table(spark, sf_dir, "lineitem")
     day = to_day("l_shipdate").alias("show_range")
     sums = li.groupBy(day).agg(
@@ -63,12 +57,89 @@ def showrange_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_extendedprice", "sum_sales"),
         dec_to_double(F.sum(revenue_expr())).alias("sum_revenue"),
         dsum("l_discount", "sum_disc", "decimal(8,4)"),
-        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
     )
     distincts = li.groupBy(day).agg(
-        F.countDistinct("l_orderkey").alias("n_orders")
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
     )
-    return sums.join(distincts, "show_range").orderBy("show_range")
+    return sums.join(distincts, "show_range")
+
+
+def _daily_wide_sql() -> str:
+    return f"""
+        SELECT CAST(l_shipdate AS DATE) AS show_range,
+               {dsum_sql('l_quantity', 'sum_qty')},
+               {dsum_sql('l_extendedprice', 'sum_sales')},
+               {dec_to_double_sql("SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,4))))")} AS sum_revenue,
+               {dsum_sql('l_discount', 'sum_disc', 'DECIMAL(8,4)')},
+               CAST(COUNT(*) AS DOUBLE) AS n_rows,
+               CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+        FROM lineitem
+        GROUP BY CAST(l_shipdate AS DATE)
+    """
+
+
+def _stack_sql(metrics: list[str], where: str = "") -> str:
+    return " UNION ALL ".join(
+        f"SELECT show_range, '{m}' AS metric, {m} AS value "
+        f"FROM wide {where}"
+        for m in metrics
+    )
+
+
+@register(
+    "daily_metrics_panel",
+    oracle=f"""
+        WITH wide AS ({_daily_wide_sql()})
+        SELECT * FROM (
+            SELECT 'all_days' AS section, show_range, metric, value
+            FROM ({_stack_sql(_DAILY_METRICS)})
+            UNION ALL
+            SELECT 'recent' AS section, show_range, metric, value
+            FROM ({_stack_sql(_RECENT_METRICS,
+                              f"WHERE show_range >= DATE '{_RECENT_FROM}'")})
+        )
+        ORDER BY section, show_range, metric
+    """,
+    doc="A1+A2 per-day multi-SUM hash agg (box_office_showrange.sql:6-29) "
+    "and its long→wide→long closure (the unpivot inverse of the "
+    "box_office_data pivot), as one section-tagged panel — round-11 "
+    "same-scan consolidation of the rounds-1-10 driver-green "
+    "showrange_daily_agg + unpivot_daily_metrics pair (the "
+    "d5_d6_time_panel mechanism; frees one driver slot for "
+    "exact_quantile_panel). The 2.5k-row wide daily aggregate is "
+    "computed ONCE (see _daily_wide for the partial→final and "
+    "COUNT(DISTINCT) plan rationale) and checkpoint-pinned; section "
+    "'all_days' unpivots ALL six metrics of every day — every cell of "
+    "the former wide result is still driver-hashed, now in long layout "
+    "— and section 'recent' replays the former unpivot query's grain "
+    "(3 metrics, days ≥ 1998-11-01) from the SAME pinned frame, so the "
+    "panel scans lineitem exactly as often as showrange_daily_agg alone "
+    "did. Spark's built-in unpivot is a zero-shuffle row generator; "
+    "counts emit as exact-in-double so the stack is uniformly DOUBLE "
+    "under the decimal-exact sum policy.",
+    headline=True,
+    tags=("agg", "pivot", "unpivot", "reference"),
+)
+def daily_metrics_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = _daily_wide(spark, sf_dir).localCheckpoint()
+    all_days = unpivot(
+        wide,
+        ["show_range"],
+        _DAILY_METRICS,
+        var_name="metric",
+        value_name="value",
+    ).select(F.lit("all_days").alias("section"), "*")
+    recent = unpivot(
+        wide.filter(F.col("show_range") >= F.lit(_RECENT_FROM)),
+        ["show_range"],
+        _RECENT_METRICS,
+        var_name="metric",
+        value_name="value",
+    ).select(F.lit("recent").alias("section"), "*")
+    return all_days.unionByName(recent).orderBy(
+        "section", "show_range", "metric"
+    )
 
 
 _FLAGS = ["A", "N", "R"]
@@ -259,59 +330,6 @@ def staging_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_dups") > 1)
         .orderBy("o_custkey", "order_day")
     )
-
-
-@register(
-    "unpivot_daily_metrics",
-    oracle="""
-        WITH wide AS (
-            SELECT CAST(l_shipdate AS DATE) AS show_range,
-                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                        AS STRING) AS DOUBLE) AS sum_qty,
-                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                        AS STRING) AS DOUBLE) AS sum_sales,
-                   CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,4)))
-                        AS STRING) AS DOUBLE) AS sum_disc
-            FROM lineitem
-            WHERE CAST(l_shipdate AS DATE) >= DATE '1998-11-01'
-            GROUP BY 1
-        )
-        SELECT show_range, metric, value FROM (
-            SELECT show_range, 'sum_qty' AS metric, sum_qty AS value
-            FROM wide
-            UNION ALL
-            SELECT show_range, 'sum_sales', sum_sales FROM wide
-            UNION ALL
-            SELECT show_range, 'sum_disc', sum_disc FROM wide
-        )
-        ORDER BY show_range, metric
-    """,
-    doc="Long→wide→long closure: the inverse of the box_office_data pivot "
-    "(box_office_data.sql:20-31 goes wide; a consumer charting tool wants "
-    "long back). Spark's built-in unpivot is a zero-shuffle row generator "
-    "— the plan is scan → agg → generate, no extra exchange "
-    "(operators/pivoting.py:unpivot). Metric columns are uniform DOUBLE "
-    "via the decimal-exact sum policy so the stack needs no casts.",
-    tags=("pivot", "unpivot", "reference"),
-)
-def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    wide = (
-        li.filter(to_day("l_shipdate") >= F.lit("1998-11-01"))
-        .groupBy(to_day("l_shipdate").alias("show_range"))
-        .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_sales"),
-            dsum("l_discount", "sum_disc", "decimal(8,4)"),
-        )
-    )
-    return unpivot(
-        wide,
-        ["show_range"],
-        ["sum_qty", "sum_sales", "sum_disc"],
-        var_name="metric",
-        value_name="value",
-    ).orderBy("show_range", "metric")
 
 
 @register(

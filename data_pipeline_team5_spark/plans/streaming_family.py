@@ -58,9 +58,13 @@ _QSUM_SQL = "CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6"
     """,
     doc="§2.9 tumbling 1-day + sliding 7-day/1-day windows per event_type "
     "with a 1-day watermark, as one section-tagged panel (round-10 "
-    "same-scan consolidation per VERDICT r9 #6 — the d5_d6_time_panel "
-    "mechanism; both sections were standalone driver-green queries in "
-    "rounds ≤9). 'tumbling' is the streaming form of the reference's "
+    "same-SLOT consolidation per VERDICT r9 #6; both sections were "
+    "standalone driver-green queries in rounds ≤9). Unlike the "
+    "d5_d6_time_panel batch mechanism this does NOT share a scan: each "
+    "section is its own AvailableNow drain over read_events_stream, "
+    "because tumbling and sliding window state machines cannot ride one "
+    "streaming query — the consolidation buys a driver slot, not a scan "
+    "(ADVICE r10). 'tumbling' is the streaming form of the reference's "
     "one-table-per-day layout (daily_parquet_pipeline.py:174 cron); "
     "'sliding_7d' is the D6/W6 trendline recomputed as events arrive — "
     "each event lands in 7 windows, which the oracle mirrors via a 7-way "
