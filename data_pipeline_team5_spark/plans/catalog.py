@@ -129,6 +129,29 @@ def register(
 # exactly the first 50 of 74 registrations) — so ORDER IS GRADING SURFACE.
 DRIVER_WINDOW = 50
 
+# Queries allowed to plan a Window with an EMPTY partition spec — the
+# construct Spark executes by moving every row to ONE task ("WindowExec:
+# No Partition Defined"). Machine-forbidden everywhere else
+# (tests/test_plan_invariants.py sweeps every catalog query); each entry
+# here must justify a PROVABLY bounded input grain. This is also the
+# complete provenance of every "WindowExec: No Partition Defined"
+# warning in a bench/driver log tail (VERDICT r10 #7): bench.py records
+# the list in BENCH_DETAIL.json so a log reader doesn't re-audit.
+UNPARTITIONED_WINDOW_ALLOWLIST = {
+    # Window input is the top-K branch (≤ VOCAB_TOP_K = 24 rows after
+    # TakeOrderedAndProject); the corpus-sized term table never enters it.
+    "vocab_coverage",
+    # Window.partitionBy() total over the genre grid — ≤ |genres| (~25)
+    # rows at any scale; the fact table was aggregated two levels before.
+    "d9_d10_genre_panel",
+    # Day-grain trailing-week frame: |days| rows regardless of corpus
+    # size (and in production the daily counts come from the ingest
+    # manifest, making it corpus-free — see the query doc).
+    "events_rate_anomaly",
+    # Same rate_trail day-grain frame, driven from the streaming drain.
+    "stream_rate_monitor",
+}
+
 # Registrations forced past the driver window, in this order. Rules:
 # every name must exist; everything NOT listed here must fit inside
 # DRIVER_WINDOW (loudly enforced below — adding a 51st in-window query is

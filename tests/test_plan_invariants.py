@@ -21,27 +21,19 @@ from __future__ import annotations
 
 import pytest
 
-from data_pipeline_team5_spark.plans.catalog import QUERIES
+from data_pipeline_team5_spark.plans.catalog import (
+    QUERIES,
+    UNPARTITIONED_WINDOW_ALLOWLIST,
+)
 from tests.conftest import SF_SMALL
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
 # Unpartitioned windows whose input grain is PROVABLY bounded at any
-# corpus size — each entry must say why. Anything not listed here fails.
-GLOBAL_WINDOW_ALLOWED = {
-    # Window input is the top-K branch (≤ VOCAB_TOP_K = 24 rows after
-    # TakeOrderedAndProject); the corpus-sized term table never enters it.
-    "vocab_coverage",
-    # Window.partitionBy() total over the genre grid — ≤ |genres| (~25)
-    # rows at any scale; the fact table was aggregated two levels before.
-    "d9_d10_genre_panel",
-    # Day-grain trailing-week frame: |days| rows regardless of corpus
-    # size (and in production the daily counts come from the ingest
-    # manifest, making it corpus-free — see the query doc).
-    "events_rate_anomaly",
-    # Same rate_trail day-grain frame, driven from the streaming drain.
-    "stream_rate_monitor",
-}
+# corpus size — the allowlist (with per-entry justifications) lives in
+# plans/catalog.py since round 11 so bench.py can record warning
+# provenance in BENCH_DETAIL.json alongside this sweep's enforcement.
+GLOBAL_WINDOW_ALLOWED = UNPARTITIONED_WINDOW_ALLOWLIST
 
 
 def _unpartitioned_windows(df) -> list[str]:

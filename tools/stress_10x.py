@@ -469,6 +469,93 @@ def main_incremental() -> None:
               + f" | {last_ratio:.1f}× |")
 
 
+def main_select_k() -> None:
+    """--select-k (VERDICT r10 #1/#5): the exact-order-statistics
+    operators at 1x and 10x data, reporting what the scale argument
+    actually rests on — wall, derived partition width, realized max
+    rows-per-partition (the n/P fetch-window bound), and the size of the
+    per-partition counts collect (the only driver state). A second pass
+    forces TARGET_ROWS_PER_PARTITION low enough that the 10x frame
+    exceeds the conf width, driving the derived re-exchange path at
+    scale (the fixture sizes never trip it under the real 4M target)."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from pyspark.sql import functions as F
+
+    from data_pipeline_team5_spark.operators import ranks
+    from data_pipeline_team5_spark.plans.catalog import table
+    from data_pipeline_team5_spark.plans.grouping_family import (
+        QUANTILE_PCTS,
+    )
+    from data_pipeline_team5_spark.session import get_spark
+
+    build()
+    spark = get_spark(app_name="stress_select_k")
+
+    def run_global(sf_dir: str) -> dict:
+        li = table(spark, sf_dir, "lineitem").select(
+            F.col("l_extendedprice").alias("v"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        stats: dict = {}
+        t0 = time.perf_counter()
+        ranks.global_rank_select(
+            li,
+            ["v", "l_orderkey", "l_linenumber"],
+            lambda m: [(m * p + 99) // 100 for p in QUANTILE_PCTS],
+            stats=stats,
+        )
+        stats["wall"] = time.perf_counter() - t0
+        return stats
+
+    def run_grouped(sf_dir: str) -> dict:
+        docs = table(spark, sf_dir, "documents").select(
+            "lang", "n_chars", "doc_id"
+        )
+        stats: dict = {}
+        t0 = time.perf_counter()
+        ranks.grouped_rows_at_group_ranks(
+            docs,
+            ["lang"],
+            ["n_chars", "doc_id"],
+            lambda m: [(m * p + 99) // 100 for p in (50, 90, 99)],
+            stats=stats,
+        )
+        stats["wall"] = time.perf_counter() - t0
+        return stats
+
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    forced = int(os.environ.get("STRESS_SELECT_K_TARGET", "100000"))
+    print(
+        "| op | data | target rows/part | wall (s) | P | max part rows "
+        "| counts rows | re-exch |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
+    for op, fn in (("global", run_global), ("grouped", run_grouped)):
+        fn(SF_DIR)  # warmup
+        for tag, d in (("sf0.1", SF_DIR), ("10x", STRESS_DIR)):
+            for target in (ranks.TARGET_ROWS_PER_PARTITION, forced):
+                saved = ranks.TARGET_ROWS_PER_PARTITION
+                ranks.TARGET_ROWS_PER_PARTITION = target
+                try:
+                    best = None
+                    for _ in range(passes):
+                        s = fn(d)
+                        if best is None or s["wall"] < best["wall"]:
+                            best = s
+                finally:
+                    ranks.TARGET_ROWS_PER_PARTITION = saved
+                print(
+                    f"| select-k {op} | {tag} | {target} "
+                    f"| {best['wall']:.2f} | {best['num_partitions']} "
+                    f"| {best['max_partition_rows']} "
+                    f"| {best['counts_collected']} "
+                    f"| {best['reexchanged']} |"
+                )
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import EXTRAS
@@ -516,7 +603,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--incremental" in sys.argv:
+    if "--select-k" in sys.argv:
+        main_select_k()
+    elif "--incremental" in sys.argv:
         main_incremental()
     elif "--embeddings" in sys.argv:
         main_embeddings()
