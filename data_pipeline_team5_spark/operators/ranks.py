@@ -90,6 +90,69 @@ def _pin(df: DataFrame) -> tuple[DataFrame, Callable[[], None]]:
     return s, release
 
 
+def _derived_exchange(
+    df: DataFrame,
+    key_cols: list[str],
+    count_keys: list[str],
+    num_partitions: int | None,
+    n_hint: int | None = None,
+):
+    """Shared exchange-and-count core of :func:`global_rank_select` and
+    :func:`grouped_rows_at_group_ranks` (one implementation so the
+    leak-safety and width-derivation logic cannot drift): range-exchange
+    ``df`` on ``key_cols``, pin, collect per-``("_pid", *count_keys)``
+    counts, and — when no explicit width was given and the realized total
+    exceeds the conf-width target — re-exchange the pinned NARROW frame
+    at the derived width. Returns ``(s, release, cnt_rows, p,
+    reexchanged)``; every failure path before the return releases
+    whatever was pinned, so callers only own the returned handle.
+    """
+    spark = df.sparkSession
+    if num_partitions:
+        p = num_partitions
+    elif n_hint is not None:
+        p = select_k_num_partitions(spark, n_hint)
+    else:
+        p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def exchange(frame: DataFrame, width: int):
+        s, release = _pin(
+            frame.repartitionByRange(width, *key_cols).withColumn(
+                "_pid", F.spark_partition_id()
+            )
+        )
+        try:
+            cnt_rows = (
+                s.groupBy("_pid", *count_keys)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+        except BaseException:
+            release()
+            raise
+        return s, release, cnt_rows
+
+    s, release, cnt_rows = exchange(df, p)
+    reexchanged = False
+    try:
+        if num_partitions is None:
+            total = sum(r["cnt"] for r in cnt_rows)
+            derived = select_k_num_partitions(spark, total)
+            if derived > p:
+                # The conf-width guess undershot the n/P target:
+                # re-exchange the pinned NARROW frame (not the raw
+                # source) at the derived width — one extra narrow
+                # shuffle, still one corpus scan.
+                s2, release2, cnt_rows = exchange(s.drop("_pid"), derived)
+                release()
+                s, release, p = s2, release2, derived
+                reexchanged = True
+    except BaseException:
+        release()
+        raise
+    return s, release, cnt_rows, p, reexchanged
+
+
 def ntile_cut_ranks(n: int, buckets: int) -> list[int]:
     """The 1-based global ranks of the last element of buckets
     ``1..buckets-1`` under SQL-standard NTILE: with ``n = base*buckets +
@@ -124,42 +187,11 @@ def global_rank_select(
     receive ``{n, num_partitions, max_partition_rows, counts_collected,
     reexchanged}`` for scale instrumentation (tools/stress_10x.py).
     """
-    spark = df.sparkSession
-    p = num_partitions or (
-        select_k_num_partitions(spark, n)
-        if n is not None
-        else int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    s, release, cnt_rows, p, reexchanged = _derived_exchange(
+        df.select(*order_cols), order_cols, [], num_partitions, n_hint=n
     )
-
-    def exchange(frame: DataFrame, width: int):
-        s, release = _pin(
-            frame.repartitionByRange(width, *order_cols).withColumn(
-                "_pid", F.spark_partition_id()
-            )
-        )
-        counts = {
-            r["_pid"]: r["cnt"]
-            for r in s.groupBy("_pid")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        }
-        return s, release, counts
-
-    s, release, counts = exchange(df.select(*order_cols), p)
     try:
-        total = sum(counts.values())
-        reexchanged = False
-        if num_partitions is None:
-            derived = select_k_num_partitions(spark, total)
-            if derived > p:
-                # The conf-width guess undershot the n/P target:
-                # re-exchange the pinned NARROW frame (not the raw
-                # source) at the derived width — one extra narrow
-                # shuffle, still one corpus scan.
-                s2, release2, counts = exchange(s.drop("_pid"), derived)
-                release()
-                s, release, p = s2, release2, derived
-                reexchanged = True
+        counts = {r["_pid"]: r["cnt"] for r in cnt_rows}
         offsets: dict[int, int] = {}
         running = 0
         for pid in sorted(counts):
@@ -329,56 +361,34 @@ def grouped_rows_at_group_ranks(
     a group (unique tie-breaker last). The checkpoint pin is released
     before returning.
     """
-    spark = df.sparkSession
-    p = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    s, release, cnt_rows, p, reexchanged = _derived_exchange(
+        df.select(*group_cols, *order_cols),
+        [*group_cols, *order_cols],
+        group_cols,
+        num_partitions,
     )
-
-    def exchange(frame: DataFrame, width: int):
-        s, release = _pin(
-            frame.repartitionByRange(
-                width, *group_cols, *order_cols
-            ).withColumn("_pid", F.spark_partition_id())
-        )
-        cnt_rows = (
-            s.groupBy("_pid", *group_cols)
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
-        return s, release, cnt_rows
-
-    s, release, cnt_rows = exchange(df.select(*group_cols, *order_cols), p)
-    total = sum(r["cnt"] for r in cnt_rows)
-    reexchanged = False
-    if num_partitions is None:
-        derived = select_k_num_partitions(spark, total)
-        if derived > p:
-            s2, release2, cnt_rows = exchange(s.drop("_pid"), derived)
-            release()
-            s, release, p = s2, release2, derived
-            reexchanged = True
-    # per group: pid → count, in pid (= range) order
-    per_group: dict[tuple, dict[int, int]] = {}
-    for r in cnt_rows:
-        key = tuple(r[c] for c in group_cols)
-        per_group.setdefault(key, {})[r["_pid"]] = r["cnt"]
-    if stats is not None:
-        pid_tot: dict[int, int] = {}
-        for counts in per_group.values():
-            for pid, c in counts.items():
-                pid_tot[pid] = pid_tot.get(pid, 0) + c
-        stats.update(
-            n=total,
-            num_partitions=p,
-            n_groups=len(per_group),
-            max_partition_rows=max(pid_tot.values(), default=0),
-            counts_collected=len(cnt_rows),
-            reexchanged=reexchanged,
-        )
     # address every wanted (group, rank) as (pid, local-rank-in-pid)
     targets: dict[tuple[int, tuple, int], int] = {}  # (pid,key,local)->rank
     group_n: dict[tuple, int] = {}
     try:
+        # per group: pid → count, in pid (= range) order
+        per_group: dict[tuple, dict[int, int]] = {}
+        for r in cnt_rows:
+            key = tuple(r[c] for c in group_cols)
+            per_group.setdefault(key, {})[r["_pid"]] = r["cnt"]
+        if stats is not None:
+            pid_tot: dict[int, int] = {}
+            for counts in per_group.values():
+                for pid, c in counts.items():
+                    pid_tot[pid] = pid_tot.get(pid, 0) + c
+            stats.update(
+                n=sum(pid_tot.values()),
+                num_partitions=p,
+                n_groups=len(per_group),
+                max_partition_rows=max(pid_tot.values(), default=0),
+                counts_collected=len(cnt_rows),
+                reexchanged=reexchanged,
+            )
         for key, counts in per_group.items():
             n_g = sum(counts.values())
             group_n[key] = n_g

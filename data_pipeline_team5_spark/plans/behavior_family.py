@@ -259,7 +259,10 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantized sum is associative and bitwise on both engines. Plan "
     "shape (round 10, replacing the three single-partition NTILE "
     "windows): one events scan → per-user agg (the natural "
-    "high-cardinality shuffle key, checkpoint-pinned), then per metric a "
+    "high-cardinality shuffle key, checkpoint-pinned — this one pin is "
+    "RETAINED because the returned lazy grid still reads it; the three "
+    "per-metric select-k pins inside operators/ranks.py release "
+    "themselves after their fetch pass, ADVICE r10), then per metric a "
     "NARROW (metric, user_id) range exchange + per-partition counts "
     "resolve the three exact NTILE cut-rank elements "
     "(operators/ranks.py), which fold back as literal struct "

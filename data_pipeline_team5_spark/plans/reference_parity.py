@@ -113,16 +113,23 @@ def _stack_sql(metrics: list[str], where: str = "") -> str:
     "'all_days' unpivots ALL six metrics of every day — every cell of "
     "the former wide result is still driver-hashed, now in long layout "
     "— and section 'recent' replays the former unpivot query's grain "
-    "(3 metrics, days ≥ 1998-11-01) from the SAME pinned frame, so the "
-    "panel scans lineitem exactly as often as showrange_daily_agg alone "
-    "did. Spark's built-in unpivot is a zero-shuffle row generator; "
-    "counts emit as exact-in-double so the stack is uniformly DOUBLE "
-    "under the decimal-exact sum policy.",
+    "(3 metrics, days ≥ 1998-11-01) from the SAME materialized frame, "
+    "so the panel scans lineitem exactly as often as showrange_daily_agg "
+    "alone did. The shared frame is day-grain — bounded by calendar "
+    "length (~2.5k rows) at ANY corpus size — so it round-trips through "
+    "the driver as a literal local frame instead of a localCheckpoint "
+    "pin (doubles/dates are bit-exact through collect; no executor "
+    "storage is retained after the query, unlike a pin — the release "
+    "discipline operators/ranks.py applies to its corpus-sized pins). "
+    "Spark's built-in unpivot is a zero-shuffle row generator; counts "
+    "emit as exact-in-double so the stack is uniformly DOUBLE under the "
+    "decimal-exact sum policy.",
     headline=True,
     tags=("agg", "pivot", "unpivot", "reference"),
 )
 def daily_metrics_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wide = _daily_wide(spark, sf_dir).localCheckpoint()
+    computed = _daily_wide(spark, sf_dir)
+    wide = spark.createDataFrame(computed.collect(), computed.schema)
     all_days = unpivot(
         wide,
         ["show_range"],

@@ -469,15 +469,30 @@ def main_incremental() -> None:
               + f" | {last_ratio:.1f}× |")
 
 
+def _ensure_driver_heap() -> None:
+    """local[NN] executors live in the driver JVM; a bare ``python``
+    launch gets Spark's 1g default, which the 10× workloads (shingle
+    self-joins; two overlapping select-k checkpoints during a forced
+    re-exchange) can blow. ``spark.driver.memory`` via builder conf does
+    NOT resize an in-process JVM — it must reach the launcher, so set
+    PYSPARK_SUBMIT_ARGS before the first session is created (verified:
+    Runtime.maxMemory reflects this, not the conf route)."""
+    mem = os.environ.get("STRESS_DRIVER_MEM", "48g")
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS", f"--driver-memory {mem} pyspark-shell"
+    )
+
+
 def main_select_k() -> None:
     """--select-k (VERDICT r10 #1/#5): the exact-order-statistics
     operators at 1x and 10x data, reporting what the scale argument
     actually rests on — wall, derived partition width, realized max
     rows-per-partition (the n/P fetch-window bound), and the size of the
     per-partition counts collect (the only driver state). A second pass
-    forces TARGET_ROWS_PER_PARTITION low enough that the 10x frame
-    exceeds the conf width, driving the derived re-exchange path at
-    scale (the fixture sizes never trip it under the real 4M target)."""
+    forces TARGET_ROWS_PER_PARTITION low enough (per op — the two input
+    tables differ 100x in size) that the 10x frame exceeds the conf
+    width, driving the derived re-exchange path at scale (the fixture
+    sizes never trip it under the real 4M target)."""
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
@@ -491,6 +506,7 @@ def main_select_k() -> None:
     from data_pipeline_team5_spark.session import get_spark
 
     build()
+    _ensure_driver_heap()
     spark = get_spark(app_name="stress_select_k")
 
     def run_global(sf_dir: str) -> dict:
@@ -527,7 +543,17 @@ def main_select_k() -> None:
         return stats
 
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-    forced = int(os.environ.get("STRESS_SELECT_K_TARGET", "100000"))
+    # Per-op forced target, sized so the 10x frame ACTUALLY exceeds the
+    # conf width and drives the re-exchange (one number can't serve both:
+    # 10x lineitem is ~6M rows, 10x documents only ~50k — a 100k target
+    # derives P=1 for the latter and the forced pass would measure
+    # nothing).
+    forced_targets = {
+        "global": int(os.environ.get("STRESS_SELECT_K_TARGET", "100000")),
+        "grouped": int(
+            os.environ.get("STRESS_SELECT_K_TARGET_GROUPED", "1000")
+        ),
+    }
     print(
         "| op | data | target rows/part | wall (s) | P | max part rows "
         "| counts rows | re-exch |"
@@ -536,7 +562,10 @@ def main_select_k() -> None:
     for op, fn in (("global", run_global), ("grouped", run_grouped)):
         fn(SF_DIR)  # warmup
         for tag, d in (("sf0.1", SF_DIR), ("10x", STRESS_DIR)):
-            for target in (ranks.TARGET_ROWS_PER_PARTITION, forced):
+            for target in (
+                ranks.TARGET_ROWS_PER_PARTITION,
+                forced_targets[op],
+            ):
                 saved = ranks.TARGET_ROWS_PER_PARTITION
                 ranks.TARGET_ROWS_PER_PARTITION = target
                 try:
@@ -566,16 +595,8 @@ def main() -> None:
     fns = {n: q.fn for n, q in QUERIES.items()}
     fns.update(EXTRAS)
     build()
-    # local[NN] executors live in the driver JVM; a bare `python` launch
-    # gets Spark's 1g default, which the 10× shingle self-joins blow.
-    spark = get_spark(
-        app_name="stress10x",
-        extra_conf={
-            "spark.driver.memory": os.environ.get(
-                "STRESS_DRIVER_MEM", "48g"
-            )
-        },
-    )
+    _ensure_driver_heap()
+    spark = get_spark(app_name="stress10x")
 
     def run(fn, sf_dir):
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
