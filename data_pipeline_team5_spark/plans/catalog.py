@@ -312,6 +312,11 @@ _TAIL = (
     # per-language quantiles with no per-language sort) — oracle-backed
     # tail, exact-checked by the local mini-driver every CI run.
     "exact_grouped_quantiles",
+    # Round 11: Bloom-prefiltered decontamination (the physical strategy
+    # for a reference set too large to broadcast exactly; bitwise = the
+    # exact query, same oracle verbatim) — oracle-backed tail,
+    # exact-checked by the local mini-driver every CI run.
+    "decontaminate_bloom_prefilter",
 )
 
 

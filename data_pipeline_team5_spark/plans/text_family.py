@@ -453,9 +453,7 @@ DECON_N = 5
 DECON_BENCH_MOD = 17
 
 
-@register(
-    "decontaminate_ngram_overlap",
-    oracle=f"""
+_DECON_ORACLE = f"""
         {_TOKS},
         sh AS (SELECT doc_id, {shingles_sql('t', DECON_N)} AS g FROM toks),
         b AS (SELECT DISTINCT u.s FROM sh, UNNEST(g) AS u(s)
@@ -471,7 +469,12 @@ DECON_BENCH_MOD = 17
         FROM tr JOIN b USING (s)
         GROUP BY doc_id, n_grams
         ORDER BY doc_id
-    """,
+    """
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=_DECON_ORACLE,
     doc="⊕ train/eval decontamination — the n-gram-overlap check every "
     "published LLM pipeline runs before training (docs sharing a 5-gram "
     "with the benchmark set, with overlap counts and fraction-of-doc so "
@@ -496,6 +499,68 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = sh.filter(~is_bench)
     return (
         train.join(F.broadcast(bench_grams), "s")
+        .groupBy("doc_id", "n")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_grams"),
+            F.col("n_overlap"),
+            (
+                F.col("n_overlap").cast("double")
+                / F.col("n").cast("double")
+            ).alias("overlap_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "decontaminate_bloom_prefilter",
+    oracle=_DECON_ORACLE,
+    doc="⊕ the same decontamination check under the physical strategy "
+    "that survives a reference set too large to broadcast EXACTLY "
+    "(merged eval batteries + web overlap lists — billions of grams): a "
+    "hand-built Bloom filter over the benchmark grams (~10 bits/key at "
+    "1% fpp, so 1e9 keys ≈ 1.2 GB broadcasts where the exact set "
+    "cannot) prefilters the corpus gram stream MAP-SIDE — one parsed "
+    "JVM expression of xxhash64 bit tests against the word array, no "
+    "UDF, no shuffle (operators/bloom.py; PySpark 4 exposes no "
+    "bloom_filter_agg/might_contain, so the filter and bit tests are "
+    "built from public primitives). False positives only ADD "
+    "candidates, and the surviving sliver still passes the exact "
+    "broadcast join, so results are BITWISE the exact query's — the "
+    "oracle is decontaminate_ngram_overlap's verbatim. Filter "
+    "parameters derive from the realized reference size (m = next "
+    "pow2 of n·ln(1/fpp)/ln²2, k = (m/n)·ln2 — the derived-knob "
+    "discipline); the literal embedding is capped at 512 KiB with the "
+    "broadcast-variable path documented past it.",
+    headline=True,
+    tags=("text", "curation", "decontamination", "bloom"),
+)
+def decontaminate_bloom_prefilter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from data_pipeline_team5_spark.operators.bloom import (
+        bloom_might_contain,
+        bloom_parameters,
+        build_bloom_words,
+    )
+    from data_pipeline_team5_spark.operators.dedup import doc_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, "doc_id", "text", n=DECON_N)
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench_grams = sh.filter(is_bench).select("s").distinct()
+    # one pass over the (reference-sized, corpus-independent) gram set
+    # builds the filter; n_keys comes from that same materialization
+    bench_grams = bench_grams.localCheckpoint()
+    n_keys = bench_grams.count()
+    m_bits, k = bloom_parameters(n_keys, fpp=0.01)
+    words = build_bloom_words(bench_grams, "s", m_bits, k)
+    train = sh.filter(~is_bench)
+    prefiltered = train.filter(bloom_might_contain(words, m_bits, k, "s"))
+    return (
+        prefiltered.join(F.broadcast(bench_grams), "s")
         .groupBy("doc_id", "n")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .select(

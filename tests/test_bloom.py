@@ -1,0 +1,71 @@
+"""Bloom prefilter contract (operators/bloom.py, round 11): no false
+negatives ever, false-positive rate near the design fpp, parameter math,
+the literal-embedding cap, and end-to-end parity of the prefiltered
+decontamination query against its exact sibling (the driver oracle is
+shared, but this pins the two SPARK plans against each other directly)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from data_pipeline_team5_spark.operators.bloom import (
+    MAX_LITERAL_WORDS,
+    bloom_might_contain,
+    bloom_parameters,
+    build_bloom_words,
+)
+from data_pipeline_team5_spark.plans.catalog import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def test_bloom_parameters_math():
+    m, k = bloom_parameters(1000, fpp=0.01)
+    # textbook optimum ≈ 9.585 bits/key → next pow2 of 9585 = 16384
+    assert m == 16384 and m & (m - 1) == 0
+    assert k == round(m / 1000 * math.log(2)) >= 1
+    # degenerate inputs stay valid
+    assert bloom_parameters(0) == (64, 1)
+    m1, k1 = bloom_parameters(1, fpp=0.01)
+    assert m1 >= 64 and k1 >= 1
+
+
+def test_bloom_no_false_negatives_and_fpp(spark):
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(2000)], "s STRING"
+    )
+    m, k = bloom_parameters(2000, fpp=0.01)
+    words = build_bloom_words(keys, "s", m, k)
+    member = keys.filter(bloom_might_contain(words, m, k, "s")).count()
+    assert member == 2000  # every inserted key passes — by construction
+    probes = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(20000)], "s STRING"
+    )
+    fp = probes.filter(bloom_might_contain(words, m, k, "s")).count()
+    # design fpp is 1% (m rounds UP so realized rate is ≤ design);
+    # 5x headroom keeps the assertion non-flaky at 20k probes
+    assert fp / 20000 < 0.05, fp
+
+
+def test_bloom_literal_cap_raises():
+    with pytest.raises(ValueError, match="literal cap"):
+        bloom_might_contain(
+            [0] * (MAX_LITERAL_WORDS + 1),
+            (MAX_LITERAL_WORDS + 1) * 64,
+            3,
+            "s",
+        )
+
+
+def test_bloom_decontamination_matches_exact_plan(spark):
+    got = (
+        QUERIES["decontaminate_bloom_prefilter"].fn(spark, SF_SMALL)
+        .collect()
+    )
+    want = (
+        QUERIES["decontaminate_ngram_overlap"].fn(spark, SF_SMALL)
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
