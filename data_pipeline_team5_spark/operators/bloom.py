@@ -57,14 +57,22 @@ MAX_LITERAL_WORDS = 65536
 def bloom_parameters(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
     """(m_bits, k_hashes) for ``n_keys`` at target ``fpp``. m rounds UP
     to a power of two so bit addressing is a mask (no sign-unsafe mod on
-    xxhash64's signed output); k re-derives from the realized m/n, and
-    both floors guard degenerate tiny inputs."""
+    xxhash64's signed output). k is then the SMALLEST hash count whose
+    predicted rate (1 - e^(-kn/m))^k meets the target at the realized
+    (over-sized) m — NOT the m/n-optimal k, which over-hashes once m
+    rounds up: at m/n ≈ 14.6 the optimum is k=10 but k=4 already gives
+    0.3% < 1%, and k is the per-row xxhash64 count on the CORPUS side —
+    the apply cost — so minimizing it is worth the (still-under-target)
+    fpp give-back. Floors guard degenerate tiny inputs."""
     if n_keys <= 0:
         return 64, 1
     m_opt = -n_keys * math.log(fpp) / (math.log(2) ** 2)
     m_bits = 1 << max(6, math.ceil(math.log2(m_opt)))
-    k = max(1, round(m_bits / n_keys * math.log(2)))
-    return m_bits, k
+    k_cap = max(1, round(m_bits / n_keys * math.log(2)))  # m/n optimum
+    for k in range(1, k_cap + 1):
+        if (1.0 - math.exp(-k * n_keys / m_bits)) ** k <= fpp:
+            return m_bits, k
+    return m_bits, k_cap
 
 
 def build_bloom_words(

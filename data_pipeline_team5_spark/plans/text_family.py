@@ -527,9 +527,17 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "UDF, no shuffle (operators/bloom.py; PySpark 4 exposes no "
     "bloom_filter_agg/might_contain, so the filter and bit tests are "
     "built from public primitives). False positives only ADD "
-    "candidates, and the surviving sliver still passes the exact "
-    "broadcast join, so results are BITWISE the exact query's — the "
-    "oracle is decontaminate_ngram_overlap's verbatim. Filter "
+    "candidates, and the surviving sliver still passes an exact join "
+    "(broadcast at fixture scale; in the too-big-to-broadcast regime "
+    "the verify becomes a SHUFFLE join whose corpus side is the "
+    "prefiltered sliver — ~fpp of the gram stream plus true overlaps, "
+    "which is the filter's whole point), so results are BITWISE the "
+    "exact query's — the oracle is decontaminate_ngram_overlap's "
+    "verbatim. At fixture scale the variant is strictly EXTRA work over "
+    "the broadcastable exact join (k xxhash64 per corpus gram + the "
+    "build pass; measured 1.7 vs 1.1 s at sf0.1, both linear at 10× — "
+    "SCALING.md round-11); it exists for the regime the exact form "
+    "cannot enter. Filter "
     "parameters derive from the realized reference size (m = next "
     "pow2 of n·ln(1/fpp)/ln²2, k = (m/n)·ln2 — the derived-knob "
     "discipline); the literal embedding is capped at 512 KiB with the "

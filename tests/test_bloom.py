@@ -24,7 +24,12 @@ def test_bloom_parameters_math():
     m, k = bloom_parameters(1000, fpp=0.01)
     # textbook optimum ≈ 9.585 bits/key → next pow2 of 9585 = 16384
     assert m == 16384 and m & (m - 1) == 0
-    assert k == round(m / 1000 * math.log(2)) >= 1
+    # k = smallest count meeting the target at the realized m (k=3:
+    # (1-e^(-3000/16384))^3 ≈ 0.0047 ≤ 0.01; k=2 gives 0.013 > 0.01),
+    # NOT the m/n optimum (11) — apply cost is k hashes per corpus row
+    assert k == 3
+    assert (1.0 - math.exp(-k * 1000 / m)) ** k <= 0.01
+    assert (1.0 - math.exp(-(k - 1) * 1000 / m)) ** (k - 1) > 0.01
     # degenerate inputs stay valid
     assert bloom_parameters(0) == (64, 1)
     m1, k1 = bloom_parameters(1, fpp=0.01)
