@@ -539,9 +539,14 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SCALING.md round-11); it exists for the regime the exact form "
     "cannot enter. Filter "
     "parameters derive from the realized reference size (m = next "
-    "pow2 of n·ln(1/fpp)/ln²2, k = (m/n)·ln2 — the derived-knob "
-    "discipline); the literal embedding is capped at 512 KiB with the "
-    "broadcast-variable path documented past it.",
+    "pow2 of n·ln(1/fpp)/ln²2; k = the SMALLEST hash count meeting "
+    "fpp at that m — the derived-knob discipline); the literal "
+    "embedding is capped at 512 KiB with the broadcast-variable path "
+    "documented past it. The distinct reference grams are "
+    "checkpoint-pinned once for the build count, the filter words and "
+    "the verify join — RETAINED by the returned lazy plan (the "
+    "documented-retention convention; the pin is reference-sized, "
+    "never corpus-sized).",
     headline=True,
     tags=("text", "curation", "decontamination", "bloom"),
 )

@@ -421,3 +421,51 @@ def test_exact_ntile_bucket_null_at_cut_raises(spark):
     df = spark.createDataFrame(rows, "user_id INT, m INT")
     with _pytest.raises(ValueError, match="NULL order value"):
         df.select(exact_ntile_bucket(df, ["m", "user_id"], 4))
+
+
+def test_select_k_releases_pins_on_failure(spark):
+    """The round-11 self-review found the failure paths leaking pins;
+    pin the fix: a ranks_for that raises, and out-of-range ranks, must
+    both leave executor storage exactly as they found it."""
+    import pytest as _pytest
+
+    from data_pipeline_team5_spark.operators.ranks import (
+        global_rank_select,
+        grouped_rows_at_group_ranks,
+    )
+
+    sc = spark.sparkContext
+
+    def pinned_ids():
+        return {
+            int(k)
+            for k in sc._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    before = pinned_ids()
+    df = spark.createDataFrame(
+        [((i * 37) % 101, i) for i in range(101)], "v INT, uid INT"
+    )
+    with _pytest.raises(ValueError, match="outside"):
+        global_rank_select(df, ["v", "uid"], lambda n: [n + 1])
+    assert pinned_ids() == before
+
+    class Boom(RuntimeError):
+        pass
+
+    def exploding(_n):
+        raise Boom("ranks_for failure")
+
+    with _pytest.raises(Boom):
+        global_rank_select(df, ["v", "uid"], exploding)
+    assert pinned_ids() == before
+
+    gdf = spark.createDataFrame(
+        [("g", (i * 37) % 101, str(i)) for i in range(101)],
+        "g STRING, v INT, uid STRING",
+    )
+    with _pytest.raises(ValueError, match="outside"):
+        grouped_rows_at_group_ranks(
+            gdf, ["g"], ["v", "uid"], lambda n: [n + 1]
+        )
+    assert pinned_ids() == before
