@@ -74,3 +74,50 @@ def test_bloom_decontamination_matches_exact_plan(spark):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_bloom_literal_constant_folds(spark):
+    """The word array must reach the optimized plan as a folded literal
+    (UnsafeArrayData), not a per-row CreateArray — the prefilter's
+    map-side cost claim rests on this (SCALING.md round-11)."""
+    keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(500)], "s STRING"
+    )
+    m, k = bloom_parameters(500)
+    words = build_bloom_words(keys, "s", m, k)
+    out = keys.filter(bloom_might_contain(words, m, k, "s"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "array(" not in plan, "word array not constant-folded"
+
+
+def test_bloom_prefilter_selectivity(spark):
+    """The corpus-side sliver claim, empirically: grams surviving the
+    prefilter ≈ true overlaps + fpp of the rest — the fraction that
+    would reach a shuffle in the too-big-to-broadcast regime."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_team5_spark.operators.dedup import doc_shingles
+    from data_pipeline_team5_spark.plans.catalog import table
+    from data_pipeline_team5_spark.plans.text_family import (
+        DECON_BENCH_MOD,
+        DECON_N,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents")
+    sh = doc_shingles(docs, "doc_id", "text", n=DECON_N)
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench = sh.filter(is_bench).select("s").distinct().localCheckpoint()
+    n_keys = bench.count()
+    m, k = bloom_parameters(n_keys, fpp=0.01)
+    words = build_bloom_words(bench, "s", m, k)
+    train = sh.filter(~is_bench)
+    total = train.count()
+    survivors = train.filter(
+        bloom_might_contain(words, m, k, "s")
+    ).count()
+    true_hits = train.join(F.broadcast(bench), "s").count()
+    # survivors = true hits + false positives; FP rate over the
+    # non-overlapping remainder must sit near the 1% design point
+    fp_rate = (survivors - true_hits) / max(1, total - true_hits)
+    assert true_hits <= survivors
+    assert fp_rate < 0.05, (survivors, true_hits, total, fp_rate)
