@@ -47,10 +47,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Largest word array embedded as a plan literal: 65536 longs = 512 KiB
-# of filter ≈ 4M reference keys at 1% fpp — far beyond any fixture, far
-# below the broadcast-variable regime. Same role as similarity.py's
-# _MAX_ADC_ENTRIES: literal folding is a fixture-scale optimization with
-# an explicit ceiling, not an unbounded habit.
+# of filter = 4.2 Mbits ≈ 437k reference keys at 1% fpp (9.585
+# bits/key) — ~30x any fixture's reference set, far below the
+# broadcast-variable regime. Same role as similarity.py's
+# _MAX_ADC_ENTRIES: literal folding is a fixture-scale optimization
+# with an explicit ceiling, not an unbounded habit.
 MAX_LITERAL_WORDS = 65536
 
 

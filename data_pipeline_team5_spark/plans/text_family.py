@@ -497,6 +497,13 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
     bench_grams = sh.filter(is_bench).select("s").distinct()
     train = sh.filter(~is_bench)
+    return _decon_overlap_result(train, bench_grams)
+
+
+def _decon_overlap_result(train: DataFrame, bench_grams: DataFrame) -> DataFrame:
+    """Shared result shaping of both decontamination variants — the bloom
+    twin's bitwise-parity contract requires the exact-join/groupBy/
+    projection to be THE SAME code, not a copy that can drift."""
     return (
         train.join(F.broadcast(bench_grams), "s")
         .groupBy("doc_id", "n")
@@ -554,6 +561,7 @@ def decontaminate_bloom_prefilter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from data_pipeline_team5_spark.operators.bloom import (
+        MAX_LITERAL_WORDS,
         bloom_might_contain,
         bloom_parameters,
         build_bloom_words,
@@ -569,24 +577,18 @@ def decontaminate_bloom_prefilter(
     bench_grams = bench_grams.localCheckpoint()
     n_keys = bench_grams.count()
     m_bits, k = bloom_parameters(n_keys, fpp=0.01)
+    if m_bits // 64 > MAX_LITERAL_WORDS:
+        # fail BEFORE the distributed build, not after it (self-review
+        # r11): past the literal cap this query's strategy is wrong —
+        # ship the words as a broadcast variable instead.
+        raise ValueError(
+            f"reference set of {n_keys} grams needs {m_bits // 64} "
+            f"filter words > the {MAX_LITERAL_WORDS}-word literal cap"
+        )
     words = build_bloom_words(bench_grams, "s", m_bits, k)
     train = sh.filter(~is_bench)
     prefiltered = train.filter(bloom_might_contain(words, m_bits, k, "s"))
-    return (
-        prefiltered.join(F.broadcast(bench_grams), "s")
-        .groupBy("doc_id", "n")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-        .select(
-            "doc_id",
-            F.col("n").alias("n_grams"),
-            F.col("n_overlap"),
-            (
-                F.col("n_overlap").cast("double")
-                / F.col("n").cast("double")
-            ).alias("overlap_frac"),
-        )
-        .orderBy("doc_id")
-    )
+    return _decon_overlap_result(prefiltered, bench_grams)
 
 
 # Sequence-length histogram (round 7): fixed-width bins over the BPE-ish

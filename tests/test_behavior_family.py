@@ -357,6 +357,14 @@ def test_select_k_partition_count_derives_from_frame(spark, monkeypatch):
     assert len(out) == 4  # 2 groups × {min, max}
 
 
+def _pinned_rdd_ids(spark):
+    """Persistent-RDD id snapshot. Pin tests assert no NEW ids appear —
+    never exact set equality, because the ContextCleaner may release an
+    unrelated earlier pin asynchronously mid-test (self-review r11)."""
+    sc = spark.sparkContext
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
 def test_select_k_releases_checkpoint_blocks(spark):
     """ADVICE r10: the localCheckpoint pin must not outlive the call —
     repeated catalog construction in one session previously accumulated
@@ -365,20 +373,12 @@ def test_select_k_releases_checkpoint_blocks(spark):
         rows_at_global_ranks,
     )
 
-    sc = spark.sparkContext
-
-    def pinned_ids():
-        return {
-            int(k)
-            for k in sc._jsc.getPersistentRDDs().keySet().toArray()
-        }
-
-    before = pinned_ids()
+    before = _pinned_rdd_ids(spark)
     df = spark.createDataFrame(
         [((i * 37) % 101, i) for i in range(101)], "v INT, uid INT"
     )
     rows_at_global_ranks(df, ["v", "uid"], [50], num_partitions=5)
-    assert pinned_ids() == before
+    assert _pinned_rdd_ids(spark) - before == set()
 
 
 def test_exact_ntile_bucket_null_metric_nulls_first(spark):
@@ -434,21 +434,13 @@ def test_select_k_releases_pins_on_failure(spark):
         grouped_rows_at_group_ranks,
     )
 
-    sc = spark.sparkContext
-
-    def pinned_ids():
-        return {
-            int(k)
-            for k in sc._jsc.getPersistentRDDs().keySet().toArray()
-        }
-
-    before = pinned_ids()
+    before = _pinned_rdd_ids(spark)
     df = spark.createDataFrame(
         [((i * 37) % 101, i) for i in range(101)], "v INT, uid INT"
     )
     with _pytest.raises(ValueError, match="outside"):
         global_rank_select(df, ["v", "uid"], lambda n: [n + 1])
-    assert pinned_ids() == before
+    assert _pinned_rdd_ids(spark) - before == set()
 
     class Boom(RuntimeError):
         pass
@@ -458,7 +450,7 @@ def test_select_k_releases_pins_on_failure(spark):
 
     with _pytest.raises(Boom):
         global_rank_select(df, ["v", "uid"], exploding)
-    assert pinned_ids() == before
+    assert _pinned_rdd_ids(spark) - before == set()
 
     gdf = spark.createDataFrame(
         [("g", (i * 37) % 101, str(i)) for i in range(101)],
@@ -468,4 +460,4 @@ def test_select_k_releases_pins_on_failure(spark):
         grouped_rows_at_group_ranks(
             gdf, ["g"], ["v", "uid"], lambda n: [n + 1]
         )
-    assert pinned_ids() == before
+    assert _pinned_rdd_ids(spark) - before == set()

@@ -17,7 +17,7 @@ from data_pipeline_team5_spark.operators.bloom import (
     build_bloom_words,
 )
 from data_pipeline_team5_spark.plans.catalog import QUERIES
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MEDIUM, SF_SMALL
 
 
 def test_bloom_parameters_math():
@@ -103,7 +103,7 @@ def test_bloom_prefilter_selectivity(spark):
         DECON_N,
     )
 
-    docs = table(spark, "/root/testdata/sf0.01", "documents")
+    docs = table(spark, SF_MEDIUM, "documents")
     sh = doc_shingles(docs, "doc_id", "text", n=DECON_N)
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
     bench = sh.filter(is_bench).select("s").distinct().localCheckpoint()
