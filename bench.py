@@ -193,7 +193,9 @@ def main() -> None:
         # Partition Defined" line in this run's log tail comes from one
         # of these allowlisted bounded-grain queries — the invariant
         # sweep (tests/test_plan_invariants.py) machine-forbids the
-        # construct everywhere else, so a log reader need not re-audit.
+        # construct in every swept plan (returned plans + registered
+        # construction builders; scan-less returned plans are pinned by
+        # name there), so a log reader need not re-audit.
         # "RDD ... was locally checkpointed ... cannot be recomputed
         # after unpersisting" lines are operators/ranks.py releasing its
         # select-k checkpoint pins (deliberate, ADVICE r10).

@@ -76,6 +76,32 @@ def bloom_parameters(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
     return m_bits, k_cap
 
 
+def bloom_word_frame(
+    keys: DataFrame, key_col: str, m_bits: int, k: int
+) -> DataFrame:
+    """The distributed build plan behind :func:`build_bloom_words`,
+    exposed as a frame so the engine's plan-invariant sweep can inspect
+    the construction-time plan (it executes eagerly inside query
+    builders and would otherwise be invisible to the sweep)."""
+    mask = m_bits - 1
+    hashes = keys.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {k - 1}), "
+                f"i -> xxhash64(`{key_col}`, i) & {mask}L)"
+            )
+        ).alias("h")
+    )
+    return (
+        hashes.select(
+            F.shiftright("h", 6).cast("int").alias("w"),
+            F.expr("shiftleft(1L, CAST(h & 63L AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
 def build_bloom_words(
     keys: DataFrame, key_col: str, m_bits: int, k: int
 ) -> list[int]:
@@ -83,24 +109,7 @@ def build_bloom_words(
     distributed ``bit_or``: keys → k masked hashes → (word index, bit)
     → per-word OR. Driver traffic is the filter itself (m/64 rows), not
     the key or position stream."""
-    mask = m_bits - 1
-    hashes = keys.select(
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {k - 1}), "
-                f"i -> xxhash64({key_col}, i) & {mask}L)"
-            )
-        ).alias("h")
-    )
-    rows = (
-        hashes.select(
-            F.shiftright("h", 6).cast("int").alias("w"),
-            F.expr("shiftleft(1L, CAST(h & 63L AS INT))").alias("b"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("b").alias("bits"))
-        .collect()
-    )
+    rows = bloom_word_frame(keys, key_col, m_bits, k).collect()
     words = [0] * (m_bits // 64)
     for r in rows:
         words[r["w"]] = r["bits"]
@@ -125,7 +134,7 @@ def bloom_might_contain(
     return F.expr(
         f"forall("
         f"transform(sequence(0, {k - 1}), "
-        f"i -> xxhash64({col}, i) & {m_bits - 1}L), "
+        f"i -> xxhash64(`{col}`, i) & {m_bits - 1}L), "
         f"h -> (shiftright(element_at(array({arr}), "
         f"CAST(shiftright(h, 6) AS INT) + 1), "
         f"CAST(h & 63L AS INT)) & 1L) = 1L)"

@@ -66,26 +66,28 @@ def select_k_num_partitions(spark: SparkSession, n: int) -> int:
 def _pin(df: DataFrame) -> tuple[DataFrame, Callable[[], None]]:
     """``localCheckpoint`` + a release handle (ADVICE r10: the pins used
     to accumulate for the session's lifetime). ``localCheckpoint`` blocks
-    are NOT freed by ``DataFrame.unpersist``; the reliable route is to
-    diff ``getPersistentRDDs`` around the checkpoint and unpersist the
-    new entry once both passes (counts + fetch) have collected. After
-    release the frame is uncomputable (local checkpoints truncate
-    lineage) — callers must not reference it afterwards. The id diff
-    assumes no concurrent checkpoint on another driver thread lands in
-    the same window; catalog construction is single-threaded."""
-    jsc = df.sparkSession.sparkContext._jsc
-    before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+    are NOT freed by ``DataFrame.unpersist``; the checkpointed frame's
+    analyzed plan is a ``LogicalRDD`` whose ``rdd()`` IS the pinned RDD
+    (verified: unpersisting it empties RDDStorageInfo), so release holds
+    that exact handle — no ``getPersistentRDDs`` id-diff, hence no race
+    against a concurrent checkpoint on another driver thread
+    (self-review r11 round 2). After release the frame is uncomputable
+    (local checkpoints truncate lineage) — callers must not reference it
+    afterwards."""
     s = df.localCheckpoint()
-    jmap = jsc.getPersistentRDDs()
-    fresh = [
-        jmap[k]
-        for k in jmap.keySet().toArray()
-        if int(k) not in before
-    ]
+    analyzed = s._jdf.queryExecution().analyzed()
+    # Defensive: every localCheckpoint analyzes to LogicalRDD today; if
+    # a Spark upgrade changes that, fail loudly rather than leak quietly.
+    if not analyzed.getClass().getName().endswith("LogicalRDD"):
+        raise RuntimeError(
+            "localCheckpoint no longer analyzes to LogicalRDD — "
+            f"got {analyzed.getClass().getName()}; update _pin's "
+            "release handle"
+        )
+    jrdd = analyzed.rdd()
 
     def release() -> None:
-        for jrdd in fresh:
-            jrdd.unpersist(False)
+        jrdd.unpersist(False)
 
     return s, release
 
@@ -142,11 +144,16 @@ def _derived_exchange(
                 # The conf-width guess undershot the n/P target:
                 # re-exchange the pinned NARROW frame (not the raw
                 # source) at the derived width — one extra narrow
-                # shuffle, still one corpus scan.
+                # shuffle, still one corpus scan. SWAP the release
+                # handle before releasing the old pin: if the old
+                # unpersist throws, the except handler must release the
+                # NEW pin, not double-release the old one (self-review
+                # r11 round 2).
                 s2, release2, cnt_rows = exchange(s.drop("_pid"), derived)
-                release()
+                old_release = release
                 s, release, p = s2, release2, derived
                 reexchanged = True
+                old_release()
     except BaseException:
         release()
         raise

@@ -525,9 +525,11 @@ def _grouped_quantile_rows(spark: SparkSession, docs: DataFrame) -> DataFrame:
             out.append(
                 (key[0], int(p), int(row["n_chars"]), int(rank), int(n_g))
             )
-    # None-safe dedup/sort key (ADVICE r10): grouped_rows_at_group_ranks
-    # supports a NULL group key, and None is not orderable against str.
-    out = sorted(set(out), key=lambda t: (t[0] is not None, t[0] or "", t[1]))
+    # Dedup (a rank shared by two pcts emits once per pct above), with a
+    # None-safe deterministic input order for reproducible plan dumps —
+    # the .orderBy below decides the OUTPUT order either way (ADVICE
+    # r10: a NULL lang must not crash the sort).
+    out = sorted(set(out), key=repr)
     return spark.createDataFrame(
         out,
         "lang STRING, pct INT, value BIGINT, at_rank BIGINT, n_rows BIGINT",

@@ -521,6 +521,18 @@ def _decon_overlap_result(train: DataFrame, bench_grams: DataFrame) -> DataFrame
     )
 
 
+def _bloom_reference_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-gram construction plan of the bloom query, exposed
+    for the plan-invariant sweep (it executes eagerly inside the query
+    builder and the returned panel plan no longer contains it)."""
+    from data_pipeline_team5_spark.operators.dedup import doc_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, "doc_id", "text", n=DECON_N)
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    return sh.filter(is_bench).select("s").distinct()
+
+
 @register(
     "decontaminate_bloom_prefilter",
     oracle=_DECON_ORACLE,
@@ -571,10 +583,9 @@ def decontaminate_bloom_prefilter(
     docs = table(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "doc_id", "text", n=DECON_N)
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
-    bench_grams = sh.filter(is_bench).select("s").distinct()
     # one pass over the (reference-sized, corpus-independent) gram set
     # builds the filter; n_keys comes from that same materialization
-    bench_grams = bench_grams.localCheckpoint()
+    bench_grams = _bloom_reference_grams(spark, sf_dir).localCheckpoint()
     n_keys = bench_grams.count()
     m_bits, k = bloom_parameters(n_keys, fpp=0.01)
     if m_bits // 64 > MAX_LITERAL_WORDS:

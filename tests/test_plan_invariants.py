@@ -110,3 +110,83 @@ def test_global_window_allowlist_is_exact(spark):
             f"{name}: allowlisted but plans no unpartitioned window — "
             "remove it from GLOBAL_WINDOW_ALLOWED"
         )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 (self-review round 2): queries that materialize work at
+# CONSTRUCTION time return plans rooted at a local/pinned/drained frame,
+# so the sweep above cannot see the corpus-scale plan that actually ran.
+# Two guards close the gap: (1) the extractable construction builders are
+# swept explicitly; (2) every scan-less returned plan must be listed here
+# BY NAME with its mechanism, so a new eager query cannot silently join
+# the blind spot.
+
+def _construction_plans(spark):
+    from data_pipeline_team5_spark.operators.bloom import bloom_word_frame
+    from data_pipeline_team5_spark.plans.reference_parity import (
+        _daily_wide,
+    )
+    from data_pipeline_team5_spark.plans.text_family import (
+        _bloom_reference_grams,
+    )
+
+    grams = _bloom_reference_grams(spark, SF_SMALL)
+    return {
+        "daily_metrics_panel/_daily_wide": _daily_wide(spark, SF_SMALL),
+        "bloom/_reference_grams": grams,
+        # plan shape is parameter-independent; small m/k keeps it cheap
+        "bloom/word_frame": bloom_word_frame(grams, "s", 1 << 10, 3),
+    }
+
+
+def test_construction_plans_have_no_scale_killers(spark):
+    for label, df in _construction_plans(spark).items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for op in FORBIDDEN:
+            assert op not in plan, f"{label}: {op} in construction plan"
+        assert not _unpartitioned_windows(df), label
+
+
+# Returned plans that read no parquet — each names its mechanism. The
+# corpus-scale work is covered elsewhere: checkpoint-pinned queries run
+# their construction through the same operators the sweep sees in sibling
+# queries or through _construction_plans above; streaming drains assert
+# their invariants via streaming/jobs tests; literal builds (select-k,
+# ingest) have their operators' own plan/parity tests.
+SCANLESS_RESULT_PLANS = {
+    "daily_metrics_panel": "local literal frame; _daily_wide swept above",
+    "dash_movie_panel": "25-row corr checkpoint pin (round 10)",
+    "d5_d6_time_panel": "day-grain checkpoint pin",
+    "line_boilerplate_scrub": "boilerplate-set checkpoint pin",
+    "vocab_coverage": "term-count checkpoint pin",
+    "term_spectrum": "term-count checkpoint pin (shared idiom)",
+    "skew_key_report": "grain-count checkpoint pin",
+    "rfm_segments": "per-user checkpoint pin (documented retention)",
+    "exact_quantile_panel": "select-k literal rows (operators/ranks.py)",
+    "exact_value_quantiles": "select-k literal rows",
+    "exact_grouped_quantiles": "select-k literal rows",
+    "ingest_kofic_roundtrip": "driver-side JSON ingest (S1 semantics)",
+    "stream_window_panel": "AvailableNow drain to memory sink",
+    "stream_session_windows": "AvailableNow drain to memory sink",
+    "stream_dedup_watermark": "AvailableNow drain to memory sink",
+    "stream_stateful_profile": "AvailableNow drain to memory sink",
+    "stream_stream_join": "AvailableNow drain to memory sink",
+    "stream_neardup_ingest": "AvailableNow drain to memory sink",
+    "stream_rate_monitor": "AvailableNow drain to memory sink",
+}
+
+
+def test_scanless_result_plans_are_exactly_the_known_set(spark):
+    scanless = set()
+    for name, q in QUERIES.items():
+        df = q.fn(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "FileScan" not in plan and "Scan parquet" not in plan:
+            scanless.add(name)
+    assert scanless == set(SCANLESS_RESULT_PLANS), (
+        "scan-less returned plans changed — a new eager/pinned/drained "
+        "query must be added here WITH its mechanism (and, if it builds "
+        "corpus-scale work at construction time, swept via "
+        "_construction_plans)",
+        scanless.symmetric_difference(SCANLESS_RESULT_PLANS),
+    )

@@ -478,9 +478,18 @@ def _ensure_driver_heap() -> None:
     PYSPARK_SUBMIT_ARGS before the first session is created (verified:
     Runtime.maxMemory reflects this, not the conf route)."""
     mem = os.environ.get("STRESS_DRIVER_MEM", "48g")
-    os.environ.setdefault(
-        "PYSPARK_SUBMIT_ARGS", f"--driver-memory {mem} pyspark-shell"
-    )
+    existing = os.environ.get("PYSPARK_SUBMIT_ARGS")
+    if existing is None:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            f"--driver-memory {mem} pyspark-shell"
+        )
+    elif "--driver-memory" not in existing:
+        # a pre-set PYSPARK_SUBMIT_ARGS (e.g. --packages) must not
+        # silently drop the heap to Spark's 1g default — prepend ours
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            f"--driver-memory {mem} {existing}"
+        )
+    # an existing --driver-memory is the user's explicit choice — keep it
 
 
 def main_select_k() -> None:
