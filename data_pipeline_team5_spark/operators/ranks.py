@@ -74,11 +74,26 @@ def _pin(df: DataFrame) -> tuple[DataFrame, Callable[[], None]]:
     (self-review r11 round 2). After release the frame is uncomputable
     (local checkpoints truncate lineage) — callers must not reference it
     afterwards."""
+    jsc = df.sparkSession.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
     s = df.localCheckpoint()
     analyzed = s._jdf.queryExecution().analyzed()
     # Defensive: every localCheckpoint analyzes to LogicalRDD today; if
-    # a Spark upgrade changes that, fail loudly rather than leak quietly.
+    # a Spark upgrade changes that, fail loudly rather than leak quietly
+    # — but unpin first (ADVICE r11: the guard must not leak the pin it
+    # guards). Without a LogicalRDD there is no exact handle, so this
+    # path falls back to the getPersistentRDDs id-diff: best-effort and
+    # in principle racy against a concurrent checkpoint, which is
+    # acceptable only because the branch exists for a hypothetical
+    # Spark-upgrade failure, never in normal operation (the exact-handle
+    # release below stays race-free).
     if not analyzed.getClass().getName().endswith("LogicalRDD"):
+        try:
+            rdds = jsc.getPersistentRDDs()
+            for rid in set(rdds.keySet().toArray()) - before:
+                rdds.get(rid).unpersist(False)
+        except Exception:
+            pass
         raise RuntimeError(
             "localCheckpoint no longer analyzes to LogicalRDD — "
             f"got {analyzed.getClass().getName()}; update _pin's "
@@ -110,7 +125,14 @@ def _derived_exchange(
     whatever was pinned, so callers only own the returned handle.
     """
     spark = df.sparkSession
-    if num_partitions:
+    if num_partitions is not None:
+        # `is not None`, not truthiness (ADVICE r11): 0 used to fall
+        # through BOTH gates — conf width here, yet excluded from the
+        # derived re-exchange below. An explicit width must be usable.
+        if num_partitions < 1:
+            raise ValueError(
+                f"num_partitions must be >= 1, got {num_partitions}"
+            )
         p = num_partitions
     elif n_hint is not None:
         p = select_k_num_partitions(spark, n_hint)
@@ -325,9 +347,14 @@ def exact_ntile_bucket(
                 for c in order_cols
             ]
         )
-        # coalesce: x containing a NULL field compares NULL against the
-        # (null-free, checked above) threshold — NULLS FIRST says such a
-        # row sorts below the threshold, i.e. contributes 0.
+        # Spark's struct GreaterThan is an ORDERING comparison: a NULL
+        # field sorts first within its slot (matching the exchange's
+        # NULLS FIRST), so x with a NULL field still yields true/false
+        # against the (null-free, checked above) threshold — only a
+        # wholly-NULL struct yields NULL. The coalesce is belt-and-
+        # braces for that wholly-NULL case, mapping it to "contributes
+        # 0", i.e. sorts below every threshold (ADVICE r11 reword: the
+        # mechanism is struct ordering, not per-field null propagation).
         bucket = bucket + F.coalesce((x > t).cast("int"), F.lit(0))
     return bucket.cast("int")
 

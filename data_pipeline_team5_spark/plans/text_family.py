@@ -560,8 +560,12 @@ def _bloom_reference_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parameters derive from the realized reference size (m = next "
     "pow2 of n·ln(1/fpp)/ln²2; k = the SMALLEST hash count meeting "
     "fpp at that m — the derived-knob discipline); the literal "
-    "embedding is capped at 512 KiB with the broadcast-variable path "
-    "documented past it. The distinct reference grams are "
+    "embedding is capped at 512 KiB and past the cap the apply ROUTES "
+    "automatically to a broadcast-variable strategy (round 13): words "
+    "ship as a Spark broadcast consumed by an Arrow-batched numpy bit "
+    "test over JVM-computed xxhash64 positions — bitwise "
+    "interchangeable with the literal path, forced-low-cap-pinned in "
+    "tests/test_bloom.py. The distinct reference grams are "
     "checkpoint-pinned once for the build count, the filter words and "
     "the verify join — RETAINED by the returned lazy plan (the "
     "documented-retention convention; the pin is reference-sized, "
@@ -573,9 +577,8 @@ def decontaminate_bloom_prefilter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from data_pipeline_team5_spark.operators.bloom import (
-        MAX_LITERAL_WORDS,
-        bloom_might_contain,
         bloom_parameters,
+        bloom_prefilter,
         build_bloom_words,
     )
     from data_pipeline_team5_spark.operators.dedup import doc_shingles
@@ -588,17 +591,14 @@ def decontaminate_bloom_prefilter(
     bench_grams = _bloom_reference_grams(spark, sf_dir).localCheckpoint()
     n_keys = bench_grams.count()
     m_bits, k = bloom_parameters(n_keys, fpp=0.01)
-    if m_bits // 64 > MAX_LITERAL_WORDS:
-        # fail BEFORE the distributed build, not after it (self-review
-        # r11): past the literal cap this query's strategy is wrong —
-        # ship the words as a broadcast variable instead.
-        raise ValueError(
-            f"reference set of {n_keys} grams needs {m_bits // 64} "
-            f"filter words > the {MAX_LITERAL_WORDS}-word literal cap"
-        )
     words = build_bloom_words(bench_grams, "s", m_bits, k)
     train = sh.filter(~is_bench)
-    prefiltered = train.filter(bloom_might_contain(words, m_bits, k, "s"))
+    # Strategy routes on the literal cap (round 13, VERDICT r12 #1):
+    # fixture-scale filters embed as one constant-folded plan literal;
+    # past the cap the words ship as a broadcast variable consumed by
+    # an Arrow-batched numpy bit test — same xxhash64 positions, bitwise
+    # interchangeable (forced-low-cap parity in tests/test_bloom.py).
+    prefiltered = bloom_prefilter(train, "s", words, m_bits, k)
     return _decon_overlap_result(prefiltered, bench_grams)
 
 

@@ -340,7 +340,11 @@ def test_select_k_partition_count_derives_from_frame(spark, monkeypatch):
     assert stats["num_partitions"] == ranks.select_k_num_partitions(
         spark, 101
     ) > int(spark.conf.get("spark.sql.shuffle.partitions"))
-    assert stats["max_partition_rows"] <= 10 + 5  # range-sampler slack
+    # repartitionByRange samples boundaries (reservoir) and gives NO
+    # hard per-partition bound — assert a loose multiple of the target
+    # so unlucky sampling can't flake the suite (ADVICE r11); the
+    # behavior under test is the derivation + re-exchange above.
+    assert stats["max_partition_rows"] <= 3 * 10
     got = [(by_rank[k]["v"], by_rank[k]["uid"]) for k in (1, 50, 101)]
     assert got == want
 
