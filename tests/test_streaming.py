@@ -119,3 +119,26 @@ def test_stream_neardup_ingest_equals_batch_form_and_really_streams(spark):
     # structurally — at least one pair's endpoints are both new docs
     # (found either within a batch or across batches via the fold)
     assert any(a % 3 == 0 and b % 3 == 0 for a, b, _ in want)
+
+
+def test_sliding_section_derivation_matches_true_state_machine(spark):
+    """stream_window_panel derives its sliding section from the drained
+    tumbling grid (one events drain — round 13, VERDICT r12 #2). Pin
+    the derivation against the TRUE sliding-window state machine: an
+    AvailableNow drain of streaming/jobs.py:sliding_7d must produce the
+    identical rows."""
+    from data_pipeline_team5_spark.plans.catalog import QUERIES
+    from data_pipeline_team5_spark.streaming.jobs import sliding_7d
+
+    panel = QUERIES["stream_window_panel"].fn(spark, SF_SMALL)
+    derived = sorted(
+        (r.win_start, r.event_type, r.n_events, r.value_sum)
+        for r in panel.filter(F.col("section") == "sliding_7d").collect()
+    )
+    true_sm = sorted(
+        (r.win_start, r.event_type, r.n_events, r.value_sum)
+        for r in drain_to_memory(
+            sliding_7d(read_events_stream(spark, SF_SMALL))
+        ).collect()
+    )
+    assert derived == true_sm and len(derived) > 0
