@@ -415,8 +415,11 @@ _VALUE_Q_SQL = f"""
     "bitwise by construction. This is the production form of the exact "
     "side of sketch_length_quantiles (whose percentile() aggregate is "
     "single-reducer) — the quality-cutoff / SLA-threshold query a "
-    "curation pipeline runs on corpus-sized numeric columns.",
-    headline=True,
+    "curation pipeline runs on corpus-sized numeric columns. NOT a "
+    "bench headliner (round 13, VERDICT r12 #3): exact_quantile_panel "
+    "times this same select-k machinery — a third timing of one "
+    "mechanism inflates the headline total without new information; "
+    "the tail oracle + mini-driver bitwise check stay.",
     tags=("grouping", "quantile", "ranks"),
 )
 def exact_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,8 +489,9 @@ _GROUPED_Q_SQL = """
     "groups are few), per-group integer-exact quantile ranks, and one "
     "(partition, lang)-windowed fetch over only the partitions holding "
     "requested ranks. Selection does no value arithmetic — bitwise "
-    "cross-engine by construction, verified at three SFs.",
-    headline=True,
+    "cross-engine by construction, verified at three SFs. NOT a bench "
+    "headliner (round 13, VERDICT r12 #3): exact_quantile_panel times "
+    "this same machinery; the tail oracle + bitwise check stay.",
     tags=("grouping", "quantile", "ranks", "text"),
 )
 def exact_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
