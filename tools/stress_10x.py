@@ -594,6 +594,185 @@ def main_select_k() -> None:
                 )
 
 
+def _exchange_metrics(df) -> list[dict]:
+    """Per-ShuffleExchange {bytes, records, dataSize} of ``df``'s LAST
+    executed plan — call AFTER an action on the SAME Dataset (collect;
+    a .write spawns its own QueryExecution whose metrics this handle
+    never sees — verified). Walks through AQE wrappers (AdaptiveSparkPlan
+    → final plan, QueryStage → materialized plan, ReusedExchange →
+    child)."""
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        yield node, cls
+        if "AdaptiveSparkPlan" in cls:
+            yield from walk(node.executedPlan())
+            return
+        if "QueryStage" in cls:
+            yield from walk(node.plan())
+            return
+        if "ReusedExchange" in cls:
+            yield from walk(node.child())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    out = []
+    seen = set()
+    for node, cls in walk(df._jdf.queryExecution().executedPlan()):
+        if "ShuffleExchange" in cls and node.id() not in seen:
+            seen.add(node.id())
+            it = node.metrics().iterator()
+            vals = {}
+            while it.hasNext():
+                kv = it.next()
+                vals[kv._1()] = kv._2().value()
+            out.append(
+                {
+                    "bytes": vals.get("shuffleBytesWritten", 0),
+                    "records": vals.get("shuffleRecordsWritten", 0),
+                    "dataSize": vals.get("dataSize", 0),
+                }
+            )
+    return out
+
+
+def main_bloom() -> None:
+    """--bloom (VERDICT r12 #1/#5): the Bloom prefilter's target regime,
+    measured instead of computed. Two claims get numbers at sf0.1 and
+    10x docs:
+
+    1. APPLY strategies — the literal plan-embedded word array vs the
+       past-the-cap broadcast-variable + Arrow-batch path
+       (operators/bloom.py:bloom_prefilter with MAX_LITERAL_WORDS forced
+       to 0 so the broadcast path runs on the REAL filter), wall time
+       and surviving-row parity.
+    2. VERIFY exchange — in the too-big-to-broadcast regime the exact
+       verify is a SHUFFLE join; the prefilter's point is that the
+       corpus side of that exchange carries only the sliver (true
+       overlaps + ~fpp). Shuffle bytes/records are read from the
+       executed plan's SQLMetrics (broadcast join disabled for BOTH
+       variants so the exchange exists to measure), unprefiltered vs
+       prefiltered — the '~100x exchange reduction' claim as measured
+       bytes, not a sliver-fraction computation (SCALING.md r11 gap).
+    """
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from pyspark.sql import functions as F
+
+    from data_pipeline_team5_spark.operators import bloom
+    from data_pipeline_team5_spark.operators.dedup import doc_shingles
+    from data_pipeline_team5_spark.plans.text_family import (
+        DECON_BENCH_MOD,
+        DECON_N,
+        _bloom_reference_grams,
+    )
+    from data_pipeline_team5_spark.session import get_spark
+
+    build()
+    _ensure_driver_heap()
+    spark = get_spark(app_name="stress_bloom")
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    apply_rows = []
+    verify_rows = []
+    for tag, d in (("sf0.1", SF_DIR), ("10x", STRESS_DIR)):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        sh = doc_shingles(docs, "doc_id", "text", n=DECON_N)
+        is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+        grams = _bloom_reference_grams(spark, d).localCheckpoint()
+        n_keys = grams.count()
+        m_bits, k = bloom.bloom_parameters(n_keys, fpp=0.01)
+        words = bloom.build_bloom_words(grams, "s", m_bits, k)
+        train = sh.filter(~is_bench)
+
+        def prefiltered(cap: int):
+            saved = bloom.MAX_LITERAL_WORDS
+            bloom.MAX_LITERAL_WORDS = cap
+            try:
+                return bloom.bloom_prefilter(train, "s", words, m_bits, k)
+            finally:
+                bloom.MAX_LITERAL_WORDS = saved
+
+        # 1. apply strategy walls (count() forces the full filter pass)
+        strat = {
+            "literal": lambda: prefiltered(len(words)).count(),
+            "broadcast": lambda: prefiltered(0).count(),
+        }
+        survivors = {s: fn() for s, fn in strat.items()}  # warm + parity
+        assert survivors["literal"] == survivors["broadcast"], survivors
+        for s, fn in strat.items():
+            wall = min(_timed(fn) for _ in range(passes))
+            apply_rows.append(
+                (tag, s, len(words), k, survivors[s], wall)
+            )
+
+        # 2. verify-exchange bytes, shuffle join forced on both variants.
+        # The corpus-side exchange is identified by its RECORD count
+        # (train rows / surviving rows) — max-by-records mislabels the
+        # prefiltered variant, whose sliver is smaller than the
+        # reference-side gram exchange.
+        train_rows = train.count()
+        thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            for form, corpus_side, expected in (
+                ("unprefiltered", train, train_rows),
+                ("bloom-prefiltered", prefiltered(0), survivors["literal"]),
+            ):
+                joined = (
+                    corpus_side.join(grams, "s")
+                    .groupBy()
+                    .agg(F.count(F.lit(1)).alias("n_hits"))
+                )
+                hits = joined.collect()[0]["n_hits"]
+                ex = _exchange_metrics(joined)
+                matching = [e for e in ex if e["records"] == expected]
+                corpus_ex = (
+                    matching[0]
+                    if matching
+                    else max(ex, key=lambda e: e["records"])
+                )
+                verify_rows.append(
+                    (
+                        tag,
+                        form,
+                        hits,
+                        corpus_ex["records"],
+                        corpus_ex["bytes"],
+                        sum(e["bytes"] for e in ex),
+                    )
+                )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+    print(
+        "| scale | apply strategy | filter words | k | survivors "
+        "| wall (s) |"
+    )
+    print("|---|---|---|---|---|---|")
+    for tag, s, w, k, n, wall in apply_rows:
+        print(f"| {tag} | {s} | {w} | {k} | {n} | {wall:.2f} |")
+    print()
+    print(
+        "| scale | verify form | exact hits | corpus-side exchange "
+        "records | corpus-side exchange bytes | total shuffle bytes |"
+    )
+    print("|---|---|---|---|---|---|")
+    for tag, form, hits, rec, byt, tot in verify_rows:
+        print(f"| {tag} | {form} | {hits} | {rec} | {byt} | {tot} |")
+    for tag in ("sf0.1", "10x"):
+        pair = [r for r in verify_rows if r[0] == tag]
+        if len(pair) == 2:
+            un, pre = pair[0], pair[1]
+            print(
+                f"{tag}: corpus-side exchange {un[4]} → {pre[4]} bytes "
+                f"({un[4] / max(pre[4], 1):.0f}× reduction measured; "
+                f"records {un[3]} → {pre[3]})"
+            )
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import EXTRAS
@@ -633,7 +812,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--select-k" in sys.argv:
+    if "--bloom" in sys.argv:
+        main_bloom()
+    elif "--select-k" in sys.argv:
         main_select_k()
     elif "--incremental" in sys.argv:
         main_incremental()
