@@ -124,6 +124,15 @@ def main(argv: list[str] | None = None) -> int:
                         help="eval-benchmark documents parquet; when given, "
                              "docs sharing any 5-gram with it are dropped "
                              "before dedup (decontamination)")
+    p_full.add_argument("--decon-bloom-min-grams", type=int, default=None,
+                        help="distinct benchmark-gram count above which "
+                             "decontamination routes through the Bloom "
+                             "prefilter + exact verify instead of the "
+                             "exact broadcast join (default: operators/"
+                             "dedup.py:BLOOM_ROUTE_MIN_GRAMS; the result "
+                             "is identical either way — this picks the "
+                             "physical strategy for references too big "
+                             "to broadcast exactly)")
     p_full.add_argument("--scrub-pii", action="store_true",
                         help="redact emails/cards/phones/IPv4s in text "
                              "before any curation signal (operators/"
@@ -180,6 +189,8 @@ def main(argv: list[str] | None = None) -> int:
                         help="eval-benchmark documents parquet; the daily "
                              "batch is decontaminated against it before "
                              "dedup")
+    p_inc.add_argument("--decon-bloom-min-grams", type=int, default=None,
+                       help="see full --decon-bloom-min-grams")
     p_inc.add_argument("--fold-batch-id", default=None,
                        help="after curating, fold the batch's SURVIVORS "
                             "into the signature index, key index, AND the "
@@ -304,6 +315,7 @@ def main(argv: list[str] | None = None) -> int:
             neardup_threshold=args.threshold,
             neardup_method=args.method,
             benchmark_docs=bench_docs,
+            decon_bloom_min_grams=args.decon_bloom_min_grams,
             scrub_pii=args.scrub_pii,
             survivor_policy=args.survivor_policy,
             source_priority=(
@@ -591,6 +603,7 @@ def main(argv: list[str] | None = None) -> int:
             key_index_path=args.key,
             exclude_batch_id=fold,
             benchmark_docs=bench_docs,
+            decon_bloom_min_grams=args.decon_bloom_min_grams,
         )
         if fold is None:
             out.write.mode("overwrite").parquet(args.out)

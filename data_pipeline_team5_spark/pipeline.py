@@ -263,6 +263,7 @@ def _curation_filter_stage(
     max_top_bigram_frac: float | None = None,
     max_dup_trigram_frac: float | None = None,
     scrub_pii: bool = False,
+    decon_bloom_min_grams: int | None = None,
 ) -> DataFrame:
     """Stage 1 of both curation presets, shared so the full and incremental
     paths can never drift apart: optional PII redaction (``scrub_pii`` —
@@ -281,8 +282,12 @@ def _curation_filter_stage(
       NULL fraction is not evidence of repetition). Off (None) by default:
       the caps are corpus-tuning knobs, not universal constants.
     - **benchmark decontamination** — drop docs sharing any 5-gram with
-      the eval benchmark set (broadcast anti-join,
-      operators/dedup.py:contaminated_ids).
+      the eval benchmark set (operators/dedup.py:contaminated_ids; the
+      probe strategy routes on the realized benchmark gram count —
+      exact broadcast anti-join for eval-suite-sized references, Bloom
+      prefilter + exact verify past
+      ``operators/dedup.py:BLOOM_ROUTE_MIN_GRAMS``;
+      ``decon_bloom_min_grams`` overrides the threshold, round 13).
     """
     from data_pipeline_team5_spark.operators.textops import (
         max_run_freq,
@@ -348,7 +353,13 @@ def _curation_filter_stage(
         )
 
         kept = kept.join(
-            contaminated_ids(kept, benchmark_docs), "doc_id", "left_anti"
+            contaminated_ids(
+                kept,
+                benchmark_docs,
+                bloom_route_min_grams=decon_bloom_min_grams,
+            ),
+            "doc_id",
+            "left_anti",
         )
     return kept
 
@@ -367,6 +378,7 @@ def curate_training_data(
     scratch_dir: str | None = None,
     survivor_policy: str = "min_id",
     source_priority: list[str] | None = None,
+    decon_bloom_min_grams: int | None = None,
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
     composed from the engine's tested stages into ONE lazy plan:
@@ -454,6 +466,7 @@ def curate_training_data(
         max_top_bigram_frac=max_top_bigram_frac,
         max_dup_trigram_frac=max_dup_trigram_frac,
         scrub_pii=scrub_pii,
+        decon_bloom_min_grams=decon_bloom_min_grams,
     )
 
     # 2. exact dedup (deterministic survivor: min doc_id per content key)
@@ -605,6 +618,7 @@ def curate_incremental_batch(
     max_top_bigram_frac: float | None = None,
     max_dup_trigram_frac: float | None = None,
     scratch_dir: str | None = None,
+    decon_bloom_min_grams: int | None = None,
 ) -> DataFrame:
     """Daily curation update: run the full curation contract for a NEW
     batch against the already-RETAINED corpus, touching the corpus only
@@ -680,6 +694,7 @@ def curate_incremental_batch(
         benchmark_docs=benchmark_docs,
         max_top_bigram_frac=max_top_bigram_frac,
         max_dup_trigram_frac=max_dup_trigram_frac,
+        decon_bloom_min_grams=decon_bloom_min_grams,
     )
 
     # 2. exact dedup: within the batch, then anti-join the corpus's keys —

@@ -327,3 +327,67 @@ def test_flattened_weights_alpha_endpoints(spark):
     small = min(counts, key=counts.get)
     obs_big = counts[big] / sum(counts.values())
     assert wmid[small] > w1[small] - 1e-12 and wmid[big] < obs_big + 1e-12
+
+
+def test_contaminated_ids_bloom_route_bitwise_and_plan(spark):
+    """The decontamination probe's strategy routing (round 13, VERDICT
+    r12 #6): with the route threshold forced to 0 the Bloom prefilter +
+    exact-verify path must return EXACTLY the broadcast path's id set.
+    At fixture scale the routed filter still embeds as a plan literal
+    (it fits the literal cap), so a second run also forces the literal
+    cap to 0 and asserts the broadcast-variable Arrow apply carries the
+    filter (MapInPandas in-plan, never BatchEvalPython)."""
+    from data_pipeline_team5_spark.operators import bloom
+    from data_pipeline_team5_spark.operators.dedup import contaminated_ids
+    from data_pipeline_team5_spark.plans.catalog import table
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    benchmark = docs.filter(F.col("doc_id") % 31 == 0)
+    want = {r["doc_id"] for r in contaminated_ids(docs, benchmark).collect()}
+    assert want
+    routed = contaminated_ids(docs, benchmark, bloom_route_min_grams=0)
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    got = {r["doc_id"] for r in routed.collect()}
+    assert got == want
+    # forced past BOTH the route threshold and the literal cap: the
+    # broadcast-variable Arrow path carries the filter
+    saved = bloom.MAX_LITERAL_WORDS
+    bloom.MAX_LITERAL_WORDS = 0
+    try:
+        routed_bc = contaminated_ids(
+            docs, benchmark, bloom_route_min_grams=0
+        )
+        plan_bc = routed_bc._jdf.queryExecution().optimizedPlan().toString()
+        assert "mapInPandas" in plan_bc or "MapInPandas" in plan_bc, plan_bc
+        assert {r["doc_id"] for r in routed_bc.collect()} == want
+    finally:
+        bloom.MAX_LITERAL_WORDS = saved
+
+
+def test_curate_preset_bloom_route_no_behavior_change(spark):
+    """curate_training_data(decon_bloom_min_grams=0) — the preset flag
+    forcing the Bloom route — must produce bitwise-identical
+    assignments to the default broadcast-join run."""
+    from data_pipeline_team5_spark.pipeline import curate_training_data
+    from data_pipeline_team5_spark.plans.catalog import table
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    benchmark = docs.filter(F.col("doc_id") % 31 == 0)
+    base = sorted(
+        tuple(r)
+        for r in curate_training_data(
+            docs, benchmark_docs=benchmark
+        ).collect()
+    )
+    routed = sorted(
+        tuple(r)
+        for r in curate_training_data(
+            docs, benchmark_docs=benchmark, decon_bloom_min_grams=0
+        ).collect()
+    )
+    assert routed == base and len(base) > 0
