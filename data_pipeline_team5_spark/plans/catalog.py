@@ -317,6 +317,13 @@ _TAIL = (
     # exact query, same oracle verbatim) — oracle-backed tail,
     # exact-checked by the local mini-driver every CI run.
     "decontaminate_bloom_prefilter",
+    # Round 13 (VERDICT r12 #7): both decontamination strategies are now
+    # driver-graded through decontamination_panel (in-window — sections
+    # 'exact'/'bloom' under one twice-stated oracle, so the panel hash
+    # certifies strategy parity too). The standalone exact form moves to
+    # the tail for its slot: still oracle-backed, still headline-timed,
+    # still mini-driver-bitwise every CI run.
+    "decontaminate_ngram_overlap",
 )
 
 

@@ -602,6 +602,47 @@ def decontaminate_bloom_prefilter(
     return _decon_overlap_result(prefiltered, bench_grams)
 
 
+# The two decontamination strategies return IDENTICAL rows by contract,
+# so the panel's oracle is the same statement tagged twice — any
+# strategy divergence breaks the union hash.
+_DECON_BODY = _DECON_ORACLE.rsplit("ORDER BY doc_id", 1)[0]
+_DECON_PANEL_ORACLE = f"""
+        SELECT 'bloom' AS strategy, q.* FROM ({_DECON_BODY}) q
+        UNION ALL
+        SELECT 'exact' AS strategy, q.* FROM ({_DECON_BODY}) q
+        ORDER BY strategy, doc_id
+    """
+
+
+@register(
+    "decontamination_panel",
+    oracle=_DECON_PANEL_ORACLE,
+    doc="⊕ BOTH decontamination strategies in one driver slot (round 13, "
+    "VERDICT r12 #7 — the bloom strategy had no driver-graded row; the "
+    "window was full, so this is the same-slot consolidation recipe's "
+    "4th use): section 'exact' is decontaminate_ngram_overlap's "
+    "broadcast-join form, section 'bloom' is decontaminate_bloom_"
+    "prefilter's prefilter-plus-exact-verify form, union-tagged under "
+    "ONE oracle that is the decontamination SQL stated twice — the "
+    "strategies are bitwise interchangeable by contract, so a green "
+    "hash here certifies the exact result AND the strategy parity in "
+    "one row. Each section is the standalone registered query verbatim "
+    "(both stay registered, oracle-backed, in the tail); the panel adds "
+    "no third implementation that could drift. NOT a bench headliner: "
+    "both standalone forms are timed, and the panel would re-measure "
+    "their sum (the round-13 quantile-accounting rule).",
+    tags=("text", "curation", "decontamination", "bloom"),
+)
+def decontamination_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = decontaminate_ngram_overlap(spark, sf_dir)
+    bl = decontaminate_bloom_prefilter(spark, sf_dir)
+    return (
+        bl.select(F.lit("bloom").alias("strategy"), "*")
+        .unionByName(ex.select(F.lit("exact").alias("strategy"), "*"))
+        .orderBy("strategy", "doc_id")
+    )
+
+
 # Sequence-length histogram (round 7): fixed-width bins over the BPE-ish
 # token count. 16-token bins resolve this fixture's ~40-90-token docs into
 # ~6 bins per lang; a production run widens the bin to its budget grid.
