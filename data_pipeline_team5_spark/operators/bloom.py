@@ -67,6 +67,16 @@ from pyspark.sql.types import StructField, StructType
 # with an explicit ceiling, not an unbounded habit.
 MAX_LITERAL_WORDS = 65536
 
+# Transport threshold for the past-the-cap apply: at/under this, the
+# word array ships as a plain broadcast variable (simple, and per-worker
+# copies of ≤64 MiB are cheap); past it, as an addFile + read-only
+# np.memmap so every Python worker on a node shares ONE page-cache copy
+# (a broadcast variable is unpickled per worker — cores × filter-size
+# RSS per node, which at the 1e9-gram/1.4 GB design point is the
+# difference between ~1.4 GB and ~45 GB on a 32-core node). Module
+# attribute so tests force the mmap path at fixture scale.
+MMAP_MIN_WORDS = 8_388_608  # 64 MiB of filter
+
 
 def _quoted(name: str) -> str:
     """Backtick-quote ``name`` for splicing into ``F.expr`` — doubling
@@ -175,7 +185,17 @@ def _broadcast_bloom_keep(
     MapInPandas, never BatchEvalPython). The broadcast is RETAINED by
     the returned lazy plan (the documented-retention convention — the
     pin is filter-sized, never corpus-sized).
-    """
+
+    TRANSPORT routes on filter size (:data:`MMAP_MIN_WORDS`): a Spark
+    broadcast variable is unpickled into EVERY Python worker — at one
+    worker per core, a 1.4 GB filter (1e9 grams) costs cores×1.4 GB of
+    RSS per node. Past the threshold the words ship via
+    ``SparkContext.addFile`` (torrent-distributed once per node, same
+    as a broadcast) and each worker ``np.memmap``'s the file read-only
+    — all workers on a node share ONE page-cache copy, so node RSS is
+    ~filter-sized regardless of core count. Bytes are written
+    little-endian explicitly so a mixed-arch cluster reads them
+    identically."""
     import numpy as np
 
     out_cols = list(df.columns)
@@ -198,12 +218,38 @@ def _broadcast_bloom_keep(
     )
     # int64 carries bit_or's signed words losslessly; the view is the
     # same 64 bits reinterpreted so numpy's >> is a logical shift.
-    bc = df.sparkSession.sparkContext.broadcast(
-        np.asarray(words, dtype=np.int64).view(np.uint64)
-    )
+    arr = np.asarray(words, dtype=np.int64).view(np.uint64)
+    sc = df.sparkSession.sparkContext
+    if len(words) > MMAP_MIN_WORDS:
+        import os
+        import tempfile
+        import uuid
+
+        # addFile names are app-global: a uuid keeps repeated builds in
+        # one session from colliding. The driver-side source file must
+        # OUTLIVE the call — executors (and local mode especially)
+        # validate re-fetches against the source URI, so deleting it
+        # breaks the first task (verified). It is filter-sized and lives
+        # for the app, the same retention a broadcast variable's blocks
+        # would have.
+        fname = f"bloom_words_{uuid.uuid4().hex}.u8le"
+        path = os.path.join(tempfile.gettempdir(), fname)
+        arr.astype("<u8").tofile(path)
+        sc.addFile(path)
+
+        def get_words():
+            from pyspark import SparkFiles
+
+            return np.memmap(SparkFiles.get(fname), dtype="<u8", mode="r")
+
+    else:
+        bc = sc.broadcast(arr)
+
+        def get_words():
+            return bc.value
 
     def keep_members(batches):
-        w = bc.value
+        w = get_words()
         for pdf in batches:
             keep = np.ones(len(pdf), dtype=bool)
             for h in h_cols:
@@ -235,8 +281,10 @@ def bloom_prefilter(
 
     - at/under the cap: the word array embeds ONCE as a constant-folded
       plan literal (:func:`bloom_might_contain`) — pure JVM, map-side;
-    - past the cap: the words ship as a broadcast variable consumed by
-      an Arrow-batched numpy bit test (:func:`_broadcast_bloom_keep`).
+    - past the cap: the words ship to executors (broadcast variable, or
+      addFile + page-cache-shared np.memmap past :data:`MMAP_MIN_WORDS`)
+      consumed by an Arrow-batched numpy bit test
+      (:func:`_broadcast_bloom_keep`).
 
     Both strategies hash with the same JVM ``xxhash64`` expressions, so
     they are bitwise interchangeable — pinned by the forced-low-cap

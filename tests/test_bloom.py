@@ -138,6 +138,39 @@ def test_bloom_broadcast_path_bitwise_vs_literal_and_exact(
     assert via_bloom == exact
 
 
+def test_bloom_mmap_transport_bitwise(spark, monkeypatch):
+    """The past-the-cap apply's SECOND routing layer (round 13): past
+    MMAP_MIN_WORDS the words ship via addFile + np.memmap (one
+    page-cache copy per node) instead of a per-worker-unpickled
+    broadcast variable. Forced low, the mmap transport must return
+    exactly the literal path's rows."""
+    from data_pipeline_team5_spark.operators import bloom
+
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(1200)], "s STRING"
+    )
+    m, k = bloom.bloom_parameters(1200, fpp=0.01)
+    words = bloom.build_bloom_words(keys, "s", m, k)
+    probes = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(0, 2400, 2)]
+        + [(f"zzz-{i}",) for i in range(4000)],
+        "s STRING",
+    )
+    literal = sorted(
+        r["s"]
+        for r in probes.filter(
+            bloom.bloom_might_contain(words, m, k, "s")
+        ).collect()
+    )
+    monkeypatch.setattr(bloom, "MAX_LITERAL_WORDS", 0)
+    monkeypatch.setattr(bloom, "MMAP_MIN_WORDS", 0)
+    got = sorted(
+        r["s"]
+        for r in bloom.bloom_prefilter(probes, "s", words, m, k).collect()
+    )
+    assert got == literal and len(got) > 0
+
+
 def test_bloom_catalog_query_routes_on_cap(spark, monkeypatch):
     """decontaminate_bloom_prefilter must select the broadcast strategy
     automatically (no raise) when the reference filter exceeds the
