@@ -226,6 +226,8 @@ def main(argv: list[str] | None = None) -> int:
     p_str.add_argument("--budget", type=int, default=2048)
     p_str.add_argument("--threshold", type=float, default=0.6)
     p_str.add_argument("--benchmark", default=None)
+    p_str.add_argument("--decon-bloom-min-grams", type=int, default=None,
+                       help="see full --decon-bloom-min-grams")
     p_str.add_argument("--checkpoint", default=None,
                        help="streaming checkpoint dir (default "
                             "<out>_ckpt). PERSISTENT on purpose: a rerun "
@@ -536,6 +538,7 @@ def main(argv: list[str] | None = None) -> int:
                 key_index_path=args.key,
                 exclude_batch_id=fold,
                 benchmark_docs=bench_docs,
+                decon_bloom_min_grams=args.decon_bloom_min_grams,
             )
             off = next_bin_offset(spark, args.out, exclude_batch_id=fold)
             (

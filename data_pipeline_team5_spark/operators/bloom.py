@@ -133,17 +133,20 @@ def bloom_word_frame(
     )
 
 
-def build_bloom_words(
-    keys: DataFrame, key_col: str, m_bits: int, k: int
-) -> list[int]:
-    """The filter's 64-bit words (length m_bits/64), built with a
-    distributed ``bit_or``: keys → k masked hashes → (word index, bit)
-    → per-word OR. Driver traffic is the filter itself (m/64 rows), not
-    the key or position stream."""
-    rows = bloom_word_frame(keys, key_col, m_bits, k).collect()
-    words = [0] * (m_bits // 64)
-    for r in rows:
-        words[r["w"]] = r["bits"]
+def build_bloom_words(keys: DataFrame, key_col: str, m_bits: int, k: int):
+    """The filter's 64-bit words (an int64 numpy array of length
+    m_bits/64), built with a distributed ``bit_or``: keys → k masked
+    hashes → (word index, bit) → per-word OR. Driver traffic is the
+    filter itself (m/64 rows), not the key or position stream — and it
+    lands via Arrow ``toPandas`` straight into int64 numpy (self-review
+    r13: a ``collect()`` into a ``list`` of Python int objects costs
+    ~30 bytes/word — 5-8× filter size in driver RSS at the 1e9-gram
+    design point this operator exists for)."""
+    import numpy as np
+
+    pdf = bloom_word_frame(keys, key_col, m_bits, k).toPandas()
+    words = np.zeros(m_bits // 64, dtype=np.int64)
+    words[pdf["w"].to_numpy()] = pdf["bits"].to_numpy()
     return words
 
 
@@ -206,7 +209,27 @@ def _broadcast_bloom_keep(
     # parses) and restore afterwards.
     safe_cols = [f"__bloom_c{i}" for i in range(len(out_cols))]
     h_cols = [f"__bloom_h{i}" for i in range(k)]
-    safe_col = safe_cols[out_cols.index(col)]
+    # Resolve the probe column the way Spark would (self-review r13:
+    # exact .index() made the SAME call work on the literal path but
+    # crash here once the filter grew past the cap — strategy routing
+    # must be behavior-transparent). Case-sensitivity follows the
+    # session conf; ambiguity and misses fail with Spark-like messages.
+    cs = (
+        df.sparkSession.conf.get("spark.sql.caseSensitive", "false")
+        == "true"
+    )
+    matches = [
+        i
+        for i, c in enumerate(out_cols)
+        if c == col or (not cs and c.lower() == col.lower())
+    ]
+    if not matches:
+        raise ValueError(
+            f"column {col!r} not found among {out_cols}"
+        )
+    if len(matches) > 1:
+        raise ValueError(f"column {col!r} is ambiguous in {out_cols}")
+    safe_col = safe_cols[matches[0]]
     mask = m_bits - 1
     q = _quoted(safe_col)
     with_h = df.toDF(*safe_cols).select(
@@ -221,6 +244,7 @@ def _broadcast_bloom_keep(
     arr = np.asarray(words, dtype=np.int64).view(np.uint64)
     sc = df.sparkSession.sparkContext
     if len(words) > MMAP_MIN_WORDS:
+        import atexit
         import os
         import tempfile
         import uuid
@@ -229,13 +253,17 @@ def _broadcast_bloom_keep(
         # one session from colliding. The driver-side source file must
         # OUTLIVE the call — executors (and local mode especially)
         # validate re-fetches against the source URI, so deleting it
-        # breaks the first task (verified). It is filter-sized and lives
-        # for the app, the same retention a broadcast variable's blocks
-        # would have.
+        # breaks the first task (verified). It is unlinked at
+        # interpreter exit (self-review r13: without the hook, repeated
+        # daily runs orphan filter-sized files in the driver's tempdir;
+        # the SparkFiles copy is Spark-managed and dies with the app).
         fname = f"bloom_words_{uuid.uuid4().hex}.u8le"
         path = os.path.join(tempfile.gettempdir(), fname)
         arr.astype("<u8").tofile(path)
         sc.addFile(path)
+        atexit.register(
+            lambda p=path: os.path.exists(p) and os.unlink(p)
+        )
 
         def get_words():
             from pyspark import SparkFiles

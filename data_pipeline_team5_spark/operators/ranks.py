@@ -74,6 +74,10 @@ def _pin(df: DataFrame) -> tuple[DataFrame, Callable[[], None]]:
     (self-review r11 round 2). After release the frame is uncomputable
     (local checkpoints truncate lineage) — callers must not reference it
     afterwards."""
+    # One Py4J round-trip (~0.6 ms) per pin to snapshot live pin ids —
+    # noise next to the localCheckpoint JOB on the next line; kept on
+    # the normal path because the defensive branch below cannot
+    # reconstruct the before-set after the fact.
     jsc = df.sparkSession.sparkContext._jsc
     before = set(jsc.getPersistentRDDs().keySet().toArray())
     s = df.localCheckpoint()

@@ -391,3 +391,27 @@ def test_curate_preset_bloom_route_no_behavior_change(spark):
         ).collect()
     )
     assert routed == base and len(base) > 0
+
+
+def test_contaminated_ids_releases_its_pin(spark):
+    """The benchmark-gram pin must not outlive the call (self-review
+    r13): the operator runs once per micro-batch in the curate stream
+    loop, so a plan-lifetime checkpoint would accumulate without bound.
+    Both strategies must leave the session's persistent-RDD set as they
+    found it — even after executing the returned plan."""
+    from data_pipeline_team5_spark.operators.dedup import contaminated_ids
+    from data_pipeline_team5_spark.plans.catalog import table
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    benchmark = docs.filter(F.col("doc_id") % 31 == 0)
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    for kw in ({}, {"bloom_route_min_grams": 0}):
+        out = contaminated_ids(docs, benchmark, **kw)
+        out.count()
+        leaked = (
+            set(jsc.getPersistentRDDs().keySet().toArray()) - before
+        )
+        assert not leaked, (kw, leaked)
