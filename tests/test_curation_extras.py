@@ -415,3 +415,33 @@ def test_contaminated_ids_releases_its_pin(spark):
             set(jsc.getPersistentRDDs().keySet().toArray()) - before
         )
         assert not leaked, (kw, leaked)
+
+
+def test_contaminated_ids_broadcast_path_plan_shape(spark):
+    """Structural scale pin for the pipeline's decontamination probe
+    (same spirit as test_decontaminate_plan_broadcasts_benchmark_side,
+    which pins the catalog twin): in the default small-reference
+    strategy the benchmark gram set must be the BROADCAST side and the
+    corpus-side gram stream must reach the join with no Exchange — a
+    regression to a shuffle join would move the 100 TB side's grams
+    through the network on every curate run."""
+    from data_pipeline_team5_spark.operators.dedup import contaminated_ids
+    from data_pipeline_team5_spark.plans.catalog import table
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    benchmark = docs.filter(F.col("doc_id") % 31 == 0)
+    plan = (
+        contaminated_ids(docs, benchmark)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    corpus_side = plan.split("BroadcastHashJoin")[1].split(
+        "BroadcastExchange"
+    )[0]
+    assert "Generate explode" in corpus_side
+    assert "Exchange" not in corpus_side
