@@ -687,21 +687,28 @@ def main_bloom() -> None:
         words = bloom.build_bloom_words(grams, "s", m_bits, k)
         train = sh.filter(~is_bench)
 
-        def prefiltered(cap: int):
+        def prefiltered(cap: int, mmap_min: int | None = None):
             saved = bloom.MAX_LITERAL_WORDS
+            saved_mm = bloom.MMAP_MIN_WORDS
             bloom.MAX_LITERAL_WORDS = cap
+            if mmap_min is not None:
+                bloom.MMAP_MIN_WORDS = mmap_min
             try:
                 return bloom.bloom_prefilter(train, "s", words, m_bits, k)
             finally:
                 bloom.MAX_LITERAL_WORDS = saved
+                bloom.MMAP_MIN_WORDS = saved_mm
 
-        # 1. apply strategy walls (count() forces the full filter pass)
+        # 1. apply strategy walls (count() forces the full filter pass);
+        # 'broadcast' = broadcast-variable transport, 'mmap' = the
+        # addFile + page-cache transport forced onto the same filter
         strat = {
             "literal": lambda: prefiltered(len(words)).count(),
             "broadcast": lambda: prefiltered(0).count(),
+            "mmap": lambda: prefiltered(0, mmap_min=0).count(),
         }
         survivors = {s: fn() for s, fn in strat.items()}  # warm + parity
-        assert survivors["literal"] == survivors["broadcast"], survivors
+        assert len(set(survivors.values())) == 1, survivors
         for s, fn in strat.items():
             wall = min(_timed(fn) for _ in range(passes))
             apply_rows.append(
