@@ -54,6 +54,7 @@ STRING n-grams.
 from __future__ import annotations
 
 import math
+import threading
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -180,9 +181,16 @@ def bloom_might_contain(
 # curate stream loop — one contaminated_ids per micro-batch with the
 # SAME benchmark filter — wrote a filter-sized tempdir file AND an
 # unremovable addFile copy per batch, unbounded disk on a long-running
-# driver; content-addressing makes repeats free). addFile ignores exact
-# re-registrations of an identical path, so reuse is safe.
+# driver; content-addressing makes repeats free). Files live in a
+# PER-PROCESS private directory (self-review r13 round 3: a digest
+# name directly in the shared system tempdir let a second driver
+# process on the same host unlink or truncate a file this app's
+# executors still validate fetches against); the lock + write-to-temp
+# + atomic-rename discipline keeps concurrent driver threads from
+# truncating a path mid-fetch.
 _SHIPPED_WORD_FILES: dict[str, str] = {}
+_SHIPPED_DIR: list[str] = []  # lazily-created singleton
+_SHIP_LOCK = threading.Lock()
 
 
 def _shipped_words_file(sc, arr) -> str:
@@ -194,9 +202,8 @@ def _shipped_words_file(sc, arr) -> str:
     exactly the >64 MiB regime this path serves). The driver-side
     source file must OUTLIVE the call — executors (local mode
     especially) validate re-fetches against the source URI, so deleting
-    it breaks the first task (verified); files are unlinked at
-    interpreter exit."""
-    import atexit
+    it breaks the first task (verified); the private directory is
+    removed at interpreter exit."""
     import hashlib
     import os
     import sys
@@ -211,16 +218,25 @@ def _shipped_words_file(sc, arr) -> str:
     # keyed by (app, content): a restarted SparkContext in the same
     # interpreter must re-ship — its file registry died with the old app
     key = f"{sc.applicationId}/{digest}"
-    cached = _SHIPPED_WORD_FILES.get(key)
-    if cached is not None:
-        return cached
-    fname = f"bloom_words_{digest}.u8le"
-    path = os.path.join(tempfile.gettempdir(), fname)
-    data.tofile(path)
-    sc.addFile(path)
-    atexit.register(lambda p=path: os.path.exists(p) and os.unlink(p))
-    _SHIPPED_WORD_FILES[key] = fname
-    return fname
+    with _SHIP_LOCK:
+        cached = _SHIPPED_WORD_FILES.get(key)
+        if cached is not None:
+            return cached
+        if not _SHIPPED_DIR:
+            import atexit
+            import shutil
+
+            d = tempfile.mkdtemp(prefix="bloom_words_")
+            atexit.register(shutil.rmtree, d, True)
+            _SHIPPED_DIR.append(d)
+        fname = f"bloom_words_{digest}.u8le"
+        path = os.path.join(_SHIPPED_DIR[0], fname)
+        tmp = path + ".tmp"
+        data.tofile(tmp)
+        os.replace(tmp, path)  # atomic: never a short file at `path`
+        sc.addFile(path)
+        _SHIPPED_WORD_FILES[key] = fname
+        return fname
 
 
 def _broadcast_bloom_keep(

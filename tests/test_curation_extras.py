@@ -416,6 +416,27 @@ def test_contaminated_ids_default_route_pins_nothing(spark):
     assert not leaked, leaked
 
 
+def test_contaminated_ids_bloom_route_retains_exactly_one_pin(spark):
+    """The bloom route's retention contract, pinned (self-review r13
+    round 3): each call retains EXACTLY ONE new persistent RDD — the
+    reference-sized gram snapshot shared by the filter build and the
+    exact verify join. A regression to two pins per call (or to a
+    corpus-sized pin) would pass the suite silently without this."""
+    from data_pipeline_team5_spark.operators.dedup import contaminated_ids
+    from data_pipeline_team5_spark.plans.catalog import table
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    benchmark = docs.filter(F.col("doc_id") % 31 == 0)
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    out = contaminated_ids(docs, benchmark, bloom_route_min_grams=0)
+    out.count()
+    retained = set(jsc.getPersistentRDDs().keySet().toArray()) - before
+    assert len(retained) == 1, retained
+
+
 def test_contaminated_ids_broadcast_path_plan_shape(spark):
     """Structural scale pin for the pipeline's decontamination probe
     (same spirit as test_decontaminate_plan_broadcasts_benchmark_side,
