@@ -324,6 +324,10 @@ _TAIL = (
     # the tail for its slot: still oracle-backed, still headline-timed,
     # still mini-driver-bitwise every CI run.
     "decontaminate_ngram_overlap",
+    # Round 13: CCNet-style reference-LM perplexity filter — rows-only
+    # by design (log2 probabilities, the DSIR precedent); bit-for-bit
+    # parity vs a pure-Python mirror in tests/test_lm_quality.py.
+    "lm_perplexity_filter",
 )
 
 

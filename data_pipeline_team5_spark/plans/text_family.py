@@ -1341,3 +1341,126 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(MG_TOP)
         .select("term", "est", "n_true")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style reference-LM perplexity filter (round 13): the canonical
+# web-corpus quality signal (Wenzek et al. 2020, "CCNet: Extracting high
+# quality monolingual datasets from web crawl data" — score every
+# document by perplexity under a language model trained on a clean
+# reference corpus, then keep the low-perplexity head/middle tertiles).
+# The published filter uses a 5-gram KenLM model file; the Spark-first,
+# scale-honest equivalent here is a hashed-BIGRAM event model over md5
+# buckets — the DSIR featurization discipline (sampling_family.py) —
+# whose per-bucket log-probabilities are computed DRIVER-SIDE in Python
+# and embedded as one literal array, so no JVM log() ever runs and the
+# pure-Python mirror (tests/test_lm_quality.py) reproduces every double
+# bit-for-bit.
+
+PPLX_BUCKETS = 512  # hashed-bigram feature dim (KenLM: full 5-gram
+# table; fixture: 512 — the literal-array discipline caps model state)
+PPLX_REF_MOD = 7  # doc_id % 7 == 0 is the in-query "clean reference"
+# slice, the stand-in for CCNet's Wikipedia; everything else is scored
+
+
+def _pplx_bucket_sql(g: str) -> str:
+    """md5-hex bucket of a bigram string — md5 (not xxhash64) so the
+    pure-Python mirror reproduces it with hashlib (the DSIR rule)."""
+    return (
+        f"CAST(pmod(CAST(conv(substring(md5({g}), 1, 8), 16, 10) "
+        f"AS BIGINT), {PPLX_BUCKETS}) AS INT)"
+    )
+
+
+@register(
+    "lm_perplexity_filter",
+    oracle=None,  # log2() probabilities: no bitwise cross-engine SQL
+    # form (the DSIR precedent). Exact parity is pinned instead in
+    # tests/test_lm_quality.py — reference bucket counts integer-exact
+    # against a hashlib mirror, per-doc bits bit-for-bit equal to the
+    # mirror's identical left-to-right fold (the log table is computed
+    # in PYTHON on the driver and embedded as literals, so both sides
+    # run the same libm), and the tertile split checked for balance.
+    doc="⊕ CCNet-style reference-LM perplexity filter (Wenzek et al. "
+    "2020): per-document bits-per-bigram under a +1-smoothed "
+    "hashed-bigram model (512 md5 buckets) fit on the doc_id%7==0 "
+    "reference slice, with the scored pool cut into exact perplexity "
+    "tertiles — head/middle kept, tail dropped, the published keep "
+    "rule. Plan shape at 100 TB — no corpus-sized shuffle anywhere: "
+    "pass 1 fits the model in one scan of the REFERENCE slice (the "
+    "only exchange is 512 bucket keys after map-side combine; the "
+    "512 log-probs collect to the driver — fixed-size model state, "
+    "the k-means-centroid discipline — and embed as ONE literal "
+    "array); pass 2 scores every pool doc MAP-SIDE with a sequential "
+    "aggregate fold over its in-row bigram array (element_at into the "
+    "literal table, inside the scan stage); the tertile labels come "
+    "from operators/ranks.py:exact_ntile_bucket — true order "
+    "statistics of (ppl_bits, doc_id) via the select-k range "
+    "exchange, NO unpartitioned window, no sketch error. Scores are "
+    "reproducible bit-for-bit across runs and partitionings (ordered "
+    "per-doc fold; literals embed via repr → correctly-rounded "
+    "string→double parse). Docs with no bigram (<2 tokens) are "
+    "unscoreable and excluded by construction.",
+    headline=True,
+    tags=("text", "quality", "lm", "curation"),
+)
+def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from data_pipeline_team5_spark.operators.ranks import (
+        exact_ntile_bucket,
+    )
+    from data_pipeline_team5_spark.operators.textops import ngrams_expr
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", ngrams_expr(tokens_expr("text"), 2).alias("_g")
+    )
+    is_ref = F.col("doc_id") % PPLX_REF_MOD == 0
+
+    # pass 1: reference bigram bucket counts → driver-side log2 table
+    counts = (
+        docs.filter(is_ref)
+        .select(F.explode("_g").alias("g"))
+        .groupBy(F.expr(_pplx_bucket_sql("g")).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    c = [0] * PPLX_BUCKETS
+    for r in counts:
+        c[r["b"]] = r["c"]
+    tot = sum(c) + PPLX_BUCKETS  # +1 smoothing mass
+    logp = [math.log2((c[b] + 1) / tot) for b in range(PPLX_BUCKETS)]
+
+    # pass 2: map-only scoring — one parsed expression, literal table
+    lp_sql = "array(" + ",".join(
+        f"CAST('{float(v)!r}' AS DOUBLE)" for v in logp
+    ) + ")"
+    bits = F.expr(
+        f"(-aggregate(transform(_g, g -> element_at({lp_sql}, "
+        f"{_pplx_bucket_sql('g')} + 1)), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x)) / CAST(size(_g) AS DOUBLE)"
+    )
+    scored = (
+        docs.filter(~is_ref)
+        .filter(F.size("_g") >= 1)
+        .select(
+            "doc_id",
+            F.size("_g").alias("n_bigrams"),
+            bits.alias("ppl_bits"),
+        )
+    )
+    tertile = exact_ntile_bucket(scored, ["ppl_bits", "doc_id"], 3)
+    return (
+        scored.select("doc_id", "n_bigrams", "ppl_bits", tertile.alias("tertile"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "ppl_bits",
+            "tertile",
+            F.expr("element_at(array('head','middle','tail'), tertile)").alias(
+                "band"
+            ),
+            (F.col("tertile") <= 2).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
