@@ -1372,6 +1372,68 @@ def _pplx_bucket_sql(g: str) -> str:
     )
 
 
+def _lm_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perplexity-scoring construction plan of the LM filter query,
+    exposed for the plan-invariant sweep (it executes eagerly into a
+    checkpoint inside the query builder, so the returned panel plan no
+    longer contains it — the _bloom_reference_grams convention). Plan
+    shapes here are the repo's two proven-fast HOF disciplines and must
+    stay exactly these (each deviation was measured catastrophic at
+    sf0.1, see the query body): tokens bound to a column before the
+    ngram lambda; the gram array consumed with NO filter on any
+    token-derived value; the explode child wrapped in coalesce (the
+    doc_shingles infer-filters guard); the log table bound as a column,
+    never spliced into the lambda (an interpreted HOF re-constructs an
+    inline array literal — 512 string→double casts — per element)."""
+    import math
+
+    from data_pipeline_team5_spark.operators.textops import ngrams_expr
+
+    base = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_expr("text").alias("_t")
+    )
+    docs = base.select("doc_id", ngrams_expr("_t", 2).alias("_g"))
+    is_ref = F.col("doc_id") % PPLX_REF_MOD == 0
+
+    # pass 1: reference bigram bucket counts → driver-side log2 table
+    counts = (
+        docs.filter(is_ref)
+        .select(
+            F.explode(F.coalesce(F.col("_g"), F.array())).alias("g")
+        )
+        .groupBy(F.expr(_pplx_bucket_sql("g")).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    c = [0] * PPLX_BUCKETS
+    for r in counts:
+        c[r["b"]] = r["c"]
+    tot = sum(c) + PPLX_BUCKETS  # +1 smoothing mass
+    logp = [math.log2((c[b] + 1) / tot) for b in range(PPLX_BUCKETS)]
+
+    # pass 2: map-only scoring — one parsed expression, log table bound
+    lp_sql = "array(" + ",".join(
+        f"CAST('{float(v)!r}' AS DOUBLE)" for v in logp
+    ) + ")"
+    # the CASE guard is projection-level (never a filter — see above);
+    # unscoreable <2-token docs score NULL and are dropped post-pin
+    bits = F.expr(
+        f"CASE WHEN size(_g) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+        f"(-aggregate(transform(_g, g -> element_at(_lp, "
+        f"{_pplx_bucket_sql('g')} + 1)), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x)) / CAST(size(_g) AS DOUBLE) END"
+    )
+    return (
+        docs.filter(~is_ref)
+        .withColumn("_lp", F.expr(lp_sql))
+        .select(
+            "doc_id",
+            F.size("_g").alias("n_bigrams"),
+            bits.alias("ppl_bits"),
+        )
+    )
+
+
 @register(
     "lm_perplexity_filter",
     oracle=None,  # log2() probabilities: no bitwise cross-engine SQL
@@ -1393,7 +1455,11 @@ def _pplx_bucket_sql(g: str) -> str:
     "the k-means-centroid discipline — and embed as ONE literal "
     "array); pass 2 scores every pool doc MAP-SIDE with a sequential "
     "aggregate fold over its in-row bigram array (element_at into the "
-    "literal table, inside the scan stage); the tertile labels come "
+    "bound literal table, inside the scan stage) into a checkpoint-"
+    "pinned score table — (doc_id, n_bigrams, ppl_bits), 100×+ "
+    "narrower than the corpus, RETAINED by the returned plan (the "
+    "rfm retention convention) so the three downstream consumers "
+    "never re-run the scoring scan; the tertile labels come "
     "from operators/ranks.py:exact_ntile_bucket — true order "
     "statistics of (ppl_bits, doc_id) via the select-k range "
     "exchange, NO unpartitioned window, no sketch error. Scores are "
@@ -1405,49 +1471,25 @@ def _pplx_bucket_sql(g: str) -> str:
     tags=("text", "quality", "lm", "curation"),
 )
 def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     from data_pipeline_team5_spark.operators.ranks import (
         exact_ntile_bucket,
     )
-    from data_pipeline_team5_spark.operators.textops import ngrams_expr
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", ngrams_expr(tokens_expr("text"), 2).alias("_g")
-    )
-    is_ref = F.col("doc_id") % PPLX_REF_MOD == 0
-
-    # pass 1: reference bigram bucket counts → driver-side log2 table
-    counts = (
-        docs.filter(is_ref)
-        .select(F.explode("_g").alias("g"))
-        .groupBy(F.expr(_pplx_bucket_sql("g")).alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    )
-    c = [0] * PPLX_BUCKETS
-    for r in counts:
-        c[r["b"]] = r["c"]
-    tot = sum(c) + PPLX_BUCKETS  # +1 smoothing mass
-    logp = [math.log2((c[b] + 1) / tot) for b in range(PPLX_BUCKETS)]
-
-    # pass 2: map-only scoring — one parsed expression, literal table
-    lp_sql = "array(" + ",".join(
-        f"CAST('{float(v)!r}' AS DOUBLE)" for v in logp
-    ) + ")"
-    bits = F.expr(
-        f"(-aggregate(transform(_g, g -> element_at({lp_sql}, "
-        f"{_pplx_bucket_sql('g')} + 1)), CAST(0.0 AS DOUBLE), "
-        "(acc, x) -> acc + x)) / CAST(size(_g) AS DOUBLE)"
-    )
-    scored = (
-        docs.filter(~is_ref)
-        .filter(F.size("_g") >= 1)
-        .select(
-            "doc_id",
-            F.size("_g").alias("n_bigrams"),
-            bits.alias("ppl_bits"),
-        )
+    # The raw score table is checkpoint-pinned: it is consumed three
+    # times (the ntile selection exchange, the final projection, and
+    # the unscoreable-doc filter), and ANY optimizer rewrite that
+    # re-inlines the tokenize/ngram chains or the 512-entry literal
+    # table into a HOF lambda is catastrophic — measured at sf0.1: a
+    # plain filter on size(_g) (or even size(_t)) re-triggers the
+    # inlining and turns a 0.5 s scoring scan into ~145 s (the
+    # dup_ngram_fraction HOF re-evaluation pathology, text_family.py:
+    # 845, in predicate-pushdown form). The pin holds only
+    # (doc_id, n_bigrams, ppl_bits) — score-table-sized, 100×+ narrower
+    # than the corpus — and is RETAINED by the returned plan (the
+    # rfm_segments retention convention). The filter below runs AFTER
+    # the barrier, where nothing can push it back into the scan.
+    scored = _lm_scored_frame(spark, sf_dir).localCheckpoint().filter(
+        F.col("n_bigrams") >= 1
     )
     tertile = exact_ntile_bucket(scored, ["ppl_bits", "doc_id"], 3)
     return (

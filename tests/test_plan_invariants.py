@@ -128,6 +128,7 @@ def _construction_plans(spark):
     )
     from data_pipeline_team5_spark.plans.text_family import (
         _bloom_reference_grams,
+        _lm_scored_frame,
     )
 
     grams = _bloom_reference_grams(spark, SF_SMALL)
@@ -136,6 +137,7 @@ def _construction_plans(spark):
         "bloom/_reference_grams": grams,
         # plan shape is parameter-independent; small m/k keeps it cheap
         "bloom/word_frame": bloom_word_frame(grams, "s", 1 << 10, 3),
+        "lm_perplexity/scored": _lm_scored_frame(spark, SF_SMALL),
     }
 
 
@@ -173,6 +175,8 @@ SCANLESS_RESULT_PLANS = {
     "stream_stream_join": "AvailableNow drain to memory sink",
     "stream_neardup_ingest": "AvailableNow drain to memory sink",
     "stream_rate_monitor": "AvailableNow drain to memory sink",
+    "lm_perplexity_filter": "score-table checkpoint pin (single scoring "
+    "scan; construction swept via _lm_scored_frame)",
 }
 
 
