@@ -229,10 +229,19 @@ def _shipped_words_file(sc, arr) -> str:
             d = tempfile.mkdtemp(prefix="bloom_words_")
             atexit.register(shutil.rmtree, d, True)
             _SHIPPED_DIR.append(d)
-        fname = f"bloom_words_{digest}.u8le"
-        path = os.path.join(_SHIPPED_DIR[0], fname)
-        tmp = path + ".tmp"
-        data.tofile(tmp)
+    fname = f"bloom_words_{digest}.u8le"
+    path = os.path.join(_SHIPPED_DIR[0], fname)
+    # the filter-sized disk write happens OUTSIDE the lock (self-review
+    # r13 round 4: holding it across a multi-hundred-MB tofile blocked
+    # every other thread's cache-hit lookup); the tmp name is
+    # thread-unique and os.replace is atomic, so a racing duplicate
+    # writer at worst replaces the file with identical bytes
+    tmp = f"{path}.{threading.get_ident()}.tmp"
+    data.tofile(tmp)
+    with _SHIP_LOCK:
+        if key in _SHIPPED_WORD_FILES:
+            os.unlink(tmp)
+            return _SHIPPED_WORD_FILES[key]
         os.replace(tmp, path)  # atomic: never a short file at `path`
         sc.addFile(path)
         _SHIPPED_WORD_FILES[key] = fname

@@ -285,6 +285,20 @@ def fingerprint_md5_sql(expr: str) -> str:
     return f"md5({norm_text_sql(expr)})"
 
 
+def hashed_bucket_sql(expr: str, buckets: int) -> str:
+    """Spark-SQL hashed-feature bucket of a string expression: first 8
+    md5 hex chars → bigint → pmod. md5 (not xxhash64) so pure-Python
+    mirrors reproduce it exactly with hashlib (the DSIR rule —
+    xxhash64's seed/variant has no stdlib twin). Single source for the
+    DSIR and LM-perplexity featurizations (self-review r13 round 4: two
+    verbatim copies had to be kept in sync or a hashing change would
+    silently break one family's mirror parity)."""
+    return (
+        f"CAST(pmod(CAST(conv(substring(md5({expr}), 1, 8), 16, 10) "
+        f"AS BIGINT), {buckets}) AS INT)"
+    )
+
+
 def rolling_hash(tokens: Column) -> Column:
     """Order-sensitive rolling hash over the token stream:
     ``acc' = (acc * 31 + len(tok) * 17 + ascii(tok[0])) % 1e9+7``.

@@ -431,13 +431,13 @@ DSIR_TARGET_TERM = "stream"  # topical marker defining the target domain
 
 
 def _dsir_bucket_sql(tok: str) -> str:
-    """Spark-SQL hashed-feature bucket of a token: first 8 md5 hex chars →
-    bigint → pmod  — md5 so the pure-Python mirror (hashlib) reproduces it
-    exactly (xxhash64's seed/variant has no stdlib twin)."""
-    return (
-        f"CAST(pmod(CAST(conv(substring(md5({tok}), 1, 8), 16, 10) "
-        f"AS BIGINT), {DSIR_BUCKETS}) AS INT)"
+    """DSIR's hashed-feature bucket — the shared md5 featurization
+    (operators/textops.py:hashed_bucket_sql) at DSIR_BUCKETS width."""
+    from data_pipeline_team5_spark.operators.textops import (
+        hashed_bucket_sql,
     )
+
+    return hashed_bucket_sql(tok, DSIR_BUCKETS)
 
 
 @register(

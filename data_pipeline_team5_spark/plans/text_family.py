@@ -1364,12 +1364,14 @@ PPLX_REF_MOD = 7  # doc_id % 7 == 0 is the in-query "clean reference"
 
 
 def _pplx_bucket_sql(g: str) -> str:
-    """md5-hex bucket of a bigram string — md5 (not xxhash64) so the
-    pure-Python mirror reproduces it with hashlib (the DSIR rule)."""
-    return (
-        f"CAST(pmod(CAST(conv(substring(md5({g}), 1, 8), 16, 10) "
-        f"AS BIGINT), {PPLX_BUCKETS}) AS INT)"
+    """The LM filter's hashed-feature bucket — the shared md5
+    featurization (operators/textops.py:hashed_bucket_sql) at
+    PPLX_BUCKETS width."""
+    from data_pipeline_team5_spark.operators.textops import (
+        hashed_bucket_sql,
     )
+
+    return hashed_bucket_sql(g, PPLX_BUCKETS)
 
 
 def _lm_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
