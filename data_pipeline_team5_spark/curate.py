@@ -108,6 +108,9 @@ def main(argv: list[str] | None = None) -> int:
         curate_training_data,
         next_bin_offset,
     )
+    from data_pipeline_team5_spark.operators.dedup import (
+        benchmark_gram_count,
+    )
     from data_pipeline_team5_spark.session import get_spark
     from pyspark.sql import functions as F
 
@@ -310,6 +313,16 @@ def main(argv: list[str] | None = None) -> int:
         if getattr(args, "benchmark", None)
         else None
     )
+    # Routing statistic, computed ONCE per CLI run (ADVICE r13): the
+    # stream loop calls contaminated_ids per micro-batch against the
+    # SAME benchmark — without this each batch re-runs the benchmark's
+    # shingle→distinct→count job just to pick the probe strategy. The
+    # single-shot commands call it once either way; hoisting is free.
+    bench_n_grams = (
+        None
+        if bench_docs is None
+        else benchmark_gram_count(bench_docs)
+    )
     if args.cmd == "full":
         out = curate_training_data(
             spark.read.parquet(args.docs),
@@ -318,6 +331,7 @@ def main(argv: list[str] | None = None) -> int:
             neardup_method=args.method,
             benchmark_docs=bench_docs,
             decon_bloom_min_grams=args.decon_bloom_min_grams,
+            bench_gram_count=bench_n_grams,
             scrub_pii=args.scrub_pii,
             survivor_policy=args.survivor_policy,
             source_priority=(
@@ -539,6 +553,7 @@ def main(argv: list[str] | None = None) -> int:
                 exclude_batch_id=fold,
                 benchmark_docs=bench_docs,
                 decon_bloom_min_grams=args.decon_bloom_min_grams,
+                bench_gram_count=bench_n_grams,
             )
             off = next_bin_offset(spark, args.out, exclude_batch_id=fold)
             (
@@ -607,6 +622,7 @@ def main(argv: list[str] | None = None) -> int:
             exclude_batch_id=fold,
             benchmark_docs=bench_docs,
             decon_bloom_min_grams=args.decon_bloom_min_grams,
+            bench_gram_count=bench_n_grams,
         )
         if fold is None:
             out.write.mode("overwrite").parquet(args.out)

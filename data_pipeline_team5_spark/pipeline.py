@@ -264,6 +264,7 @@ def _curation_filter_stage(
     max_dup_trigram_frac: float | None = None,
     scrub_pii: bool = False,
     decon_bloom_min_grams: int | None = None,
+    bench_gram_count: int | None = None,
 ) -> DataFrame:
     """Stage 1 of both curation presets, shared so the full and incremental
     paths can never drift apart: optional PII redaction (``scrub_pii`` —
@@ -288,6 +289,10 @@ def _curation_filter_stage(
       prefilter + exact verify past
       ``operators/dedup.py:BLOOM_ROUTE_MIN_GRAMS``;
       ``decon_bloom_min_grams`` overrides the threshold, round 13).
+      ``bench_gram_count``: optional precomputed routing count
+      (``operators/dedup.py:benchmark_gram_count``) so callers probing
+      one benchmark repeatedly — the curate stream loop — pay the
+      shingle→distinct→count job once, not per micro-batch (ADVICE r13).
     """
     from data_pipeline_team5_spark.operators.textops import (
         max_run_freq,
@@ -357,6 +362,7 @@ def _curation_filter_stage(
                 kept,
                 benchmark_docs,
                 bloom_route_min_grams=decon_bloom_min_grams,
+                bench_gram_count=bench_gram_count,
             ),
             "doc_id",
             "left_anti",
@@ -379,6 +385,7 @@ def curate_training_data(
     survivor_policy: str = "min_id",
     source_priority: list[str] | None = None,
     decon_bloom_min_grams: int | None = None,
+    bench_gram_count: int | None = None,
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
     composed from the engine's tested stages into ONE lazy plan:
@@ -467,6 +474,7 @@ def curate_training_data(
         max_dup_trigram_frac=max_dup_trigram_frac,
         scrub_pii=scrub_pii,
         decon_bloom_min_grams=decon_bloom_min_grams,
+        bench_gram_count=bench_gram_count,
     )
 
     # 2. exact dedup (deterministic survivor: min doc_id per content key)
@@ -619,6 +627,7 @@ def curate_incremental_batch(
     max_dup_trigram_frac: float | None = None,
     scratch_dir: str | None = None,
     decon_bloom_min_grams: int | None = None,
+    bench_gram_count: int | None = None,
 ) -> DataFrame:
     """Daily curation update: run the full curation contract for a NEW
     batch against the already-RETAINED corpus, touching the corpus only
@@ -695,6 +704,7 @@ def curate_incremental_batch(
         max_top_bigram_frac=max_top_bigram_frac,
         max_dup_trigram_frac=max_dup_trigram_frac,
         decon_bloom_min_grams=decon_bloom_min_grams,
+        bench_gram_count=bench_gram_count,
     )
 
     # 2. exact dedup: within the batch, then anti-join the corpus's keys —

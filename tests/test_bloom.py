@@ -241,3 +241,53 @@ def test_bloom_prefilter_selectivity(spark):
     fp_rate = (survivors - true_hits) / max(1, total - true_hits)
     assert true_hits <= survivors
     assert fp_rate < 0.05, (survivors, true_hits, total, fp_rate)
+
+
+def test_shipped_words_failed_write_cleans_tmp(spark):
+    """ADVICE r13: a tofile failure (disk full) must unlink its partial
+    tmp file before re-raising — not orphan a filter-sized file beside
+    which a retry writes another — and the retry with the SAME content
+    must then succeed through the normal path."""
+    import os
+
+    import numpy as np
+
+    from data_pipeline_team5_spark.operators import bloom
+
+    class _Boom(np.ndarray):
+        def tofile(self, *a, **k):
+            raise OSError("disk full (simulated)")
+
+    arr = (np.arange(997, dtype=np.int64) * 7919).view(np.uint64)
+    sc = spark.sparkContext
+    with pytest.raises(OSError, match="disk full"):
+        bloom._shipped_words_file(sc, arr.view(_Boom))
+    d = bloom._SHIPPED_DIR[0]
+    assert not [f for f in os.listdir(d) if f.endswith(".tmp")]
+    fname = bloom._shipped_words_file(sc, arr)  # retry: clean path
+    assert os.path.getsize(os.path.join(d, fname)) == arr.nbytes
+
+
+def test_shipped_words_accounting_and_ceiling(spark, monkeypatch, caplog):
+    """ADVICE r13: every ship adds its bytes to the per-app cumulative
+    counter (repeats of the same content are free — content-addressed),
+    and crossing SHIPPED_BYTES_WARN logs a warning naming the remedy."""
+    import logging
+
+    import numpy as np
+
+    from data_pipeline_team5_spark.operators import bloom
+
+    sc = spark.sparkContext
+    arr = (np.arange(1009, dtype=np.int64) * 104729).view(np.uint64)
+    before = bloom._SHIPPED_BYTES.get(sc.applicationId, 0)
+    monkeypatch.setattr(bloom, "SHIPPED_BYTES_WARN", 0)
+    with caplog.at_level(
+        logging.WARNING, logger="data_pipeline_team5_spark.operators.bloom"
+    ):
+        f1 = bloom._shipped_words_file(sc, arr)
+        f2 = bloom._shipped_words_file(sc, arr)  # cache hit: no growth
+    assert f1 == f2
+    after = bloom._SHIPPED_BYTES[sc.applicationId]
+    assert after == before + arr.nbytes
+    assert any("SHIPPED_BYTES_WARN" in r.message for r in caplog.records)

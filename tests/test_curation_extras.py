@@ -465,3 +465,43 @@ def test_contaminated_ids_broadcast_path_plan_shape(spark):
     )[0]
     assert "Generate explode" in corpus_side
     assert "Exchange" not in corpus_side
+
+
+def test_contaminated_ids_precomputed_route_count(spark):
+    """ADVICE r13: the routing statistic can be precomputed once
+    (benchmark_gram_count) and passed through, replacing the per-call
+    eager count — the stream loop's per-micro-batch saving. Pins that
+    (a) the helper equals the count contaminated_ids derives itself,
+    (b) a passed count drives the route (a huge count forces the Bloom
+    path under the DEFAULT threshold) with bitwise-identical ids, and
+    (c) a passed count of 0 keeps the exact broadcast route even under
+    a forced-low threshold."""
+    from data_pipeline_team5_spark.operators.dedup import (
+        benchmark_gram_count,
+        contaminated_ids,
+        doc_shingles,
+    )
+    from data_pipeline_team5_spark.plans.catalog import table
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    benchmark = docs.filter(F.col("doc_id") % 31 == 0)
+    n = benchmark_gram_count(benchmark)
+    direct = (
+        doc_shingles(benchmark, "doc_id", "text", n=5)
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert n == direct > 0
+    want = {r["doc_id"] for r in contaminated_ids(docs, benchmark).collect()}
+    assert want
+    forced = contaminated_ids(docs, benchmark, bench_gram_count=10**9)
+    assert {r["doc_id"] for r in forced.collect()} == want
+    held = contaminated_ids(
+        docs, benchmark, bloom_route_min_grams=0, bench_gram_count=0
+    )
+    plan = held._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # count 0 ≤ threshold 0 → exact
+    assert {r["doc_id"] for r in held.collect()} == want
