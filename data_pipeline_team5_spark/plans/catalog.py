@@ -328,6 +328,13 @@ _TAIL = (
     # by design (log2 probabilities, the DSIR precedent); bit-for-bit
     # parity vs a pure-Python mirror in tests/test_lm_quality.py.
     "lm_perplexity_filter",
+    # Round 14 (VERDICT r13 #1): the LM filter's complementary signal —
+    # fastText/DCLM-style supervised quality classifier. Rows-only by
+    # design (driver-fit logistic weights; exp() in the fit has no
+    # cross-engine SQL form); fit weights AND per-doc logits pinned
+    # bit-for-bit vs an independent hashlib + pure-Python mirror in
+    # tests/test_lm_quality.py.
+    "quality_classifier_filter",
 )
 
 

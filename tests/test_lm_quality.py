@@ -96,3 +96,151 @@ def test_lm_perplexity_tertiles_and_keep_rule(spark):
         (r["ppl_bits"], r["doc_id"]) for r in rows if not r["keep"]
     )
     assert kept_max < drop_min
+
+
+# ---------------------------------------------------------------------------
+# Round 14: the supervised quality classifier (quality_classifier_filter)
+# vs an INDEPENDENT hashlib + pure-Python mirror. The query's entire
+# numeric surface — md5 featurization, deterministic token permutation,
+# the full-batch logistic GD, and the map-side scoring fold — is
+# re-implemented here from the documented spec and must agree
+# bit-for-bit (fit and mirror both run CPython doubles; the Spark-side
+# scoring fold is sums/divides only, IEEE-exact).
+
+
+def _qb(g: str) -> int:
+    from data_pipeline_team5_spark.plans.text_family import QCLS_BUCKETS
+
+    return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % QCLS_BUCKETS
+
+
+def _perm(tokens):
+    """The documented negative-class permutation: sort by
+    (md5('token#pos'), token)."""
+    keyed = sorted(
+        (hashlib.md5(f"{t}#{i}".encode()).hexdigest(), t)
+        for i, t in enumerate(tokens)
+    )
+    return [t for _, t in keyed]
+
+
+def _grams(tokens):
+    return [" ".join(tokens[i : i + 2]) for i in range(len(tokens) - 1)]
+
+
+def _mirror_fit(tok_rows):
+    """Independent reimplementation of the documented GD spec: capped
+    training docs = first QCLS_TRAIN_CAP reference-slice doc_ids by
+    (md5(str(doc_id)), doc_id); examples sorted by (doc_id, label),
+    buckets ascending, x = count/n; stable sigmoid; full-batch updates
+    w -= lr*gw/N."""
+    from data_pipeline_team5_spark.plans.text_family import (
+        PPLX_REF_MOD,
+        QCLS_BUCKETS,
+        QCLS_ITERS,
+        QCLS_LR,
+        QCLS_TRAIN_CAP,
+    )
+
+    ref = sorted(
+        (hashlib.md5(str(d).encode()).hexdigest(), d)
+        for d, _ in tok_rows
+        if d % PPLX_REF_MOD == 0
+    )
+    cap_ids = {d for _, d in ref[:QCLS_TRAIN_CAP]}
+    toks = dict(tok_rows)
+    ex = {}
+    for d in cap_ids:
+        for label, tokens in ((1, toks[d]), (0, _perm(toks[d]))):
+            counts = {}
+            for g in _grams(tokens):
+                b = _qb(g)
+                counts[b] = counts.get(b, 0) + 1
+            if counts:
+                ex[(d, label)] = counts
+    examples = []
+    for key in sorted(ex):
+        counts = ex[key]
+        n = float(sum(counts.values()))
+        examples.append(
+            (key[1], [(b, counts[b] / n) for b in sorted(counts)])
+        )
+    w = [0.0] * QCLS_BUCKETS
+    b = 0.0
+    n_ex = float(len(examples))
+    for _ in range(QCLS_ITERS):
+        gw = [0.0] * QCLS_BUCKETS
+        gb = 0.0
+        for y, feats in examples:
+            z = b
+            for bk, x in feats:
+                z = z + w[bk] * x
+            if z >= 0:
+                p = 1.0 / (1.0 + math.exp(-z))
+            else:
+                e = math.exp(z)
+                p = e / (1.0 + e)
+            err = p - float(y)
+            for bk, x in feats:
+                gw[bk] = gw[bk] + err * x
+            gb = gb + err
+        for j in range(QCLS_BUCKETS):
+            w[j] = w[j] - QCLS_LR * gw[j] / n_ex
+        b = b - QCLS_LR * gb / n_ex
+    return w, b, examples
+
+
+def test_quality_classifier_fit_matches_mirror_bitwise(spark):
+    from data_pipeline_team5_spark.plans.text_family import _qcls_fit
+
+    tok_rows = [
+        (r["doc_id"], r["t"])
+        for r in table(spark, SF_SMALL, "documents")
+        .select("doc_id", tokens_expr("text").alias("t"))
+        .collect()
+    ]
+    mw, mb, examples = _mirror_fit(tok_rows)
+    qw, qb = _qcls_fit(spark, SF_SMALL)
+    assert qb == mb
+    assert qw == mw  # every one of the 512 doubles, bit-for-bit
+    # the fit must actually separate the classes on its training set
+    acc = sum(
+        ((mb + sum(mw[bk] * x for bk, x in f)) > 0) == (y == 1)
+        for y, f in examples
+    ) / len(examples)
+    assert acc >= 0.9, acc
+
+
+def test_quality_classifier_scores_match_mirror_bitwise(spark):
+    from data_pipeline_team5_spark.plans.text_family import PPLX_REF_MOD
+
+    tok_rows = [
+        (r["doc_id"], r["t"])
+        for r in table(spark, SF_SMALL, "documents")
+        .select("doc_id", tokens_expr("text").alias("t"))
+        .collect()
+    ]
+    mw, mb, _ = _mirror_fit(tok_rows)
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["quality_classifier_filter"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    want = {}
+    for d, tokens in tok_rows:
+        if d % PPLX_REF_MOD == 0:
+            continue
+        gs = _grams(tokens)
+        if not gs:
+            continue
+        acc = 0.0
+        for g in gs:  # same left-to-right fold as the Spark aggregate
+            acc = acc + mw[_qb(g)]
+        want[d] = (len(gs), acc / float(len(gs)) + mb)
+    assert set(got) == set(want) and got
+    for d, (n, logit) in want.items():
+        r = got[d]
+        assert r["n_bigrams"] == n
+        assert r["logit"] == logit, (d, r["logit"], logit)
+        assert r["keep"] == (logit > 0)

@@ -129,6 +129,8 @@ def _construction_plans(spark):
     from data_pipeline_team5_spark.plans.text_family import (
         _bloom_reference_grams,
         _lm_scored_frame,
+        _qcls_scored_frame,
+        _qcls_train_features,
     )
 
     grams = _bloom_reference_grams(spark, SF_SMALL)
@@ -138,6 +140,10 @@ def _construction_plans(spark):
         # plan shape is parameter-independent; small m/k keeps it cheap
         "bloom/word_frame": bloom_word_frame(grams, "s", 1 << 10, 3),
         "lm_perplexity/scored": _lm_scored_frame(spark, SF_SMALL),
+        # round 14: the classifier's two construction plans — the capped
+        # training-feature collect and the literal-weight scoring scan
+        "quality_classifier/train": _qcls_train_features(spark, SF_SMALL),
+        "quality_classifier/scored": _qcls_scored_frame(spark, SF_SMALL),
     }
 
 
@@ -177,6 +183,9 @@ SCANLESS_RESULT_PLANS = {
     "stream_rate_monitor": "AvailableNow drain to memory sink",
     "lm_perplexity_filter": "score-table checkpoint pin (single scoring "
     "scan; construction swept via _lm_scored_frame)",
+    "quality_classifier_filter": "score-table checkpoint pin (single "
+    "scoring scan; construction swept via _qcls_train_features and "
+    "_qcls_scored_frame)",
 }
 
 
