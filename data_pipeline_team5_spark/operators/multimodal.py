@@ -300,3 +300,148 @@ def resize_blob(blobs: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
             )
 
     return blobs.select("doc_id", "blob").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup (round 14, VERDICT r13 #2): dedup for the
+# image modality. The published recipe (aHash/dHash — average and
+# difference hashes over a downsampled grayscale grid; Hamming distance
+# ≤ t ⇒ perceptual near-duplicate) with the engine's existing banded-
+# Hamming candidate discipline: the 64-bit dHash feeds the SAME
+# pigeonhole block join as SimHash (operators/dedup.py:simhash_pairs —
+# guaranteed recall for max_hamming ≤ blocks − combo, candidate-linear
+# verify, never all-pairs). All hash math is INTEGER-ONLY (fixed-point
+# Rec.601 luma, floor box-averages), so a pure-Python mirror reproduces
+# every hash bit-for-bit (tests/test_multimodal.py).
+
+DHASH_GRID_W, DHASH_GRID_H = 8, 8  # 8×8 comparisons → 64-bit dHash
+PHASH_SCHEMA = "doc_id BIGINT, dhash BIGINT, ahash BIGINT"
+
+
+def _bmp_dims(blob: bytes) -> tuple[int, int]:
+    """(width, height) from a BMP header (BITMAPINFOHEADER)."""
+    import struct
+
+    _dib, width, height = struct.unpack_from("<Iii", blob, 14)[:3]
+    return width, abs(height)
+
+
+def _gray_grid(
+    buf: bytes, w: int, h: int, gw: int, gh: int
+) -> list[int]:
+    """Integer box-average downsample of a top-down row-major BGR buffer
+    to a row-major ``gw × gh`` grayscale grid. Luma is fixed-point
+    Rec.601 ``(77R + 151G + 28B) >> 8`` and every average floors —
+    integer-only so the mirror is exact. Requires w ≥ gw and h ≥ gh
+    (every box non-empty)."""
+    if w < gw or h < gh:
+        raise ValueError(
+            f"image {w}x{h} smaller than the {gw}x{gh} hash grid"
+        )
+    out = []
+    for gy in range(gh):
+        y0, y1 = gy * h // gh, (gy + 1) * h // gh
+        for gx in range(gw):
+            x0, x1 = gx * w // gw, (gx + 1) * w // gw
+            tot = 0
+            for y in range(y0, y1):
+                base = y * w * 3
+                for x in range(x0, x1):
+                    i = base + x * 3
+                    tot += (
+                        77 * buf[i + 2] + 151 * buf[i + 1] + 28 * buf[i]
+                    ) >> 8
+            out.append(tot // ((y1 - y0) * (x1 - x0)))
+    return out
+
+
+def _perceptual_hashes(blob: bytes, backend: str) -> tuple[int, int]:
+    """(dhash, ahash) of one payload. dHash: a (GRID_W+1) × GRID_H luma
+    grid, bit (y·W + x) set iff grid[y][x] > grid[y][x+1] (left-brighter
+    convention). aHash: a GRID_W × GRID_H grid, bit set iff the cell
+    exceeds the floor-mean. Both 64-bit for the default 8×8."""
+    if backend == "fake":
+        n = BMP_W * BMP_H * 3
+        buf = bytes(blob)[:n].ljust(n, b"\x00")
+        w, h = BMP_W, BMP_H
+    else:
+        w, h = _bmp_dims(bytes(blob))
+        buf = decode_blob(bytes(blob), backend=backend)
+    gw, gh = DHASH_GRID_W, DHASH_GRID_H
+    dgrid = _gray_grid(buf, w, h, gw + 1, gh)
+    dhash = 0
+    for y in range(gh):
+        for x in range(gw):
+            if dgrid[y * (gw + 1) + x] > dgrid[y * (gw + 1) + x + 1]:
+                dhash |= 1 << (y * gw + x)
+    agrid = _gray_grid(buf, w, h, gw, gh)
+    mean = sum(agrid) // (gw * gh)
+    ahash = 0
+    for k, v in enumerate(agrid):
+        if v > mean:
+            ahash |= 1 << k
+    return dhash, ahash
+
+
+def perceptual_hashes(blobs: DataFrame, backend: str = "bmp") -> DataFrame:
+    """(doc_id, dhash, ahash) per payload — Arrow-batched mapInPandas
+    (image decode is the documented genuine-Python path), map-side, no
+    shuffle. The 64-bit hashes land in signed BIGINTs (bit 63 may set
+    the sign — downstream shifts use shiftrightunsigned, the simhash
+    convention)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dh, ah = [], []
+            for blob in pdf["blob"]:
+                d, a = _perceptual_hashes(blob, backend)
+                # two's-complement into signed int64
+                dh.append(d - (1 << 64) if d >= (1 << 63) else d)
+                ah.append(a - (1 << 64) if a >= (1 << 63) else a)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "dhash": dh, "ahash": ah}
+            )
+
+    return blobs.select("doc_id", "blob").mapInPandas(
+        batches, PHASH_SCHEMA
+    )
+
+
+def perceptual_pairs(
+    hashes: DataFrame, max_hamming: int = 6, blocks: int = 8, combo: int = 1
+) -> DataFrame:
+    """Perceptual near-dup pairs (doc_a, doc_b, hamming, ahash_hamming)
+    by dHash Hamming distance — the SimHash banded join reused verbatim
+    (operators/dedup.py:simhash_pairs, 64-bit/8-block parameterization:
+    pigeonhole-guaranteed recall for max_hamming ≤ blocks − combo,
+    exact bit_count verify, candidate-linear — never all-pairs; a
+    100 TB run raises blocks/combo exactly as documented there). The
+    aHash distance rides along as the second-opinion column real
+    review queues sort by."""
+    from data_pipeline_team5_spark.operators.dedup import simhash_pairs
+
+    pairs = simhash_pairs(
+        hashes.select("doc_id", F.col("dhash").alias("simhash")),
+        max_hamming=max_hamming,
+        bits=64,
+        blocks=blocks,
+        combo=combo,
+    )
+    a = hashes.select(
+        F.col("doc_id").alias("doc_a"), F.col("ahash").alias("_aa")
+    )
+    b = hashes.select(
+        F.col("doc_id").alias("doc_b"), F.col("ahash").alias("_ab")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            F.bit_count(
+                F.col("_aa").bitwiseXOR(F.col("_ab"))
+            ).alias("ahash_hamming"),
+        )
+    )

@@ -335,6 +335,13 @@ _TAIL = (
     # bit-for-bit vs an independent hashlib + pure-Python mirror in
     # tests/test_lm_quality.py.
     "quality_classifier_filter",
+    # Round 14 (VERDICT r13 #2): perceptual near-dup for the image
+    # modality (aHash/dHash over the stdlib BMP decode, simhash-banded
+    # Hamming candidates). Rows-only by design (the decode→luma→box-
+    # average→bit-pack chain has no tractable SQL form); hashes pinned
+    # bit-for-bit vs a pure-Python mirror and the banded join vs a
+    # brute-force Hamming sweep in tests/test_multimodal.py.
+    "mm_perceptual_neardup",
 )
 
 

@@ -179,3 +179,54 @@ def mm_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+PHASH_MAX_HAMMING = 6  # ≤ blocks − combo = 7: pigeonhole recall holds
+
+
+def _mm_phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptual-hash construction plan (decode + dHash/aHash over
+    the Arrow path), exposed for the plan-invariant sweep — the query
+    pins its output (2 longs/doc, 100×+ narrower than the blobs) so the
+    banded self-join never re-runs the Python decode on both branches."""
+    from data_pipeline_team5_spark.operators.multimodal import (
+        perceptual_hashes,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return perceptual_hashes(attach_bmp_blob(docs), backend="bmp")
+
+
+@register(
+    "mm_perceptual_neardup",
+    oracle=None,  # the decode → luma → box-average → bit pack chain has
+    # no tractable SQL form; hashes are pinned BIT-FOR-BIT against an
+    # independent pure-Python mirror and the banded candidate join
+    # against a brute-force Hamming sweep in tests/test_multimodal.py.
+    doc="⊕ perceptual near-dup for the IMAGE modality (round 14 — dedup "
+    "was first-class for text only): documents are packed into real "
+    "16×16 BMPs (attach_bmp_blob), decoded back through the stdlib BMP "
+    "branch, and hashed with the published aHash/dHash recipe — "
+    "fixed-point Rec.601 luma, floor box-average downsample to the 9×8/"
+    "8×8 grids, 64-bit difference/mean bit packs (integer-only, so the "
+    "pure-Python mirror is exact). Candidates come from the SAME "
+    "pigeonhole banded join as SimHash (simhash_pairs at 64-bit/8-block: "
+    "guaranteed recall for hamming ≤ 7, candidate-linear exact bit_count "
+    "verify, NEVER all-pairs; 100 TB raises blocks/combo per the "
+    "operator doc). Output: every pair at dHash Hamming ≤ 6 with the "
+    "aHash distance alongside (the review-queue second opinion). The "
+    "hash table is checkpoint-pinned (2 longs/doc) so the self-join's "
+    "two branches never re-run the Python decode — pin retained by the "
+    "returned plan (the rfm convention); construction swept via "
+    "_mm_phash_frame.",
+    tags=("multimodal", "dedup", "perceptual", "mapInPandas"),
+)
+def mm_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.multimodal import (
+        perceptual_pairs,
+    )
+
+    hashes = _mm_phash_frame(spark, sf_dir).localCheckpoint()
+    return perceptual_pairs(
+        hashes, max_hamming=PHASH_MAX_HAMMING
+    ).orderBy("doc_a", "doc_b")

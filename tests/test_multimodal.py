@@ -150,3 +150,121 @@ def test_binary_byte_sum_exact_for_high_bytes(spark):
         .collect()
     )
     assert [r["s"] for r in got] == [sum(p) for p in payloads]
+
+
+# ---------------------------------------------------------------------------
+# Round 14: perceptual near-dup (aHash/dHash). The catalog query is
+# rows-only, so parity is pinned here: every 64-bit hash must match an
+# INDEPENDENT pure-Python mirror bit-for-bit (the mirror builds the
+# pixel buffer straight from the document text — it never touches the
+# BMP codec, so a decode bug cannot cancel out), and the banded
+# candidate join must return EXACTLY the brute-force Hamming pair set
+# (the pigeonhole recall guarantee, verified not assumed).
+
+
+def _mirror_hashes(text: str):
+    """dHash/aHash from the documented integer spec, straight from the
+    text bytes (attach_bmp_blob packs utf8[:768] zero-padded as the
+    16×16 BGR pixel buffer)."""
+    from data_pipeline_team5_spark.operators.multimodal import (
+        BMP_H,
+        BMP_W,
+        DHASH_GRID_H,
+        DHASH_GRID_W,
+    )
+
+    n = BMP_W * BMP_H * 3
+    buf = (text or "").encode("utf-8")[:n].ljust(n, b"\x00")
+
+    def grid(gw, gh):
+        out = []
+        for gy in range(gh):
+            y0, y1 = gy * BMP_H // gh, (gy + 1) * BMP_H // gh
+            for gx in range(gw):
+                x0, x1 = gx * BMP_W // gw, (gx + 1) * BMP_W // gw
+                tot = 0
+                for y in range(y0, y1):
+                    for x in range(x0, x1):
+                        i = (y * BMP_W + x) * 3
+                        tot += (
+                            77 * buf[i + 2]
+                            + 151 * buf[i + 1]
+                            + 28 * buf[i]
+                        ) >> 8
+                out.append(tot // ((y1 - y0) * (x1 - x0)))
+        return out
+
+    gw, gh = DHASH_GRID_W, DHASH_GRID_H
+    dg = grid(gw + 1, gh)
+    dh = 0
+    for y in range(gh):
+        for x in range(gw):
+            if dg[y * (gw + 1) + x] > dg[y * (gw + 1) + x + 1]:
+                dh |= 1 << (y * gw + x)
+    ag = grid(gw, gh)
+    mean = sum(ag) // (gw * gh)
+    ah = 0
+    for k, v in enumerate(ag):
+        if v > mean:
+            ah |= 1 << k
+    to_signed = lambda v: v - (1 << 64) if v >= (1 << 63) else v  # noqa: E731
+    return to_signed(dh), to_signed(ah)
+
+
+def test_perceptual_hashes_match_mirror_bitwise(spark):
+    from data_pipeline_team5_spark.plans.multimodal_family import (
+        _mm_phash_frame,
+    )
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {
+        r["doc_id"]: (r["dhash"], r["ahash"])
+        for r in _mm_phash_frame(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(texts) and got
+    for doc_id, text in texts.items():
+        assert got[doc_id] == _mirror_hashes(text), doc_id
+
+
+def test_perceptual_pairs_equal_brute_force(spark):
+    """Pigeonhole recall + exact verify ⇒ the banded join's pair set is
+    EXACTLY the brute-force one; ahash_hamming is the true aHash
+    distance on every pair."""
+    from data_pipeline_team5_spark.plans.catalog import QUERIES
+    from data_pipeline_team5_spark.plans.multimodal_family import (
+        PHASH_MAX_HAMMING,
+        _mm_phash_frame,
+    )
+
+    hashes = {
+        r["doc_id"]: (r["dhash"], r["ahash"])
+        for r in _mm_phash_frame(spark, SF_SMALL).collect()
+    }
+    ids = sorted(hashes)
+    M = (1 << 64) - 1
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            hd = bin((hashes[a][0] ^ hashes[b][0]) & M).count("1")
+            if hd <= PHASH_MAX_HAMMING:
+                want[(a, b)] = (
+                    hd,
+                    bin((hashes[a][1] ^ hashes[b][1]) & M).count("1"),
+                )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["hamming"], r["ahash_hamming"])
+        for r in QUERIES["mm_perceptual_neardup"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want and got
+
+
+def test_perceptual_grid_guard():
+    from data_pipeline_team5_spark.operators.multimodal import _gray_grid
+
+    with pytest.raises(ValueError, match="smaller than the"):
+        _gray_grid(b"\x00" * (4 * 4 * 3), 4, 4, 9, 8)

@@ -126,6 +126,9 @@ def _construction_plans(spark):
     from data_pipeline_team5_spark.plans.reference_parity import (
         _daily_wide,
     )
+    from data_pipeline_team5_spark.plans.multimodal_family import (
+        _mm_phash_frame,
+    )
     from data_pipeline_team5_spark.plans.text_family import (
         _bloom_reference_grams,
         _lm_scored_frame,
@@ -144,6 +147,8 @@ def _construction_plans(spark):
         # training-feature collect and the literal-weight scoring scan
         "quality_classifier/train": _qcls_train_features(spark, SF_SMALL),
         "quality_classifier/scored": _qcls_scored_frame(spark, SF_SMALL),
+        # round 14: the perceptual-hash decode pass the neardup query pins
+        "mm_perceptual/hashes": _mm_phash_frame(spark, SF_SMALL),
     }
 
 
@@ -186,6 +191,8 @@ SCANLESS_RESULT_PLANS = {
     "quality_classifier_filter": "score-table checkpoint pin (single "
     "scoring scan; construction swept via _qcls_train_features and "
     "_qcls_scored_frame)",
+    "mm_perceptual_neardup": "hash-table checkpoint pin (single decode "
+    "pass; construction swept via _mm_phash_frame)",
 }
 
 
