@@ -472,3 +472,79 @@ def grouped_rows_at_group_ranks(
         out.append((key, group_n[key], rank, by_addr[(pid, key, local)]))
     out.sort(key=lambda t: (tuple(map(str, t[0])), t[2]))
     return out
+
+
+def exact_grouped_ntile_bucket(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    buckets: int,
+    num_partitions: int | None = None,
+) -> Column:
+    """Per-group ``NTILE(buckets) OVER (PARTITION BY group ORDER BY
+    order_cols)`` — the grouped companion of :func:`exact_ntile_bucket`,
+    for the FEW-HUGE-GROUPS regime where ``Window.partitionBy(group)``
+    would put a whole language in one task. Cut thresholds per group
+    come from ONE :func:`grouped_rows_at_group_ranks` pass (one range
+    exchange, O(P × |groups|) driver state); the bucket assignment is a
+    map-side literal expression — for each group, 1 + |{that group's
+    cut thresholds strictly below the row}|, with duplicate cut ranks
+    (n_g < buckets) counted per their multiplicity exactly as in the
+    global form. Driver state and expression size are O(|groups| ×
+    buckets) — built for few groups (languages), not millions.
+
+    ``order_cols`` must total-order rows within a group; NULL policy is
+    inherited from :func:`exact_ntile_bucket` (NULLS FIRST via struct
+    ordering; a NULL ON a cut boundary raises)."""
+    got = grouped_rows_at_group_ranks(
+        df,
+        group_cols,
+        order_cols,
+        lambda n_g: ntile_cut_ranks(n_g, buckets) if n_g > 0 else [],
+        num_partitions,
+    )
+    by_key_rank: dict[tuple, dict[int, object]] = {}
+    group_n: dict[tuple, int] = {}
+    for key, n_g, rank, row in got:
+        by_key_rank.setdefault(key, {})[rank] = row
+        group_n[key] = n_g
+    types = {
+        f.name: f.dataType
+        for f in df.select(*group_cols, *order_cols).schema
+    }
+    x = F.struct(*[F.col(c) for c in order_cols])
+    bucket: Column = F.lit(1)
+    for key, by_rank in by_key_rank.items():
+        cut_rows = [
+            by_rank[k]
+            for k in ntile_cut_ranks(group_n[key], buckets)
+        ]
+        null_cuts = [
+            r for r in cut_rows if any(r[c] is None for c in order_cols)
+        ]
+        if null_cuts:
+            raise ValueError(
+                f"exact_grouped_ntile_bucket: group {key} has a NULL "
+                "order value at a bucket cut rank — NULLs straddle a "
+                "boundary; filter or impute the order columns first"
+            )
+        cond = F.lit(True)
+        for c, v in zip(group_cols, key):
+            cond = cond & (
+                F.col(c).isNull()
+                if v is None
+                else (F.col(c) == F.lit(v).cast(types[c]))
+            )
+        contrib: Column = F.lit(0)
+        for row in cut_rows:
+            t = F.struct(
+                *[
+                    F.lit(row[c]).cast(types[c]).alias(c)
+                    for c in order_cols
+                ]
+            )
+            contrib = contrib + F.coalesce(
+                (x > t).cast("int"), F.lit(0)
+            )
+        bucket = bucket + F.when(cond, contrib).otherwise(F.lit(0))
+    return bucket.cast("int")

@@ -342,6 +342,11 @@ _TAIL = (
     # bit-for-bit vs a pure-Python mirror and the banded join vs a
     # brute-force Hamming sweep in tests/test_multimodal.py.
     "mm_perceptual_neardup",
+    # Round 14 (VERDICT r13 #3): the per-language CCNet variant of the
+    # LM filter (one model per lang, per-lang exact tertiles via the
+    # grouped select-k). Rows-only by design (log2 — same precedent);
+    # per-lang bit-for-bit mirror parity in tests/test_lm_quality.py.
+    "lm_perplexity_by_lang",
 )
 
 

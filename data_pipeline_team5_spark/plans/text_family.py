@@ -1756,3 +1756,148 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-language LM filter (round 14, VERDICT r13 #3): CCNet is
+# per-language BY CONSTRUCTION — one KenLM model per language, scored
+# docs cut into tertiles WITHIN their language (Wenzek et al. 2020 §4).
+# The grouped variant of lm_perplexity_filter: one 512-bucket log-prob
+# table per lang fit on that lang's reference-slice docs, each doc
+# scored under its OWN language's model, head/middle/tail split
+# per-language via the grouped select-k (no per-language window task).
+
+
+def _lm_lang_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language perplexity scoring — the _lm_scored_frame plan
+    discipline with the model state widened to a literal MAP of
+    per-lang log-prob arrays (|langs| × 512 doubles — driver state is
+    bounded by language cardinality, a few dozen at web scale, the
+    k-means-centroid argument). The map binds to a column ``_lpm`` and
+    the doc's own table to ``_lp`` BEFORE the fold lambda (the proven
+    bind-as-column rule); langs absent from the reference slice get a
+    NULL table → NULL score → excluded downstream (CCNet scores only
+    languages it has reference text for)."""
+    import math
+
+    from data_pipeline_team5_spark.operators.textops import ngrams_expr
+
+    base = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens_expr("text").alias("_t")
+    )
+    docs = base.select(
+        "doc_id", "lang", ngrams_expr("_t", 2).alias("_g")
+    )
+    is_ref = F.col("doc_id") % PPLX_REF_MOD == 0
+
+    # pass 1: per-(lang, bucket) reference counts → per-lang log tables
+    counts = (
+        docs.filter(is_ref)
+        .select(
+            "lang",
+            F.explode(F.coalesce(F.col("_g"), F.array())).alias("g"),
+        )
+        .groupBy("lang", F.expr(_pplx_bucket_sql("g")).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    per_lang: dict[str, list[int]] = {}
+    for r in counts:
+        per_lang.setdefault(r["lang"], [0] * PPLX_BUCKETS)[r["b"]] = r["c"]
+    entries = []
+    for lang in sorted(per_lang):
+        c = per_lang[lang]
+        tot = sum(c) + PPLX_BUCKETS  # +1 smoothing mass per lang
+        arr = ",".join(
+            f"CAST('{float(math.log2((c[b] + 1) / tot))!r}' AS DOUBLE)"
+            for b in range(PPLX_BUCKETS)
+        )
+        lang_lit = "'" + lang.replace("'", "''") + "'"
+        entries.append(f"{lang_lit}, array({arr})")
+    lpm_sql = "map(" + ", ".join(entries) + ")"
+
+    # pass 2: map-only scoring under the doc's own language's table
+    bits = F.expr(
+        f"CASE WHEN size(_g) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+        f"(-aggregate(transform(_g, g -> element_at(_lp, "
+        f"{_pplx_bucket_sql('g')} + 1)), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x)) / CAST(size(_g) AS DOUBLE) END"
+    )
+    return (
+        docs.filter(~is_ref)
+        .withColumn("_lpm", F.expr(lpm_sql))
+        .withColumn("_lp", F.expr("try_element_at(_lpm, lang)"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size("_g").alias("n_bigrams"),
+            bits.alias("ppl_bits"),
+        )
+    )
+
+
+@register(
+    "lm_perplexity_by_lang",
+    oracle=None,  # log2 probabilities — rows-only (the lm_perplexity_
+    # filter precedent); bit-for-bit per-lang parity vs the pure-Python
+    # mirror plus per-lang tertile balance in tests/test_lm_quality.py.
+    doc="⊕ per-language CCNet LM filter (Wenzek et al. 2020 §4 — CCNet "
+    "fits one model PER LANGUAGE and splits head/middle/tail within "
+    "each): bits-per-bigram under a +1-smoothed 512-bucket hashed-"
+    "bigram model fit on the doc's own language's reference-slice "
+    "docs, with EXACT per-language perplexity tertiles. Model state "
+    "is |langs| × 512 log-probs collected once and bound as ONE "
+    "literal map column (bounded by language cardinality — the "
+    "k-means-centroid discipline); scoring is the same map-side HOF "
+    "fold as the global filter with the doc's table resolved by one "
+    "map lookup bound BEFORE the lambda. The per-language tertiles "
+    "come from operators/ranks.py:exact_grouped_ntile_bucket — the "
+    "few-huge-groups select-k (ONE range exchange on (lang, bits, "
+    "doc_id), O(P×|langs|) driver state), NEVER Window.partitionBy"
+    "(lang), which would put a whole language's corpus in one task at "
+    "100 TB. Langs absent from the reference slice are unscoreable "
+    "(NULL table) and excluded, as are <2-token docs; reference docs "
+    "are never scored. Scores bit-reproducible across runs and "
+    "partitionings (ordered fold; repr literals).",
+    headline=True,
+    tags=("text", "quality", "lm", "curation", "grouped"),
+)
+def lm_perplexity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.ranks import (
+        exact_grouped_ntile_bucket,
+    )
+
+    # same pin rationale as lm_perplexity_filter (the measured 110×
+    # pushdown-reinlining pathology); the pin is score-table-sized and
+    # retained by the returned plan (documented convention)
+    scored = (
+        _lm_lang_scored_frame(spark, sf_dir)
+        .localCheckpoint()
+        .filter(
+            (F.col("n_bigrams") >= 1) & F.col("ppl_bits").isNotNull()
+        )
+    )
+    tertile = exact_grouped_ntile_bucket(
+        scored, ["lang"], ["ppl_bits", "doc_id"], 3
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "ppl_bits",
+            tertile.alias("tertile"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "ppl_bits",
+            "tertile",
+            F.expr(
+                "element_at(array('head','middle','tail'), tertile)"
+            ).alias("band"),
+            (F.col("tertile") <= 2).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

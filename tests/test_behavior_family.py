@@ -465,3 +465,40 @@ def test_select_k_releases_pins_on_failure(spark):
             gdf, ["g"], ["v", "uid"], lambda n: [n + 1]
         )
     assert _pinned_rdd_ids(spark) - before == set()
+
+
+@pytest.mark.parametrize("sizes", [(1, 2, 3), (4, 4, 4), (7, 1, 9), (17, 5, 2)])
+def test_exact_grouped_ntile_bucket_matches_window(spark, sizes):
+    """Round 14: exact_grouped_ntile_bucket == F.ntile OVER (PARTITION BY
+    group) for uneven group sizes (n_g < buckets included), duplicate
+    metric values forcing the id tie-break, and a NULL group key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_team5_spark.operators.ranks import (
+        exact_grouped_ntile_bucket,
+    )
+
+    rows = []
+    uid = 0
+    for gi, n in enumerate(sizes):
+        g = None if gi == 0 else f"g{gi}"
+        for _ in range(n):
+            rows.append((uid, g, (uid * 7) % 3))
+            uid += 1
+    df = spark.createDataFrame(rows, "user_id INT, grp STRING, m INT")
+    got = df.select(
+        "user_id",
+        exact_grouped_ntile_bucket(
+            df, ["grp"], ["m", "user_id"], 4
+        ).alias("b"),
+    )
+    want = df.select(
+        "user_id",
+        F.ntile(4)
+        .over(Window.partitionBy("grp").orderBy("m", "user_id"))
+        .alias("b"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

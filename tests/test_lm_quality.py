@@ -244,3 +244,88 @@ def test_quality_classifier_scores_match_mirror_bitwise(spark):
         assert r["n_bigrams"] == n
         assert r["logit"] == logit, (d, r["logit"], logit)
         assert r["keep"] == (logit > 0)
+
+
+# ---------------------------------------------------------------------------
+# Round 14: the per-language variant (lm_perplexity_by_lang) vs the
+# same pure-Python mirror, grouped — one +1-smoothed model per lang fit
+# on that lang's reference docs, per-doc bits under the doc's OWN
+# language's table, and exact per-language tertile balance.
+
+
+def _mirror_by_lang(tok_rows):
+    """doc_id -> (lang, n_bigrams, ppl_bits) under per-lang models."""
+    grams = {
+        d: (lang, [" ".join(t[i : i + 2]) for i in range(len(t) - 1)])
+        for d, lang, t in tok_rows
+    }
+    c: dict[str, list[int]] = {}
+    for d, (lang, gs) in grams.items():
+        if d % PPLX_REF_MOD == 0:
+            tab = c.setdefault(lang, [0] * PPLX_BUCKETS)
+            for g in gs:
+                tab[_bucket(g)] += 1
+    logp = {}
+    for lang, tab in c.items():
+        tot = sum(tab) + PPLX_BUCKETS
+        logp[lang] = [
+            math.log2((tab[b] + 1) / tot) for b in range(PPLX_BUCKETS)
+        ]
+    out = {}
+    for d, (lang, gs) in grams.items():
+        if d % PPLX_REF_MOD == 0 or not gs or lang not in logp:
+            continue
+        acc = 0.0
+        for g in gs:
+            acc = acc + logp[lang][_bucket(g)]
+        out[d] = (lang, len(gs), (-acc) / float(len(gs)))
+    return out
+
+
+def test_lm_by_lang_matches_mirror_bitwise(spark):
+    tok_rows = [
+        (r["doc_id"], r["lang"], r["t"])
+        for r in table(spark, SF_SMALL, "documents")
+        .select("doc_id", "lang", tokens_expr("text").alias("t"))
+        .collect()
+    ]
+    want = _mirror_by_lang(tok_rows)
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["lm_perplexity_by_lang"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(want) and got
+    for d, (lang, n, bits) in want.items():
+        r = got[d]
+        assert (r["lang"], r["n_bigrams"]) == (lang, n)
+        assert r["ppl_bits"] == bits, (d, r["ppl_bits"], bits)
+
+
+def test_lm_by_lang_tertiles_per_language(spark):
+    rows = QUERIES["lm_perplexity_by_lang"].fn(spark, SF_SMALL).collect()
+    assert rows
+    langs = {r["lang"] for r in rows}
+    assert len(langs) > 1  # the grouped machinery is actually exercised
+    band = {1: "head", 2: "middle", 3: "tail"}
+    for lang in langs:
+        sub = [r for r in rows if r["lang"] == lang]
+        sizes = {
+            t: sum(1 for r in sub if r["tertile"] == t) for t in (1, 2, 3)
+        }
+        # exact per-lang NTILE balance
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        # the split is by perplexity WITHIN the language
+        kept_max = max(
+            ((r["ppl_bits"], r["doc_id"]) for r in sub if r["keep"]),
+            default=None,
+        )
+        drop_min = min(
+            ((r["ppl_bits"], r["doc_id"]) for r in sub if not r["keep"]),
+            default=None,
+        )
+        if kept_max is not None and drop_min is not None:
+            assert kept_max < drop_min, lang
+    for r in rows:
+        assert r["band"] == band[r["tertile"]]
+        assert r["keep"] == (r["tertile"] <= 2)
+        assert r["doc_id"] % PPLX_REF_MOD != 0

@@ -131,6 +131,7 @@ def _construction_plans(spark):
     )
     from data_pipeline_team5_spark.plans.text_family import (
         _bloom_reference_grams,
+        _lm_lang_scored_frame,
         _lm_scored_frame,
         _qcls_scored_frame,
         _qcls_train_features,
@@ -149,6 +150,8 @@ def _construction_plans(spark):
         "quality_classifier/scored": _qcls_scored_frame(spark, SF_SMALL),
         # round 14: the perceptual-hash decode pass the neardup query pins
         "mm_perceptual/hashes": _mm_phash_frame(spark, SF_SMALL),
+        # round 14: the per-language LM scoring scan
+        "lm_by_lang/scored": _lm_lang_scored_frame(spark, SF_SMALL),
     }
 
 
@@ -193,6 +196,8 @@ SCANLESS_RESULT_PLANS = {
     "_qcls_scored_frame)",
     "mm_perceptual_neardup": "hash-table checkpoint pin (single decode "
     "pass; construction swept via _mm_phash_frame)",
+    "lm_perplexity_by_lang": "score-table checkpoint pin (single scoring "
+    "scan; construction swept via _lm_lang_scored_frame)",
 }
 
 
