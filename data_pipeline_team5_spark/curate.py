@@ -127,6 +127,13 @@ def main(argv: list[str] | None = None) -> int:
                         help="eval-benchmark documents parquet; when given, "
                              "docs sharing any 5-gram with it are dropped "
                              "before dedup (decontamination)")
+    p_full.add_argument("--decon-n", type=int, default=5,
+                        help="decontamination gram/window width in tokens "
+                             "(default 5). Raising it to e.g. 12 gives the "
+                             "Lee et al. exact-substring grain: a doc is "
+                             "dropped iff it shares an exact run of >= N "
+                             "tokens with the benchmark (an N-token run "
+                             "and a shared N-window are the same event)")
     p_full.add_argument("--decon-bloom-min-grams", type=int, default=None,
                         help="distinct benchmark-gram count above which "
                              "decontamination routes through the Bloom "
@@ -192,6 +199,8 @@ def main(argv: list[str] | None = None) -> int:
                         help="eval-benchmark documents parquet; the daily "
                              "batch is decontaminated against it before "
                              "dedup")
+    p_inc.add_argument("--decon-n", type=int, default=5,
+                       help="see full --decon-n")
     p_inc.add_argument("--decon-bloom-min-grams", type=int, default=None,
                        help="see full --decon-bloom-min-grams")
     p_inc.add_argument("--fold-batch-id", default=None,
@@ -229,6 +238,8 @@ def main(argv: list[str] | None = None) -> int:
     p_str.add_argument("--budget", type=int, default=2048)
     p_str.add_argument("--threshold", type=float, default=0.6)
     p_str.add_argument("--benchmark", default=None)
+    p_str.add_argument("--decon-n", type=int, default=5,
+                       help="see full --decon-n")
     p_str.add_argument("--decon-bloom-min-grams", type=int, default=None,
                        help="see full --decon-bloom-min-grams")
     p_str.add_argument("--checkpoint", default=None,
@@ -321,7 +332,9 @@ def main(argv: list[str] | None = None) -> int:
     bench_n_grams = (
         None
         if bench_docs is None
-        else benchmark_gram_count(bench_docs)
+        else benchmark_gram_count(
+            bench_docs, n=getattr(args, "decon_n", 5)
+        )
     )
     if args.cmd == "full":
         out = curate_training_data(
@@ -332,6 +345,7 @@ def main(argv: list[str] | None = None) -> int:
             benchmark_docs=bench_docs,
             decon_bloom_min_grams=args.decon_bloom_min_grams,
             bench_gram_count=bench_n_grams,
+            decon_n=args.decon_n,
             scrub_pii=args.scrub_pii,
             survivor_policy=args.survivor_policy,
             source_priority=(
@@ -554,6 +568,7 @@ def main(argv: list[str] | None = None) -> int:
                 benchmark_docs=bench_docs,
                 decon_bloom_min_grams=args.decon_bloom_min_grams,
                 bench_gram_count=bench_n_grams,
+                decon_n=args.decon_n,
             )
             off = next_bin_offset(spark, args.out, exclude_batch_id=fold)
             (
@@ -623,6 +638,7 @@ def main(argv: list[str] | None = None) -> int:
             benchmark_docs=bench_docs,
             decon_bloom_min_grams=args.decon_bloom_min_grams,
             bench_gram_count=bench_n_grams,
+            decon_n=args.decon_n,
         )
         if fold is None:
             out.write.mode("overwrite").parquet(args.out)

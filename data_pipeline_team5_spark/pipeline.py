@@ -265,6 +265,7 @@ def _curation_filter_stage(
     scrub_pii: bool = False,
     decon_bloom_min_grams: int | None = None,
     bench_gram_count: int | None = None,
+    decon_n: int = 5,
 ) -> DataFrame:
     """Stage 1 of both curation presets, shared so the full and incremental
     paths can never drift apart: optional PII redaction (``scrub_pii`` —
@@ -361,6 +362,7 @@ def _curation_filter_stage(
             contaminated_ids(
                 kept,
                 benchmark_docs,
+                n=decon_n,
                 bloom_route_min_grams=decon_bloom_min_grams,
                 bench_gram_count=bench_gram_count,
             ),
@@ -386,6 +388,7 @@ def curate_training_data(
     source_priority: list[str] | None = None,
     decon_bloom_min_grams: int | None = None,
     bench_gram_count: int | None = None,
+    decon_n: int = 5,
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
     composed from the engine's tested stages into ONE lazy plan:
@@ -475,6 +478,7 @@ def curate_training_data(
         scrub_pii=scrub_pii,
         decon_bloom_min_grams=decon_bloom_min_grams,
         bench_gram_count=bench_gram_count,
+        decon_n=decon_n,
     )
 
     # 2. exact dedup (deterministic survivor: min doc_id per content key)
@@ -628,6 +632,7 @@ def curate_incremental_batch(
     scratch_dir: str | None = None,
     decon_bloom_min_grams: int | None = None,
     bench_gram_count: int | None = None,
+    decon_n: int = 5,
 ) -> DataFrame:
     """Daily curation update: run the full curation contract for a NEW
     batch against the already-RETAINED corpus, touching the corpus only
@@ -705,6 +710,7 @@ def curate_incremental_batch(
         max_dup_trigram_frac=max_dup_trigram_frac,
         decon_bloom_min_grams=decon_bloom_min_grams,
         bench_gram_count=bench_gram_count,
+        decon_n=decon_n,
     )
 
     # 2. exact dedup: within the batch, then anti-join the corpus's keys —

@@ -347,6 +347,11 @@ _TAIL = (
     # grouped select-k). Rows-only by design (log2 — same precedent);
     # per-lang bit-for-bit mirror parity in tests/test_lm_quality.py.
     "lm_perplexity_by_lang",
+    # Round 14 (VERDICT r13 #5): exact-substring-grain decontamination
+    # (Lee et al. 2022 — longest shared token run vs the benchmark).
+    # Oracle-backed tail, exact-checked by the local mini-driver every
+    # CI run like the rest of the oracle-backed tail.
+    "decontaminate_exact_substring",
 )
 
 

@@ -505,3 +505,91 @@ def test_contaminated_ids_precomputed_route_count(spark):
     plan = held._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # count 0 ≤ threshold 0 → exact
     assert {r["doc_id"] for r in held.collect()} == want
+
+
+def test_decon_n_gives_exact_substring_grain(spark):
+    """Round 14 (VERDICT r13 #5): contaminated_ids at n=L IS the Lee et
+    al. exact-substring drop rule — a shared run of ≥ L tokens and a
+    shared L-token window are the same event. The drop set must cover
+    exactly the docs the substring-grain catalog query reports, with
+    the ONE documented divergence: doc_shingles falls back to
+    whole-text shingles for docs shorter than L tokens (conservative —
+    a short doc fully contained in the benchmark is still flagged),
+    where positional L-windows are empty."""
+    from data_pipeline_team5_spark.operators.dedup import contaminated_ids
+    from data_pipeline_team5_spark.operators.textops import tokens_expr
+    from data_pipeline_team5_spark.plans.catalog import table
+    from data_pipeline_team5_spark.plans.text_family import (
+        DECON_BENCH_MOD,
+        SUBSTR_DECON_L,
+    )
+
+    docs = table(spark, SF_SMALL, "documents")
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    want = {
+        r["doc_id"]
+        for r in QUERIES["decontaminate_exact_substring"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in contaminated_ids(
+            docs.filter(~is_bench),
+            docs.filter(is_bench),
+            n=SUBSTR_DECON_L,
+        ).collect()
+    }
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(tokens_expr("text")).alias("n")
+        ).collect()
+    }
+    assert want <= got and want
+    for d in got - want:
+        assert n_toks[d] < SUBSTR_DECON_L, (
+            d,
+            n_toks[d],
+            "long doc flagged by the shingle rule but not the window rule",
+        )
+
+
+def test_cli_decon_n_flag_plumbed(spark, tmp_path, capsys):
+    """--decon-n reaches the filter stage: at the substring grain the
+    full CLI keeps the docs the 5-gram default would drop (the fixture
+    has far more shared 5-grams than shared 12-token runs)."""
+    import json as _json
+
+    from data_pipeline_team5_spark.curate import main
+    from data_pipeline_team5_spark.plans.catalog import table
+    from data_pipeline_team5_spark.plans.text_family import (
+        DECON_BENCH_MOD,
+        SUBSTR_DECON_L,
+    )
+
+    docs = table(spark, SF_SMALL, "documents")
+    docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0).write.parquet(
+        str(tmp_path / "docs")
+    )
+    docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0).write.parquet(
+        str(tmp_path / "bench")
+    )
+    outs = {}
+    for label, extra in (
+        ("five", []),
+        ("substr", ["--decon-n", str(SUBSTR_DECON_L)]),
+    ):
+        main(
+            [
+                "full",
+                "--docs", str(tmp_path / "docs"),
+                "--out", str(tmp_path / f"out_{label}"),
+                "--benchmark", str(tmp_path / "bench"),
+            ]
+            + extra
+        )
+        outs[label] = _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+    assert outs["substr"]["kept"] > outs["five"]["kept"]
