@@ -1,0 +1,74 @@
+"""Session-level pin audit (round 14, VERDICT r13 #6): the retention
+conventions — "this query's plan RETAINS its narrow checkpoint pin" —
+were per-query docstring facts; this sweep makes the invariant machine-
+checked GLOBALLY. For every catalog query: run it, fetch it, and assert
+the number of NEWLY-retained persistent RDDs equals the documented
+expectation — zero unless the query is in the allowlist below with its
+mechanism. A new query that silently localCheckpoints (or an operator
+change that starts leaking its transient select-k/Bloom pins) fails
+here by name.
+
+Repeated invocations accumulate pins BY DESIGN (each call's plan
+retains its own snapshot — the documented rfm convention); the audit
+therefore checks the per-call delta, which is also the quantity a
+long-running session's growth is proportional to.
+"""
+
+from __future__ import annotations
+
+from data_pipeline_team5_spark.plans.catalog import QUERIES
+from tests.conftest import SF_SMALL
+
+# query -> exactly how many persistent RDDs ONE fetch retains, and why.
+# Every mechanism is a bounded, documented pin — reference-sized,
+# score-table-sized, or day-grain — never corpus-sized (the per-query
+# docstrings carry the size argument; this table carries the COUNT).
+EXPECTED_PINS = {
+    "dash_movie_panel": 1,  # 25-row corr panel pin (round 10)
+    "d5_d6_time_panel": 1,  # day-grain panel pin
+    "minhash_lsh_neardup": 1,  # signature-table pin (two consumers)
+    "neardup_incremental": 1,  # stored-index probe snapshot
+    "tfidf_doc_scores": 2,  # (doc,term) counts + vocab rollup pins
+    "decontamination_panel": 1,  # shared exact↔bloom gram snapshot
+    "line_boilerplate_scrub": 1,  # boilerplate-set pin
+    "stream_neardup_ingest": 5,  # one pin per drained micro-batch
+    # (maxFilesPerTrigger=1 over the fixed 5-file fixture layout)
+    "semantic_dedup": 1,  # k-means cell-assignment pin
+    "vocab_coverage": 1,  # term-count pin
+    "term_spectrum": 1,  # term-count pin (shared idiom)
+    "skew_key_report": 1,  # grain-count pin
+    "rfm_segments": 1,  # per-user metrics pin (THE retention convention)
+    "decontaminate_bloom_prefilter": 1,  # reference-gram snapshot
+    "lm_perplexity_filter": 1,  # score-table pin
+    "quality_classifier_filter": 1,  # score-table pin
+    "mm_perceptual_neardup": 1,  # hash-table pin (decode runs once)
+    "lm_perplexity_by_lang": 1,  # score-table pin
+}
+
+
+def test_every_query_pin_delta_is_documented(spark):
+    jsc = spark.sparkContext._jsc
+    keep = []  # hold result handles: ContextCleaner must not unpin
+    # a collected result mid-sweep and hide a real retention
+    wrong = {}
+    for name, q in QUERIES.items():
+        before = set(jsc.getPersistentRDDs().keySet().toArray())
+        df = q.fn(spark, SF_SMALL)
+        df.count()
+        keep.append(df)
+        delta = len(
+            set(jsc.getPersistentRDDs().keySet().toArray()) - before
+        )
+        if delta != EXPECTED_PINS.get(name, 0):
+            wrong[name] = (delta, EXPECTED_PINS.get(name, 0))
+    assert not wrong, (
+        "pin-retention drift (got, documented) — a new retainer must "
+        f"be allowlisted WITH its mechanism: {wrong}"
+    )
+
+
+def test_pin_allowlist_is_exact():
+    """Every allowlisted name must exist — a renamed/removed query must
+    not leave a stale expectation behind."""
+    missing = [n for n in EXPECTED_PINS if n not in QUERIES]
+    assert not missing, missing
