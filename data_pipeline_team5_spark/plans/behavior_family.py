@@ -459,3 +459,86 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events"), F.col("w_n"), F.col("s"), F.col("q")
         ).alias("is_anomaly"),
     ).orderBy("day")
+
+
+from data_pipeline_team5_spark.plans.catalog import QUERIES as _Q
+
+
+@register(
+    "behavior_panel",
+    oracle=f"""
+        WITH coh AS (SELECT * FROM ({_Q["cohort_retention"].oracle})),
+             fun AS (SELECT * FROM ({_Q["event_funnel"].oracle})),
+             rfm AS (SELECT * FROM ({_Q["rfm_segments"].oracle}))
+        SELECT * FROM (
+            SELECT 'cohort' AS section,
+                   CAST(cohort_day AS VARCHAR) AS k1,
+                   CAST(day_offset AS INT) AS k2,
+                   CAST(active_users AS BIGINT) AS n,
+                   CAST(cohort_size AS BIGINT) AS v,
+                   CAST(NULL AS BIGINT) AS v2,
+                   retention AS ratio1,
+                   CAST(NULL AS DOUBLE) AS ratio2
+            FROM coh
+            UNION ALL
+            SELECT 'funnel', stage_name, CAST(stage AS INT),
+                   CAST(users AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), pct_of_first, pct_of_prev
+            FROM fun
+            UNION ALL
+            SELECT 'rfm', r_q || '-' || f_q || '-' || m_q,
+                   CAST(NULL AS INT),
+                   n_users, sum_events, sum_cents,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM rfm
+        ) ORDER BY section, k1, k2
+    """,
+    doc="⊕ the three behavior-analytics classics section-tagged in ONE "
+    "driver slot (round 14, VERDICT r13 #8 — the decontamination_panel "
+    "recipe again, into the slot scrub_panel's consolidation freed): "
+    "every cell of cohort_retention (retention triangle), event_funnel "
+    "(ordered 4-stage conversion) and rfm_segments (4×4×4 exact-NTILE "
+    "segment grid) in one long layout, so the driver hash certifies "
+    "all three bit-for-bit. Standalone forms keep their tail oracles "
+    "and headline timings; the panel is deliberately NOT timed (it "
+    "would re-measure their sum). Plan cost = the three plans "
+    "verbatim plus a union — each keyed on user_id or a bounded "
+    "grain, per their own docstrings.",
+    tags=("behavior", "panel", "events"),
+)
+def behavior_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    coh = cohort_retention(spark, sf_dir).select(
+        F.lit("cohort").alias("section"),
+        F.col("cohort_day").cast("string").alias("k1"),
+        F.col("day_offset").cast("int").alias("k2"),
+        F.col("active_users").cast("bigint").alias("n"),
+        F.col("cohort_size").cast("bigint").alias("v"),
+        F.lit(None).cast("bigint").alias("v2"),
+        F.col("retention").alias("ratio1"),
+        F.lit(None).cast("double").alias("ratio2"),
+    )
+    fun = event_funnel(spark, sf_dir).select(
+        F.lit("funnel").alias("section"),
+        F.col("stage_name").alias("k1"),
+        F.col("stage").cast("int").alias("k2"),
+        F.col("users").cast("bigint").alias("n"),
+        F.lit(None).cast("bigint").alias("v"),
+        F.lit(None).cast("bigint").alias("v2"),
+        F.col("pct_of_first").alias("ratio1"),
+        F.col("pct_of_prev").alias("ratio2"),
+    )
+    rfm = rfm_segments(spark, sf_dir).select(
+        F.lit("rfm").alias("section"),
+        F.concat_ws("-", "r_q", "f_q", "m_q").alias("k1"),
+        F.lit(None).cast("int").alias("k2"),
+        F.col("n_users").cast("bigint").alias("n"),
+        F.col("sum_events").cast("bigint").alias("v"),
+        F.col("sum_cents").cast("bigint").alias("v2"),
+        F.lit(None).cast("double").alias("ratio1"),
+        F.lit(None).cast("double").alias("ratio2"),
+    )
+    return (
+        coh.unionByName(fun)
+        .unionByName(rfm)
+        .orderBy("section", "k1", "k2")
+    )

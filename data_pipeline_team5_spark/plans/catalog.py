@@ -352,6 +352,15 @@ _TAIL = (
     # Oracle-backed tail, exact-checked by the local mini-driver every
     # CI run like the rest of the oracle-backed tail.
     "decontaminate_exact_substring",
+    # Round 14 (VERDICT r13 #8): the behavior trio and the scrub pair
+    # are now driver-graded through behavior_panel / scrub_panel
+    # (in-window — every cell of the five standalone queries in long
+    # section-tagged layout under composed oracles, the
+    # decontamination_panel recipe). The standalone forms take the two
+    # freed/traded tail slots: still oracle-backed, still
+    # headline-timed, still mini-driver-bitwise every CI run.
+    "pii_scrub",
+    "line_boilerplate_scrub",
 )
 
 

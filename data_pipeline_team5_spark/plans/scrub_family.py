@@ -168,3 +168,70 @@ def line_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_lines(
         docs, text_col="text", min_docs=MIN_DOCS, width=LINE_WIDTH
     ).orderBy("doc_id")
+
+
+_PII_METRICS = ("n_email", "n_card", "n_phone", "n_ip", "pii_total",
+                "residual")
+_LINE_METRICS = ("n_lines", "n_kept", "n_dropped")
+
+
+def _metric_rows_sql(metrics: tuple[str, ...]) -> str:
+    vals = ", ".join(f"('{m}')" for m in metrics)
+    case = " ".join(f"WHEN '{m}' THEN {m}" for m in metrics)
+    return vals, case
+
+
+from data_pipeline_team5_spark.plans.catalog import QUERIES as _Q
+
+
+@register(
+    "scrub_panel",
+    oracle=f"""
+        WITH p AS (SELECT * FROM ({_Q["pii_scrub"].oracle})),
+             l AS (SELECT * FROM ({_Q["line_boilerplate_scrub"].oracle}))
+        SELECT * FROM (
+            SELECT 'pii' AS section, doc_id, m.metric,
+                   CAST(CASE m.metric {_metric_rows_sql(_PII_METRICS)[1]}
+                        END AS INT) AS value,
+                   clean_fp
+            FROM p CROSS JOIN (VALUES {_metric_rows_sql(_PII_METRICS)[0]})
+                 AS m(metric)
+            UNION ALL
+            SELECT 'lines' AS section, doc_id, m.metric,
+                   CAST(CASE m.metric {_metric_rows_sql(_LINE_METRICS)[1]}
+                        END AS INT) AS value,
+                   clean_fp
+            FROM l CROSS JOIN (VALUES {_metric_rows_sql(_LINE_METRICS)[0]})
+                 AS m(metric)
+        ) ORDER BY section, doc_id, metric
+    """,
+    doc="⊕ both scrub stages section-tagged in ONE driver slot (round "
+    "14 — the decontamination_panel recipe's next use, freeing the "
+    "graded slot that promotes behavior_panel): every cell of "
+    "pii_scrub (per-type PII counts, redacted-text fingerprint, the "
+    "residual=0 proof) and line_boilerplate_scrub (line counts and the "
+    "rebuilt-text fingerprint) in long (section, doc_id, metric, "
+    "value, clean_fp) layout, so the driver hash still certifies both "
+    "queries bit-for-bit. The standalone forms keep their tail oracles "
+    "and headline timings; this panel is deliberately NOT timed (it "
+    "would re-measure their sum). Plan cost = the two stages' plans "
+    "verbatim (both map-side scans; the line stage's one line-key "
+    "shuffle), plus a union.",
+    tags=("scrub", "panel", "text"),
+)
+def scrub_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def long_form(df: DataFrame, section: str, metrics) -> DataFrame:
+        stack = ", ".join(f"'{m}', CAST({m} AS INT)" for m in metrics)
+        return df.selectExpr(
+            f"'{section}' AS section",
+            "doc_id",
+            f"stack({len(metrics)}, {stack}) AS (metric, value)",
+            "clean_fp",
+        ).select("section", "doc_id", "metric",
+                 F.col("value").cast("int").alias("value"), "clean_fp")
+
+    pii = long_form(pii_scrub(spark, sf_dir), "pii", _PII_METRICS)
+    lines = long_form(
+        line_boilerplate_scrub(spark, sf_dir), "lines", _LINE_METRICS
+    )
+    return pii.unionByName(lines).orderBy("section", "doc_id", "metric")

@@ -1858,8 +1858,11 @@ def _lm_lang_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB. Langs absent from the reference slice are unscoreable "
     "(NULL table) and excluded, as are <2-token docs; reference docs "
     "are never scored. Scores bit-reproducible across runs and "
-    "partitionings (ordered fold; repr literals).",
-    headline=True,
+    "partitionings (ordered fold; repr literals). NOT headline-timed: "
+    "its two cost centers are timed already — the scoring fold via "
+    "lm_perplexity_filter and the grouped select-k via "
+    "exact_grouped_quantiles (the VERDICT r12 #3 accounting rule: "
+    "never re-measure the same machinery).",
     tags=("text", "quality", "lm", "curation", "grouped"),
 )
 def lm_perplexity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
