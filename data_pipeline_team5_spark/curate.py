@@ -127,6 +127,23 @@ def main(argv: list[str] | None = None) -> int:
                         help="eval-benchmark documents parquet; when given, "
                              "docs sharing any 5-gram with it are dropped "
                              "before dedup (decontamination)")
+    p_full.add_argument("--quality-reference", default=None,
+                        help="clean-reference documents parquet for the "
+                             "model-based quality filters (operators/"
+                             "quality.py — CCNet's two-signal stack); "
+                             "which filters run is --quality-filter. "
+                             "Full-run only, like --scrub-pii: a daily "
+                             "loop wants a frozen model at ingest, not a "
+                             "per-batch refit/tertile")
+    p_full.add_argument("--quality-filter",
+                        choices=["lm", "classifier", "both"],
+                        default="lm",
+                        help="with --quality-reference: 'lm' drops the "
+                             "worst exact perplexity tertile under a "
+                             "reference-fit bigram model (CCNet keep "
+                             "rule); 'classifier' keeps P(clean) > 0.5 "
+                             "under a reference-vs-permuted logistic "
+                             "model; 'both' runs classifier then lm")
     p_full.add_argument("--decon-n", type=int, default=5,
                         help="decontamination gram/window width in tokens "
                              "(default 5). Raising it to e.g. 12 gives the "
@@ -336,6 +353,11 @@ def main(argv: list[str] | None = None) -> int:
             bench_docs, n=getattr(args, "decon_n", 5)
         )
     )
+    quality_ref = (
+        spark.read.parquet(args.quality_reference)
+        if getattr(args, "quality_reference", None)
+        else None
+    )
     if args.cmd == "full":
         out = curate_training_data(
             spark.read.parquet(args.docs),
@@ -346,6 +368,16 @@ def main(argv: list[str] | None = None) -> int:
             decon_bloom_min_grams=args.decon_bloom_min_grams,
             bench_gram_count=bench_n_grams,
             decon_n=args.decon_n,
+            quality_classifier_reference=(
+                quality_ref
+                if args.quality_filter in ("classifier", "both")
+                else None
+            ),
+            lm_reference_docs=(
+                quality_ref
+                if args.quality_filter in ("lm", "both")
+                else None
+            ),
             scrub_pii=args.scrub_pii,
             survivor_policy=args.survivor_policy,
             source_priority=(

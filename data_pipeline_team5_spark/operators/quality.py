@@ -1,0 +1,271 @@
+"""Model-based quality filters as ENGINE OPERATORS (round 14): the
+CCNet reference-LM perplexity scorer and the fastText/DCLM-style
+supervised classifier, parameterized by an arbitrary reference corpus
+so the curation pipeline can consume them — the catalog queries
+(plans/text_family.py lm_perplexity_filter / quality_classifier_filter)
+are thin wrappers fixing reference = the fixture's doc_id%7 slice.
+
+Both follow the proven literal-model plan discipline (the measured 110×
+plan-shape lesson, text_family.py lm_perplexity_filter):
+
+- model state is FIXED-SIZE and computed DRIVER-SIDE in CPython
+  (512 log2 probs / 512 logistic weights + bias) — Spark never runs
+  log/exp, so pure-Python mirrors reproduce every double bit-for-bit;
+- scoring is ONE map-side HOF fold per doc over its in-row bigram
+  array, with the model bound as ONE literal array column BEFORE the
+  lambda (never spliced inside it — an interpreted HOF re-constructs
+  an inline literal per element);
+- tokens bind to a column before the ngram lambda; the gram array is
+  consumed with NO filter on any token-derived value (filters on the
+  returned score frame belong AFTER a checkpoint barrier, where
+  predicate pushdown cannot re-inline the chain into the scan).
+
+Construction plans are swept for scale-killers via the catalog
+wrappers (tests/test_plan_invariants.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LM_BUCKETS = 512  # hashed-bigram dim shared by both models (the
+# literal-array discipline caps model state; KenLM's full 5-gram table
+# is the unbounded thing this replaces)
+CLS_TRAIN_CAP = 64  # classifier training docs — fixed driver state
+CLS_LR = 5.0
+CLS_ITERS = 1000
+
+
+def _bucket_sql(g: str, buckets: int) -> str:
+    from data_pipeline_team5_spark.operators.textops import (
+        hashed_bucket_sql,
+    )
+
+    return hashed_bucket_sql(g, buckets)
+
+
+def _bigram_frame(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, _g bigram array) with the tokens bound to a column first."""
+    from data_pipeline_team5_spark.operators.textops import (
+        ngrams_expr,
+        tokens_expr,
+    )
+
+    base = docs.select(
+        F.col(id_col), tokens_expr(text_col).alias("_t")
+    )
+    return base.select(id_col, ngrams_expr("_t", 2).alias("_g"))
+
+
+def fit_hashed_bigram_lm(
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = LM_BUCKETS,
+) -> list[float]:
+    """+1-smoothed hashed-bigram log2-probability table fit on
+    ``reference`` — one scan of the REFERENCE only; the collect is the
+    ≤``buckets``-row count table (fixed-size model state), the log2s
+    run in CPython."""
+    counts = (
+        _bigram_frame(reference, id_col, text_col)
+        .select(
+            F.explode(F.coalesce(F.col("_g"), F.array())).alias("g")
+        )
+        .groupBy(F.expr(_bucket_sql("g", buckets)).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    c = [0] * buckets
+    for r in counts:
+        c[r["b"]] = r["c"]
+    tot = sum(c) + buckets
+    return [math.log2((c[b] + 1) / tot) for b in range(buckets)]
+
+
+def _literal_array_sql(values: list[float]) -> str:
+    return (
+        "array("
+        + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in values)
+        + ")"
+    )
+
+
+def lm_score_frame(
+    docs: DataFrame,
+    logp: list[float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bigrams, ppl_bits) — bits-per-bigram of every doc under a
+    fitted table (:func:`fit_hashed_bigram_lm`). Map-side only; <2-token
+    docs score NULL (projection-level CASE, never a filter — see module
+    doc). Callers that filter or consume the frame more than once must
+    checkpoint it first (the catalog wrapper does)."""
+    buckets = len(logp)
+    bits = F.expr(
+        f"CASE WHEN size(_g) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+        f"(-aggregate(transform(_g, g -> element_at(_lp, "
+        f"{_bucket_sql('g', buckets)} + 1)), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x)) / CAST(size(_g) AS DOUBLE) END"
+    )
+    return (
+        _bigram_frame(docs, id_col, text_col)
+        .withColumn("_lp", F.expr(_literal_array_sql(logp)))
+        .select(
+            id_col,
+            F.size("_g").alias("n_bigrams"),
+            bits.alias("ppl_bits"),
+        )
+    )
+
+
+def _perm_tokens_sql(t: str) -> str:
+    """Deterministic token permutation (the classifier's negative-class
+    generator): sort by (md5('token#pos'), token) — a reproducible
+    shuffle with no RNG, identical in the hashlib mirror."""
+    return (
+        f"transform(array_sort(transform({t}, (tok, i) -> "
+        f"named_struct('h', md5(concat(tok, '#', CAST(i AS STRING))), "
+        f"'t', tok))), s -> s.t)"
+    )
+
+
+def classifier_train_features(
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = LM_BUCKETS,
+    cap: int = CLS_TRAIN_CAP,
+) -> DataFrame:
+    """Sparse (id, label, b, c) bucket counts for the capped training
+    sample's natural (label 1) and permuted (label 0) bigram streams.
+    Collected volume ≤ 2 × cap × buckets at ANY corpus size: the cap is
+    a TakeOrderedAndProject on (md5(id), id), the token read joins it
+    BROADCAST."""
+    from data_pipeline_team5_spark.operators.textops import (
+        ngrams_expr,
+        tokens_expr,
+    )
+
+    base = reference.select(
+        F.col(id_col), tokens_expr(text_col).alias("_t")
+    )
+    capped = (
+        base.select(
+            id_col, F.md5(F.col(id_col).cast("string")).alias("_h")
+        )
+        .orderBy("_h", id_col)
+        .limit(cap)
+        .select(id_col)
+    )
+    train = base.join(F.broadcast(capped), id_col)
+    nat = train.select(
+        id_col, F.lit(1).alias("label"), ngrams_expr("_t", 2).alias("_g")
+    )
+    perm = train.select(
+        id_col, F.expr(_perm_tokens_sql("`_t`")).alias("_p")
+    ).select(
+        id_col, F.lit(0).alias("label"), ngrams_expr("_p", 2).alias("_g")
+    )
+    return (
+        nat.unionByName(perm)
+        .select(
+            id_col,
+            "label",
+            F.explode(F.coalesce(F.col("_g"), F.array())).alias("g"),
+        )
+        .groupBy(
+            id_col, "label", F.expr(_bucket_sql("g", buckets)).alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def fit_quality_classifier(
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = LM_BUCKETS,
+    cap: int = CLS_TRAIN_CAP,
+    lr: float = CLS_LR,
+    iters: int = CLS_ITERS,
+) -> tuple[list[float], float]:
+    """(weights, bias) — deterministic full-batch logistic GD in pure
+    Python (no numpy/BLAS: threaded summation order is machine-
+    dependent and would break the bit-for-bit mirror). Canonical
+    orders, which the mirror replicates: examples sorted by (id,
+    label); buckets ascending; x = count/n; stable sigmoid; w -=
+    lr·gw/N after each full pass."""
+    rows = classifier_train_features(
+        reference, id_col, text_col, buckets, cap
+    ).collect()
+    ex: dict[tuple, dict[int, int]] = {}
+    for r in rows:
+        ex.setdefault((r[id_col], r["label"]), {})[r["b"]] = r["c"]
+    examples = []
+    for key in sorted(ex):
+        counts = ex[key]
+        n = float(sum(counts.values()))
+        examples.append(
+            (key[1], [(b, counts[b] / n) for b in sorted(counts)])
+        )
+    w = [0.0] * buckets
+    b = 0.0
+    n_ex = float(len(examples))
+    for _ in range(iters):
+        gw = [0.0] * buckets
+        gb = 0.0
+        for y, feats in examples:
+            z = b
+            for bk, x in feats:
+                z = z + w[bk] * x
+            if z >= 0:
+                p = 1.0 / (1.0 + math.exp(-z))
+            else:
+                e = math.exp(z)
+                p = e / (1.0 + e)
+            err = p - float(y)
+            for bk, x in feats:
+                gw[bk] = gw[bk] + err * x
+            gb = gb + err
+        for j in range(buckets):
+            w[j] = w[j] - lr * gw[j] / n_ex
+        b = b - lr * gb / n_ex
+    return w, b
+
+
+def classifier_score_frame(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bigrams, logit) — mean of per-gram bucket weights plus
+    bias (fastText's averaged linear score). Sums and divides only, so
+    the JVM fold is bit-for-bit the mirror's CPython fold; keep =
+    logit > 0 ⟺ P(clean) > 0.5 (sigmoid is monotone — the threshold
+    lives on the logit and Spark never runs exp)."""
+    buckets = len(weights)
+    logit: Column = F.expr(
+        f"CASE WHEN size(_g) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+        f"(aggregate(transform(_g, g -> element_at(_w, "
+        f"{_bucket_sql('g', buckets)} + 1)), CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + x) / CAST(size(_g) AS DOUBLE)) "
+        f"+ CAST('{float(bias)!r}' AS DOUBLE) END"
+    )
+    return (
+        _bigram_frame(docs, id_col, text_col)
+        .withColumn("_w", F.expr(_literal_array_sql(weights)))
+        .select(
+            id_col,
+            F.size("_g").alias("n_bigrams"),
+            logit.alias("logit"),
+        )
+    )

@@ -389,6 +389,8 @@ def curate_training_data(
     decon_bloom_min_grams: int | None = None,
     bench_gram_count: int | None = None,
     decon_n: int = 5,
+    quality_classifier_reference: DataFrame | None = None,
+    lm_reference_docs: DataFrame | None = None,
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
     composed from the engine's tested stages into ONE lazy plan:
@@ -480,6 +482,62 @@ def curate_training_data(
         bench_gram_count=bench_gram_count,
         decon_n=decon_n,
     )
+
+    # 1b. optional MODEL-BASED quality filters (round 14, operators/
+    # quality.py — the CCNet two-signal stack), applied to the filtered
+    # pool BEFORE dedup, classifier first then LM (so LM tertiles are
+    # computed over classifier-clean docs, the published order):
+    #
+    # - classifier (``quality_classifier_reference``): logistic weights
+    #   fit driver-side on the reference (positives) vs its token-
+    #   permuted copies (negatives); keep logit > 0 (P(clean) > 0.5);
+    # - LM (``lm_reference_docs``): bits-per-bigram under a reference-
+    #   fit +1-smoothed hashed-bigram model; drop the WORST exact
+    #   tertile (keep head/middle — the CCNet keep rule; tertiles via
+    #   the select-k range exchange, no unpartitioned window).
+    #
+    # Unscoreable docs (<2 tokens) pass both filters — absence of
+    # evidence. Each filter pins its narrow (doc_id, score) table (the
+    # rfm retention convention; checkpointed BEFORE any filter so
+    # pushdown cannot re-inline the scoring HOF into the scan — the
+    # measured 110x pathology). FULL-RUN-ONLY knobs, like scrub_pii:
+    # the incremental daily path deliberately has neither — a per-batch
+    # LM tertile is batch-local (wrong pool), and quality rules in a
+    # daily loop belong at ingest with a FROZEN model, not refit per
+    # micro-batch (the scrub precedent's argument).
+    if quality_classifier_reference is not None:
+        from data_pipeline_team5_spark.operators.quality import (
+            classifier_score_frame,
+            fit_quality_classifier,
+        )
+
+        w, b = fit_quality_classifier(quality_classifier_reference)
+        cls_scored = classifier_score_frame(kept, w, b).localCheckpoint()
+        keep_ids = cls_scored.filter(
+            F.col("logit").isNull() | (F.col("logit") > 0)
+        ).select("doc_id")
+        kept = kept.join(keep_ids, "doc_id")
+    if lm_reference_docs is not None:
+        from data_pipeline_team5_spark.operators.quality import (
+            fit_hashed_bigram_lm,
+            lm_score_frame,
+        )
+        from data_pipeline_team5_spark.operators.ranks import (
+            exact_ntile_bucket,
+        )
+
+        logp = fit_hashed_bigram_lm(lm_reference_docs)
+        lm_scored = lm_score_frame(kept, logp).localCheckpoint()
+        scoreable = lm_scored.filter(F.col("ppl_bits").isNotNull())
+        tertile = exact_ntile_bucket(
+            scoreable, ["ppl_bits", "doc_id"], 3
+        )
+        drop_ids = (
+            scoreable.select("doc_id", tertile.alias("_t3"))
+            .filter(F.col("_t3") >= 3)
+            .select("doc_id")
+        )
+        kept = kept.join(drop_ids, "doc_id", "left_anti")
 
     # 2. exact dedup (deterministic survivor: min doc_id per content key)
     uniq = dedup_exact(

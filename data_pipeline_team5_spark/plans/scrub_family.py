@@ -12,9 +12,11 @@ no decoration: the corpus's planted near-duplicate docs share aligned
 8-token chunks naturally, so cross-document line frequency ≥ 2 exists in
 the fixtures at every SF.
 
-Both queries are oracle-backed TAIL entries (the driver's 50-row window
-is full — catalog.py:_TAIL); the local mini-driver exact-checks them
-against DuckDB every CI run.
+Since round 14 both stages are driver-graded through ``scrub_panel``
+(every cell of both queries section-tagged in one in-window slot under
+a composed oracle); the standalone forms are oracle-backed TAIL entries
+keeping their headline timings, and the local mini-driver exact-checks
+all three against DuckDB every CI run.
 """
 
 from __future__ import annotations

@@ -1378,62 +1378,24 @@ def _lm_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The perplexity-scoring construction plan of the LM filter query,
     exposed for the plan-invariant sweep (it executes eagerly into a
     checkpoint inside the query builder, so the returned panel plan no
-    longer contains it — the _bloom_reference_grams convention). Plan
-    shapes here are the repo's two proven-fast HOF disciplines and must
-    stay exactly these (each deviation was measured catastrophic at
-    sf0.1, see the query body): tokens bound to a column before the
-    ngram lambda; the gram array consumed with NO filter on any
-    token-derived value; the explode child wrapped in coalesce (the
-    doc_shingles infer-filters guard); the log table bound as a column,
-    never spliced into the lambda (an interpreted HOF re-constructs an
-    inline array literal — 512 string→double casts — per element)."""
-    import math
-
-    from data_pipeline_team5_spark.operators.textops import ngrams_expr
-
-    base = table(spark, sf_dir, "documents").select(
-        "doc_id", tokens_expr("text").alias("_t")
+    longer contains it — the _bloom_reference_grams convention). Since
+    round 14 the machinery lives in operators/quality.py (one source —
+    the curation pipeline consumes the same operators); this wrapper
+    fixes reference = the doc_id%PPLX_REF_MOD slice and pool = the
+    rest. Plan shapes are the proven HOF disciplines documented in the
+    operator module (each deviation was measured catastrophic at sf0.1
+    — the 110x lesson in the query body below)."""
+    from data_pipeline_team5_spark.operators.quality import (
+        fit_hashed_bigram_lm,
+        lm_score_frame,
     )
-    docs = base.select("doc_id", ngrams_expr("_t", 2).alias("_g"))
+
+    docs = table(spark, sf_dir, "documents")
     is_ref = F.col("doc_id") % PPLX_REF_MOD == 0
-
-    # pass 1: reference bigram bucket counts → driver-side log2 table
-    counts = (
-        docs.filter(is_ref)
-        .select(
-            F.explode(F.coalesce(F.col("_g"), F.array())).alias("g")
-        )
-        .groupBy(F.expr(_pplx_bucket_sql("g")).alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
+    logp = fit_hashed_bigram_lm(
+        docs.filter(is_ref), "doc_id", "text", PPLX_BUCKETS
     )
-    c = [0] * PPLX_BUCKETS
-    for r in counts:
-        c[r["b"]] = r["c"]
-    tot = sum(c) + PPLX_BUCKETS  # +1 smoothing mass
-    logp = [math.log2((c[b] + 1) / tot) for b in range(PPLX_BUCKETS)]
-
-    # pass 2: map-only scoring — one parsed expression, log table bound
-    lp_sql = "array(" + ",".join(
-        f"CAST('{float(v)!r}' AS DOUBLE)" for v in logp
-    ) + ")"
-    # the CASE guard is projection-level (never a filter — see above);
-    # unscoreable <2-token docs score NULL and are dropped post-pin
-    bits = F.expr(
-        f"CASE WHEN size(_g) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
-        f"(-aggregate(transform(_g, g -> element_at(_lp, "
-        f"{_pplx_bucket_sql('g')} + 1)), CAST(0.0 AS DOUBLE), "
-        "(acc, x) -> acc + x)) / CAST(size(_g) AS DOUBLE) END"
-    )
-    return (
-        docs.filter(~is_ref)
-        .withColumn("_lp", F.expr(lp_sql))
-        .select(
-            "doc_id",
-            F.size("_g").alias("n_bigrams"),
-            bits.alias("ppl_bits"),
-        )
-    )
+    return lm_score_frame(docs.filter(~is_ref), logp, "doc_id", "text")
 
 
 @register(
@@ -1550,155 +1512,63 @@ QCLS_ITERS = 1000  # gradient-descent iterations (deterministic, fixed;
 # ~0.6 s of driver CPU at 128 examples — bounded by QCLS_TRAIN_CAP)
 
 
-def _qcls_bucket_sql(g: str) -> str:
-    from data_pipeline_team5_spark.operators.textops import (
-        hashed_bucket_sql,
-    )
-
-    return hashed_bucket_sql(g, QCLS_BUCKETS)
-
-
-def _perm_tokens_sql(t: str) -> str:
-    """Deterministic token permutation — the negative-class generator.
-    Each token is keyed by md5 of ``token#position`` and the array is
-    sorted by (key, token): a reproducible shuffle with no RNG (the
-    fixture-stability rule — Date.now/random are banned from query
-    builders), identical in the hashlib mirror because hex-digit
-    ordering equals UTF-8 binary string ordering."""
-    return (
-        f"transform(array_sort(transform({t}, (tok, i) -> "
-        f"named_struct('h', md5(concat(tok, '#', CAST(i AS STRING))), "
-        f"'t', tok))), s -> s.t)"
-    )
-
-
 def _qcls_train_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse training features — (doc_id, label, b, c) bucket counts
-    for the capped training docs' natural and permuted bigram streams.
-    Exposed for the plan-invariant sweep (it executes eagerly into
-    :func:`_qcls_fit`'s collect). Collected volume is bounded:
-    ≤ 2 × QCLS_TRAIN_CAP × QCLS_BUCKETS rows whatever the corpus size.
-    Plan shape: the cap is a TakeOrderedAndProject (constant K), the
-    token read joins it BROADCAST, and the explode child keeps the
-    doc_shingles coalesce guard."""
-    base = table(spark, sf_dir, "documents").select(
-        "doc_id", tokens_expr("text").alias("_t")
+    """The classifier's training-feature collect plan (operators/
+    quality.py:classifier_train_features over the fixture's reference
+    slice), exposed for the plan-invariant sweep. Collected volume is
+    bounded: ≤ 2 × QCLS_TRAIN_CAP × QCLS_BUCKETS rows whatever the
+    corpus size (TakeOrderedAndProject cap + broadcast join)."""
+    from data_pipeline_team5_spark.operators.quality import (
+        classifier_train_features,
     )
-    ref = base.filter(F.col("doc_id") % PPLX_REF_MOD == 0)
-    cap = (
-        ref.select(
-            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h")
-        )
-        .orderBy("_h", "doc_id")
-        .limit(QCLS_TRAIN_CAP)
-        .select("doc_id")
-    )
-    train = ref.join(F.broadcast(cap), "doc_id")
-    nat = train.select(
-        "doc_id", F.lit(1).alias("label"), ngrams_expr("_t", 2).alias("_g")
-    )
-    perm = train.select(
-        "doc_id", F.expr(_perm_tokens_sql("`_t`")).alias("_p")
-    ).select(
-        "doc_id", F.lit(0).alias("label"), ngrams_expr("_p", 2).alias("_g")
-    )
-    return (
-        nat.unionByName(perm)
-        .select(
-            "doc_id",
-            "label",
-            F.explode(F.coalesce(F.col("_g"), F.array())).alias("g"),
-        )
-        .groupBy(
-            "doc_id", "label", F.expr(_qcls_bucket_sql("g")).alias("b")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
+
+    docs = table(spark, sf_dir, "documents")
+    return classifier_train_features(
+        docs.filter(F.col("doc_id") % PPLX_REF_MOD == 0),
+        "doc_id",
+        "text",
+        QCLS_BUCKETS,
+        QCLS_TRAIN_CAP,
     )
 
 
 def _qcls_fit(spark: SparkSession, sf_dir: str) -> tuple[list[float], float]:
-    """(weights[QCLS_BUCKETS], bias) — deterministic full-batch logistic
-    GD in pure Python (CPython doubles; no numpy/BLAS, whose threaded
-    summation order is machine-dependent and would break the bit-for-bit
-    mirror). Canonical orders, which the mirror must replicate exactly:
-    examples sorted by (doc_id, label); within an example, buckets
-    ascending; feature value = count / n (relative frequency). Docs with
-    no bigram contribute no rows and are excluded from training. The
-    stable sigmoid splits on sign so exp never overflows."""
-    import math
+    """(weights, bias) for the fixture classifier — operators/quality.py:
+    fit_quality_classifier over the reference slice (deterministic pure-
+    Python GD; canonical orders documented there, replicated by the
+    mirror in tests/test_lm_quality.py)."""
+    from data_pipeline_team5_spark.operators.quality import (
+        fit_quality_classifier,
+    )
 
-    rows = _qcls_train_features(spark, sf_dir).collect()
-    ex: dict[tuple[int, int], dict[int, int]] = {}
-    for r in rows:
-        ex.setdefault((r["doc_id"], r["label"]), {})[r["b"]] = r["c"]
-    examples = []  # [(y, [(bucket, relfreq), ...])] in canonical order
-    for (doc_id, label) in sorted(ex):
-        counts = ex[(doc_id, label)]
-        n = float(sum(counts.values()))
-        examples.append(
-            (label, [(b, counts[b] / n) for b in sorted(counts)])
-        )
-    w = [0.0] * QCLS_BUCKETS
-    b = 0.0
-    n_ex = float(len(examples))
-    for _ in range(QCLS_ITERS):
-        gw = [0.0] * QCLS_BUCKETS
-        gb = 0.0
-        for y, feats in examples:
-            z = b
-            for bk, x in feats:
-                z = z + w[bk] * x
-            if z >= 0:
-                p = 1.0 / (1.0 + math.exp(-z))
-            else:
-                e = math.exp(z)
-                p = e / (1.0 + e)
-            err = p - float(y)
-            for bk, x in feats:
-                gw[bk] = gw[bk] + err * x
-            gb = gb + err
-        for j in range(QCLS_BUCKETS):
-            w[j] = w[j] - QCLS_LR * gw[j] / n_ex
-        b = b - QCLS_LR * gb / n_ex
-    return w, b
+    docs = table(spark, sf_dir, "documents")
+    return fit_quality_classifier(
+        docs.filter(F.col("doc_id") % PPLX_REF_MOD == 0),
+        "doc_id",
+        "text",
+        QCLS_BUCKETS,
+        QCLS_TRAIN_CAP,
+        QCLS_LR,
+        QCLS_ITERS,
+    )
 
 
 def _qcls_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The classifier-scoring construction plan (the _lm_scored_frame
-    discipline verbatim — every deviation from this shape was measured
-    catastrophic there, see lm_perplexity_filter): tokens bound to a
-    column before the ngram lambda; the gram array consumed with no
-    filter on any token-derived value; the weight table bound as a
-    column, never spliced into the lambda; logit = (left-to-right fold
-    of per-gram bucket weights) / n + bias — sums and divides only, so
-    the JVM evaluation is bit-for-bit the mirror's CPython fold."""
-    w, bias = _qcls_fit(spark, sf_dir)
+    """The classifier-scoring construction plan (operators/quality.py:
+    classifier_score_frame — the _lm_scored_frame discipline verbatim),
+    exposed for the plan-invariant sweep."""
+    from data_pipeline_team5_spark.operators.quality import (
+        classifier_score_frame,
+    )
 
-    base = table(spark, sf_dir, "documents").select(
-        "doc_id", tokens_expr("text").alias("_t")
-    )
-    docs = base.select("doc_id", ngrams_expr("_t", 2).alias("_g"))
-    is_ref = F.col("doc_id") % PPLX_REF_MOD == 0
-    w_sql = (
-        "array("
-        + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in w)
-        + ")"
-    )
-    logit = F.expr(
-        f"CASE WHEN size(_g) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
-        f"(aggregate(transform(_g, g -> element_at(_w, "
-        f"{_qcls_bucket_sql('g')} + 1)), CAST(0.0 AS DOUBLE), "
-        f"(acc, x) -> acc + x) / CAST(size(_g) AS DOUBLE)) "
-        f"+ CAST('{float(bias)!r}' AS DOUBLE) END"
-    )
-    return (
-        docs.filter(~is_ref)
-        .withColumn("_w", F.expr(w_sql))
-        .select(
-            "doc_id",
-            F.size("_g").alias("n_bigrams"),
-            logit.alias("logit"),
-        )
+    w, bias = _qcls_fit(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    return classifier_score_frame(
+        docs.filter(F.col("doc_id") % PPLX_REF_MOD != 0),
+        w,
+        bias,
+        "doc_id",
+        "text",
     )
 
 

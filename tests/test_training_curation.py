@@ -469,3 +469,129 @@ def test_survivor_policy_source_rank_prefers_trusted_source(spark):
     )
     kept2 = {r["doc_id"] for r in unlisted.select("doc_id").collect()}
     assert donor["doc_id"] in kept2 and new_id not in kept2
+
+
+def test_curate_quality_filters_lm_and_classifier(spark):
+    """Round 14: the model-based quality knobs (operators/quality.py via
+    curate_training_data) — survivors must satisfy the filters' rules
+    recomputed INDEPENDENTLY from the operators: no survivor in the LM
+    drop set (worst tertile of the classifier-kept pool), no survivor
+    with logit ≤ 0, unscoreable docs pass, and the run is
+    deterministic."""
+    from data_pipeline_team5_spark.operators.quality import (
+        classifier_score_frame,
+        fit_hashed_bigram_lm,
+        fit_quality_classifier,
+        lm_score_frame,
+    )
+    from data_pipeline_team5_spark.operators.ranks import (
+        exact_ntile_bucket,
+    )
+    from data_pipeline_team5_spark.pipeline import (
+        _curation_filter_stage,
+        curate_training_data,
+    )
+    from data_pipeline_team5_spark.plans.catalog import table
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "n_chars", "text", "source"
+    )
+    is_ref = F.col("doc_id") % 7 == 0
+    ref = docs.filter(is_ref)
+    pool = docs.filter(~is_ref)
+
+    out = curate_training_data(
+        pool,
+        quality_classifier_reference=ref,
+        lm_reference_docs=ref,
+    )
+    survivors = {r["doc_id"] for r in out.collect()}
+    assert survivors
+
+    base = {
+        r["doc_id"] for r in curate_training_data(pool).collect()
+    }
+    # fewer survivors than the unfiltered run (NOT a subset: dropping a
+    # component's min-id member before dedup re-elects its survivor)
+    assert len(survivors) < len(base)
+
+    # recompute the two rules from the operators, same order as the
+    # pipeline: classifier on the filter-stage pool, LM tertiles on the
+    # classifier-kept pool
+    kept = _curation_filter_stage(pool)
+    w, b = fit_quality_classifier(ref)
+    cls = {
+        r["doc_id"]: r["logit"]
+        for r in classifier_score_frame(kept, w, b).collect()
+    }
+    cls_kept_ids = {
+        d for d, lg in cls.items() if lg is None or lg > 0
+    }
+    logp = fit_hashed_bigram_lm(ref)
+    cls_kept = kept.join(
+        spark.createDataFrame(
+            [(d,) for d in sorted(cls_kept_ids)], "doc_id BIGINT"
+        ),
+        "doc_id",
+    )
+    scored = lm_score_frame(cls_kept, logp).localCheckpoint().filter(
+        F.col("ppl_bits").isNotNull()
+    )
+    t3 = exact_ntile_bucket(scored, ["ppl_bits", "doc_id"], 3)
+    lm_dropped = {
+        r["doc_id"]
+        for r in scored.select("doc_id", t3.alias("t"))
+        .filter(F.col("t") >= 3)
+        .collect()
+    }
+    for d in survivors:
+        assert d in cls_kept_ids, (d, "survivor failed the classifier")
+        assert d not in lm_dropped, (d, "survivor in the LM drop tertile")
+    # determinism
+    again = {
+        r["doc_id"]
+        for r in curate_training_data(
+            pool,
+            quality_classifier_reference=ref,
+            lm_reference_docs=ref,
+        ).collect()
+    }
+    assert again == survivors
+
+
+def test_cli_quality_reference_flag(spark, tmp_path, capsys):
+    """--quality-reference/--quality-filter reach the pipeline: the
+    filtered run keeps strictly fewer docs than the unfiltered run."""
+    import json as _json
+
+    from data_pipeline_team5_spark.curate import main
+    from data_pipeline_team5_spark.plans.catalog import table
+
+    docs = table(spark, SF_SMALL, "documents")
+    docs.filter(F.col("doc_id") % 7 != 0).write.parquet(
+        str(tmp_path / "docs")
+    )
+    docs.filter(F.col("doc_id") % 7 == 0).write.parquet(
+        str(tmp_path / "ref")
+    )
+    kept = {}
+    for label, extra in (
+        ("plain", []),
+        (
+            "lm",
+            ["--quality-reference", str(tmp_path / "ref"),
+             "--quality-filter", "both"],
+        ),
+    ):
+        main(
+            [
+                "full",
+                "--docs", str(tmp_path / "docs"),
+                "--out", str(tmp_path / f"out_{label}"),
+            ]
+            + extra
+        )
+        kept[label] = _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )["kept"]
+    assert 0 < kept["lm"] < kept["plain"]
