@@ -408,15 +408,22 @@ def perceptual_hashes(blobs: DataFrame, backend: str = "bmp") -> DataFrame:
 
 
 def perceptual_pairs(
-    hashes: DataFrame, max_hamming: int = 6, blocks: int = 8, combo: int = 1
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    blocks: int = 8,
+    combo: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Perceptual near-dup pairs (doc_a, doc_b, hamming, ahash_hamming)
     by dHash Hamming distance — the SimHash banded join reused verbatim
     (operators/dedup.py:simhash_pairs, 64-bit/8-block parameterization:
     pigeonhole-guaranteed recall for max_hamming ≤ blocks − combo,
     exact bit_count verify, candidate-linear — never all-pairs; a
-    100 TB run raises blocks/combo exactly as documented there). The
-    aHash distance rides along as the second-opinion column real
+    100 TB run raises blocks/combo exactly as documented there, and
+    passes ``max_bucket`` — the LSH-style degenerate-bucket cap — when
+    true duplication is massive enough that the PAIR LIST itself goes
+    quadratic; see simhash_pairs' round-14 doc for the recall trade).
+    The aHash distance rides along as the second-opinion column real
     review queues sort by."""
     from data_pipeline_team5_spark.operators.dedup import simhash_pairs
 
@@ -426,6 +433,7 @@ def perceptual_pairs(
         bits=64,
         blocks=blocks,
         combo=combo,
+        max_bucket=max_bucket,
     )
     a = hashes.select(
         F.col("doc_id").alias("doc_a"), F.col("ahash").alias("_aa")

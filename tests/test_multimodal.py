@@ -268,3 +268,34 @@ def test_perceptual_grid_guard():
 
     with pytest.raises(ValueError, match="smaller than the"):
         _gray_grid(b"\x00" * (4 * 4 * 3), 4, 4, 9, 8)
+
+
+def test_perceptual_pairs_bucket_cap(spark):
+    """The LSH-style degenerate-bucket guard on the banded join (round
+    14): with a massive true-duplicate cluster, the capped form must
+    drop the cluster's quadratic pair list while keeping pairs from
+    small buckets, and the capped pair set is a subset of the exact
+    one."""
+    from data_pipeline_team5_spark.operators.multimodal import (
+        perceptual_pairs,
+    )
+
+    # 40 identical hashes (one viral image) + 3 distinct near-dups
+    rows = [(i, 0x1234, 0x1234) for i in range(40)]
+    rows += [(100, 1 << 63 | 7, 0), (101, 1 << 63 | 7 | 1, 1)]
+    df = spark.createDataFrame(
+        [(d, h - (1 << 64) if h >= 1 << 63 else h,
+          a - (1 << 64) if a >= 1 << 63 else a) for d, h, a in rows],
+        "doc_id LONG, dhash LONG, ahash LONG",
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in perceptual_pairs(df, max_hamming=6).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in perceptual_pairs(df, max_hamming=6, max_bucket=10).collect()
+    }
+    assert (100, 101) in exact and (100, 101) in capped
+    assert capped < exact  # the 40-clone quadratic block is gone
+    assert not any(a < 40 and b < 40 for a, b in capped)
