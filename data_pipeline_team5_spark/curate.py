@@ -144,6 +144,12 @@ def main(argv: list[str] | None = None) -> int:
                              "rule); 'classifier' keeps P(clean) > 0.5 "
                              "under a reference-vs-permuted logistic "
                              "model; 'both' runs classifier then lm")
+    p_full.add_argument("--quality-model-out", default=None,
+                        help="with --quality-reference: also save the "
+                             "fitted model + the run's realized LM keep "
+                             "cutoff as JSON, the frozen model the daily "
+                             "loop applies via incremental/stream "
+                             "--quality-model")
     p_full.add_argument("--decon-n", type=int, default=5,
                         help="decontamination gram/window width in tokens "
                              "(default 5). Raising it to e.g. 12 gives the "
@@ -216,6 +222,11 @@ def main(argv: list[str] | None = None) -> int:
                         help="eval-benchmark documents parquet; the daily "
                              "batch is decontaminated against it before "
                              "dedup")
+    p_inc.add_argument("--quality-model", default=None,
+                       help="frozen quality-model JSON (from full "
+                            "--quality-model-out): applies the saved "
+                            "classifier threshold and LM cutoff to each "
+                            "batch — never a per-batch refit/tertile")
     p_inc.add_argument("--decon-n", type=int, default=5,
                        help="see full --decon-n")
     p_inc.add_argument("--decon-bloom-min-grams", type=int, default=None,
@@ -255,6 +266,11 @@ def main(argv: list[str] | None = None) -> int:
     p_str.add_argument("--budget", type=int, default=2048)
     p_str.add_argument("--threshold", type=float, default=0.6)
     p_str.add_argument("--benchmark", default=None)
+    p_str.add_argument("--quality-model", default=None,
+                       help="frozen quality-model JSON (from full "
+                            "--quality-model-out): applies the saved "
+                            "classifier threshold and LM cutoff to each "
+                            "batch — never a per-batch refit/tertile")
     p_str.add_argument("--decon-n", type=int, default=5,
                        help="see full --decon-n")
     p_str.add_argument("--decon-bloom-min-grams", type=int, default=None,
@@ -358,6 +374,13 @@ def main(argv: list[str] | None = None) -> int:
         if getattr(args, "quality_reference", None)
         else None
     )
+    frozen_quality = None
+    if getattr(args, "quality_model", None):
+        from data_pipeline_team5_spark.operators.quality import (
+            load_quality_model,
+        )
+
+        frozen_quality = load_quality_model(args.quality_model)
     if args.cmd == "full":
         out = curate_training_data(
             spark.read.parquet(args.docs),
@@ -378,6 +401,7 @@ def main(argv: list[str] | None = None) -> int:
                 if args.quality_filter in ("lm", "both")
                 else None
             ),
+            quality_model_out=args.quality_model_out,
             scrub_pii=args.scrub_pii,
             survivor_policy=args.survivor_policy,
             source_priority=(
@@ -601,6 +625,7 @@ def main(argv: list[str] | None = None) -> int:
                 decon_bloom_min_grams=args.decon_bloom_min_grams,
                 bench_gram_count=bench_n_grams,
                 decon_n=args.decon_n,
+                quality_model=frozen_quality,
             )
             off = next_bin_offset(spark, args.out, exclude_batch_id=fold)
             (
@@ -671,6 +696,7 @@ def main(argv: list[str] | None = None) -> int:
             decon_bloom_min_grams=args.decon_bloom_min_grams,
             bench_gram_count=bench_n_grams,
             decon_n=args.decon_n,
+            quality_model=frozen_quality,
         )
         if fold is None:
             out.write.mode("overwrite").parquet(args.out)

@@ -269,3 +269,75 @@ def classifier_score_frame(
             logit.alias("logit"),
         )
     )
+
+
+def save_quality_model(
+    path: str,
+    logp: list[float] | None = None,
+    lm_keep_max_bits: float | None = None,
+    weights: list[float] | None = None,
+    bias: float | None = None,
+) -> None:
+    """Persist a fitted quality model as JSON — the FROZEN-MODEL hand-off
+    from the full curation run to the daily loop (the scrub-precedent
+    argument: a per-batch refit would re-fit on the same reference every
+    day, and a per-batch LM tertile would split the wrong pool; the
+    full run's realized cutoff is the rule a daily batch should apply).
+    Doubles survive bit-exactly: ``json`` serializes floats via the
+    shortest-round-trip repr, the same route the literal plan embedding
+    uses."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "logp": logp,
+                "lm_keep_max_bits": lm_keep_max_bits,
+                "weights": weights,
+                "bias": bias,
+            },
+            f,
+        )
+
+
+def load_quality_model(path: str) -> dict:
+    import json
+
+    with open(path) as f:
+        return json.load(f)
+
+
+def apply_frozen_quality_model(
+    kept: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a frozen model's THRESHOLD rules to a (daily-batch-sized)
+    frame: keep classifier logit > 0 and LM bits ≤ the stored full-run
+    cutoff; unscoreable docs pass. Each score table is localCheckpointed
+    BEFORE its filter — filtering the lazy scored frame directly
+    re-inlines the HOF chain via CollapseProject and runs 50-90 s at
+    sf0.1 against ~1 s pinned (measured round 14; the 110× pathology's
+    filter-on-score costume) — and the pins are BATCH-sized, reclaimed
+    with the batch's references like the incremental path's existing
+    dedup pin."""
+    if model.get("weights") is not None:
+        scored = classifier_score_frame(
+            kept, model["weights"], model["bias"], id_col, text_col
+        ).localCheckpoint()
+        keep_ids = scored.filter(
+            F.col("logit").isNull() | (F.col("logit") > 0)
+        ).select(id_col)
+        kept = kept.join(keep_ids, id_col)
+    if model.get("logp") is not None and model.get(
+        "lm_keep_max_bits"
+    ) is not None:
+        scored = lm_score_frame(
+            kept, model["logp"], id_col, text_col
+        ).localCheckpoint()
+        drop_ids = scored.filter(
+            F.col("ppl_bits") > float(model["lm_keep_max_bits"])
+        ).select(id_col)
+        kept = kept.join(drop_ids, id_col, "left_anti")
+    return kept

@@ -391,6 +391,7 @@ def curate_training_data(
     decon_n: int = 5,
     quality_classifier_reference: DataFrame | None = None,
     lm_reference_docs: DataFrame | None = None,
+    quality_model_out: str | None = None,
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
     composed from the engine's tested stages into ONE lazy plan:
@@ -505,6 +506,10 @@ def curate_training_data(
     # LM tertile is batch-local (wrong pool), and quality rules in a
     # daily loop belong at ingest with a FROZEN model, not refit per
     # micro-batch (the scrub precedent's argument).
+    qm_weights: list[float] | None = None
+    qm_bias: float | None = None
+    qm_logp: list[float] | None = None
+    qm_cutoff: float | None = None
     if quality_classifier_reference is not None:
         from data_pipeline_team5_spark.operators.quality import (
             classifier_score_frame,
@@ -512,6 +517,7 @@ def curate_training_data(
         )
 
         w, b = fit_quality_classifier(quality_classifier_reference)
+        qm_weights, qm_bias = w, b
         cls_scored = classifier_score_frame(kept, w, b).localCheckpoint()
         keep_ids = cls_scored.filter(
             F.col("logit").isNull() | (F.col("logit") > 0)
@@ -527,6 +533,7 @@ def curate_training_data(
         )
 
         logp = fit_hashed_bigram_lm(lm_reference_docs)
+        qm_logp = logp
         lm_scored = lm_score_frame(kept, logp).localCheckpoint()
         scoreable = lm_scored.filter(F.col("ppl_bits").isNotNull())
         tertile = exact_ntile_bucket(
@@ -538,6 +545,32 @@ def curate_training_data(
             .select("doc_id")
         )
         kept = kept.join(drop_ids, "doc_id", "left_anti")
+        if quality_model_out is not None:
+            # the full run's REALIZED keep cutoff (max bits among the
+            # head/middle tertiles) — the frozen threshold a daily batch
+            # applies (operators/quality.py:apply_frozen_quality_model);
+            # one 1-row agg over the already-pinned score table
+            row = (
+                scoreable.select("ppl_bits", tertile.alias("_t3"))
+                .filter(F.col("_t3") <= 2)
+                .agg(F.max("ppl_bits").alias("m"))
+                .collect()
+            )
+            qm_cutoff = row[0]["m"] if row else None
+    if quality_model_out is not None and (
+        qm_weights is not None or qm_logp is not None
+    ):
+        from data_pipeline_team5_spark.operators.quality import (
+            save_quality_model,
+        )
+
+        save_quality_model(
+            quality_model_out,
+            logp=qm_logp,
+            lm_keep_max_bits=qm_cutoff,
+            weights=qm_weights,
+            bias=qm_bias,
+        )
 
     # 2. exact dedup (deterministic survivor: min doc_id per content key)
     uniq = dedup_exact(
@@ -691,6 +724,7 @@ def curate_incremental_batch(
     decon_bloom_min_grams: int | None = None,
     bench_gram_count: int | None = None,
     decon_n: int = 5,
+    quality_model: dict | None = None,
 ) -> DataFrame:
     """Daily curation update: run the full curation contract for a NEW
     batch against the already-RETAINED corpus, touching the corpus only
@@ -770,6 +804,20 @@ def curate_incremental_batch(
         bench_gram_count=bench_gram_count,
         decon_n=decon_n,
     )
+    if quality_model is not None:
+        # FROZEN-model quality rules (round 14): the daily loop applies
+        # the full run's saved thresholds — classifier logit > 0, LM
+        # bits ≤ the full run's realized tertile cutoff — never a
+        # per-batch refit or a batch-local tertile (wrong pool). Score
+        # pins are batch-sized, reclaimed with the batch like the dedup
+        # pin below; see operators/quality.py:apply_frozen_quality_model
+        # for why the pins are required (the measured filter-on-score
+        # pathology).
+        from data_pipeline_team5_spark.operators.quality import (
+            apply_frozen_quality_model,
+        )
+
+        kept = apply_frozen_quality_model(kept, quality_model)
 
     # 2. exact dedup: within the batch, then anti-join the corpus's keys —
     # probed from the stored key table when available (O(batch) probe)

@@ -1503,13 +1503,18 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   the _lm_scored_frame plan shape with the weight table bound as ONE
 #   literal array column.
 
-QCLS_BUCKETS = 512  # hashed-bigram feature dim (shared literal-array cap)
-QCLS_TRAIN_CAP = 64  # training docs — FIXED driver state at any corpus SF
-QCLS_LR = 5.0  # full-batch learning rate (relfreq features are ~1/n-
-# scaled, so the effective step is small; tuned on the fixture sweep —
-# train accuracy 0.94-0.98 across sf0.001/0.01/0.1 at these settings)
-QCLS_ITERS = 1000  # gradient-descent iterations (deterministic, fixed;
-# ~0.6 s of driver CPU at 128 examples — bounded by QCLS_TRAIN_CAP)
+# Single-sourced from the operator module (round-14 extraction —
+# re-exported here because the mirror tests and the registration docs
+# read them as the catalog query's parameters). Tuning rationale:
+# lr 5.0 because relfreq features are ~1/n-scaled (small effective
+# step); 1000 iters ≈ 0.6 s of driver CPU at 128 examples, train
+# accuracy 0.94-0.98 across sf0.001/0.01/0.1 on the fixture sweep.
+from data_pipeline_team5_spark.operators.quality import (  # noqa: E402
+    CLS_ITERS as QCLS_ITERS,
+    CLS_LR as QCLS_LR,
+    CLS_TRAIN_CAP as QCLS_TRAIN_CAP,
+    LM_BUCKETS as QCLS_BUCKETS,
+)
 
 
 def _qcls_train_features(spark: SparkSession, sf_dir: str) -> DataFrame:

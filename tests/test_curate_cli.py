@@ -848,3 +848,42 @@ def test_cli_stream_shard_delivery_leg(spark, tmp_path, capsys):
     after = sorted(str(p) for p in __import__("pathlib").Path(
         shard_root).rglob("*.parquet"))
     assert before == after  # untouched on a no-op rerun
+
+
+def test_cli_quality_model_full_to_incremental(spark, tmp_path, capsys):
+    """Round 14 frozen-model loop: `full --quality-reference
+    --quality-model-out` writes the model JSON; `incremental
+    --quality-model` applies the frozen rules and keeps strictly fewer
+    docs than the plain daily run."""
+    docs, paths = _days(spark, tmp_path)
+    ref_path = str(tmp_path / "ref.parquet")
+    docs.filter(F.col("doc_id") % 7 == 0).write.parquet(ref_path)
+    mpath = str(tmp_path / "qm.json")
+    _run(capsys, [
+        "full", "--docs", paths["day0"],
+        "--out", str(tmp_path / "full_out"),
+        "--quality-reference", ref_path,
+        "--quality-filter", "both",
+        "--quality-model-out", mpath,
+    ])
+    import os
+
+    assert os.path.exists(mpath)
+
+    s = _store_args(tmp_path)
+    _run(capsys, ["init-corpus", "--docs", paths["day0"],
+                  "--corpus", s["corpus"]])
+    _run(capsys, ["build-index", "--docs", s["corpus"],
+                  "--sig", s["sig"], "--key", s["key"]])
+    plain = _run(capsys, [
+        "incremental", "--new", paths["day1"], "--corpus", s["corpus"],
+        "--sig", s["sig"], "--key", s["key"],
+        "--out", str(tmp_path / "out_plain"),
+    ])
+    frozen = _run(capsys, [
+        "incremental", "--new", paths["day1"], "--corpus", s["corpus"],
+        "--sig", s["sig"], "--key", s["key"],
+        "--out", str(tmp_path / "out_frozen"),
+        "--quality-model", mpath,
+    ])
+    assert 0 < frozen["kept"] < plain["kept"]

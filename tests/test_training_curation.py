@@ -595,3 +595,67 @@ def test_cli_quality_reference_flag(spark, tmp_path, capsys):
             capsys.readouterr().out.strip().splitlines()[-1]
         )["kept"]
     assert 0 < kept["lm"] < kept["plain"]
+
+
+def test_frozen_quality_model_roundtrip_and_daily_apply(spark, tmp_path):
+    """Round 14 (frozen-model hand-off): the full run saves its fitted
+    model + realized LM cutoff; a daily batch applies the FROZEN rules
+    and every batch survivor satisfies them recomputed independently —
+    bits ≤ the stored cutoff and logit > 0 (or unscoreable). The JSON
+    round-trip is double-bit-exact."""
+    from data_pipeline_team5_spark.operators.quality import (
+        classifier_score_frame,
+        fit_hashed_bigram_lm,
+        fit_quality_classifier,
+        lm_score_frame,
+        load_quality_model,
+    )
+    from data_pipeline_team5_spark.pipeline import (
+        curate_incremental_batch,
+        curate_training_data,
+    )
+    from data_pipeline_team5_spark.plans.catalog import table
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "n_chars", "text", "source"
+    )
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    pool = docs.filter((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 3 != 0))
+    batch = docs.filter((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 3 == 0))
+
+    mpath = str(tmp_path / "quality_model.json")
+    curate_training_data(
+        pool,
+        quality_classifier_reference=ref,
+        lm_reference_docs=ref,
+        quality_model_out=mpath,
+    ).collect()
+    model = load_quality_model(mpath)
+    # bit-exact round-trip against a re-fit
+    assert model["logp"] == fit_hashed_bigram_lm(ref)
+    w, b = fit_quality_classifier(ref)
+    assert model["weights"] == w and model["bias"] == b
+    assert model["lm_keep_max_bits"] is not None
+
+    out = curate_incremental_batch(
+        batch, pool, quality_model=model
+    )
+    survivors = {r["doc_id"] for r in out.collect()}
+    assert survivors
+    bits = {
+        r["doc_id"]: r["ppl_bits"]
+        for r in lm_score_frame(batch, model["logp"]).collect()
+    }
+    logits = {
+        r["doc_id"]: r["logit"]
+        for r in classifier_score_frame(batch, w, b).collect()
+    }
+    for d in survivors:
+        assert bits[d] is None or bits[d] <= model["lm_keep_max_bits"], d
+        assert logits[d] is None or logits[d] > 0, d
+    # the frozen rules actually dropped something from this batch
+    plain = {
+        r["doc_id"]
+        for r in curate_incremental_batch(batch, pool).collect()
+    }
+    assert len(survivors) < len(plain)
