@@ -502,3 +502,39 @@ def test_exact_grouped_ntile_bucket_matches_window(spark, sizes):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_exact_grouped_ntile_bucket_null_cut_raises(spark):
+    """The grouped form inherits the global form's NULL policy: a NULL
+    order value ON a bucket-cut rank cannot be encoded as a literal
+    threshold and must raise, not silently mis-bucket — while NULLs
+    AWAY from every cut pass (NULLS FIRST, lowest bucket)."""
+    import pytest as _pytest
+
+    from data_pipeline_team5_spark.operators.ranks import (
+        exact_grouped_ntile_bucket,
+    )
+
+    all_null = spark.createDataFrame(
+        [(i, "g", None) for i in range(4)],
+        "user_id INT, grp STRING, m INT",
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        exact_grouped_ntile_bucket(all_null, ["grp"], ["m", "user_id"], 4)
+
+    # one NULL among 8 values, 2 buckets: the cut rank (4) is a non-NULL
+    # row, so the NULL lands in bucket 1 (NULLS FIRST) without raising
+    ok = spark.createDataFrame(
+        [(i, "g", None if i == 0 else i) for i in range(8)],
+        "user_id INT, grp STRING, m INT",
+    )
+    got = {
+        r["user_id"]: r["b"]
+        for r in ok.select(
+            "user_id",
+            exact_grouped_ntile_bucket(
+                ok, ["grp"], ["m", "user_id"], 2
+            ).alias("b"),
+        ).collect()
+    }
+    assert got[0] == 1 and got[7] == 2
