@@ -62,6 +62,15 @@ def _bigram_frame(
     return base.select(id_col, ngrams_expr("_t", 2).alias("_g"))
 
 
+def smoothed_log2_table(c: list[int], buckets: int) -> list[float]:
+    """The +1-smoothed log2-probability table from a bucket-count list —
+    THE model math, single-sourced (review r14: the per-language catalog
+    variant had re-inlined it; a smoothing change must hit every variant
+    or the bit-for-bit mirrors silently diverge)."""
+    tot = sum(c) + buckets
+    return [math.log2((c[b] + 1) / tot) for b in range(buckets)]
+
+
 def fit_hashed_bigram_lm(
     reference: DataFrame,
     id_col: str = "doc_id",
@@ -84,15 +93,31 @@ def fit_hashed_bigram_lm(
     c = [0] * buckets
     for r in counts:
         c[r["b"]] = r["c"]
-    tot = sum(c) + buckets
-    return [math.log2((c[b] + 1) / tot) for b in range(buckets)]
+    return smoothed_log2_table(c, buckets)
 
 
-def _literal_array_sql(values: list[float]) -> str:
+def literal_array_sql(values: list[float]) -> str:
+    """repr-exact DOUBLE array literal — the literal-model embedding
+    (string→double parse is correctly rounded, so the plan carries the
+    driver-computed doubles bit-for-bit)."""
     return (
         "array("
         + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in values)
         + ")"
+    )
+
+
+def lm_bits_expr(buckets: int) -> Column:
+    """The bits-per-bigram scoring fold over a bound ``_g`` bigram array
+    and a bound ``_lp`` log-prob array column — THE scoring shape,
+    single-sourced (the proven HOF discipline; the per-language variant
+    reuses it with ``_lp`` resolved by a map lookup). The CASE guard is
+    projection-level, never a filter (see module doc)."""
+    return F.expr(
+        f"CASE WHEN size(_g) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+        f"(-aggregate(transform(_g, g -> element_at(_lp, "
+        f"{_bucket_sql('g', buckets)} + 1)), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x)) / CAST(size(_g) AS DOUBLE) END"
     )
 
 
@@ -107,16 +132,10 @@ def lm_score_frame(
     docs score NULL (projection-level CASE, never a filter — see module
     doc). Callers that filter or consume the frame more than once must
     checkpoint it first (the catalog wrapper does)."""
-    buckets = len(logp)
-    bits = F.expr(
-        f"CASE WHEN size(_g) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
-        f"(-aggregate(transform(_g, g -> element_at(_lp, "
-        f"{_bucket_sql('g', buckets)} + 1)), CAST(0.0 AS DOUBLE), "
-        "(acc, x) -> acc + x)) / CAST(size(_g) AS DOUBLE) END"
-    )
+    bits = lm_bits_expr(len(logp))
     return (
         _bigram_frame(docs, id_col, text_col)
-        .withColumn("_lp", F.expr(_literal_array_sql(logp)))
+        .withColumn("_lp", F.expr(literal_array_sql(logp)))
         .select(
             id_col,
             F.size("_g").alias("n_bigrams"),
@@ -262,7 +281,7 @@ def classifier_score_frame(
     )
     return (
         _bigram_frame(docs, id_col, text_col)
-        .withColumn("_w", F.expr(_literal_array_sql(weights)))
+        .withColumn("_w", F.expr(literal_array_sql(weights)))
         .select(
             id_col,
             F.size("_g").alias("n_bigrams"),
@@ -287,17 +306,30 @@ def save_quality_model(
     shortest-round-trip repr, the same route the literal plan embedding
     uses."""
     import json
+    import os
 
-    with open(path, "w") as f:
-        json.dump(
-            {
-                "logp": logp,
-                "lm_keep_max_bits": lm_keep_max_bits,
-                "weights": weights,
-                "bias": bias,
-            },
-            f,
-        )
+    # write-to-tmp + atomic rename (the bloom _shipped_words_file
+    # convention — review r14): a run killed mid-dump must never leave
+    # a truncated model the daily loop then chokes on
+    tmp = f"{path}.{os.getpid()}.tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "logp": logp,
+                    "lm_keep_max_bits": lm_keep_max_bits,
+                    "weights": weights,
+                    "bias": bias,
+                },
+                f,
+            )
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load_quality_model(path: str) -> dict:

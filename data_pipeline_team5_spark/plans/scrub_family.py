@@ -177,10 +177,16 @@ _PII_METRICS = ("n_email", "n_card", "n_phone", "n_ip", "pii_total",
 _LINE_METRICS = ("n_lines", "n_kept", "n_dropped")
 
 
-def _metric_rows_sql(metrics: tuple[str, ...]) -> str:
+def _metric_rows_sql(metrics: tuple[str, ...]) -> tuple[str, str]:
+    """(VALUES rows, CASE arms) for unpivoting a metric set in the
+    oracle — returned together so each set is built once."""
     vals = ", ".join(f"('{m}')" for m in metrics)
     case = " ".join(f"WHEN '{m}' THEN {m}" for m in metrics)
     return vals, case
+
+
+_PII_VALS, _PII_CASE = _metric_rows_sql(_PII_METRICS)
+_LINE_VALS, _LINE_CASE = _metric_rows_sql(_LINE_METRICS)
 
 
 from data_pipeline_team5_spark.plans.catalog import QUERIES as _Q
@@ -193,17 +199,17 @@ from data_pipeline_team5_spark.plans.catalog import QUERIES as _Q
              l AS (SELECT * FROM ({_Q["line_boilerplate_scrub"].oracle}))
         SELECT * FROM (
             SELECT 'pii' AS section, doc_id, m.metric,
-                   CAST(CASE m.metric {_metric_rows_sql(_PII_METRICS)[1]}
+                   CAST(CASE m.metric {_PII_CASE}
                         END AS INT) AS value,
                    clean_fp
-            FROM p CROSS JOIN (VALUES {_metric_rows_sql(_PII_METRICS)[0]})
+            FROM p CROSS JOIN (VALUES {_PII_VALS})
                  AS m(metric)
             UNION ALL
             SELECT 'lines' AS section, doc_id, m.metric,
-                   CAST(CASE m.metric {_metric_rows_sql(_LINE_METRICS)[1]}
+                   CAST(CASE m.metric {_LINE_CASE}
                         END AS INT) AS value,
                    clean_fp
-            FROM l CROSS JOIN (VALUES {_metric_rows_sql(_LINE_METRICS)[0]})
+            FROM l CROSS JOIN (VALUES {_LINE_VALS})
                  AS m(metric)
         ) ORDER BY section, doc_id, metric
     """,

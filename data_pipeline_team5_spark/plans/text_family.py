@@ -1648,13 +1648,22 @@ def _lm_lang_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline with the model state widened to a literal MAP of
     per-lang log-prob arrays (|langs| × 512 doubles — driver state is
     bounded by language cardinality, a few dozen at web scale, the
-    k-means-centroid argument). The map binds to a column ``_lpm`` and
-    the doc's own table to ``_lp`` BEFORE the fold lambda (the proven
-    bind-as-column rule); langs absent from the reference slice get a
-    NULL table → NULL score → excluded downstream (CCNet scores only
-    languages it has reference text for)."""
-    import math
-
+    k-means-centroid argument). Model math and the scoring fold are the
+    SINGLE-SOURCED operator pieces (operators/quality.py:
+    smoothed_log2_table / literal_array_sql / lm_bits_expr — review
+    r14: this variant had re-inlined all three). The map binds to a
+    column ``_lpm`` and the doc's own table to ``_lp`` BEFORE the fold
+    lambda (the proven bind-as-column rule); langs absent from the
+    reference slice — including a NULL lang, filtered out of pass 1 —
+    get a NULL table → NULL score → excluded downstream (CCNet scores
+    only languages it has reference text for). An EMPTY reference
+    slice degenerates to a typed empty map (everything unscoreable),
+    not an analysis error."""
+    from data_pipeline_team5_spark.operators.quality import (
+        lm_bits_expr,
+        literal_array_sql,
+        smoothed_log2_table,
+    )
     from data_pipeline_team5_spark.operators.textops import ngrams_expr
 
     base = table(spark, sf_dir, "documents").select(
@@ -1667,7 +1676,7 @@ def _lm_lang_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # pass 1: per-(lang, bucket) reference counts → per-lang log tables
     counts = (
-        docs.filter(is_ref)
+        docs.filter(is_ref & F.col("lang").isNotNull())
         .select(
             "lang",
             F.explode(F.coalesce(F.col("_g"), F.array())).alias("g"),
@@ -1681,23 +1690,16 @@ def _lm_lang_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_lang.setdefault(r["lang"], [0] * PPLX_BUCKETS)[r["b"]] = r["c"]
     entries = []
     for lang in sorted(per_lang):
-        c = per_lang[lang]
-        tot = sum(c) + PPLX_BUCKETS  # +1 smoothing mass per lang
-        arr = ",".join(
-            f"CAST('{float(math.log2((c[b] + 1) / tot))!r}' AS DOUBLE)"
-            for b in range(PPLX_BUCKETS)
-        )
+        logp = smoothed_log2_table(per_lang[lang], PPLX_BUCKETS)
         lang_lit = "'" + lang.replace("'", "''") + "'"
-        entries.append(f"{lang_lit}, array({arr})")
-    lpm_sql = "map(" + ", ".join(entries) + ")"
+        entries.append(f"{lang_lit}, {literal_array_sql(logp)}")
+    lpm_sql = (
+        "map(" + ", ".join(entries) + ")"
+        if entries
+        else "CAST(map() AS MAP<STRING, ARRAY<DOUBLE>>)"
+    )
 
     # pass 2: map-only scoring under the doc's own language's table
-    bits = F.expr(
-        f"CASE WHEN size(_g) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
-        f"(-aggregate(transform(_g, g -> element_at(_lp, "
-        f"{_pplx_bucket_sql('g')} + 1)), CAST(0.0 AS DOUBLE), "
-        "(acc, x) -> acc + x)) / CAST(size(_g) AS DOUBLE) END"
-    )
     return (
         docs.filter(~is_ref)
         .withColumn("_lpm", F.expr(lpm_sql))
@@ -1706,7 +1708,7 @@ def _lm_lang_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             F.size("_g").alias("n_bigrams"),
-            bits.alias("ppl_bits"),
+            lm_bits_expr(PPLX_BUCKETS).alias("ppl_bits"),
         )
     )
 

@@ -329,3 +329,39 @@ def test_lm_by_lang_tertiles_per_language(spark):
         assert r["band"] == band[r["tertile"]]
         assert r["keep"] == (r["tertile"] <= 2)
         assert r["doc_id"] % PPLX_REF_MOD != 0
+
+
+def test_lm_by_lang_null_lang_and_empty_reference(spark):
+    """Review r14 hardening: a NULL lang in the reference slice must not
+    crash the driver-side fit (NULL-lang docs are unscoreable, like any
+    lang without reference text), and an EMPTY reference slice must
+    degenerate to an all-unscoreable result, not an analysis error."""
+    from data_pipeline_team5_spark.plans.text_family import (
+        PPLX_REF_MOD,
+        _lm_lang_scored_frame,
+    )
+
+    base = "/root/testdata/sf0.001"
+    # doctor the fixture in-memory: NULL the lang of one reference doc
+    import tempfile
+
+    from data_pipeline_team5_spark.plans.catalog import table
+
+    docs = table(spark, base, "documents")
+    with tempfile.TemporaryDirectory() as d:
+        doctored = docs.withColumn(
+            "lang",
+            F.when(
+                F.col("doc_id") == PPLX_REF_MOD, None  # a reference doc
+            ).otherwise(F.col("lang")),
+        )
+        doctored.write.parquet(f"{d}/documents.parquet")
+        rows = _lm_lang_scored_frame(spark, d).collect()
+        assert rows  # fit survived the NULL-lang reference doc
+        # empty reference slice: keep only doc_ids NOT divisible by the
+        # reference mod
+        docs.filter(
+            F.col("doc_id") % PPLX_REF_MOD != 0
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = _lm_lang_scored_frame(spark, d).collect()
+        assert rows and all(r["ppl_bits"] is None for r in rows)

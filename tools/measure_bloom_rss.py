@@ -78,9 +78,14 @@ def main() -> None:
 
     n_words = 1 << log2_words
     # deterministic synthetic filter content — transport cost depends
-    # only on SIZE; arange bytes are as incompressible to the pickler
-    # as real filter words
-    words = (np.arange(n_words, dtype=np.int64) * 0x9E3779B97F4A7C15)
+    # only on SIZE, but keep the bytes high-entropy anyway (broadcast
+    # blocks are lz4-compressed): a Weyl sequence in uint64 (int64
+    # arithmetic would overflow-promote to float64 on NumPy 1.x and
+    # raise on 2.x — review r14), viewed as the int64 the apply expects
+    words = (
+        np.arange(n_words, dtype=np.uint64)
+        * np.uint64(0x9E3779B97F4A7C15)
+    ).view(np.int64)
     m_bits = n_words * 64
 
     spark = get_spark(f"bloom_rss_{mode}")
