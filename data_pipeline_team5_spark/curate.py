@@ -351,6 +351,17 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
+    if getattr(args, "quality_model_out", None) and not getattr(
+        args, "quality_reference", None
+    ):
+        # ADVICE r14: without a reference no model is fit, so the save
+        # would be silently skipped and the daily loop left without the
+        # file the operator asked for — fail loudly at parse time.
+        ap.error(
+            "--quality-model-out requires --quality-reference "
+            "(no quality model is fit without a reference corpus)"
+        )
+
     spark = get_spark(app_name=f"curate_{args.cmd}")
     bench_docs = (
         spark.read.parquet(args.benchmark)

@@ -234,6 +234,14 @@ def fit_quality_classifier(
         examples.append(
             (key[1], [(b, counts[b] / n) for b in sorted(counts)])
         )
+    if not examples:
+        # ADVICE r14: without this the first GD pass divides by
+        # n_ex = 0.0 — an opaque ZeroDivisionError far from the cause
+        raise ValueError(
+            "fit_quality_classifier: the quality reference produced no "
+            "scoreable training docs (empty reference, or every sampled "
+            "doc has fewer than 2 tokens)"
+        )
     w = [0.0] * buckets
     b = 0.0
     n_ex = float(len(examples))
@@ -304,7 +312,18 @@ def save_quality_model(
     full run's realized cutoff is the rule a daily batch should apply).
     Doubles survive bit-exactly: ``json`` serializes floats via the
     shortest-round-trip repr, the same route the literal plan embedding
-    uses."""
+    uses.
+
+    **Tie semantics at the LM cutoff (ADVICE r14, documented contract):**
+    ``lm_keep_max_bits`` is the max bits among the full run's KEPT
+    (head/middle) tertiles, and the frozen rule drops strictly-greater
+    bits — so a daily doc whose bits EXACTLY equal the cutoff is kept,
+    while the full run's exact tertile (tie-broken by doc_id) may have
+    dropped some same-bits docs past the cut rank. The threshold rule
+    deliberately keeps all boundary ties: a frozen threshold cannot
+    reproduce a rank-based tie-break without the full run's doc_id
+    population, and keeping ties errs on the side of retaining data
+    whose score says it is exactly as good as the worst kept doc."""
     import json
     import os
 
@@ -347,7 +366,11 @@ def apply_frozen_quality_model(
 ) -> DataFrame:
     """Apply a frozen model's THRESHOLD rules to a (daily-batch-sized)
     frame: keep classifier logit > 0 and LM bits ≤ the stored full-run
-    cutoff; unscoreable docs pass. Each score table is localCheckpointed
+    cutoff; unscoreable docs pass. Bits exactly EQUAL to the cutoff are
+    kept — the documented boundary-tie contract (see
+    :func:`save_quality_model`): the full run's rank-based tertile may
+    have dropped some same-bits ties, but a frozen threshold keeps them
+    all by design. Each score table is localCheckpointed
     BEFORE its filter — filtering the lazy scored frame directly
     re-inlines the HOF chain via CollapseProject and runs 50-90 s at
     sf0.1 against ~1 s pinned (measured round 14; the 110× pathology's

@@ -474,12 +474,17 @@ def grouped_rows_at_group_ranks(
     return out
 
 
+NTILE_MAX_GROUPS = 1000  # VERDICT r14 #6: past this the O(|groups| ×
+# buckets) literal plan silently builds a megabyte expression tree
+
+
 def exact_grouped_ntile_bucket(
     df: DataFrame,
     group_cols: list[str],
     order_cols: list[str],
     buckets: int,
     num_partitions: int | None = None,
+    max_groups: int = NTILE_MAX_GROUPS,
 ) -> Column:
     """Per-group ``NTILE(buckets) OVER (PARTITION BY group ORDER BY
     order_cols)`` — the grouped companion of :func:`exact_ntile_bucket`,
@@ -495,7 +500,15 @@ def exact_grouped_ntile_bucket(
 
     ``order_cols`` must total-order rows within a group; NULL policy is
     inherited from :func:`exact_ntile_bucket` (NULLS FIRST via struct
-    ordering; a NULL ON a cut boundary raises)."""
+    ordering; a NULL ON a cut boundary raises).
+
+    ``max_groups`` (VERDICT r14 #6) bounds the group cardinality this
+    operator will accept: past it the literal expression tree grows into
+    megabytes and the driver state stops being "bounded by language
+    cardinality". High-cardinality grouping belongs to the ordinary
+    ``F.ntile().over(Window.partitionBy(group))`` window — many small
+    groups parallelize fine there; THIS operator exists for the inverse
+    (few huge groups) regime."""
     got = grouped_rows_at_group_ranks(
         df,
         group_cols,
@@ -508,6 +521,16 @@ def exact_grouped_ntile_bucket(
     for key, n_g, rank, row in got:
         by_key_rank.setdefault(key, {})[rank] = row
         group_n[key] = n_g
+    if len(group_n) > max_groups:
+        raise ValueError(
+            f"exact_grouped_ntile_bucket: {len(group_n)} groups exceed "
+            f"max_groups={max_groups} — the per-group literal cut "
+            "expression would be megabytes of plan. This operator is for "
+            "the few-huge-groups regime (languages); for many small "
+            "groups use F.ntile(buckets).over(Window.partitionBy(...)) "
+            "instead, or raise max_groups explicitly if you accept the "
+            "expression size"
+        )
     types = {
         f.name: f.dataType
         for f in df.select(*group_cols, *order_cols).schema

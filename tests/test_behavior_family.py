@@ -538,3 +538,34 @@ def test_exact_grouped_ntile_bucket_null_cut_raises(spark):
         ).collect()
     }
     assert got[0] == 1 and got[7] == 2
+
+
+def test_exact_grouped_ntile_bucket_max_groups_guard(spark):
+    """VERDICT r14 #6: past max_groups the per-group literal cut
+    expression is megabytes of plan — raise with the remedy instead of
+    silently building it."""
+    import pytest as _pytest
+
+    from data_pipeline_team5_spark.operators.ranks import (
+        exact_grouped_ntile_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(g * 10 + i, f"g{g}", i) for g in range(6) for i in range(3)],
+        "user_id INT, grp STRING, m INT",
+    )
+    with _pytest.raises(ValueError, match="max_groups"):
+        exact_grouped_ntile_bucket(
+            df, ["grp"], ["m", "user_id"], 2, max_groups=5
+        )
+    # at exactly the bound the expression builds and buckets correctly
+    got = df.select(
+        "grp",
+        "m",
+        exact_grouped_ntile_bucket(
+            df, ["grp"], ["m", "user_id"], 2, max_groups=6
+        ).alias("b"),
+    ).collect()
+    assert {(r["grp"], r["m"], r["b"]) for r in got} == {
+        (f"g{g}", i, 1 if i < 2 else 2) for g in range(6) for i in range(3)
+    }

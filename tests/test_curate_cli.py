@@ -887,3 +887,15 @@ def test_cli_quality_model_full_to_incremental(spark, tmp_path, capsys):
         "--quality-model", mpath,
     ])
     assert 0 < frozen["kept"] < plain["kept"]
+
+
+def test_cli_quality_model_out_requires_reference(spark, tmp_path):
+    """ADVICE r14: `full --quality-model-out` without
+    --quality-reference would silently write nothing; the CLI must
+    refuse at parse time."""
+    with pytest.raises(SystemExit):
+        main([
+            "full", "--docs", str(tmp_path / "nope"),
+            "--out", str(tmp_path / "out"),
+            "--quality-model-out", str(tmp_path / "qm.json"),
+        ])

@@ -365,3 +365,25 @@ def test_lm_by_lang_null_lang_and_empty_reference(spark):
         ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
         rows = _lm_lang_scored_frame(spark, d).collect()
         assert rows and all(r["ppl_bits"] is None for r in rows)
+
+
+def test_fit_quality_classifier_empty_reference_raises(spark):
+    """ADVICE r14: an empty (or all-<2-token) reference must raise a
+    named ValueError, not an opaque ZeroDivisionError deep in the GD
+    loop."""
+    import pytest as _pytest
+
+    from data_pipeline_team5_spark.operators.quality import (
+        fit_quality_classifier,
+    )
+
+    empty = spark.createDataFrame([], "doc_id BIGINT, text STRING")
+    with _pytest.raises(ValueError, match="no scoreable training docs"):
+        fit_quality_classifier(empty)
+
+    # every doc under 2 tokens → zero bigrams → same named error
+    short = spark.createDataFrame(
+        [(1, "one"), (2, "word")], "doc_id BIGINT, text STRING"
+    )
+    with _pytest.raises(ValueError, match="no scoreable training docs"):
+        fit_quality_classifier(short)
