@@ -123,6 +123,22 @@ def _calibrate_mt() -> float:
     return time.perf_counter() - t0
 
 
+# Pre-flight contention gate (VERDICT r14 #5): every round-14 bench ran
+# core-stolen and the judge had to DERIVE that from calib_mt/calib after
+# the fact. Measure the ratio FIRST, warn loudly, and stamp the artifact
+# so readers see the machine state up front. 1.3 ≈ the observed boundary
+# between ambient jitter (unloaded ratio ~1.0-1.2) and real core steal
+# (r14 ran at 1.6-2.4).
+CONTENTION_RATIO = 1.3
+
+
+def contended(calib_sec: float, calib_mt_sec: float) -> bool:
+    """True when cores (not just cycles) look stolen: the 8-thread
+    sentinel runs slower relative to the 1-thread one than scheduling
+    jitter explains."""
+    return calib_mt_sec / calib_sec > CONTENTION_RATIO
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Parse the scale factor from the basename only ('…/sf0.1' → 0.1);
@@ -135,6 +151,21 @@ def main() -> None:
         app_name="bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+
+    # Pre-flight BEFORE any Spark work: sample both sentinels on the
+    # idle-of-Spark machine and warn (stderr — stdout is reserved for
+    # the JSON line) when the window already looks core-stolen.
+    pre_calib = _calibrate()
+    pre_calib_mt = _calibrate_mt()
+    pre_contended = contended(pre_calib, pre_calib_mt)
+    if pre_contended:
+        print(
+            f"WARNING: bench pre-flight sees core contention "
+            f"(calib_mt/calib = {pre_calib_mt / pre_calib:.2f} > "
+            f"{CONTENTION_RATIO}) — timings from this window will run "
+            f"slow; the artifact is stamped contended=true",
+            file=sys.stderr,
+        )
 
     headline = {n: q.fn for n, q in QUERIES.items() if q.headline}
     headline.update(EXTRAS)
@@ -181,6 +212,12 @@ def main() -> None:
         load1 = None
     detail = {
         # per-query and per-pass evidence lives here, off the stdout line
+        "preflight": {
+            "calib_sec": round(pre_calib, 4),
+            "calib_mt_sec": round(pre_calib_mt, 4),
+            "ratio": round(pre_calib_mt / pre_calib, 4),
+            "contended": pre_contended,
+        },
         "spread": spread,
         "raw_passes": {n: [round(t, 3) for t in raw[n]] for n in sorted(raw)},
         "calib_passes": [round(c, 4) for c in calib],
@@ -221,6 +258,13 @@ def main() -> None:
         # 8-thread variant: rises when CORES (not cycles) are stolen —
         # the contention mode the 1-thread sentinel cannot see.
         "calib_mt_sec": round(min(calib_mt), 4),
+        # One-glance machine-state verdict (VERDICT r14 #5): true when
+        # even the least-loaded samples of the run (mins over preflight
+        # + every interleaved pass) show the core-steal signature — a
+        # reader need not re-derive it from the calib pair.
+        "contended": contended(
+            min([pre_calib, *calib]), min([pre_calib_mt, *calib_mt])
+        ),
     }
     print(json.dumps(bounded_line(out), separators=(",", ":")))
 
