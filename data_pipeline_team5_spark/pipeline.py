@@ -23,6 +23,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.functions.scalars import dsum
+from data_pipeline_team5_spark.operators.multimodal import (
+    PERCEPTUAL_MAX_BUCKET,
+)
 from data_pipeline_team5_spark.operators.pivoting import pivot_max_cells
 from data_pipeline_team5_spark.sources.ingest import ingest_box_office_json
 from data_pipeline_team5_spark.sources.writers import write_parquet_partitioned
@@ -392,6 +395,10 @@ def curate_training_data(
     quality_classifier_reference: DataFrame | None = None,
     lm_reference_docs: DataFrame | None = None,
     quality_model_out: str | None = None,
+    image_blobs: DataFrame | None = None,
+    image_backend: str = "bmp",
+    image_max_hamming: int = 6,
+    image_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
     composed from the engine's tested stages into ONE lazy plan:
@@ -460,6 +467,16 @@ def curate_training_data(
     ``spark.data_pipeline_team5.scratchDir`` session conf once; unset, a
     driver-local temp dir is used (local mode only). Intermediate edge
     lists are deleted after the labels write either way.
+
+    ``image_blobs`` (round 15, VERDICT r14 #1): optional (doc_id, blob)
+    frame for corpora with an image column. Perceptual near-dup pairs
+    (aHash/dHash, operators/multimodal.py) union into the text pair
+    graph before the component step, so image-duplicate docs collapse
+    under the same survivor policy as text near-dups. ``image_backend``
+    picks the decode ("bmp" stdlib / "fake" / gated "pil");
+    ``image_max_bucket`` defaults to the production degenerate-bucket
+    cap (the round-14 measured quadratic-pair-list trade — correct
+    here, where clusters, not pair lists, are consumed).
     """
     from data_pipeline_team5_spark.operators.components import (
         connected_components,
@@ -596,6 +613,34 @@ def curate_training_data(
         method=neardup_method,
         n_docs=n_docs,
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # 3b. optional IMAGE near-dup pairs (round 15, VERDICT r14 #1): docs
+    # whose image payloads are perceptual near-dups (dHash Hamming ≤
+    # image_max_hamming via the capped banded join) union into the SAME
+    # component graph, so one doc carrying a re-encoded copy of
+    # another's image collapses into its component and the chosen
+    # survivor_policy — min_id/quality/source_rank — applies to the
+    # image modality unchanged. Hashing is restricted to the curated+
+    # exact-deduped pool (docs already dropped never decode), and the
+    # hash table is pinned (2 longs/doc) so the banded self-join's two
+    # branches never re-run the Arrow decode.
+    if image_blobs is not None:
+        from data_pipeline_team5_spark.operators.multimodal import (
+            perceptual_hashes,
+            perceptual_pairs,
+        )
+
+        ih = perceptual_hashes(
+            image_blobs.join(uniq.select("doc_id"), "doc_id"),
+            backend=image_backend,
+        ).localCheckpoint()
+        ipairs = perceptual_pairs(
+            ih,
+            max_hamming=image_max_hamming,
+            max_bucket=image_max_bucket,
+        ).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        pairs = pairs.unionByName(ipairs)
     comp = connected_components(
         uniq.select("doc_id"), pairs, id_col="doc_id",
         scratch_dir=scratch_dir,
@@ -725,6 +770,11 @@ def curate_incremental_batch(
     bench_gram_count: int | None = None,
     decon_n: int = 5,
     quality_model: dict | None = None,
+    new_image_blobs: DataFrame | None = None,
+    perceptual_index_path: str | None = None,
+    image_backend: str = "bmp",
+    image_max_hamming: int = 6,
+    image_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
 ) -> DataFrame:
     """Daily curation update: run the full curation contract for a NEW
     batch against the already-RETAINED corpus, touching the corpus only
@@ -779,6 +829,20 @@ def curate_incremental_batch(
 
     ``scratch_dir``: forwarded to the component step (see
     :func:`curate_training_data` — same conf fallback and cleanup).
+
+    ``new_image_blobs`` + ``perceptual_index_path`` (round 15, VERDICT
+    r14 #1/#7): image dedup for the daily loop. The batch's blobs are
+    decoded and hashed ONCE (restricted to docs that survived the text
+    stages so far); the retained corpus's images are touched only
+    through the stored 2-longs/doc hash index
+    (:func:`build_perceptual_index` — the corpus is never re-decoded).
+    Pairs touching the batch union into the same component graph, so
+    the component-level drop rule (any retained member ⇒ the new doc
+    drops) covers the image modality too. Requires the index when
+    image blobs are given — a recompute fallback would need the
+    CORPUS's blobs, which this path deliberately never reads.
+    ``exclude_batch_id`` prunes the index for replays like the other
+    two indexes.
     """
     from data_pipeline_team5_spark.operators.components import (
         connected_components,
@@ -856,6 +920,38 @@ def curate_incremental_batch(
             corpus_docs,
             threshold=neardup_threshold,
             max_bucket=PRODUCTION_MAX_BUCKET,
+        )
+    if new_image_blobs is not None:
+        if perceptual_index_path is None:
+            raise ValueError(
+                "curate_incremental_batch: new_image_blobs requires "
+                "perceptual_index_path (build_perceptual_index) — the "
+                "daily loop never re-decodes the retained corpus's "
+                "images"
+            )
+        from data_pipeline_team5_spark.operators.multimodal import (
+            perceptual_hashes,
+            perceptual_pairs_against_index,
+        )
+
+        idx = new_docs.sparkSession.read.parquet(perceptual_index_path)
+        if (
+            exclude_batch_id is not None
+            and "batch_id" in idx.columns
+        ):
+            idx = idx.filter(F.col("batch_id") != exclude_batch_id)
+        nh = perceptual_hashes(
+            new_image_blobs.join(uniq.select("doc_id"), "doc_id"),
+            backend=image_backend,
+        ).localCheckpoint()
+        ipairs = perceptual_pairs_against_index(
+            nh,
+            idx.select("doc_id", "dhash", "ahash"),
+            max_hamming=image_max_hamming,
+            max_bucket=image_max_bucket,
+        )
+        raw_pairs = raw_pairs.select("doc_a", "doc_b").unionByName(
+            ipairs.select("doc_a", "doc_b")
         )
     pairs = raw_pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -963,6 +1059,41 @@ def build_signature_index(
         )
     else:
         sig.write.mode(mode).parquet(path)
+
+
+def build_perceptual_index(
+    image_blobs: DataFrame,
+    path: str,
+    backend: str = "bmp",
+    mode: str = "overwrite",
+    batch_id: str | None = None,
+) -> None:
+    """Materialize the corpus's perceptual-hash table (doc_id, dhash,
+    ahash) — the stored index the incremental image-dedup path probes
+    daily (round 15, VERDICT r14 #7; the image twin of
+    :func:`build_signature_index`).
+
+    One Arrow-batched decode+hash pass over the blobs (the expensive
+    step — exactly what the daily loop must never repeat for the
+    retained corpus), then a plain parquet write: 2 BIGINTs/doc, ~16
+    bytes — a 1e10-image corpus indexes in ~160 GB, independent of
+    image size. Same idempotent-replay contract as
+    ``build_signature_index`` via ``batch_id``."""
+    from data_pipeline_team5_spark.operators.multimodal import (
+        perceptual_hashes,
+    )
+
+    h = perceptual_hashes(image_blobs, backend=backend)
+    if batch_id is not None:
+        (
+            h.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+    else:
+        h.write.mode(mode).parquet(path)
 
 
 def build_exact_key_index(

@@ -342,6 +342,12 @@ _TAIL = (
     # bit-for-bit vs a pure-Python mirror and the banded join vs a
     # brute-force Hamming sweep in tests/test_multimodal.py.
     "mm_perceptual_neardup",
+    # Round 15 (VERDICT r14 #1): its end-to-end consumer — perceptual
+    # pairs → star components → min-id survivors for the image
+    # modality. Rows-only by design (same no-SQL-form chain); pinned
+    # against a brute-force-Hamming + union-find pure-Python mirror in
+    # tests/test_multimodal.py.
+    "mm_perceptual_dedup",
     # Round 14 (VERDICT r13 #3): the per-language CCNet variant of the
     # LM filter (one model per lang, per-lang exact tertiles via the
     # grouped select-k). Rows-only by design (log2 — same precedent);

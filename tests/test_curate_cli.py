@@ -899,3 +899,106 @@ def test_cli_quality_model_out_requires_reference(spark, tmp_path):
             "--out", str(tmp_path / "out"),
             "--quality-model-out", str(tmp_path / "qm.json"),
         ])
+
+
+def test_cli_image_dedup_daily_loop(spark, tmp_path, capsys):
+    """Round 15 (VERDICT r14 #1/#7) CLI loop with images: build-index
+    --perceptual hashes the corpus's blobs once; incremental
+    --image-blobs --perceptual-index drops a new doc whose image
+    duplicates a retained one, folds the survivors' hashes, and the
+    next day probes them; a replayed day converges bitwise."""
+    from data_pipeline_team5_spark.operators.multimodal import (
+        BMP_H,
+        BMP_W,
+        encode_bmp,
+    )
+
+    def payload(seed: int) -> bytes:
+        px = bytearray()
+        for y in range(BMP_H):
+            for x in range(BMP_W):
+                # seed must change STRUCTURE, not brightness — a
+                # constant offset is dHash-invariant (all comparisons
+                # preserved); these fields are pairwise 27+ bits apart
+                v = (x * (37 + seed * 13) + y * (101 + seed * 7)
+                     + x * y * (7 + seed)) % 256
+                px += bytes((v, v, v))
+        return encode_bmp(bytes(px), BMP_W, BMP_H)
+
+    # crafted days: pairwise-dissimilar texts passing every filter, so
+    # ONLY the image rule decides who drops
+    def day_docs(ids_):
+        return spark.createDataFrame(
+            [(i, "en", 290,
+              " ".join(f"u{i}w{j}" for j in range(50))) for i in ids_],
+            "doc_id LONG, lang STRING, n_chars LONG, text STRING",
+        )
+
+    ids = {"day0": [1000, 1001, 1002], "day1": [2000, 2001, 2002],
+           "day2": [3000, 3001, 3002]}
+    paths = {}
+    for name, ids_ in ids.items():
+        p = str(tmp_path / f"{name}.parquet")
+        day_docs(ids_).write.parquet(p)
+        paths[name] = p
+    # day0 corpus images; day1 doc[0] duplicates a day0 image, doc[1]
+    # is fresh; day2 doc[0] duplicates day1's FRESH image (so day2
+    # probes the FOLDED hashes, not the base index)
+    blob_rows = (
+        [(d, payload(i)) for i, d in enumerate(ids["day0"])]
+        + [(ids["day1"][0], payload(0)), (ids["day1"][1], payload(50))]
+        + [(ids["day2"][0], payload(50)), (ids["day2"][1], payload(60))]
+    )
+    all_blobs = spark.createDataFrame(
+        blob_rows, "doc_id LONG, blob BINARY"
+    )
+    blobs = str(tmp_path / "blobs.parquet")
+    all_blobs.write.parquet(blobs)
+    # the base index is built from the CORPUS's blobs only (day0): an
+    # index already containing tomorrow's hashes would match new docs
+    # against themselves-in-the-future
+    blobs0 = str(tmp_path / "blobs_day0.parquet")
+    all_blobs.filter(F.col("doc_id") < 2000).write.parquet(blobs0)
+
+    s = _store_args(tmp_path)
+    ph = str(tmp_path / "phash")
+    _run(capsys, ["init-corpus", "--docs", paths["day0"],
+                  "--corpus", s["corpus"]])
+    _run(capsys, ["build-index", "--docs", paths["day0"],
+                  "--sig", s["sig"], "--key", s["key"],
+                  "--image-blobs", blobs0, "--perceptual", ph])
+
+    def inc(day):
+        return _run(capsys, _inc_argv(s, paths[day], day) + [
+            "--image-blobs", blobs, "--perceptual-index", ph,
+        ])
+
+    inc("day1")
+    kept1 = {
+        r["doc_id"]
+        for r in spark.read.parquet(s["out"])
+        .filter(F.col("batch_id") == "day1").collect()
+    }
+    assert ids["day1"][0] not in kept1  # image dup of retained day0
+    assert ids["day1"][1] in kept1      # fresh image survives
+
+    inc("day2")
+    kept2 = {
+        r["doc_id"]
+        for r in spark.read.parquet(s["out"])
+        .filter(F.col("batch_id") == "day2").collect()
+    }
+    assert ids["day2"][0] not in kept2  # dup of day1's FOLDED image
+    assert ids["day2"][1] in kept2
+
+    # replay day2: bitwise-idempotent (index partition excluded on read,
+    # overwritten on fold)
+    before = sorted(
+        map(tuple, spark.read.parquet(s["out"]).collect())
+    )
+    idx_before = sorted(
+        map(tuple, spark.read.parquet(ph).collect())
+    )
+    inc("day2")
+    assert sorted(map(tuple, spark.read.parquet(s["out"]).collect())) == before
+    assert sorted(map(tuple, spark.read.parquet(ph).collect())) == idx_before

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, StructType
 
 from data_pipeline_team5_spark.operators.multimodal import (
@@ -299,3 +300,87 @@ def test_perceptual_pairs_bucket_cap(spark):
     assert (100, 101) in exact and (100, 101) in capped
     assert capped < exact  # the 40-clone quadratic block is gone
     assert not any(a < 40 and b < 40 for a, b in capped)
+
+
+def test_perceptual_dedup_matches_union_find_mirror(spark):
+    """Round 15 (VERDICT r14 #1): the end-to-end image dedup — pairs →
+    star components → min-id survivors — must equal an independent
+    pure-Python mirror: brute-force Hamming pairs over the mirrored
+    hashes, union-find transitive closure, min-id labels, survivor =
+    label owner. Uncapped here so the mirror is exact."""
+    from data_pipeline_team5_spark.plans.catalog import QUERIES
+    from data_pipeline_team5_spark.plans.multimodal_family import (
+        PHASH_MAX_HAMMING,
+    )
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    hashes = {d: _mirror_hashes(t)[0] for d, t in texts.items()}
+    ids = sorted(hashes)
+    M = (1 << 64) - 1
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin((hashes[a] ^ hashes[b]) & M).count("1") <= PHASH_MAX_HAMMING:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids}
+    got = {
+        r["doc_id"]: (r["component"], r["is_survivor"])
+        for r in QUERIES["mm_perceptual_dedup"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(want)
+    for i in ids:
+        assert got[i] == (want[i], i == want[i]), i
+    # and some component is non-trivial, or the test proves nothing
+    assert any(c != i for i, (c, _) in got.items())
+
+
+def test_perceptual_pairs_against_index_equals_recompute(spark):
+    """Round 15 (VERDICT r14 #7): the stored-index probe must be bitwise
+    the full recompute filtered to pairs touching the new batch — for
+    the uncapped form AND for the capped form (combined-membership cap,
+    so the cap must agree with the union's bucket sizes)."""
+    from data_pipeline_team5_spark.operators.multimodal import (
+        perceptual_pairs,
+        perceptual_pairs_against_index,
+    )
+    from data_pipeline_team5_spark.plans.multimodal_family import (
+        _mm_phash_frame,
+    )
+
+    hashes = _mm_phash_frame(spark, SF_SMALL).localCheckpoint()
+    new = hashes.filter(F.col("doc_id") % 3 == 0)
+    idx = hashes.filter(F.col("doc_id") % 3 != 0)
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    for cap in (None, 10):
+        full = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in perceptual_pairs(
+                hashes, max_hamming=6, max_bucket=cap
+            ).collect()
+            if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+        }
+        probed = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in perceptual_pairs_against_index(
+                new, idx, max_hamming=6, max_bucket=cap
+            ).collect()
+        }
+        assert probed == full and probed, f"cap={cap}"
+        # and nothing index-vs-index leaked through
+        assert all(
+            a in new_ids or b in new_ids for a, b in probed
+        ), f"cap={cap}"

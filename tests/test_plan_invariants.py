@@ -196,6 +196,10 @@ SCANLESS_RESULT_PLANS = {
     "_qcls_scored_frame)",
     "mm_perceptual_neardup": "hash-table checkpoint pin (single decode "
     "pass; construction swept via _mm_phash_frame)",
+    "mm_perceptual_dedup": "hash-table checkpoint pin + component labels "
+    "via the small-graph union-find fast path (local relation at test "
+    "SFs; the distributed star path is parquet-file-backed); hash "
+    "construction swept via _mm_phash_frame",
     "lm_perplexity_by_lang": "score-table checkpoint pin (single scoring "
     "scan; construction swept via _lm_lang_scored_frame)",
 }
