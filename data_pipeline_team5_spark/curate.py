@@ -196,9 +196,9 @@ def main(argv: list[str] | None = None) -> int:
                              "collapse under the same --survivor-policy "
                              "as text near-dups")
     p_full.add_argument("--image-backend", default="bmp",
-                        choices=["bmp", "fake", "pil"],
+                        choices=["bmp", "png", "fake", "pil"],
                         help="image decode backend for --image-blobs "
-                             "(bmp = stdlib 24-bit BMP; pil is gated in "
+                             "(bmp/png = real stdlib decodes; pil is gated in "
                              "containers without imaging libs)")
 
     p_seed = sub.add_parser(
@@ -223,7 +223,7 @@ def main(argv: list[str] | None = None) -> int:
                        help="perceptual-hash index path (2 BIGINTs/doc); "
                             "requires --image-blobs")
     p_idx.add_argument("--image-backend", default="bmp",
-                       choices=["bmp", "fake", "pil"],
+                       choices=["bmp", "png", "fake", "pil"],
                        help="see full --image-backend")
 
     p_inc = sub.add_parser("incremental", help="curate a daily batch")
@@ -265,7 +265,7 @@ def main(argv: list[str] | None = None) -> int:
                             "--perceptual); with --fold-batch-id the "
                             "surviving batch's hashes fold in after")
     p_inc.add_argument("--image-backend", default="bmp",
-                       choices=["bmp", "fake", "pil"],
+                       choices=["bmp", "png", "fake", "pil"],
                        help="see full --image-backend")
     p_inc.add_argument("--fold-batch-id", default=None,
                        help="after curating, fold the batch's SURVIVORS "

@@ -384,3 +384,157 @@ def test_perceptual_pairs_against_index_equals_recompute(spark):
         assert all(
             a in new_ids or b in new_ids for a, b in probed
         ), f"cap={cap}"
+
+
+# ---------------------------------------------------------------------------
+# Round 15 (VERDICT r14 #2): stdlib PNG decode — zlib inflate + per-row
+# filter reconstruction, non-interlaced 8-bit RGB/RGBA.
+
+
+def test_png_roundtrip_exact_all_filters():
+    """decode(encode(px)) must be byte-exact for EVERY filter type and
+    awkward geometries (1-pixel rows/columns stress the a/c=0 edges of
+    Sub/Average/Paeth)."""
+    import random
+
+    from data_pipeline_team5_spark.operators.multimodal import (
+        _png_decode,
+        encode_png,
+    )
+
+    rnd = random.Random(42)
+    for (w, h) in [(16, 16), (9, 8), (1, 1), (8, 1), (1, 8), (13, 7)]:
+        px = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+        for filters in (None, *([[ft] * h] for ft in range(5))):
+            fl = filters if filters is None else filters[0]
+            png = encode_png(px, w, h, fl)
+            assert _png_decode(png) == px, (w, h, fl)
+
+
+def test_png_rgba_drops_alpha():
+    """Color type 6 (RGBA) decodes with the alpha plane dropped — the
+    BGR buffer matches the RGB of each pixel exactly."""
+    import random
+    import struct
+    import zlib
+
+    from data_pipeline_team5_spark.operators.multimodal import (
+        _png_decode,
+    )
+
+    rnd = random.Random(7)
+    w, h = 4, 3
+    rgba = bytes(rnd.randrange(256) for _ in range(w * h * 4))
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += rgba[y * w * 4 : (y + 1) * w * 4]
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    want = b"".join(
+        bytes((rgba[i * 4 + 2], rgba[i * 4 + 1], rgba[i * 4]))
+        for i in range(w * h)
+    )
+    assert _png_decode(png) == want
+
+
+def test_png_variant_gates():
+    """Unsupported variants raise with the PIL remedy (matching the BMP
+    branch's gate), never silently mis-decode."""
+    import struct
+    import zlib
+
+    from data_pipeline_team5_spark.operators.multimodal import (
+        _png_decode,
+        encode_png,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    def ihdr_png(depth, color, interlace):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace),
+            )
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+            + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        _png_decode(b"BM123456")
+    with pytest.raises(ValueError, match="interlaced"):
+        _png_decode(ihdr_png(8, 2, 1))
+    for depth, color in ((16, 2), (8, 3), (8, 0)):
+        with pytest.raises(ValueError, match="unsupported PNG variant"):
+            _png_decode(ihdr_png(depth, color, 0))
+    with pytest.raises(ValueError, match="one filter per row"):
+        encode_png(b"\x00" * 12, 2, 2, [0])
+
+
+def test_png_route_equals_bmp_route_in_spark(spark):
+    """attach_png_blob packs the SAME pixel buffer as attach_bmp_blob,
+    so the Arrow-path decoded features AND the perceptual hashes must
+    agree BIT-FOR-BIT across formats — and the PNG hashes must match
+    the independent pure-Python mirror (which never touches either
+    codec). The fixture path's filter cycling means this walks every
+    reconstruction branch inside mapInPandas."""
+    from data_pipeline_team5_spark.operators.multimodal import (
+        attach_bmp_blob,
+        attach_png_blob,
+        decode_features,
+        perceptual_hashes,
+    )
+
+    docs = table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    png_hashes = {
+        r["doc_id"]: (r["dhash"], r["ahash"])
+        for r in perceptual_hashes(
+            attach_png_blob(docs), backend="png"
+        ).collect()
+    }
+    bmp_hashes = {
+        r["doc_id"]: (r["dhash"], r["ahash"])
+        for r in perceptual_hashes(
+            attach_bmp_blob(docs), backend="bmp"
+        ).collect()
+    }
+    assert png_hashes == bmp_hashes and png_hashes
+    for doc_id, text in texts.items():
+        assert png_hashes[doc_id] == _mirror_hashes(text), doc_id
+
+    png_feat = sorted(
+        map(
+            tuple,
+            decode_features(
+                attach_png_blob(docs), backend="png"
+            ).collect(),
+        )
+    )
+    bmp_feat = sorted(
+        map(
+            tuple,
+            decode_features(
+                attach_bmp_blob(docs), backend="bmp"
+            ).collect(),
+        )
+    )
+    assert png_feat == bmp_feat and png_feat
