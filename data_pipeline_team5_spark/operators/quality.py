@@ -242,6 +242,17 @@ def fit_quality_classifier(
             "scoreable training docs (empty reference, or every sampled "
             "doc has fewer than 2 tokens)"
         )
+    return _fit_logistic(examples, buckets, lr, iters)
+
+
+def _fit_logistic(
+    examples: list, buckets: int, lr: float, iters: int
+) -> tuple[list[float], float]:
+    """THE GD core, single-sourced (round 15: the per-language fit
+    reuses it verbatim — a step-rule change must hit every variant or
+    the bit-for-bit mirrors silently diverge). ``examples`` must
+    already be in canonical order (sorted by (id, label), buckets
+    ascending within each)."""
     w = [0.0] * buckets
     b = 0.0
     n_ex = float(len(examples))
@@ -292,6 +303,222 @@ def classifier_score_frame(
         .withColumn("_w", F.expr(literal_array_sql(weights)))
         .select(
             id_col,
+            F.size("_g").alias("n_bigrams"),
+            logit.alias("logit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language classifier (round 15, VERDICT r14 #3): CCNet's stack is
+# per-language for BOTH signals — round 14 gave the LM filter its
+# per-lang form (one log-prob table per language, plans/text_family.py
+# _lm_lang_scored_frame); this is the classifier's grouped companion.
+# Same disciplines: bounded driver state (|langs| × (512 weights +
+# bias)), model bound as ONE literal map column before the scoring
+# lambda, pure-Python fit so mirrors are bit-for-bit.
+
+
+def lang_literal_sql(lang: str) -> str:
+    """SQL string literal for a language code (quote-escaped)."""
+    return "'" + lang.replace("'", "''") + "'"
+
+
+def capped_ids_by_lang(
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    cap: int = CLS_TRAIN_CAP,
+) -> DataFrame:
+    """(lang, id): the ``cap`` smallest (md5(id), id) docs PER LANGUAGE
+    — the per-lang training sample selector. Never a corpus-scale
+    ``Window.partitionBy(lang)`` (a whole language in one task at
+    100 TB): pass 1 ranks within (spark_partition_id, lang) — bounded
+    by the task's own partition — and keeps ≤ cap per (partition,
+    lang); pass 2 ranks the surviving ≤ P × |langs| × cap sliver per
+    lang, which IS a lang-partitioned window but over sliver-sized
+    input by construction (the grouped_rows_at_group_ranks trade).
+    NULL-lang docs are excluded (no model to train)."""
+    from pyspark.sql import Window
+
+    pre = reference.filter(F.col(lang_col).isNotNull()).select(
+        lang_col,
+        id_col,
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+        F.spark_partition_id().alias("_pid"),
+    )
+    w1 = Window.partitionBy("_pid", lang_col).orderBy("_h", id_col)
+    pruned = (
+        pre.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn", "_pid")
+    )
+    w2 = Window.partitionBy(lang_col).orderBy("_h", id_col)
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= cap)
+        .select(lang_col, id_col)
+    )
+
+
+def classifier_train_features_by_lang(
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    buckets: int = LM_BUCKETS,
+    cap: int = CLS_TRAIN_CAP,
+) -> DataFrame:
+    """Sparse (lang, id, label, b, c) bucket counts for each language's
+    capped natural + permuted training streams — the per-lang twin of
+    :func:`classifier_train_features`. Collected volume ≤ |langs| × 2 ×
+    cap × buckets at ANY corpus size (bounded by language cardinality,
+    the k-means-centroid discipline); the token read joins the capped
+    id set BROADCAST."""
+    from data_pipeline_team5_spark.operators.textops import (
+        ngrams_expr,
+        tokens_expr,
+    )
+
+    base = reference.select(
+        F.col(id_col), F.col(lang_col), tokens_expr(text_col).alias("_t")
+    )
+    capped = capped_ids_by_lang(reference, id_col, lang_col, cap).select(
+        id_col
+    )
+    train = base.join(F.broadcast(capped), id_col)
+    nat = train.select(
+        lang_col,
+        id_col,
+        F.lit(1).alias("label"),
+        ngrams_expr("_t", 2).alias("_g"),
+    )
+    perm = train.select(
+        lang_col, id_col, F.expr(_perm_tokens_sql("`_t`")).alias("_p")
+    ).select(
+        lang_col,
+        id_col,
+        F.lit(0).alias("label"),
+        ngrams_expr("_p", 2).alias("_g"),
+    )
+    return (
+        nat.unionByName(perm)
+        .select(
+            lang_col,
+            id_col,
+            "label",
+            F.explode(F.coalesce(F.col("_g"), F.array())).alias("g"),
+        )
+        .groupBy(
+            lang_col,
+            id_col,
+            "label",
+            F.expr(_bucket_sql("g", buckets)).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def fit_quality_classifier_by_lang(
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    buckets: int = LM_BUCKETS,
+    cap: int = CLS_TRAIN_CAP,
+    lr: float = CLS_LR,
+    iters: int = CLS_ITERS,
+) -> dict[str, tuple[list[float], float]]:
+    """lang → (weights, bias): one independently fit logistic model per
+    language (CCNet practice), via the SAME single-sourced GD core and
+    canonical orders as the global fit — so each language's model is
+    bit-for-bit what :func:`fit_quality_classifier` would produce on
+    that language's slice alone (pinned in tests/test_lm_quality.py).
+    Languages whose reference slice yields no scoreable examples are
+    simply ABSENT from the result (their docs score NULL downstream —
+    the lm-by-lang unscoreable rule), never an error: one thin
+    language must not kill a corpus-wide fit."""
+    rows = classifier_train_features_by_lang(
+        reference, id_col, text_col, lang_col, buckets, cap
+    ).collect()
+    per_lang: dict[str, dict[tuple, dict[int, int]]] = {}
+    for r in rows:
+        per_lang.setdefault(r[lang_col], {}).setdefault(
+            (r[id_col], r["label"]), {}
+        )[r["b"]] = r["c"]
+    out: dict[str, tuple[list[float], float]] = {}
+    for lang in sorted(per_lang):
+        examples = []
+        for key in sorted(per_lang[lang]):
+            counts = per_lang[lang][key]
+            n = float(sum(counts.values()))
+            examples.append(
+                (key[1], [(b, counts[b] / n) for b in sorted(counts)])
+            )
+        if examples:
+            out[lang] = _fit_logistic(examples, buckets, lr, iters)
+    return out
+
+
+def classifier_score_frame_by_lang(
+    docs: DataFrame,
+    models: dict[str, tuple[list[float], float]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(id, lang, n_bigrams, logit) — each doc scored under ITS OWN
+    language's model, weights resolved by ONE map lookup bound to a
+    column BEFORE the fold lambda (the _lm_lang_scored_frame
+    discipline); bias rides in a second scalar map. Docs whose lang has
+    no model (or with no bigram) score NULL. Sums/divides only — the
+    per-lang pure-Python mirror reproduces every double bit-for-bit."""
+    buckets = (
+        len(next(iter(models.values()))[0]) if models else LM_BUCKETS
+    )
+    if models:
+        w_entries = ", ".join(
+            f"{lang_literal_sql(lang)}, "
+            f"{literal_array_sql(models[lang][0])}"
+            for lang in sorted(models)
+        )
+        b_entries = ", ".join(
+            f"{lang_literal_sql(lang)}, "
+            f"CAST('{float(models[lang][1])!r}' AS DOUBLE)"
+            for lang in sorted(models)
+        )
+        wm_sql = f"map({w_entries})"
+        bm_sql = f"map({b_entries})"
+    else:
+        wm_sql = "CAST(map() AS MAP<STRING, ARRAY<DOUBLE>>)"
+        bm_sql = "CAST(map() AS MAP<STRING, DOUBLE>)"
+    logit: Column = F.expr(
+        f"CASE WHEN _w IS NULL OR size(_g) = 0 THEN "
+        f"CAST(NULL AS DOUBLE) ELSE "
+        f"(aggregate(transform(_g, g -> element_at(_w, "
+        f"{_bucket_sql('g', buckets)} + 1)), CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + x) / CAST(size(_g) AS DOUBLE)) "
+        f"+ element_at(_bm, {lang_col}) END"
+    )
+    base = docs.select(
+        F.col(id_col), F.col(lang_col), F.col(text_col)
+    )
+    from data_pipeline_team5_spark.operators.textops import (
+        ngrams_expr,
+        tokens_expr,
+    )
+
+    toked = base.select(
+        id_col, lang_col, tokens_expr(text_col).alias("_t")
+    )
+    return (
+        toked.select(id_col, lang_col, ngrams_expr("_t", 2).alias("_g"))
+        .withColumn("_wm", F.expr(wm_sql))
+        .withColumn("_bm", F.expr(bm_sql))
+        .withColumn("_w", F.expr(f"try_element_at(_wm, {lang_col})"))
+        .select(
+            id_col,
+            lang_col,
             F.size("_g").alias("n_bigrams"),
             logit.alias("logit"),
         )

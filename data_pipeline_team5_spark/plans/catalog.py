@@ -353,6 +353,11 @@ _TAIL = (
     # grouped select-k). Rows-only by design (log2 — same precedent);
     # per-lang bit-for-bit mirror parity in tests/test_lm_quality.py.
     "lm_perplexity_by_lang",
+    # Round 15 (VERDICT r14 #3): the classifier's per-language form —
+    # CCNet's stack is per-language for both signals. Rows-only by
+    # design (driver-side GD); per-lang fit == slice-global fit pinned
+    # bitwise plus the mirror/accuracy floor in tests/test_lm_quality.py.
+    "quality_classifier_by_lang",
     # Round 14 (VERDICT r13 #5): exact-substring-grain decontamination
     # (Lee et al. 2022 — longest shared token run vs the benchmark).
     # Oracle-backed tail, exact-checked by the local mini-driver every

@@ -387,3 +387,112 @@ def test_fit_quality_classifier_empty_reference_raises(spark):
     )
     with _pytest.raises(ValueError, match="no scoreable training docs"):
         fit_quality_classifier(short)
+
+
+# ---------------------------------------------------------------------------
+# Round 15 (VERDICT r14 #3): the classifier's per-language form vs the
+# same mirror recipe, grouped — one logistic model per lang (capped
+# per-lang sample, same GD core), each doc scored under its OWN
+# language's weights + bias.
+
+
+def test_qcls_by_lang_fit_is_slice_global_fit_bitwise(spark):
+    """Per-language fit must be BIT-FOR-BIT the global fit run on that
+    language's reference slice alone — same cap keys, same canonical
+    orders, same GD core — so per-language behavior needs no new math
+    trust."""
+    from data_pipeline_team5_spark.operators.quality import (
+        fit_quality_classifier,
+        fit_quality_classifier_by_lang,
+    )
+
+    docs = table(spark, SF_SMALL, "documents")
+    ref = docs.filter(F.col("doc_id") % PPLX_REF_MOD == 0)
+    models = fit_quality_classifier_by_lang(ref)
+    assert len(models) >= 2  # fixture has several languages
+    for lang in sorted(models):
+        w, b = fit_quality_classifier(ref.filter(F.col("lang") == lang))
+        assert models[lang] == (w, b), lang
+
+
+def test_qcls_by_lang_scores_match_mirror_bitwise(spark):
+    """Catalog-query logits vs the independent hashlib + pure-Python
+    mirror: per-lang capped fit, per-doc fold under the doc's own
+    model, keep = logit > 0 — every double bit-for-bit. Also pins the
+    per-language training-accuracy floor."""
+    tok_rows = [
+        (r["doc_id"], r["lang"], r["t"])
+        for r in table(spark, SF_SMALL, "documents")
+        .select("doc_id", "lang", tokens_expr("text").alias("t"))
+        .collect()
+    ]
+    langs = sorted({lg for _, lg, _ in tok_rows if lg is not None})
+    mirror = {}
+    for lang in langs:
+        sub = [(d, t) for d, lg, t in tok_rows if lg == lang]
+        mw, mb, examples = _mirror_fit(sub)
+        mirror[lang] = (mw, mb)
+        acc = sum(
+            ((mb + sum(mw[bk] * x for bk, x in f)) > 0) == (y == 1)
+            for y, f in examples
+        ) / len(examples)
+        assert acc >= 0.9, (lang, acc)
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["quality_classifier_by_lang"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    want = {}
+    for d, lang, tokens in tok_rows:
+        if d % PPLX_REF_MOD == 0 or lang not in mirror:
+            continue
+        gs = _grams(tokens)
+        if not gs:
+            continue
+        mw, mb = mirror[lang]
+        acc = 0.0
+        for g in gs:  # the Spark aggregate's left-to-right fold
+            acc = acc + mw[_qb(g)]
+        want[d] = (lang, len(gs), acc / float(len(gs)) + mb)
+    assert set(got) == set(want) and got
+    for d, (lang, n, logit) in want.items():
+        r = got[d]
+        assert (r["lang"], r["n_bigrams"]) == (lang, n)
+        assert r["logit"] == logit, (d, r["logit"], logit)
+        assert r["keep"] == (logit > 0)
+
+
+def test_qcls_by_lang_unmodeled_lang_scores_null(spark):
+    """Docs whose language has no reference model score NULL (the
+    CCNet unscoreable rule), and an empty model map degenerates to
+    all-NULL, not an error."""
+    from data_pipeline_team5_spark.operators.quality import (
+        classifier_score_frame_by_lang,
+        fit_quality_classifier_by_lang,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "alpha beta gamma delta epsilon zeta"),
+            (2, "xx", "unmodeled language text here today"),
+            (3, None, "null language text here today okay"),
+        ],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    ref = spark.createDataFrame(
+        [(10 + i, "en", f"clean english reference text number {i} ok")
+         for i in range(4)],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    models = fit_quality_classifier_by_lang(ref)
+    assert sorted(models) == ["en"]
+    got = {
+        r["doc_id"]: r["logit"]
+        for r in classifier_score_frame_by_lang(docs, models).collect()
+    }
+    assert got[1] is not None
+    assert got[2] is None and got[3] is None
+    empty = classifier_score_frame_by_lang(docs, {})
+    assert all(r["logit"] is None for r in empty.collect())

@@ -49,6 +49,7 @@ EXPECTED_PINS = {
     "mm_perceptual_dedup": 1,  # same hash-table pin (single decode pass
     # feeding both the banded join and the component vertices)
     "lm_perplexity_by_lang": 1,  # score-table pin
+    "quality_classifier_by_lang": 1,  # score-table pin
     "scrub_panel": 1,  # the line stage's boilerplate-set pin, inherited
     "behavior_panel": 1,  # rfm_segments' per-user pin, inherited
 }

@@ -133,6 +133,7 @@ def _construction_plans(spark):
         _bloom_reference_grams,
         _lm_lang_scored_frame,
         _lm_scored_frame,
+        _qcls_lang_scored_frame,
         _qcls_scored_frame,
         _qcls_train_features,
     )
@@ -152,6 +153,9 @@ def _construction_plans(spark):
         "mm_perceptual/hashes": _mm_phash_frame(spark, SF_SMALL),
         # round 14: the per-language LM scoring scan
         "lm_by_lang/scored": _lm_lang_scored_frame(spark, SF_SMALL),
+        # round 15: the per-language classifier scoring scan (per-lang
+        # fit collect + literal weight/bias maps)
+        "qcls_by_lang/scored": _qcls_lang_scored_frame(spark, SF_SMALL),
     }
 
 
@@ -202,6 +206,8 @@ SCANLESS_RESULT_PLANS = {
     "construction swept via _mm_phash_frame",
     "lm_perplexity_by_lang": "score-table checkpoint pin (single scoring "
     "scan; construction swept via _lm_lang_scored_frame)",
+    "quality_classifier_by_lang": "score-table checkpoint pin (single "
+    "scoring scan; construction swept via _qcls_lang_scored_frame)",
 }
 
 
