@@ -145,6 +145,12 @@ def main(argv: list[str] | None = None) -> int:
                              "rule); 'classifier' keeps P(clean) > 0.5 "
                              "under a reference-vs-permuted logistic "
                              "model; 'both' runs classifier then lm")
+    p_full.add_argument("--quality-per-lang", action="store_true",
+                        help="with --quality-reference and a classifier "
+                             "filter: fit one classifier PER LANGUAGE "
+                             "on that language's reference docs (CCNet "
+                             "practice) instead of one global model; "
+                             "per-lang tables land in --quality-model-out")
     p_full.add_argument("--quality-model-out", default=None,
                         help="with --quality-reference: also save the "
                              "fitted model + the run's realized LM keep "
@@ -464,6 +470,7 @@ def main(argv: list[str] | None = None) -> int:
                 if args.quality_filter in ("classifier", "both")
                 else None
             ),
+            quality_classifier_per_lang=args.quality_per_lang,
             lm_reference_docs=(
                 quality_ref
                 if args.quality_filter in ("lm", "both")
@@ -817,6 +824,40 @@ def main(argv: list[str] | None = None) -> int:
             append_corpus_batch(survivors, args.corpus, fold)
         summary = {"status": "ok", "cmd": "incremental", "kept": n,
                    "out": args.out, "folded": fold}
+        if frozen_quality is not None and frozen_quality.get("score_hist"):
+            # frozen-model drift guard (round 15, VERDICT r14 #4): TV
+            # distance of the batch's score distribution vs the full
+            # run's stored snapshot — a stale/mismatched model is
+            # FLAGGED, never silently applied. Scored over the batch's
+            # filter-stage pool (the same pool the full-run snapshot
+            # was taken over); batch-sized work.
+            import sys as _sys
+
+            from data_pipeline_team5_spark.operators.quality import (
+                QUALITY_DRIFT_WARN_TV,
+                quality_score_drift,
+            )
+            from data_pipeline_team5_spark.pipeline import (
+                _curation_filter_stage,
+            )
+
+            drift = quality_score_drift(
+                _curation_filter_stage(new), frozen_quality
+            )
+            summary["quality_drift_tv"] = drift
+            hot = {
+                s: tv for s, tv in drift.items()
+                if tv is not None and tv > QUALITY_DRIFT_WARN_TV
+            }
+            if hot:
+                print(
+                    "WARNING: frozen quality model looks stale for this "
+                    f"batch — score-distribution TV {hot} exceeds "
+                    f"{QUALITY_DRIFT_WARN_TV} vs the full run's snapshot"
+                    " (refit via `full --quality-model-out`, or confirm "
+                    "the batch really is from a shifted source)",
+                    file=_sys.stderr,
+                )
         if getattr(args, "report_drift", False):
             if fold is None:
                 raise ValueError(

@@ -531,6 +531,10 @@ def save_quality_model(
     lm_keep_max_bits: float | None = None,
     weights: list[float] | None = None,
     bias: float | None = None,
+    weights_by_lang: dict[str, list[float]] | None = None,
+    bias_by_lang: dict[str, float] | None = None,
+    provenance: dict | None = None,
+    score_hist: dict | None = None,
 ) -> None:
     """Persist a fitted quality model as JSON — the FROZEN-MODEL hand-off
     from the full curation run to the daily loop (the scrub-precedent
@@ -550,7 +554,16 @@ def save_quality_model(
     deliberately keeps all boundary ties: a frozen threshold cannot
     reproduce a rank-based tie-break without the full run's doc_id
     population, and keeping ties errs on the side of retaining data
-    whose score says it is exactly as good as the worst kept doc."""
+    whose score says it is exactly as good as the worst kept doc.
+
+    Round 15 (VERDICT r14 #4/#3): ``weights_by_lang``/``bias_by_lang``
+    carry the per-language classifier tables; ``provenance``
+    (:func:`model_provenance`) records what the model was fit on —
+    reference row count + order-insensitive id digest + hyperparams —
+    so a mismatched vintage is detectable; ``score_hist`` stores the
+    full run's per-signal score histograms ({sig: {lo, hi, counts}}),
+    the baseline :func:`quality_score_drift` compares every daily
+    batch against."""
     import json
     import os
 
@@ -566,6 +579,10 @@ def save_quality_model(
                     "lm_keep_max_bits": lm_keep_max_bits,
                     "weights": weights,
                     "bias": bias,
+                    "weights_by_lang": weights_by_lang,
+                    "bias_by_lang": bias_by_lang,
+                    "provenance": provenance,
+                    "score_hist": score_hist,
                 },
                 f,
             )
@@ -585,11 +602,140 @@ def load_quality_model(path: str) -> dict:
         return json.load(f)
 
 
+def model_provenance(
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    buckets: int = LM_BUCKETS,
+    cap: int = CLS_TRAIN_CAP,
+    lr: float = CLS_LR,
+    iters: int = CLS_ITERS,
+) -> dict:
+    """Fingerprint of WHAT the frozen model was fit on (round 15,
+    VERDICT r14 #4 — a daily loop could otherwise silently apply a
+    model fit on a different reference vintage): reference row count,
+    an order-insensitive digest over the reference's doc ids (bit_xor
+    of per-id xxhash64 — partition-order-independent, the components
+    observe-fingerprint idiom), and the fit hyperparameters. One agg
+    job over the id column only."""
+    row = reference.select(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"bit_xor(xxhash64(cast({id_col} as string)))"
+        ).alias("h"),
+    ).collect()[0]
+    return {
+        "reference_rows": row["n"],
+        "reference_ids_digest": (
+            None
+            if row["n"] == 0
+            else f"{row['h'] & (2 ** 64 - 1):016x}"
+        ),
+        "buckets": buckets,
+        "cap": cap,
+        "lr": lr,
+        "iters": iters,
+    }
+
+
+# Fixed histogram resolution for the frozen model's score snapshot —
+# enough cells for a readable TV distance, few enough that the JSON
+# stays tiny and every daily batch fills them.
+SCORE_HIST_BUCKETS = 16
+QUALITY_DRIFT_WARN_TV = 0.25  # same order as drift_report's intent:
+# a quarter of the mass moved between fit time and apply time is not a
+# threshold question anymore — the model is stale or mismatched
+
+
+def score_histogram(
+    scored: DataFrame, col: str, lo: float, hi: float,
+    nbuckets: int = SCORE_HIST_BUCKETS,
+) -> list[int]:
+    """Counts per bucket of ``col`` over [lo, hi) — fixed STORED edges
+    (width_bucket; underflow folds into the first cell, overflow into
+    the last, NULLs excluded), so the full run's histogram and every
+    daily batch's are computed over identical cells and TV distance is
+    well-defined. One groupBy over the already-pinned score table."""
+    b = F.expr(
+        f"least(greatest(width_bucket({col}, {float(lo)!r}, "
+        f"{float(hi)!r}, {nbuckets}), 1), {nbuckets})"
+    )
+    rows = (
+        scored.filter(F.col(col).isNotNull())
+        .groupBy(b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    out = [0] * nbuckets
+    for r in rows:
+        out[r["_b"] - 1] = r["c"]
+    return out
+
+
+def tv_distance(p: list[int], q: list[int]) -> float | None:
+    """Total-variation distance between two count histograms over the
+    same cells (½·Σ|p̂−q̂|); None when either side is empty."""
+    sp, sq = float(sum(p)), float(sum(q))
+    if sp == 0 or sq == 0:
+        return None
+    return 0.5 * sum(
+        abs(a / sp - b / sq) for a, b in zip(p, q)
+    )
+
+
+def quality_score_drift(
+    batch: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> dict[str, float | None]:
+    """signal → TV distance between the BATCH's score distribution and
+    the full run's stored snapshot (``score_hist`` in the frozen-model
+    JSON) — the stale-model guard (round 15, VERDICT r14 #4): a frozen
+    threshold applied to a drifted distribution silently keeps/drops
+    the wrong mass; this flags it. Batch-sized scoring work only (the
+    same scoring scans the frozen filters already run)."""
+    hist = model.get("score_hist") or {}
+    out: dict[str, float | None] = {}
+    for sig, spec in hist.items():
+        lo, hi, counts = spec["lo"], spec["hi"], spec["counts"]
+        if sig == "classifier_logit":
+            scored = classifier_score_frame(
+                batch, model["weights"], model["bias"], id_col, text_col
+            )
+            col = "logit"
+        elif sig == "classifier_logit_by_lang":
+            models = {
+                lang: (w, model["bias_by_lang"][lang])
+                for lang, w in model["weights_by_lang"].items()
+            }
+            scored = classifier_score_frame_by_lang(
+                batch, models, id_col, text_col, lang_col
+            )
+            col = "logit"
+        elif sig == "lm_bits":
+            scored = lm_score_frame(
+                batch, model["logp"], id_col, text_col
+            )
+            col = "ppl_bits"
+        else:  # forward-compat: unknown signal names are skipped loudly
+            out[sig] = None
+            continue
+        out[sig] = tv_distance(
+            counts,
+            score_histogram(
+                scored.localCheckpoint(), col, lo, hi, len(counts)
+            ),
+        )
+    return out
+
+
 def apply_frozen_quality_model(
     kept: DataFrame,
     model: dict,
     id_col: str = "doc_id",
     text_col: str = "text",
+    lang_col: str = "lang",
 ) -> DataFrame:
     """Apply a frozen model's THRESHOLD rules to a (daily-batch-sized)
     frame: keep classifier logit > 0 and LM bits ≤ the stored full-run
@@ -607,6 +753,21 @@ def apply_frozen_quality_model(
     if model.get("weights") is not None:
         scored = classifier_score_frame(
             kept, model["weights"], model["bias"], id_col, text_col
+        ).localCheckpoint()
+        keep_ids = scored.filter(
+            F.col("logit").isNull() | (F.col("logit") > 0)
+        ).select(id_col)
+        kept = kept.join(keep_ids, id_col)
+    if model.get("weights_by_lang"):
+        # per-language rule (round 15): each doc judged under its OWN
+        # language's frozen model; unmodeled/NULL langs pass (absence
+        # of evidence — the CCNet unscoreable rule)
+        models = {
+            lang: (w, model["bias_by_lang"][lang])
+            for lang, w in model["weights_by_lang"].items()
+        }
+        scored = classifier_score_frame_by_lang(
+            kept, models, id_col, text_col, lang_col
         ).localCheckpoint()
         keep_ids = scored.filter(
             F.col("logit").isNull() | (F.col("logit") > 0)

@@ -393,6 +393,7 @@ def curate_training_data(
     bench_gram_count: int | None = None,
     decon_n: int = 5,
     quality_classifier_reference: DataFrame | None = None,
+    quality_classifier_per_lang: bool = False,
     lm_reference_docs: DataFrame | None = None,
     quality_model_out: str | None = None,
     image_blobs: DataFrame | None = None,
@@ -525,9 +526,59 @@ def curate_training_data(
     # micro-batch (the scrub precedent's argument).
     qm_weights: list[float] | None = None
     qm_bias: float | None = None
+    qm_weights_by_lang: dict | None = None
+    qm_bias_by_lang: dict | None = None
     qm_logp: list[float] | None = None
     qm_cutoff: float | None = None
-    if quality_classifier_reference is not None:
+    qm_hist: dict = {}
+
+    def _snapshot_hist(scored, col: str, sig: str) -> None:
+        # full-run score histogram (round 15, VERDICT r14 #4): stored
+        # edges from the run's own min/max so every daily batch bins
+        # over IDENTICAL cells (operators/quality.py:score_histogram);
+        # one 1-row agg + one groupBy over the already-pinned table
+        if quality_model_out is None:
+            return
+        from data_pipeline_team5_spark.operators.quality import (
+            score_histogram,
+        )
+
+        mm = scored.agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi")
+        ).collect()[0]
+        if mm["lo"] is None:
+            return
+        lo, hi = float(mm["lo"]), float(mm["hi"])
+        if hi <= lo:
+            hi = lo + 1.0  # degenerate single-value run: one live cell
+        qm_hist[sig] = {
+            "lo": lo,
+            "hi": hi,
+            "counts": score_histogram(scored, col, lo, hi),
+        }
+
+    if quality_classifier_reference is not None and (
+        quality_classifier_per_lang
+    ):
+        from data_pipeline_team5_spark.operators.quality import (
+            classifier_score_frame_by_lang,
+            fit_quality_classifier_by_lang,
+        )
+
+        models = fit_quality_classifier_by_lang(
+            quality_classifier_reference
+        )
+        qm_weights_by_lang = {lang: wb[0] for lang, wb in models.items()}
+        qm_bias_by_lang = {lang: wb[1] for lang, wb in models.items()}
+        cls_scored = classifier_score_frame_by_lang(
+            kept, models
+        ).localCheckpoint()
+        keep_ids = cls_scored.filter(
+            F.col("logit").isNull() | (F.col("logit") > 0)
+        ).select("doc_id")
+        kept = kept.join(keep_ids, "doc_id")
+        _snapshot_hist(cls_scored, "logit", "classifier_logit_by_lang")
+    elif quality_classifier_reference is not None:
         from data_pipeline_team5_spark.operators.quality import (
             classifier_score_frame,
             fit_quality_classifier,
@@ -540,6 +591,7 @@ def curate_training_data(
             F.col("logit").isNull() | (F.col("logit") > 0)
         ).select("doc_id")
         kept = kept.join(keep_ids, "doc_id")
+        _snapshot_hist(cls_scored, "logit", "classifier_logit")
     if lm_reference_docs is not None:
         from data_pipeline_team5_spark.operators.quality import (
             fit_hashed_bigram_lm,
@@ -574,10 +626,14 @@ def curate_training_data(
                 .collect()
             )
             qm_cutoff = row[0]["m"] if row else None
+        _snapshot_hist(scoreable, "ppl_bits", "lm_bits")
     if quality_model_out is not None and (
-        qm_weights is not None or qm_logp is not None
+        qm_weights is not None
+        or qm_weights_by_lang is not None
+        or qm_logp is not None
     ):
         from data_pipeline_team5_spark.operators.quality import (
+            model_provenance,
             save_quality_model,
         )
 
@@ -587,6 +643,16 @@ def curate_training_data(
             lm_keep_max_bits=qm_cutoff,
             weights=qm_weights,
             bias=qm_bias,
+            weights_by_lang=qm_weights_by_lang,
+            bias_by_lang=qm_bias_by_lang,
+            # fit fingerprint (round 15, VERDICT r14 #4) — taken over
+            # whichever reference the run actually fit on
+            provenance=model_provenance(
+                quality_classifier_reference
+                if quality_classifier_reference is not None
+                else lm_reference_docs
+            ),
+            score_hist=qm_hist or None,
         )
 
     # 2. exact dedup (deterministic survivor: min doc_id per content key)

@@ -1002,3 +1002,68 @@ def test_cli_image_dedup_daily_loop(spark, tmp_path, capsys):
     inc("day2")
     assert sorted(map(tuple, spark.read.parquet(s["out"]).collect())) == before
     assert sorted(map(tuple, spark.read.parquet(ph).collect())) == idx_before
+
+
+def test_cli_frozen_model_drift_warning(spark, tmp_path, capsys):
+    """Round 15 (VERDICT r14 #4): a daily batch whose score
+    distribution has moved away from the full run's stored snapshot
+    must be FLAGGED (summary TV + stderr warning), never silently
+    filtered with the stale thresholds; a same-distribution batch
+    passes quietly."""
+    docs, paths = _days(spark, tmp_path)
+    ref_path = str(tmp_path / "ref.parquet")
+    docs.filter(F.col("doc_id") % 7 == 0).write.parquet(ref_path)
+    mpath = str(tmp_path / "qm.json")
+    _run(capsys, [
+        "full", "--docs", paths["day0"],
+        "--out", str(tmp_path / "full_out"),
+        "--quality-reference", ref_path,
+        "--quality-filter", "both",
+        "--quality-model-out", mpath,
+    ])
+
+    s = _store_args(tmp_path)
+    _run(capsys, ["init-corpus", "--docs", paths["day0"],
+                  "--corpus", s["corpus"]])
+    _run(capsys, ["build-index", "--docs", s["corpus"],
+                  "--sig", s["sig"], "--key", s["key"]])
+
+    # same-distribution day: drift reported, no warning
+    assert main([
+        "incremental", "--new", paths["day1"], "--corpus", s["corpus"],
+        "--sig", s["sig"], "--key", s["key"],
+        "--out", str(tmp_path / "out1"), "--quality-model", mpath,
+    ]) == 0
+    cap = capsys.readouterr()  # out AND err from the same capture
+    out1 = json.loads(cap.out.strip().splitlines()[-1])
+    assert set(out1["quality_drift_tv"]) == {"classifier_logit", "lm_bits"}
+    assert all(
+        tv is not None and tv < 0.25
+        for tv in out1["quality_drift_tv"].values()
+    ), out1["quality_drift_tv"]
+    assert "looks stale" not in cap.err
+
+    # shifted day: md5-permuted tokens (the classifier's own negative
+    # class — maximally off-distribution) must trip the guard
+    from data_pipeline_team5_spark.operators.quality import (
+        _perm_tokens_sql,
+    )
+
+    shifted = spark.read.parquet(paths["day2"]).withColumn(
+        "text",
+        F.array_join(F.expr(_perm_tokens_sql("split(text, ' ')")), " "),
+    )
+    p_shift = str(tmp_path / "shifted.parquet")
+    shifted.write.parquet(p_shift)
+    assert main([
+        "incremental", "--new", p_shift, "--corpus", s["corpus"],
+        "--sig", s["sig"], "--key", s["key"],
+        "--out", str(tmp_path / "out2"), "--quality-model", mpath,
+    ]) == 0
+    cap = capsys.readouterr()  # out AND err from the same capture
+    out2 = json.loads(cap.out.strip().splitlines()[-1])
+    assert any(
+        tv is not None and tv > 0.25
+        for tv in out2["quality_drift_tv"].values()
+    ), out2["quality_drift_tv"]
+    assert "looks stale" in cap.err
