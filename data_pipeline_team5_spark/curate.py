@@ -313,6 +313,19 @@ def main(argv: list[str] | None = None) -> int:
                             "--quality-model-out): applies the saved "
                             "classifier threshold and LM cutoff to each "
                             "batch — never a per-batch refit/tertile")
+    p_str.add_argument("--image-blobs", default=None,
+                       help="(doc_id, blob) parquet covering the arrival "
+                            "docs' images; requires --perceptual-index. "
+                            "Each micro-batch is image-deduped against "
+                            "the retained hashes, and its survivors' "
+                            "hashes fold in — the stream form of "
+                            "incremental --image-blobs")
+    p_str.add_argument("--perceptual-index", default=None,
+                       help="perceptual-hash index root (seed with "
+                            "build-index --perceptual)")
+    p_str.add_argument("--image-backend", default="bmp",
+                       choices=["bmp", "png", "fake", "pil"],
+                       help="see full --image-backend")
     p_str.add_argument("--decon-n", type=int, default=5,
                        help="see full --decon-n")
     p_str.add_argument("--decon-bloom-min-grams", type=int, default=None,
@@ -410,12 +423,12 @@ def main(argv: list[str] | None = None) -> int:
             "build-index: --image-blobs and --perceptual go together"
         )
     if (
-        args.cmd == "incremental"
+        args.cmd in ("incremental", "stream")
         and getattr(args, "image_blobs", None)
         and not getattr(args, "perceptual_index", None)
     ):
         ap.error(
-            "incremental: --image-blobs requires --perceptual-index "
+            f"{args.cmd}: --image-blobs requires --perceptual-index "
             "(the retained corpus's images are reached only through "
             "the stored hash index)"
         )
@@ -685,8 +698,13 @@ def main(argv: list[str] | None = None) -> int:
         # up only unseen arrival files, and a batch that crashed mid-fold
         # replays under ITS OWN batch id, converging through the same
         # idempotent partition overwrites the daily loop relies on.
-        for path, what in ((args.corpus, "corpus"), (args.sig, "sig"),
-                           (args.key, "key"), (args.out, "out")):
+        stream_roots = [(args.corpus, "corpus"), (args.sig, "sig"),
+                        (args.key, "key"), (args.out, "out")]
+        if image_blobs is not None:
+            stream_roots.append(
+                (args.perceptual_index, "perceptual-index")
+            )
+        for path, what in stream_roots:
             _refuse_flat_root(path, what)
         schema = spark.read.parquet(args.arrivals).schema
         processed: list[str] = []
@@ -709,6 +727,11 @@ def main(argv: list[str] | None = None) -> int:
                 bench_gram_count=bench_n_grams,
                 decon_n=args.decon_n,
                 quality_model=frozen_quality,
+                new_image_blobs=image_blobs,
+                perceptual_index_path=getattr(
+                    args, "perceptual_index", None
+                ),
+                image_backend=args.image_backend,
             )
             off = next_bin_offset(spark, args.out, exclude_batch_id=fold)
             (
@@ -725,6 +748,13 @@ def main(argv: list[str] | None = None) -> int:
             survivors = batch_df.join(kept.select("doc_id"), "doc_id")
             build_signature_index(survivors, args.sig, batch_id=fold)
             build_exact_key_index(survivors, args.key, batch_id=fold)
+            if image_blobs is not None:
+                build_perceptual_index(
+                    image_blobs.join(kept.select("doc_id"), "doc_id"),
+                    args.perceptual_index,
+                    backend=args.image_backend,
+                    batch_id=fold,
+                )
             append_corpus_batch(survivors, args.corpus, fold)
             if args.shard_root:
                 from data_pipeline_team5_spark.sources.writers import (

@@ -1067,3 +1067,80 @@ def test_cli_frozen_model_drift_warning(spark, tmp_path, capsys):
         for tv in out2["quality_drift_tv"].values()
     ), out2["quality_drift_tv"]
     assert "looks stale" in cap.err
+
+
+def test_cli_stream_image_dedup(spark, tmp_path, capsys):
+    """Round 15: the stream loop's image leg — each micro-batch is
+    image-deduped against the retained hashes through the stored index
+    and its survivors' hashes fold in, so arrival 2 catches a dup of
+    arrival 1's fresh image."""
+    from data_pipeline_team5_spark.operators.multimodal import (
+        BMP_H,
+        BMP_W,
+        encode_bmp,
+    )
+
+    def payload(seed: int) -> bytes:
+        px = bytearray()
+        for y in range(BMP_H):
+            for x in range(BMP_W):
+                v = (x * (37 + seed * 13) + y * (101 + seed * 7)
+                     + x * y * (7 + seed)) % 256
+                px += bytes((v, v, v))
+        return encode_bmp(bytes(px), BMP_W, BMP_H)
+
+    def day_docs(ids_):
+        return spark.createDataFrame(
+            [(i, "en", 290,
+              " ".join(f"u{i}w{j}" for j in range(50))) for i in ids_],
+            "doc_id LONG, lang STRING, n_chars LONG, text STRING",
+        )
+
+    ids = {"day0": [1000, 1001], "a1": [2000, 2001], "a2": [3000, 3001]}
+    blob_rows = (
+        [(1000, payload(0)), (1001, payload(1))]
+        + [(2000, payload(0)), (2001, payload(50))]  # 2000 dups corpus
+        + [(3000, payload(50)), (3001, payload(60))]  # 3000 dups a1's
+    )
+    all_blobs = spark.createDataFrame(
+        blob_rows, "doc_id LONG, blob BINARY"
+    )
+    blobs = str(tmp_path / "blobs.parquet")
+    all_blobs.write.parquet(blobs)
+    blobs0 = str(tmp_path / "blobs0.parquet")
+    all_blobs.filter(F.col("doc_id") < 2000).write.parquet(blobs0)
+
+    p_day0 = str(tmp_path / "day0.parquet")
+    day_docs(ids["day0"]).write.parquet(p_day0)
+    s = _store_args(tmp_path)
+    ph = str(tmp_path / "phash")
+    _run(capsys, ["init-corpus", "--docs", p_day0,
+                  "--corpus", s["corpus"]])
+    _run(capsys, ["build-index", "--docs", p_day0,
+                  "--sig", s["sig"], "--key", s["key"],
+                  "--image-blobs", blobs0, "--perceptual", ph])
+
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    for name in ("a1", "a2"):
+        stage = tmp_path / f"stage_{name}"
+        day_docs(ids[name]).coalesce(1).write.parquet(str(stage))
+        part = next(
+            p for p in stage.iterdir() if p.name.endswith(".parquet")
+        )
+        part.rename(arrivals / f"{name}.parquet")
+
+    r = _run(capsys, [
+        "stream", "--arrivals", str(arrivals), "--corpus", s["corpus"],
+        "--sig", s["sig"], "--key", s["key"], "--out", s["out"],
+        "--image-blobs", blobs, "--perceptual-index", ph,
+    ])
+    assert len(r["batches"]) == 2
+    kept = {
+        r_["doc_id"]
+        for r_ in spark.read.parquet(s["out"]).collect()
+    }
+    assert kept == {2001, 3001}  # 2000 dup of corpus; 3000 dup of 2001
+    # the perceptual index grew one partition per micro-batch
+    for fold in ("s0", "s1"):
+        assert os.path.isdir(os.path.join(ph, f"batch_id={fold}"))
