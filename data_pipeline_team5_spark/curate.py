@@ -872,7 +872,16 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             drift = quality_score_drift(
-                _curation_filter_stage(new), frozen_quality
+                # same filter-stage knobs as the batch run itself, so
+                # the probe's pool is the pool the thresholds act on
+                _curation_filter_stage(
+                    new,
+                    benchmark_docs=bench_docs,
+                    decon_bloom_min_grams=args.decon_bloom_min_grams,
+                    bench_gram_count=bench_n_grams,
+                    decon_n=args.decon_n,
+                ),
+                frozen_quality,
             )
             summary["quality_drift_tv"] = drift
             hot = {

@@ -714,8 +714,25 @@ def quality_score_drift(
             )
             col = "logit"
         elif sig == "lm_bits":
+            # pool fidelity: the full run snapshots LM bits over the
+            # CLASSIFIER-KEPT pool (the CCNet order), so the batch's
+            # comparable pool applies the frozen classifier rule first
+            lm_pool = batch
+            if model.get("weights") is not None or model.get(
+                "weights_by_lang"
+            ):
+                cls_only = {
+                    k: model.get(k)
+                    for k in (
+                        "weights", "bias", "weights_by_lang",
+                        "bias_by_lang",
+                    )
+                }
+                lm_pool = apply_frozen_quality_model(
+                    batch, cls_only, id_col, text_col, lang_col
+                )
             scored = lm_score_frame(
-                batch, model["logp"], id_col, text_col
+                lm_pool, model["logp"], id_col, text_col
             )
             col = "ppl_bits"
         else:  # forward-compat: unknown signal names are skipped loudly
