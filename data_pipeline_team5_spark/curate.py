@@ -206,6 +206,12 @@ def main(argv: list[str] | None = None) -> int:
                         help="image decode backend for --image-blobs "
                              "(bmp/png = real stdlib decodes; pil is gated in "
                              "containers without imaging libs)")
+    p_full.add_argument("--image-benchmark", default=None,
+                        help="(doc_id, blob) parquet of eval-benchmark "
+                             "IMAGES; corpus docs whose image is a "
+                             "perceptual near-dup of any benchmark image "
+                             "are dropped before dedup (the image twin "
+                             "of --benchmark). Requires --image-blobs")
 
     p_seed = sub.add_parser(
         "init-corpus", help="seed the maintained retained-corpus root"
@@ -270,6 +276,10 @@ def main(argv: list[str] | None = None) -> int:
                        help="perceptual-hash index root (from build-index "
                             "--perceptual); with --fold-batch-id the "
                             "surviving batch's hashes fold in after")
+    p_inc.add_argument("--image-benchmark", default=None,
+                       help="see full --image-benchmark; with "
+                            "--image-blobs alone (no --perceptual-index) "
+                            "the batch is image-DECONTAMINATED only")
     p_inc.add_argument("--image-backend", default="bmp",
                        choices=["bmp", "png", "fake", "pil"],
                        help="see full --image-backend")
@@ -323,6 +333,8 @@ def main(argv: list[str] | None = None) -> int:
     p_str.add_argument("--perceptual-index", default=None,
                        help="perceptual-hash index root (seed with "
                             "build-index --perceptual)")
+    p_str.add_argument("--image-benchmark", default=None,
+                       help="see full --image-benchmark")
     p_str.add_argument("--image-backend", default="bmp",
                        choices=["bmp", "png", "fake", "pil"],
                        help="see full --image-backend")
@@ -426,12 +438,18 @@ def main(argv: list[str] | None = None) -> int:
         args.cmd in ("incremental", "stream")
         and getattr(args, "image_blobs", None)
         and not getattr(args, "perceptual_index", None)
+        and not getattr(args, "image_benchmark", None)
     ):
         ap.error(
             f"{args.cmd}: --image-blobs requires --perceptual-index "
             "(the retained corpus's images are reached only through "
-            "the stored hash index)"
+            "the stored hash index) and/or --image-benchmark "
+            "(decon-only)"
         )
+    if args.cmd == "full" and getattr(
+        args, "image_benchmark", None
+    ) and not getattr(args, "image_blobs", None):
+        ap.error("full: --image-benchmark requires --image-blobs")
 
     spark = get_spark(app_name=f"curate_{args.cmd}")
     bench_docs = (
@@ -468,6 +486,11 @@ def main(argv: list[str] | None = None) -> int:
         if getattr(args, "image_blobs", None)
         else None
     )
+    image_bench = (
+        spark.read.parquet(args.image_benchmark)
+        if getattr(args, "image_benchmark", None)
+        else None
+    )
     if args.cmd == "full":
         out = curate_training_data(
             spark.read.parquet(args.docs),
@@ -491,6 +514,7 @@ def main(argv: list[str] | None = None) -> int:
             ),
             quality_model_out=args.quality_model_out,
             image_blobs=image_blobs,
+            benchmark_image_blobs=image_bench,
             image_backend=args.image_backend,
             scrub_pii=args.scrub_pii,
             survivor_policy=args.survivor_policy,
@@ -731,6 +755,7 @@ def main(argv: list[str] | None = None) -> int:
                 perceptual_index_path=getattr(
                     args, "perceptual_index", None
                 ),
+                benchmark_image_blobs=image_bench,
                 image_backend=args.image_backend,
             )
             off = next_bin_offset(spark, args.out, exclude_batch_id=fold)
@@ -815,6 +840,7 @@ def main(argv: list[str] | None = None) -> int:
             quality_model=frozen_quality,
             new_image_blobs=image_blobs,
             perceptual_index_path=getattr(args, "perceptual_index", None),
+            benchmark_image_blobs=image_bench,
             image_backend=args.image_backend,
         )
         if fold is None:

@@ -765,3 +765,64 @@ def perceptual_pairs_against_index(
         combo=combo,
         max_bucket=max_bucket,
     )
+
+
+def contaminated_image_ids(
+    corpus_hashes: DataFrame,
+    benchmark_hashes: DataFrame,
+    max_hamming: int = 6,
+    blocks: int = 8,
+    combo: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_bench_matches, min_hamming) for every CORPUS image
+    within dHash Hamming ≤ ``max_hamming`` of ANY benchmark image — the
+    image-modality twin of text decontamination (round 15: eval images
+    must never reach training bins any more than eval n-grams may).
+    Inputs are (doc_id, dhash[, ahash]) hash tables; doc ids must be
+    disjoint across the two sides (the text-decon contract — the
+    fixture query slices them disjointly).
+
+    Scale shape: the probe reuses the pigeonhole banded equi-join
+    (operators/dedup.py:simhash_pairs_against_index with the BENCHMARK
+    as the batch side) — the benchmark's C(blocks,combo) keys are tiny
+    and broadcast under AQE, the corpus side streams map-side through
+    its own key explode, and only Hamming-verified pairs survive.
+    Guaranteed recall for max_hamming ≤ blocks − combo; the corpus's
+    images are decoded once into 2 longs/doc (the stored index form
+    plugs in unchanged)."""
+    from data_pipeline_team5_spark.operators.dedup import (
+        simhash_pairs_against_index,
+    )
+
+    pairs = simhash_pairs_against_index(
+        benchmark_hashes.select(
+            "doc_id", F.col("dhash").alias("simhash")
+        ),
+        corpus_hashes.select(
+            "doc_id", F.col("dhash").alias("simhash")
+        ),
+        max_hamming=max_hamming,
+        bits=64,
+        blocks=blocks,
+        combo=combo,
+        max_bucket=max_bucket,
+    )
+    bench_ids = benchmark_hashes.select(
+        F.col("doc_id").alias("_bid")
+    )
+    corpus_side = (
+        pairs.select(F.col("doc_a").alias("doc_id"), "hamming")
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("doc_id"), "hamming")
+        )
+        .join(
+            bench_ids,
+            F.col("doc_id") == F.col("_bid"),
+            "left_anti",
+        )
+    )
+    return corpus_side.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bench_matches"),
+        F.min("hamming").alias("min_hamming"),
+    )

@@ -397,6 +397,7 @@ def curate_training_data(
     lm_reference_docs: DataFrame | None = None,
     quality_model_out: str | None = None,
     image_blobs: DataFrame | None = None,
+    benchmark_image_blobs: DataFrame | None = None,
     image_backend: str = "bmp",
     image_max_hamming: int = 6,
     image_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
@@ -501,6 +502,37 @@ def curate_training_data(
         bench_gram_count=bench_gram_count,
         decon_n=decon_n,
     )
+
+    # 1a-image. optional IMAGE-grain decontamination (round 15): drop
+    # docs whose image is a perceptual near-dup of ANY eval-benchmark
+    # image — the image twin of the 5-gram rule above, at the same
+    # early stage (eval overlap must never reach training bins). The
+    # kept pool's images decode ONCE here into a pinned 2-longs/doc
+    # hash table that the dedup stage (3b) reuses by id semi-join, so
+    # turning decon on never adds a second decode pass.
+    ih_kept: DataFrame | None = None
+    if benchmark_image_blobs is not None:
+        if image_blobs is None:
+            raise ValueError(
+                "curate_training_data: benchmark_image_blobs requires "
+                "image_blobs (the corpus side's images)"
+            )
+        from data_pipeline_team5_spark.operators.multimodal import (
+            contaminated_image_ids,
+            perceptual_hashes,
+        )
+
+        ih_kept = perceptual_hashes(
+            image_blobs.join(kept.select("doc_id"), "doc_id"),
+            backend=image_backend,
+        ).localCheckpoint()
+        bh = perceptual_hashes(
+            benchmark_image_blobs, backend=image_backend
+        ).localCheckpoint()
+        bad = contaminated_image_ids(
+            ih_kept, bh, max_hamming=image_max_hamming
+        ).select("doc_id")
+        kept = kept.join(bad, "doc_id", "left_anti")
 
     # 1b. optional MODEL-BASED quality filters (round 14, operators/
     # quality.py — the CCNet two-signal stack), applied to the filtered
@@ -695,10 +727,15 @@ def curate_training_data(
             perceptual_pairs,
         )
 
-        ih = perceptual_hashes(
-            image_blobs.join(uniq.select("doc_id"), "doc_id"),
-            backend=image_backend,
-        ).localCheckpoint()
+        if ih_kept is not None:
+            # reuse the decon stage's decode pass: subset the pinned
+            # 2-longs/doc table to the curated+deduped pool by id
+            ih = ih_kept.join(uniq.select("doc_id"), "doc_id")
+        else:
+            ih = perceptual_hashes(
+                image_blobs.join(uniq.select("doc_id"), "doc_id"),
+                backend=image_backend,
+            ).localCheckpoint()
         ipairs = perceptual_pairs(
             ih,
             max_hamming=image_max_hamming,
@@ -838,6 +875,7 @@ def curate_incremental_batch(
     quality_model: dict | None = None,
     new_image_blobs: DataFrame | None = None,
     perceptual_index_path: str | None = None,
+    benchmark_image_blobs: DataFrame | None = None,
     image_backend: str = "bmp",
     image_max_hamming: int = 6,
     image_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
@@ -949,6 +987,34 @@ def curate_incremental_batch(
 
         kept = apply_frozen_quality_model(kept, quality_model)
 
+    # 1a-image. optional IMAGE-grain decontamination (round 15): the
+    # batch's kept pool decodes ONCE into a pinned hash table; the
+    # benchmark side is reference-sized. The table is reused by the
+    # image-dedup probe below (id semi-join), same as the full run.
+    nh_kept: DataFrame | None = None
+    if benchmark_image_blobs is not None:
+        if new_image_blobs is None:
+            raise ValueError(
+                "curate_incremental_batch: benchmark_image_blobs "
+                "requires new_image_blobs (the batch's images)"
+            )
+        from data_pipeline_team5_spark.operators.multimodal import (
+            contaminated_image_ids,
+            perceptual_hashes,
+        )
+
+        nh_kept = perceptual_hashes(
+            new_image_blobs.join(kept.select("doc_id"), "doc_id"),
+            backend=image_backend,
+        ).localCheckpoint()
+        bh = perceptual_hashes(
+            benchmark_image_blobs, backend=image_backend
+        ).localCheckpoint()
+        bad = contaminated_image_ids(
+            nh_kept, bh, max_hamming=image_max_hamming
+        ).select("doc_id")
+        kept = kept.join(bad, "doc_id", "left_anti")
+
     # 2. exact dedup: within the batch, then anti-join the corpus's keys —
     # probed from the stored key table when available (O(batch) probe)
     # instead of scanning + distinct-ing the whole corpus every run
@@ -987,14 +1053,18 @@ def curate_incremental_batch(
             threshold=neardup_threshold,
             max_bucket=PRODUCTION_MAX_BUCKET,
         )
-    if new_image_blobs is not None:
-        if perceptual_index_path is None:
-            raise ValueError(
-                "curate_incremental_batch: new_image_blobs requires "
-                "perceptual_index_path (build_perceptual_index) — the "
-                "daily loop never re-decodes the retained corpus's "
-                "images"
-            )
+    if (
+        new_image_blobs is not None
+        and perceptual_index_path is None
+        and benchmark_image_blobs is None
+    ):
+        raise ValueError(
+            "curate_incremental_batch: new_image_blobs requires "
+            "perceptual_index_path (build_perceptual_index) — the "
+            "daily loop never re-decodes the retained corpus's "
+            "images — and/or benchmark_image_blobs (decon-only)"
+        )
+    if new_image_blobs is not None and perceptual_index_path is not None:
         from data_pipeline_team5_spark.operators.multimodal import (
             perceptual_hashes,
             perceptual_pairs_against_index,
@@ -1006,10 +1076,13 @@ def curate_incremental_batch(
             and "batch_id" in idx.columns
         ):
             idx = idx.filter(F.col("batch_id") != exclude_batch_id)
-        nh = perceptual_hashes(
-            new_image_blobs.join(uniq.select("doc_id"), "doc_id"),
-            backend=image_backend,
-        ).localCheckpoint()
+        if nh_kept is not None:  # reuse the decon stage's decode pass
+            nh = nh_kept.join(uniq.select("doc_id"), "doc_id")
+        else:
+            nh = perceptual_hashes(
+                new_image_blobs.join(uniq.select("doc_id"), "doc_id"),
+                backend=image_backend,
+            ).localCheckpoint()
         ipairs = perceptual_pairs_against_index(
             nh,
             idx.select("doc_id", "dhash", "ahash"),

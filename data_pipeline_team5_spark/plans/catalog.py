@@ -381,6 +381,10 @@ _TAIL = (
     # headline-timed, still mini-driver-bitwise every CI run.
     "mm_blob_features",
     "mm_frame_sample",
+    # Round 15: image-grain decontamination (the image twin of the
+    # n-gram overlap report). Rows-only by design (decode → hash →
+    # banded probe); brute-force-sweep parity in tests/test_multimodal.py.
+    "mm_decontaminate",
 )
 
 

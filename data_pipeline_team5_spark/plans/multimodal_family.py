@@ -15,6 +15,7 @@ round-trip tested in tests/test_multimodal.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.operators.multimodal import (
     FRAME_BYTES,
@@ -359,3 +360,44 @@ def mm_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("section", "doc_id", "metric", "idx")
     )
+
+
+MM_DECON_BENCH_MOD = 13  # fixture benchmark slice (disjoint sides by
+# construction — the text-decon slicing convention)
+
+
+@register(
+    "mm_decontaminate",
+    oracle=None,  # decode → hash → banded probe: no SQL form; pinned
+    # against a brute-force Hamming sweep over mirrored hashes in
+    # tests/test_multimodal.py.
+    doc="⊕ IMAGE-grain decontamination (round 15 — the image twin of "
+    "decontaminate_ngram_overlap: eval images must never reach "
+    "training bins any more than eval n-grams may): every corpus doc "
+    "whose image sits within dHash Hamming ≤ 6 of ANY benchmark-slice "
+    "image (doc_id % 13 == 0), with the match count and the closest "
+    "distance — the removal-audit evidence. The probe reuses the "
+    "pigeonhole banded equi-join with the BENCHMARK as the batch side "
+    "(operators/multimodal.py:contaminated_image_ids): benchmark keys "
+    "are reference-sized and broadcast under AQE, the corpus side "
+    "streams map-side through its own key explode, Hamming verify is "
+    "exact, recall guaranteed for ≤ blocks − combo. Corpus images "
+    "decode ONCE into the pinned 2-longs/doc hash table (the stored "
+    "perceptual index plugs in unchanged for the daily loop). Drop "
+    "rule deploys via curate_training_data(benchmark_image_blobs=…) / "
+    "CLI --image-benchmark.",
+    tags=("multimodal", "decontamination", "perceptual"),
+)
+def mm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.multimodal import (
+        contaminated_image_ids,
+    )
+
+    hashes = _mm_phash_frame(spark, sf_dir).localCheckpoint()
+    bench = hashes.filter(
+        F.col("doc_id") % MM_DECON_BENCH_MOD == 0
+    )
+    corpus = hashes.filter(
+        F.col("doc_id") % MM_DECON_BENCH_MOD != 0
+    )
+    return contaminated_image_ids(corpus, bench).orderBy("doc_id")

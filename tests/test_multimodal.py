@@ -538,3 +538,40 @@ def test_png_route_equals_bmp_route_in_spark(spark):
         )
     )
     assert png_feat == bmp_feat and png_feat
+
+
+def test_mm_decontaminate_matches_brute_force(spark):
+    """Round 15 image-grain decontamination: the banded benchmark probe
+    must report exactly the corpus docs within Hamming ≤ 6 of any
+    benchmark image, with exact match counts and min distance —
+    checked against a brute-force sweep over the mirrored hashes."""
+    from data_pipeline_team5_spark.plans.catalog import QUERIES
+    from data_pipeline_team5_spark.plans.multimodal_family import (
+        MM_DECON_BENCH_MOD,
+    )
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    hashes = {d: _mirror_hashes(t)[0] for d, t in texts.items()}
+    bench = {d for d in hashes if d % MM_DECON_BENCH_MOD == 0}
+    M = (1 << 64) - 1
+    want = {}
+    for d, h in hashes.items():
+        if d in bench:
+            continue
+        dists = [
+            bin((h ^ hashes[b]) & M).count("1")
+            for b in bench
+            if bin((h ^ hashes[b]) & M).count("1") <= 6
+        ]
+        if dists:
+            want[d] = (len(dists), min(dists))
+    got = {
+        r["doc_id"]: (r["n_bench_matches"], r["min_hamming"])
+        for r in QUERIES["mm_decontaminate"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want and got

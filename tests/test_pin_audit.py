@@ -48,6 +48,8 @@ EXPECTED_PINS = {
     "mm_perceptual_neardup": 1,  # hash-table pin (decode runs once)
     "mm_perceptual_dedup": 1,  # same hash-table pin (single decode pass
     # feeding both the banded join and the component vertices)
+    "mm_decontaminate": 1,  # same hash-table pin (corpus side decodes
+    # once; the benchmark-side pin is released with the returned plan)
     "lm_perplexity_by_lang": 1,  # score-table pin
     "quality_classifier_by_lang": 1,  # score-table pin
     "scrub_panel": 1,  # the line stage's boilerplate-set pin, inherited

@@ -200,6 +200,9 @@ SCANLESS_RESULT_PLANS = {
     "_qcls_scored_frame)",
     "mm_perceptual_neardup": "hash-table checkpoint pin (single decode "
     "pass; construction swept via _mm_phash_frame)",
+    "mm_decontaminate": "hash-table checkpoint pins (corpus + benchmark "
+    "sides; single decode pass each; construction swept via "
+    "_mm_phash_frame)",
     "mm_perceptual_dedup": "hash-table checkpoint pin + component labels "
     "via the small-graph union-find fast path (local relation at test "
     "SFs; the distributed star path is parquet-file-backed); hash "

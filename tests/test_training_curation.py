@@ -875,3 +875,50 @@ def test_quality_per_lang_frozen_model_and_apply(spark, tmp_path):
     for r in day.collect():
         lg = logits.get(r["doc_id"])
         assert (r["doc_id"] in kept) == (lg is None or lg > 0)
+
+
+def test_curate_image_decontamination_drops_benchmark_matches(spark):
+    """Round 15: a doc whose image perceptually matches an eval-
+    benchmark image must be dropped BEFORE dedup (the image twin of the
+    5-gram rule), regardless of its text; and the knob requires the
+    corpus blobs."""
+    import pytest as _pytest
+
+    docs = _dissimilar_docs(spark, [1, 2, 3])
+    blobs = spark.createDataFrame(
+        [(1, _bmp_payload("noise")), (2, _bmp_payload("noise2")),
+         (3, _bmp_payload("bars"))],
+        "doc_id LONG, blob BINARY",
+    )
+    bench = spark.createDataFrame(
+        [(9001, _bmp_payload("noise2"))], "doc_id LONG, blob BINARY"
+    )
+    base = {
+        r["doc_id"]
+        for r in curate_training_data(docs, image_blobs=blobs).collect()
+    }
+    assert base == {1, 2, 3}
+    out = {
+        r["doc_id"]
+        for r in curate_training_data(
+            docs, image_blobs=blobs, benchmark_image_blobs=bench
+        ).collect()
+    }
+    assert out == {1, 3}  # 2's image matches the benchmark
+    with _pytest.raises(ValueError, match="requires image_blobs"):
+        curate_training_data(docs, benchmark_image_blobs=bench)
+
+    # incremental decon-only form (no stored index): same rule
+    from data_pipeline_team5_spark.pipeline import (
+        curate_incremental_batch,
+    )
+
+    corpus = _dissimilar_docs(spark, [1000])
+    inc = {
+        r["doc_id"]
+        for r in curate_incremental_batch(
+            docs, corpus,
+            new_image_blobs=blobs, benchmark_image_blobs=bench,
+        ).collect()
+    }
+    assert inc == {1, 3}
