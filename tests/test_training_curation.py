@@ -922,3 +922,40 @@ def test_curate_image_decontamination_drops_benchmark_matches(spark):
         ).collect()
     }
     assert inc == {1, 3}
+
+
+def test_quality_score_drift_per_lang_signal(spark, tmp_path):
+    """The drift probe's per-lang classifier branch: a same-
+    distribution batch sits well under the warn threshold; a permuted
+    batch (the negative class) moves the logit mass."""
+    from data_pipeline_team5_spark.operators.quality import (
+        _perm_tokens_sql,
+        load_quality_model,
+        quality_score_drift,
+    )
+    from data_pipeline_team5_spark.plans.catalog import table
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    pool = docs.filter(F.col("doc_id") % 7 != 0)
+    mpath = str(tmp_path / "qm_lang.json")
+    curate_training_data(
+        pool,
+        quality_classifier_reference=ref,
+        quality_classifier_per_lang=True,
+        quality_model_out=mpath,
+    )
+    model = load_quality_model(mpath)
+    same = quality_score_drift(pool.limit(200), model)
+    assert set(same) == {"classifier_logit_by_lang"}
+    assert same["classifier_logit_by_lang"] is not None
+    assert same["classifier_logit_by_lang"] < 0.25
+
+    shifted = pool.limit(200).withColumn(
+        "text",
+        F.array_join(F.expr(_perm_tokens_sql("split(text, ' ')")), " "),
+    )
+    hot = quality_score_drift(shifted, model)
+    assert hot["classifier_logit_by_lang"] > same["classifier_logit_by_lang"]
