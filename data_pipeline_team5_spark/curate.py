@@ -398,6 +398,12 @@ def main(argv: list[str] | None = None) -> int:
     p_dc.add_argument("--baseline", default=None,
                       help="optional baseline corpus dir; adds a drift "
                            "section (TV distance per feature)")
+    p_dc.add_argument("--quality-model", default=None,
+                      help="optional frozen quality-model JSON; adds a "
+                           "quality_model section (fit provenance — "
+                           "reference rows, id digest, hyperparams — "
+                           "plus per-signal TV drift of THIS corpus's "
+                           "scores vs the model's full-run snapshot)")
     p_shd = sub.add_parser(
         "shard",
         help="deal the curated corpus into N deterministic training "
@@ -638,6 +644,29 @@ def main(argv: list[str] | None = None) -> int:
             card["good_turing_unseen_mass"] = (
                 bin0[0]["token_share"] if bin0 else 0.0
             )
+            if getattr(args, "quality_model", None):
+                # frozen-model release evidence (round 15, VERDICT r14
+                # #4): what the model was fit on, and whether THIS
+                # corpus's score distribution still matches it
+                from data_pipeline_team5_spark.operators.quality import (
+                    quality_score_drift,
+                )
+
+                card["sections"]["quality_model"] = {
+                    "path": args.quality_model,
+                    "provenance": frozen_quality.get("provenance"),
+                    "lm_keep_max_bits": frozen_quality.get(
+                        "lm_keep_max_bits"
+                    ),
+                    "score_drift_tv": quality_score_drift(
+                        spark.read.parquet(
+                            f"{docs_dir}/documents.parquet"
+                        ),
+                        frozen_quality,
+                    )
+                    if frozen_quality.get("score_hist")
+                    else None,
+                }
             if args.baseline is not None:
                 from data_pipeline_team5_spark.plans.versioning_family import (
                     drift_report,

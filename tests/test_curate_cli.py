@@ -1144,3 +1144,35 @@ def test_cli_stream_image_dedup(spark, tmp_path, capsys):
     # the perceptual index grew one partition per micro-batch
     for fold in ("s0", "s1"):
         assert os.path.isdir(os.path.join(ph, f"batch_id={fold}"))
+
+
+def test_datacard_quality_model_section(spark, tmp_path, capsys):
+    """Round 15: `datacard --quality-model` embeds the frozen model's
+    fit provenance and the corpus's per-signal score drift vs the
+    model's snapshot — the release-time stale-model evidence."""
+    docs, paths = _days(spark, tmp_path)
+    ref_path = str(tmp_path / "ref.parquet")
+    docs.filter(F.col("doc_id") % 7 == 0).write.parquet(ref_path)
+    mpath = str(tmp_path / "qm.json")
+    _run(capsys, [
+        "full", "--docs", paths["day0"],
+        "--out", str(tmp_path / "full_out"),
+        "--quality-reference", ref_path,
+        "--quality-filter", "both",
+        "--quality-model-out", mpath,
+    ])
+    out = str(tmp_path / "card.json")
+    _run(capsys, [
+        "datacard", "--dir", SF_SMALL, "--out", out,
+        "--quality-model", mpath,
+    ])
+    card = json.loads(open(out).read())
+    qm = card["sections"]["quality_model"]
+    assert qm["provenance"]["reference_rows"] > 0
+    assert qm["provenance"]["reference_ids_digest"]
+    assert qm["lm_keep_max_bits"] is not None
+    assert set(qm["score_drift_tv"]) == {"classifier_logit", "lm_bits"}
+    assert all(
+        tv is None or 0.0 <= tv <= 1.0
+        for tv in qm["score_drift_tv"].values()
+    )
