@@ -753,7 +753,7 @@ def main(argv: list[str] | None = None) -> int:
         # idempotent partition overwrites the daily loop relies on.
         stream_roots = [(args.corpus, "corpus"), (args.sig, "sig"),
                         (args.key, "key"), (args.out, "out")]
-        if image_blobs is not None:
+        if getattr(args, "perceptual_index", None):
             stream_roots.append(
                 (args.perceptual_index, "perceptual-index")
             )
@@ -802,7 +802,9 @@ def main(argv: list[str] | None = None) -> int:
             survivors = batch_df.join(kept.select("doc_id"), "doc_id")
             build_signature_index(survivors, args.sig, batch_id=fold)
             build_exact_key_index(survivors, args.key, batch_id=fold)
-            if image_blobs is not None:
+            if image_blobs is not None and getattr(
+                args, "perceptual_index", None
+            ):
                 build_perceptual_index(
                     image_blobs.join(kept.select("doc_id"), "doc_id"),
                     args.perceptual_index,
@@ -844,7 +846,7 @@ def main(argv: list[str] | None = None) -> int:
         if fold is not None:
             roots = [(args.corpus, "corpus"), (args.sig, "sig"),
                      (args.key, "key"), (args.out, "out")]
-            if getattr(args, "image_blobs", None):
+            if getattr(args, "perceptual_index", None):
                 roots.append((args.perceptual_index, "perceptual-index"))
             for path, what in roots:
                 _refuse_flat_root(path, what)
@@ -896,7 +898,9 @@ def main(argv: list[str] | None = None) -> int:
             survivors = new.join(kept.select("doc_id"), "doc_id")
             build_signature_index(survivors, args.sig, batch_id=fold)
             build_exact_key_index(survivors, args.key, batch_id=fold)
-            if image_blobs is not None:
+            if image_blobs is not None and getattr(
+                args, "perceptual_index", None
+            ):
                 # image twin of the signature fold: tomorrow's batch
                 # probes today's survivors' hashes, never their pixels
                 build_perceptual_index(

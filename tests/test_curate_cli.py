@@ -1176,3 +1176,59 @@ def test_datacard_quality_model_section(spark, tmp_path, capsys):
         tv is None or 0.0 <= tv <= 1.0
         for tv in qm["score_drift_tv"].values()
     )
+
+
+def test_cli_decon_only_image_fold(spark, tmp_path, capsys):
+    """Round 15 self-review: the decon-only image form (--image-blobs
+    + --image-benchmark, no --perceptual-index) must work WITH
+    --fold-batch-id — the fold has no perceptual index to grow and
+    must not try to."""
+    from data_pipeline_team5_spark.operators.multimodal import (
+        BMP_H,
+        BMP_W,
+        encode_bmp,
+    )
+
+    def payload(seed: int) -> bytes:
+        px = bytearray()
+        for y in range(BMP_H):
+            for x in range(BMP_W):
+                v = (x * (37 + seed * 13) + y * (101 + seed * 7)
+                     + x * y * (7 + seed)) % 256
+                px += bytes((v, v, v))
+        return encode_bmp(bytes(px), BMP_W, BMP_H)
+
+    def day_docs(ids_):
+        return spark.createDataFrame(
+            [(i, "en", 290,
+              " ".join(f"u{i}w{j}" for j in range(50))) for i in ids_],
+            "doc_id LONG, lang STRING, n_chars LONG, text STRING",
+        )
+
+    p_day0 = str(tmp_path / "day0.parquet")
+    p_day1 = str(tmp_path / "day1.parquet")
+    day_docs([1000]).write.parquet(p_day0)
+    day_docs([2000, 2001]).write.parquet(p_day1)
+    blobs = str(tmp_path / "blobs.parquet")
+    spark.createDataFrame(
+        [(2000, payload(0)), (2001, payload(50))],
+        "doc_id LONG, blob BINARY",
+    ).write.parquet(blobs)
+    bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(9001, payload(0))], "doc_id LONG, blob BINARY"
+    ).write.parquet(bench)
+
+    s = _store_args(tmp_path)
+    _run(capsys, ["init-corpus", "--docs", p_day0,
+                  "--corpus", s["corpus"]])
+    _run(capsys, ["build-index", "--docs", p_day0,
+                  "--sig", s["sig"], "--key", s["key"]])
+    r = _run(capsys, _inc_argv(s, p_day1, "day1") + [
+        "--image-blobs", blobs, "--image-benchmark", bench,
+    ])
+    assert r["kept"] == 1  # 2000's image matches the benchmark
+    kept = {
+        x["doc_id"] for x in spark.read.parquet(s["out"]).collect()
+    }
+    assert kept == {2001}
