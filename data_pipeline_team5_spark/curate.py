@@ -145,6 +145,13 @@ def main(argv: list[str] | None = None) -> int:
                              "rule); 'classifier' keeps P(clean) > 0.5 "
                              "under a reference-vs-permuted logistic "
                              "model; 'both' runs classifier then lm")
+    p_full.add_argument("--langid-fill", action="store_true",
+                        help="fill NULL lang via the model-based "
+                             "language identifier before the language "
+                             "allowlist (operators/langid.py: hashed "
+                             "char-n-gram one-vs-rest logistic fit on "
+                             "the labeled slice; declared langs are "
+                             "never overwritten)")
     p_full.add_argument("--quality-per-lang", action="store_true",
                         help="with --quality-reference and a classifier "
                              "filter: fit one classifier PER LANGUAGE "
@@ -519,6 +526,7 @@ def main(argv: list[str] | None = None) -> int:
                 else None
             ),
             quality_model_out=args.quality_model_out,
+            langid_fill=args.langid_fill,
             image_blobs=image_blobs,
             benchmark_image_blobs=image_bench,
             image_backend=args.image_backend,

@@ -401,6 +401,7 @@ def curate_training_data(
     image_backend: str = "bmp",
     image_max_hamming: int = 6,
     image_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
+    langid_fill: bool = False,
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
     composed from the engine's tested stages into ONE lazy plan:
@@ -489,6 +490,27 @@ def curate_training_data(
         split_assign,
     )
     from data_pipeline_team5_spark.operators.textops import bpe_token_count
+
+    # 0-langid. optional MODEL-BASED language-ID fill (round 16,
+    # VERDICT r15 #1 — the CCNet first stage): a raw corpus's lang
+    # column is partial or absent, and stage 1's language allowlist —
+    # plus everything per-language after it (per-lang quality models,
+    # per-lang packing) — would silently DROP NULL-lang docs. Fit the
+    # hashed char-n-gram one-vs-rest models on the labeled slice
+    # (capped per lang, driver-side GD), predict ONLY over the
+    # NULL-lang slice (one filtered scan), never overwrite a declared
+    # lang. Runs before the filter stage BY CONSTRUCTION: filling after
+    # it would be filling docs the allowlist already discarded.
+    if langid_fill:
+        from data_pipeline_team5_spark.operators.langid import (
+            fill_missing_lang,
+            fit_langid,
+        )
+
+        labeled = docs.filter(F.col("lang").isNotNull())
+        docs = fill_missing_lang(docs, fit_langid(labeled)).drop(
+            "lang_source"
+        )
 
     # 1. filter (+ optional repetition caps / decontamination) — shared
     # stage, single scan, shuffle-free (the anti-join probe is broadcast)

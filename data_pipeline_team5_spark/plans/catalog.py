@@ -385,6 +385,13 @@ _TAIL = (
     # n-gram overlap report). Rows-only by design (decode → hash →
     # banded probe); brute-force-sweep parity in tests/test_multimodal.py.
     "mm_decontaminate",
+    # Round 16 (VERDICT r15 #1): model-based language identification —
+    # the CCNet first stage. Rows-only by design (driver-side
+    # one-vs-rest GD, the quality_classifier_filter precedent); fit
+    # weights, per-doc logits, and the argmax pinned bit-for-bit vs a
+    # pure-Python mirror plus a held-out accuracy floor in
+    # tests/test_langid.py.
+    "langid_predict",
 )
 
 

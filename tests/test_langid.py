@@ -1,0 +1,273 @@
+"""Model-based language identification vs a from-scratch pure-Python
+mirror (round 16, VERDICT r15 #1).
+
+The catalog query is rows-only for the driver (driver-side one-vs-rest
+GD — the quality_classifier_filter precedent), so parity is pinned
+here, from RAW TEXT up: the mirror reimplements the langid
+normalization (Python re), the char-3/4/5-gram featurization, the
+md5 bucket hash (hashlib), the capped per-language training selection
+(md5-of-id order), the full-batch GD loop, and the scoring fold — and
+every fit weight, per-doc logit, argmax, and margin must match Spark
+BIT-FOR-BIT (Spark runs sums/divides only; both sides execute the same
+IEEE op sequence).
+
+The held-out accuracy floor runs on the deterministically MARKED
+fixture (the fixture's text is language-agnostic by construction — the
+same vocabulary for every declared lang — so the catalog query marks
+it per lang first; see plans/text_family.py _LANGID_MARK_SQL).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+from pyspark.sql import functions as F
+
+from data_pipeline_team5_spark.operators.langid import (
+    LANGID_BUCKETS,
+    LANGID_ITERS,
+    LANGID_KEEP_CLASS,
+    LANGID_LR,
+    LANGID_NS,
+    LANGID_SCALE,
+    LANGID_TRAIN_CAP,
+    fill_missing_lang,
+    fit_langid,
+    langid_score_frame,
+)
+from data_pipeline_team5_spark.plans.catalog import QUERIES
+from data_pipeline_team5_spark.plans.text_family import (
+    PPLX_REF_MOD,
+    _langid_marked_frame,
+)
+from tests.conftest import SF_SMALL
+
+
+# --- the mirror, from raw text up ------------------------------------------
+
+
+def _m_norm(text: str) -> str:
+    s = re.sub(f"[^{LANGID_KEEP_CLASS}]", "", text.lower())
+    s = re.sub(" +", " ", s).strip(" ")
+    return f" {s} "
+
+
+def _m_grams(text: str) -> list[str]:
+    p = _m_norm(text)
+    out: list[str] = []
+    for n in LANGID_NS:  # order 3, then 4, then 5 — the concat() order
+        if len(p) >= n:
+            out.extend(p[i : i + n] for i in range(len(p) - n + 1))
+    return out
+
+
+def _m_bucket(g: str) -> int:
+    return (
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % LANGID_BUCKETS
+    )
+
+
+def _m_capped(rows, cap=LANGID_TRAIN_CAP):
+    """(lang -> ids) per-language capped selection by (md5(id), id)."""
+    by_lang: dict = {}
+    for doc_id, lang, _ in rows:
+        if lang is None:
+            continue
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        by_lang.setdefault(lang, []).append((h, doc_id))
+    return {
+        lang: {did for _, did in sorted(pairs)[:cap]}
+        for lang, pairs in by_lang.items()
+    }
+
+
+def _m_fit_logistic(examples, buckets, lr, iters):
+    """Independent reimplementation of the GD spec (NOT an import)."""
+    w = [0.0] * buckets
+    b = 0.0
+    n_ex = float(len(examples))
+    for _ in range(iters):
+        gw = [0.0] * buckets
+        gb = 0.0
+        for y, feats in examples:
+            z = b
+            for bk, x in feats:
+                z = z + w[bk] * x
+            if z >= 0:
+                p = 1.0 / (1.0 + math.exp(-z))
+            else:
+                e = math.exp(z)
+                p = e / (1.0 + e)
+            err = p - float(y)
+            for bk, x in feats:
+                gw[bk] = gw[bk] + err * x
+            gb = gb + err
+        for j in range(buckets):
+            w[j] = w[j] - lr * gw[j] / n_ex
+        b = b - lr * gb / n_ex
+    return w, b
+
+
+def _m_fit(rows, cap=LANGID_TRAIN_CAP, lr=LANGID_LR, iters=LANGID_ITERS):
+    """lang -> (weights, bias) from (doc_id, lang, text) rows."""
+    keep = _m_capped(rows, cap)
+    docs = []
+    for doc_id, lang, text in sorted(rows):
+        if lang is None or doc_id not in keep.get(lang, ()):
+            continue
+        counts: dict = {}
+        for g in _m_grams(text):
+            bk = _m_bucket(g)
+            counts[bk] = counts.get(bk, 0) + 1
+        if not counts:
+            continue
+        n = float(sum(counts.values()))
+        docs.append(
+            (
+                lang,
+                [
+                    (bk, counts[bk] / n * LANGID_SCALE)
+                    for bk in sorted(counts)
+                ],
+            )
+        )
+    out = {}
+    for lang in sorted({lang for lang, _ in docs}):
+        ex = [(1 if dl == lang else 0, feats) for dl, feats in docs]
+        out[lang] = _m_fit_logistic(ex, LANGID_BUCKETS, lr, iters)
+    return out
+
+
+def _m_score(text: str, models):
+    """(n_cgrams, predicted, confidence, margin) — the fold order the
+    Spark expression executes: sum, ÷n, ×SCALE, +bias; argmax ties to
+    the lexicographically largest lang."""
+    bs = [_m_bucket(g) for g in _m_grams(text)]
+    if not bs or not models:
+        return len(bs), None, None, None
+    logits = []
+    for lang in sorted(models):
+        w, b = models[lang]
+        s = 0.0
+        for bk in bs:
+            s = s + w[bk]
+        s = s / float(len(bs))
+        s = s * LANGID_SCALE
+        s = s + b
+        logits.append((s, lang))
+    logits.sort()
+    conf, pred = logits[-1]
+    margin = conf - logits[-2][0] if len(logits) >= 2 else None
+    return len(bs), pred, conf, margin
+
+
+def _marked_rows(spark):
+    return [
+        (r["doc_id"], r["lang"], r["text"])
+        for r in _langid_marked_frame(spark, SF_SMALL).collect()
+    ]
+
+
+def test_langid_fit_matches_mirror_bitwise(spark):
+    rows = _marked_rows(spark)
+    ref = [r for r in rows if r[0] % PPLX_REF_MOD == 0]
+    marked = _langid_marked_frame(spark, SF_SMALL)
+    models = fit_langid(
+        marked.filter(F.col("doc_id") % PPLX_REF_MOD == 0)
+    )
+    want = _m_fit(ref)
+    assert sorted(models) == sorted(want)
+    for lang in models:
+        w, b = models[lang]
+        mw, mb = want[lang]
+        assert w == mw, f"{lang}: weights diverge"
+        assert b == mb, f"{lang}: bias diverges"
+
+
+def test_langid_query_matches_mirror_bitwise_and_accuracy(spark):
+    rows = _marked_rows(spark)
+    ref = [r for r in rows if r[0] % PPLX_REF_MOD == 0]
+    models = _m_fit(ref)
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["langid_predict"].fn(spark, SF_SMALL).collect()
+    }
+    pool = [r for r in rows if r[0] % PPLX_REF_MOD != 0]
+    assert len(got) == len(pool)
+    agree = total = 0
+    for doc_id, lang, text in pool:
+        n, pred, conf, margin = _m_score(text, models)
+        r = got[doc_id]
+        assert r["lang"] == lang
+        assert r["n_cgrams"] == n
+        assert r["predicted_lang"] == pred, doc_id
+        assert r["confidence"] == conf, doc_id  # bitwise
+        assert r["margin"] == margin, doc_id  # bitwise
+        expected_agree = None if pred is None else (pred == lang)
+        assert r["agree"] == expected_agree
+        if pred is not None:
+            total += 1
+            agree += pred == lang
+    # held-out accuracy floor on the marked fixture (measured 0.998 at
+    # sf0.001/sf0.01 — one es→en miss in 428)
+    assert total >= 100
+    assert agree / total >= 0.98
+
+
+def test_langid_fill_missing_lang(spark):
+    marked = _langid_marked_frame(spark, SF_SMALL)
+    models = fit_langid(
+        marked.filter(F.col("doc_id") % PPLX_REF_MOD == 0)
+    )
+    # blank out a deterministic slice of declared langs
+    docs = marked.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    )
+    filled = fill_missing_lang(docs, models)
+    rows = {r["doc_id"]: r for r in filled.collect()}
+    orig = {r["doc_id"]: r["lang"] for r in marked.collect()}
+    n_pred = 0
+    for doc_id, r in rows.items():
+        if doc_id % 5 == 0:
+            assert r["lang_source"] in ("predicted", None)
+            if r["lang_source"] == "predicted":
+                n_pred += 1
+                assert r["lang"] is not None
+        else:
+            # declared langs are NEVER overwritten
+            assert r["lang"] == orig[doc_id]
+            assert r["lang_source"] == "declared"
+    assert n_pred >= 50  # the blanked slice is ~100 docs, nearly all
+    # scoreable — the fill actually fills
+
+
+def test_langid_edge_cases(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world text"), (2, ""), (3, "!!!")],
+        "doc_id long, text string",
+    )
+    # empty model dict → NULL predictions, schema intact
+    out = {
+        r["doc_id"]: r
+        for r in langid_score_frame(docs, {}).collect()
+    }
+    assert out[1]["predicted_lang"] is None
+    # no-gram docs under a real model → NULL prediction, margin NULL
+    marked = _langid_marked_frame(spark, SF_SMALL)
+    models = fit_langid(
+        marked.filter(F.col("doc_id") % PPLX_REF_MOD == 0)
+    )
+    out = {
+        r["doc_id"]: r
+        for r in langid_score_frame(docs, models).collect()
+    }
+    assert out[2]["n_cgrams"] == 0
+    assert out[2]["predicted_lang"] is None
+    assert out[2]["confidence"] is None
+    assert out[2]["margin"] is None
+    assert out[1]["predicted_lang"] is not None

@@ -130,13 +130,28 @@ def _construction_plans(spark):
         _mm_phash_frame,
     )
     from data_pipeline_team5_spark.plans.text_family import (
+        PPLX_REF_MOD,
         _bloom_reference_grams,
+        _langid_marked_frame,
+        _langid_scored_frame,
         _lm_lang_scored_frame,
         _lm_scored_frame,
         _qcls_lang_scored_frame,
         _qcls_scored_frame,
         _qcls_train_features,
     )
+
+    def _langid_train_plan(spark):
+        from pyspark.sql import functions as F
+
+        from data_pipeline_team5_spark.operators.langid import (
+            langid_train_features,
+        )
+
+        marked = _langid_marked_frame(spark, SF_SMALL)
+        return langid_train_features(
+            marked.filter(F.col("doc_id") % PPLX_REF_MOD == 0)
+        )
 
     grams = _bloom_reference_grams(spark, SF_SMALL)
     return {
@@ -156,6 +171,10 @@ def _construction_plans(spark):
         # round 15: the per-language classifier scoring scan (per-lang
         # fit collect + literal weight/bias maps)
         "qcls_by_lang/scored": _qcls_lang_scored_frame(spark, SF_SMALL),
+        # round 16: the langid fit's collected feature plan and the
+        # one-vs-rest scoring scan (per-class literal weight columns)
+        "langid/train": _langid_train_plan(spark),
+        "langid/scored": _langid_scored_frame(spark, SF_SMALL),
     }
 
 
