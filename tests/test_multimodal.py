@@ -481,9 +481,14 @@ def test_png_variant_gates():
         _png_decode(b"BM123456")
     with pytest.raises(ValueError, match="interlaced"):
         _png_decode(ihdr_png(8, 2, 1))
-    for depth, color in ((16, 2), (8, 3), (8, 0)):
+    # round 16: color types 0 (gray) and 3 (palette) now DECODE — the
+    # gate list shrinks to genuinely-unsupported variants
+    for depth, color in ((16, 2), (8, 4), (4, 3), (1, 0)):
         with pytest.raises(ValueError, match="unsupported PNG variant"):
             _png_decode(ihdr_png(depth, color, 0))
+    # a palette image without its PLTE is malformed, not gated
+    with pytest.raises(ValueError, match="PLTE"):
+        _png_decode(ihdr_png(8, 3, 0))
     with pytest.raises(ValueError, match="one filter per row"):
         encode_png(b"\x00" * 12, 2, 2, [0])
 
@@ -620,3 +625,87 @@ def test_gray_grid_numpy_matches_scalar_mirror():
             assert _gray_grid(buf, w, h, gw, gh) == _gray_grid_scalar(
                 buf, w, h, gw, gh
             ), (w, h, gw, gh)
+
+
+def test_png_grayscale_and_palette_roundtrip_and_rgb_twin():
+    """round 16 (VERDICT r15 #3): color types 0 and 3 decode through
+    the same filter reconstruction. Round-trip vs encode_png's new
+    variants across every filter type; and each variant's decoded BGR
+    buffer must equal its RGB TWIN's (gray g ↔ RGB (g,g,g); palette
+    idx ↔ RGB palette[idx]) so every downstream feature and perceptual
+    hash agrees bit-for-bit across representations. The numpy and
+    scalar decoders must agree byte-for-byte on both variants."""
+    import random
+
+    from data_pipeline_team5_spark.operators.multimodal import (
+        _perceptual_hashes,
+        _png_decode,
+        _png_decode_scalar,
+        encode_png,
+    )
+
+    rnd = random.Random(2024)
+    for (w, h) in [(16, 16), (9, 8), (1, 1), (8, 1), (13, 7)]:
+        gray = bytes(rnd.randrange(256) for _ in range(w * h))
+        pal = [
+            (rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+            for _ in range(17)
+        ]
+        idx = bytes(rnd.randrange(len(pal)) for _ in range(w * h))
+        for fl in (None, *([[ft] * h] for ft in range(5))):
+            f = fl if fl is None else fl[0]
+            g_png = encode_png(gray, w, h, f, color_type=0)
+            p_png = encode_png(idx, w, h, f, color_type=3, palette=pal)
+            g_buf = _png_decode(g_png)
+            p_buf = _png_decode(p_png)
+            assert g_buf == _png_decode_scalar(g_png), (w, h, f, 0)
+            assert p_buf == _png_decode_scalar(p_png), (w, h, f, 3)
+            # RGB twins: same pixels through the color-type-2 route
+            g_twin = b"".join(bytes((v, v, v)) for v in gray)
+            p_twin = b"".join(
+                bytes((pal[i][2], pal[i][1], pal[i][0])) for i in idx
+            )
+            assert g_buf == _png_decode(encode_png(g_twin, w, h, f))
+            assert p_buf == _png_decode(encode_png(p_twin, w, h, f))
+    # perceptual hashes agree across the three representations
+    w, h = 16, 16
+    gray = bytes(rnd.randrange(256) for _ in range(w * h))
+    g_png = encode_png(gray, w, h, color_type=0)
+    twin = encode_png(b"".join(bytes((v, v, v)) for v in gray), w, h)
+    assert _perceptual_hashes(g_png, "png") == _perceptual_hashes(
+        twin, "png"
+    )
+
+
+def test_png_palette_index_out_of_range_raises():
+    from data_pipeline_team5_spark.operators.multimodal import (
+        _png_decode,
+        _png_decode_scalar,
+        encode_png,
+    )
+
+    pal = [(1, 2, 3), (4, 5, 6)]
+    png = encode_png(bytes([0, 1, 1, 0]), 2, 2, [0, 0],
+                     color_type=3, palette=pal)
+    # corrupt: valid 2-entry PLTE but an index of 7 — both decoders
+    # must refuse rather than read junk
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    bad_raw = bytes([0, 0, 7, 0, 0, 1])  # rows: [0,7], [0,1] filt 0
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes((1, 2, 3, 4, 5, 6)))
+        + chunk(b"IDAT", zlib.compress(bad_raw))
+        + chunk(b"IEND", b""))
+    for fn in (_png_decode, _png_decode_scalar):
+        with pytest.raises(ValueError, match="outside"):
+            fn(bad)
+    assert _png_decode(png) == _png_decode_scalar(png)
