@@ -392,6 +392,12 @@ _TAIL = (
     # pure-Python mirror plus a held-out accuracy floor in
     # tests/test_langid.py.
     "langid_predict",
+    # Round 16 (VERDICT r15 #5): audio dedup end-to-end — stdlib WAV
+    # decode → energy-envelope sign hashes → the image modality's
+    # banded join + components verbatim. Rows-only by design (no SQL
+    # form); mirror/brute-force/union-find parity in
+    # tests/test_multimodal.py.
+    "mm_audio_dedup",
 )
 
 

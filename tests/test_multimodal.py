@@ -709,3 +709,144 @@ def test_png_palette_index_out_of_range_raises():
         with pytest.raises(ValueError, match="outside"):
             fn(bad)
     assert _png_decode(png) == _png_decode_scalar(png)
+
+
+# ---------------------------------------------------------------------------
+# Round 16 (VERDICT r15 #5): audio modality. The catalog query is
+# rows-only, so parity is pinned here: every 64-bit envelope hash must
+# match an INDEPENDENT pure-Python mirror built straight from the
+# document text (it never touches the wave codec, so a decode bug
+# cannot cancel out), the banded candidate join must return exactly the
+# brute-force Hamming pair set, and the components must equal
+# union-find on those pairs.
+
+
+def _mirror_audio_hashes(text: str):
+    """dHash/aHash from the documented integer spec, straight from the
+    text bytes (attach_wav_blob TILES the utf8 bytes to 4096 — 2048
+    little-endian int16 samples; empty text → silence)."""
+    import struct
+
+    from data_pipeline_team5_spark.operators.multimodal import (
+        ENVELOPE_FRAMES,
+        WAV_SAMPLES,
+    )
+
+    n = WAV_SAMPLES * 2
+    b = (text or "").encode("utf-8")
+    buf = (b * (n // len(b) + 1))[:n] if b else bytes(n)
+    samples = struct.unpack(f"<{WAV_SAMPLES}h", buf)
+
+    def envelope(frames):
+        out = []
+        for k in range(frames):
+            s0 = k * WAV_SAMPLES // frames
+            s1 = (k + 1) * WAV_SAMPLES // frames
+            out.append(
+                sum(abs(s) for s in samples[s0:s1]) // (s1 - s0)
+            )
+        return out
+
+    f = ENVELOPE_FRAMES
+    denv = envelope(f + 1)
+    dh = 0
+    for k in range(f):
+        if denv[k] > denv[k + 1]:
+            dh |= 1 << k
+    aenv = envelope(f)
+    mean = sum(aenv) // f
+    ah = 0
+    for k, v in enumerate(aenv):
+        if v > mean:
+            ah |= 1 << k
+    return dh, ah
+
+
+def test_audio_hashes_match_text_mirror_bitwise(spark):
+    from data_pipeline_team5_spark.operators.multimodal import (
+        attach_wav_blob,
+        audio_hashes,
+    )
+
+    docs = table(spark, SF_SMALL, "documents").limit(64)
+    got = {
+        r.doc_id: (r.dhash % (1 << 64), r.ahash % (1 << 64))
+        for r in audio_hashes(
+            attach_wav_blob(docs), backend="wav"
+        ).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r.doc_id] == _mirror_audio_hashes(r.text), r.doc_id
+
+
+def test_wav_roundtrip_stereo_downmix_and_gates():
+    import struct
+
+    from data_pipeline_team5_spark.operators.multimodal import (
+        _wav_decode,
+        encode_wav,
+    )
+
+    # mono round-trip: decoded samples are the input int16 stream
+    vals = [0, 1, -1, 32767, -32768, 12345, -12345, 7]
+    mono = encode_wav(struct.pack(f"<{len(vals)}h", *vals))
+    assert list(_wav_decode(mono)) == vals
+    # stereo downmix: (l + r) >> 1 with arithmetic-shift floors
+    pairs = [(0, 1), (-1, 0), (-3, 0), (32767, 32766), (-32768, 1)]
+    inter = [v for lr in pairs for v in lr]
+    stereo = encode_wav(
+        struct.pack(f"<{len(inter)}h", *inter), channels=2
+    )
+    assert list(_wav_decode(stereo)) == [
+        (left + right) >> 1 for left, right in pairs
+    ]
+    # gates: junk bytes and misaligned sample buffers raise
+    with pytest.raises(ValueError, match="not a PCM WAV"):
+        _wav_decode(b"RIFFjunkWAVE")
+    with pytest.raises(ValueError, match="whole"):
+        encode_wav(b"\x00\x01\x02")
+    # too-short audio refuses the envelope rather than mis-hashing
+    from data_pipeline_team5_spark.operators.multimodal import (
+        _audio_hashes,
+    )
+
+    short = encode_wav(struct.pack("<4h", 1, 2, 3, 4))
+    with pytest.raises(ValueError, match="shorter than"):
+        _audio_hashes(short, "wav")
+
+
+def test_audio_dedup_query_matches_bruteforce_unionfind(spark):
+    """mm_audio_dedup end-to-end vs brute force: mirror hashes → all-
+    pairs Hamming ≤ 6 → union-find — exactly the catalog query's
+    components and survivors."""
+    from data_pipeline_team5_spark.plans.catalog import QUERIES
+
+    docs = table(spark, SF_SMALL, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    hashes = {r.doc_id: _mirror_audio_hashes(r.text)[0] for r in rows}
+    ids = sorted(hashes)
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(hashes[a] ^ hashes[b]).count("1") <= 6:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # min-id union, matching the components contract
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+    want = {d: find(d) for d in ids}
+    got = {
+        r.doc_id: (r.component, r.is_survivor)
+        for r in QUERIES["mm_audio_dedup"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(want)
+    for d in ids:
+        assert got[d][0] == want[d], d
+        assert got[d][1] == (d == want[d]), d

@@ -127,6 +127,7 @@ def _construction_plans(spark):
         _daily_wide,
     )
     from data_pipeline_team5_spark.plans.multimodal_family import (
+        _mm_audio_hash_frame,
         _mm_phash_frame,
     )
     from data_pipeline_team5_spark.plans.text_family import (
@@ -175,6 +176,8 @@ def _construction_plans(spark):
         # one-vs-rest scoring scan (per-class literal weight columns)
         "langid/train": _langid_train_plan(spark),
         "langid/scored": _langid_scored_frame(spark, SF_SMALL),
+        # round 16: the audio-hash decode pass the audio dedup pins
+        "mm_audio/hashes": _mm_audio_hash_frame(spark, SF_SMALL),
     }
 
 
@@ -230,6 +233,10 @@ SCANLESS_RESULT_PLANS = {
     "scan; construction swept via _lm_lang_scored_frame)",
     "quality_classifier_by_lang": "score-table checkpoint pin (single "
     "scoring scan; construction swept via _qcls_lang_scored_frame)",
+    "mm_audio_dedup": "hash-table checkpoint pin + component labels via "
+    "the small-graph union-find fast path (the mm_perceptual_dedup "
+    "mechanism on audio hashes); hash construction swept via "
+    "_mm_audio_hash_frame",
 }
 
 
