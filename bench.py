@@ -87,54 +87,63 @@ def _calibrate() -> float:
     return time.perf_counter() - t0
 
 
-CALIB_MT_THREADS = 8
+CALIB_MT_PROCS = 8
+
+
+def _calib_mt_work(_arg: int) -> None:
+    """One parallel sentinel worker: the single-thread probe's full
+    hashing volume (module-level so the fork pool can pickle it)."""
+    import hashlib
+
+    buf = b"\x5a" * 65536
+    h = hashlib.sha256()
+    for _ in range(4096):
+        h.update(buf)
 
 
 def _calibrate_mt() -> float:
-    """Parallel sentinel (round 8): the single-thread probe is BLIND to
-    multi-core steal — an external tenant taking half the cores leaves a
-    1-thread sha256 untouched while every 32-thread Spark stage slows
-    down (observed: plan-unchanged queries drifting ~20% between runs
-    with calib_sec flat at 0.19). Eight threads hashing concurrently
-    (hashlib releases the GIL for large updates) inflate under exactly
-    that contention. Read calib_mt_sec / calib_sec across runs: the
-    ratio rises when cores — not cycles — are the stolen resource."""
-    import hashlib
-    import threading
+    """Parallel sentinel (round 8; PROCESS-based since round 16): the
+    single-thread probe is BLIND to multi-core steal — an external
+    tenant taking half the cores leaves a 1-thread sha256 untouched
+    while every 32-thread Spark stage slows down. Eight WARMED fork-
+    pool processes each hash the single-thread probe's full volume, so
+    the unloaded ratio calib_mt/calib ≈ 1.0 and core steal pushes it
+    above.
 
-    buf = b"\x5a" * 65536
+    Round 16 root-cause: the round-8 THREAD form measured the GIL
+    convoy, not core steal — hashlib releases the GIL during each 64 KB
+    update but every loop iteration reacquires it, and on a PROVEN-IDLE
+    32-core box (loadavg 0.2, steal <1%) 8 threads measured ratio
+    1.9-2.7 (16 threads: 18×). Rounds 14-15 were therefore stamped
+    'contended' against a floor the box could never get under — ~3.5 h
+    of round-15 quiet-window probes 'never found a dip' because the dip
+    was structurally impossible. The fork pool is warmed (one throwaway
+    map) so process spawn cost never pollutes the timed pass; measured
+    idle ratio with this form: 0.9-1.1."""
+    import multiprocessing as mp
 
-    def work() -> None:
-        h = hashlib.sha256()
-        for _ in range(4096):  # EACH thread hashes the single-thread
-            # probe's full volume, so unloaded calib_mt_sec ≈ calib_sec
-            # (~0.2 s — long enough to be stable) and the unloaded
-            # ratio calib_mt/calib ≈ 1; core steal pushes it above 1.
-            h.update(buf)
-
-    ts = [
-        threading.Thread(target=work) for _ in range(CALIB_MT_THREADS)
-    ]
-    t0 = time.perf_counter()
-    for t in ts:
-        t.start()
-    for t in ts:
-        t.join()
-    return time.perf_counter() - t0
+    ctx = mp.get_context("fork")
+    with ctx.Pool(CALIB_MT_PROCS) as pool:
+        pool.map(_calib_mt_work, range(CALIB_MT_PROCS))  # warm spawn
+        t0 = time.perf_counter()
+        pool.map(_calib_mt_work, range(CALIB_MT_PROCS))
+        return time.perf_counter() - t0
 
 
 # Pre-flight contention gate (VERDICT r14 #5): every round-14 bench ran
 # core-stolen and the judge had to DERIVE that from calib_mt/calib after
 # the fact. Measure the ratio FIRST, warn loudly, and stamp the artifact
 # so readers see the machine state up front. 1.3 ≈ the observed boundary
-# between ambient jitter (unloaded ratio ~1.0-1.2) and real core steal
-# (r14 ran at 1.6-2.4).
+# between ambient jitter and real core steal — valid again since the
+# round-16 process-based sentinel (unloaded ratio 0.9-1.2 measured;
+# the retired THREAD sentinel idled at 1.9-2.7 and made this gate fire
+# permanently — see _calibrate_mt's round-16 note and BASELINE.md).
 CONTENTION_RATIO = 1.3
 
 
 def contended(calib_sec: float, calib_mt_sec: float) -> bool:
-    """True when cores (not just cycles) look stolen: the 8-thread
-    sentinel runs slower relative to the 1-thread one than scheduling
+    """True when cores (not just cycles) look stolen: the 8-process
+    sentinel runs slower relative to the 1-process one than scheduling
     jitter explains."""
     return calib_mt_sec / calib_sec > CONTENTION_RATIO
 
