@@ -98,6 +98,60 @@ def _refuse_flat_root(path: str, what: str) -> None:
         )
 
 
+def _write_fold_manifest(out_root: str, fold: str, payload: dict) -> None:
+    """One JSON file per fold under ``<out>/_manifest/`` — the durable
+    artifact trail (round 16, VERDICT r15 #7): a drifting week must be
+    visible in the stored artifacts, not only on the console a cron
+    swallowed. The underscore prefix keeps Spark's parquet reader off
+    the directory; one file PER FOLD, overwritten in place, keeps
+    replays idempotent — a crashed day replayed under its own batch id
+    converges to one row, never a duplicate trail. Deliberately no
+    wall-clock field: the manifest is a pure function of the fold's
+    inputs, so byte-identical replays stay byte-identical."""
+    d = os.path.join(out_root, "_manifest")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"{fold}.json"), "w") as f:
+        json.dump(payload, f, sort_keys=True)
+
+
+def _quality_drift_probe(
+    new,
+    frozen_quality: dict,
+    bench_docs,
+    decon_bloom_min_grams,
+    bench_gram_count,
+    decon_n: int,
+) -> tuple[dict, dict]:
+    """(drift, hot): per-signal TV of a batch's score distribution vs
+    the frozen model's stored snapshot, over the batch's filter-stage
+    pool (the same pool the full-run snapshot was taken over, with the
+    same knobs) — shared by the incremental and stream paths so the
+    guard cannot diverge between them. ``hot`` is the over-threshold
+    subset."""
+    from data_pipeline_team5_spark.operators.quality import (
+        QUALITY_DRIFT_WARN_TV,
+        quality_score_drift,
+    )
+    from data_pipeline_team5_spark.pipeline import _curation_filter_stage
+
+    drift = quality_score_drift(
+        _curation_filter_stage(
+            new,
+            benchmark_docs=bench_docs,
+            decon_bloom_min_grams=decon_bloom_min_grams,
+            bench_gram_count=bench_gram_count,
+            decon_n=decon_n,
+        ),
+        frozen_quality,
+    )
+    hot = {
+        s: tv
+        for s, tv in drift.items()
+        if tv is not None and tv > QUALITY_DRIFT_WARN_TV
+    }
+    return drift, hot
+
+
 def main(argv: list[str] | None = None) -> int:
     from data_pipeline_team5_spark.pipeline import (
         append_corpus_batch,
@@ -828,6 +882,37 @@ def main(argv: list[str] | None = None) -> int:
                 write_training_shards(
                     survivors, args.shard_root, batch_id=fold
                 )
+            # round 16 (VERDICT r15 #7): the stream loop applies the
+            # frozen model but a console warning dies with the worker —
+            # per-micro-batch drift goes into the SAME durable fold
+            # manifest as the daily loop's, so a drifting week is
+            # visible in the artifact trail.
+            manifest = {"fold": fold, "kept": kept.count()}
+            if frozen_quality is not None and frozen_quality.get(
+                "score_hist"
+            ):
+                import sys as _sys
+
+                from data_pipeline_team5_spark.operators.quality import (
+                    QUALITY_DRIFT_WARN_TV,
+                )
+
+                drift, hot = _quality_drift_probe(
+                    batch_df, frozen_quality, bench_docs,
+                    args.decon_bloom_min_grams, bench_n_grams,
+                    args.decon_n,
+                )
+                manifest["quality_drift_tv"] = drift
+                manifest["quality_drift_hot"] = sorted(hot)
+                if hot:
+                    print(
+                        "WARNING: frozen quality model looks stale for "
+                        f"micro-batch {fold} — score-distribution TV "
+                        f"{hot} exceeds {QUALITY_DRIFT_WARN_TV} vs the "
+                        "full run's snapshot",
+                        file=_sys.stderr,
+                    )
+            _write_fold_manifest(args.out, fold, manifest)
             processed.append(fold)
 
         ckpt = args.checkpoint or (args.out.rstrip("/") + "_ckpt")
@@ -925,36 +1010,19 @@ def main(argv: list[str] | None = None) -> int:
             # frozen-model drift guard (round 15, VERDICT r14 #4): TV
             # distance of the batch's score distribution vs the full
             # run's stored snapshot — a stale/mismatched model is
-            # FLAGGED, never silently applied. Scored over the batch's
-            # filter-stage pool (the same pool the full-run snapshot
-            # was taken over); batch-sized work.
+            # FLAGGED, never silently applied. Batch-sized work, via
+            # the probe the stream loop shares.
             import sys as _sys
 
             from data_pipeline_team5_spark.operators.quality import (
                 QUALITY_DRIFT_WARN_TV,
-                quality_score_drift,
-            )
-            from data_pipeline_team5_spark.pipeline import (
-                _curation_filter_stage,
             )
 
-            drift = quality_score_drift(
-                # same filter-stage knobs as the batch run itself, so
-                # the probe's pool is the pool the thresholds act on
-                _curation_filter_stage(
-                    new,
-                    benchmark_docs=bench_docs,
-                    decon_bloom_min_grams=args.decon_bloom_min_grams,
-                    bench_gram_count=bench_n_grams,
-                    decon_n=args.decon_n,
-                ),
-                frozen_quality,
+            drift, hot = _quality_drift_probe(
+                new, frozen_quality, bench_docs,
+                args.decon_bloom_min_grams, bench_n_grams, args.decon_n,
             )
             summary["quality_drift_tv"] = drift
-            hot = {
-                s: tv for s, tv in drift.items()
-                if tv is not None and tv > QUALITY_DRIFT_WARN_TV
-            }
             if hot:
                 print(
                     "WARNING: frozen quality model looks stale for this "
@@ -983,6 +1051,18 @@ def main(argv: list[str] | None = None) -> int:
                     grown.select("lang", "n_chars"),
                 ).collect()
             }
+        if fold is not None:
+            # round 16 (VERDICT r15 #7): persist the fold's drift
+            # evidence next to its assignments — manifest, not console
+            manifest = {"fold": fold, "kept": summary["kept"]}
+            if "quality_drift_tv" in summary:
+                manifest["quality_drift_tv"] = summary[
+                    "quality_drift_tv"
+                ]
+                manifest["quality_drift_hot"] = sorted(hot)
+            if "drift_tv" in summary:
+                manifest["corpus_drift_tv"] = summary["drift_tv"]
+            _write_fold_manifest(args.out, fold, manifest)
         print(json.dumps(summary))
     return 0
 

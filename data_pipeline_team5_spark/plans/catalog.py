@@ -398,6 +398,17 @@ _TAIL = (
     # form); mirror/brute-force/union-find parity in
     # tests/test_multimodal.py.
     "mm_audio_dedup",
+    # Round 16 (VERDICT r15 #6): the windows family is now driver-graded
+    # through windows_panel (in-window — every cell of w1_rank_in_day +
+    # w2_w6_daily_movement section-tagged under one composed oracle),
+    # freeing the slot that promotes repetition_panel
+    # (dup_ngram_fraction + token_budget_cut cells — both production
+    # curation signals, tail-resident since round 8). The standalone
+    # window forms take the freed/traded tail slots: still
+    # oracle-backed, still headline-timed, still mini-driver-bitwise
+    # every CI run.
+    "w1_rank_in_day",
+    "w2_w6_daily_movement",
 )
 
 

@@ -2069,3 +2069,79 @@ def langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "margin",
         (F.col("predicted_lang") == F.col("lang")).alias("agree"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 16 (VERDICT r15 #6): the two production curation-repetition
+# signals — sitting oracle-backed in the tail since round 8 — promoted
+# into the graded window through one composed slot (freed by
+# windows_panel's consolidation, plans/windows_family.py).
+
+from data_pipeline_team5_spark.plans.catalog import (  # noqa: E402
+    QUERIES as _QCAT,
+)
+
+
+@register(
+    "repetition_panel",
+    oracle=f"""
+        WITH d AS (SELECT * FROM ({_QCAT["dup_ngram_fraction"].oracle})),
+             c AS (SELECT * FROM ({_QCAT["token_budget_cut"].oracle}))
+        SELECT * FROM (
+            SELECT 'dup_ngram' AS section,
+                   CAST(doc_id AS VARCHAR) AS k1,
+                   lang,
+                   CAST(n_grams AS BIGINT) AS n1,
+                   CAST(n_dup_grams AS BIGINT) AS n2,
+                   CAST(NULL AS BIGINT) AS n3,
+                   CAST(NULL AS BIGINT) AS n4,
+                   CAST(NULL AS BIGINT) AS n5,
+                   dup_gram_frac AS ratio
+            FROM d
+            UNION ALL
+            SELECT 'budget_cut', lang, lang,
+                   CAST(n_docs_total AS BIGINT),
+                   CAST(tokens_total AS BIGINT),
+                   CAST(n_docs_kept AS BIGINT),
+                   CAST(tokens_kept AS BIGINT),
+                   CAST(cutoff_qbucket AS BIGINT),
+                   kept_token_share
+            FROM c
+        ) ORDER BY section, k1
+    """,
+    doc="⊕ the two corpus-repetition curation signals section-tagged in "
+    "ONE driver slot (round 16, VERDICT r15 #6 — the "
+    "decontamination_panel recipe): every cell of dup_ngram_fraction "
+    "(RefinedWeb/Dolma cross-document duplicated-n-gram share, one "
+    "gram-keyed exchange) and token_budget_cut (per-language token-"
+    "budget quality cut with the exact quantized-quality placement) in "
+    "one long layout, so the driver hash certifies both bit-for-bit — "
+    "both were oracle-backed tail entries since round 8, now graded. "
+    "Standalone forms keep their tail oracles and headline timings; "
+    "the panel is deliberately NOT timed (never-re-measure).",
+    tags=("text", "repetition", "curation", "panel"),
+)
+def repetition_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dup_ngram_fraction(spark, sf_dir).select(
+        F.lit("dup_ngram").alias("section"),
+        F.col("doc_id").cast("string").alias("k1"),
+        "lang",
+        F.col("n_grams").cast("bigint").alias("n1"),
+        F.col("n_dup_grams").cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.lit(None).cast("bigint").alias("n4"),
+        F.lit(None).cast("bigint").alias("n5"),
+        F.col("dup_gram_frac").alias("ratio"),
+    )
+    c = token_budget_cut(spark, sf_dir).select(
+        F.lit("budget_cut").alias("section"),
+        F.col("lang").alias("k1"),
+        "lang",
+        F.col("n_docs_total").cast("bigint").alias("n1"),
+        F.col("tokens_total").cast("bigint").alias("n2"),
+        F.col("n_docs_kept").cast("bigint").alias("n3"),
+        F.col("tokens_kept").cast("bigint").alias("n4"),
+        F.col("cutoff_qbucket").cast("bigint").alias("n5"),
+        F.col("kept_token_share").alias("ratio"),
+    )
+    return d.unionByName(c).orderBy("section", "k1")

@@ -189,3 +189,89 @@ def w2_w6_daily_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # o4_daily_top10 merged into w1_rank_in_day (round-8 consolidation —
 # VERDICT r7 #3): O4 was a strict rank_num ≤ 10 filter of W1's scan; the
 # merged query carries both semantics in one driver slot.
+
+
+# ---------------------------------------------------------------------------
+# Round 16 (VERDICT r15 #6 — the panel recipe's next use): the two
+# windows-family queries share ONE brand_daily scan family and one
+# driver slot suffices to grade both bit-for-bit; composing them frees
+# the graded slot that promotes repetition_panel (plans/text_family.py).
+
+from data_pipeline_team5_spark.plans.catalog import QUERIES as _Q  # noqa: E402
+
+
+@register(
+    "windows_panel",
+    oracle=f"""
+        WITH r AS (SELECT * FROM ({_Q["w1_rank_in_day"].oracle})),
+             m AS (SELECT * FROM ({_Q["w2_w6_daily_movement"].oracle}))
+        SELECT * FROM (
+            SELECT 'rank' AS section, show_range, p_brand, sales,
+                   CAST(NULL AS DOUBLE) AS audience,
+                   CAST(rank_num AS INT) AS n1,
+                   CAST(drank AS INT) AS n2,
+                   CAST(quartile AS INT) AS n3,
+                   CAST(NULL AS VARCHAR) AS flag,
+                   prank AS d1,
+                   CAST(NULL AS DOUBLE) AS d2,
+                   CAST(NULL AS DOUBLE) AS d3,
+                   CAST(NULL AS DOUBLE) AS d4,
+                   CAST(NULL AS DOUBLE) AS d5
+            FROM r
+            UNION ALL
+            SELECT 'movement', show_range, p_brand, sales, audience,
+                   CAST(rank_num AS INT), CAST(rank_inten AS INT),
+                   CAST(NULL AS INT), rank_old_and_new,
+                   sales_inten, sales_change, sales_acc, audi_acc,
+                   sales_7d
+            FROM m
+        ) ORDER BY section, show_range, p_brand
+    """,
+    doc="⊕ the windows family section-tagged in ONE driver slot "
+    "(round 16, VERDICT r15 #6 — the decontamination_panel recipe "
+    "again): every cell of w1_rank_in_day (per-day chart rank + "
+    "dense_rank/percent_rank/ntile statistics, top-10 filter in-plan) "
+    "and w2_w6_daily_movement (lag/NEW-OLD/delta-pct/cumulative/7-day "
+    "frame — the reference API's full per-entity field set) in one "
+    "long layout, so the driver hash certifies both bit-for-bit. The "
+    "freed slot promotes repetition_panel into the graded window. "
+    "Standalone forms keep their tail oracles and headline timings; "
+    "the panel is deliberately NOT timed (it would re-measure their "
+    "sum). Plan cost = the two plans verbatim plus a union — both "
+    "partition on show_range/p_brand per their own docstrings.",
+    tags=("window", "rank", "panel"),
+)
+def windows_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = w1_rank_in_day(spark, sf_dir).select(
+        F.lit("rank").alias("section"),
+        "show_range",
+        "p_brand",
+        "sales",
+        F.lit(None).cast("double").alias("audience"),
+        F.col("rank_num").cast("int").alias("n1"),
+        F.col("drank").cast("int").alias("n2"),
+        F.col("quartile").cast("int").alias("n3"),
+        F.lit(None).cast("string").alias("flag"),
+        F.col("prank").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        F.lit(None).cast("double").alias("d4"),
+        F.lit(None).cast("double").alias("d5"),
+    )
+    m = w2_w6_daily_movement(spark, sf_dir).select(
+        F.lit("movement").alias("section"),
+        "show_range",
+        "p_brand",
+        "sales",
+        "audience",
+        F.col("rank_num").cast("int").alias("n1"),
+        F.col("rank_inten").cast("int").alias("n2"),
+        F.lit(None).cast("int").alias("n3"),
+        F.col("rank_old_and_new").alias("flag"),
+        F.col("sales_inten").alias("d1"),
+        F.col("sales_change").alias("d2"),
+        F.col("sales_acc").alias("d3"),
+        F.col("audi_acc").alias("d4"),
+        F.col("sales_7d").alias("d5"),
+    )
+    return r.unionByName(m).orderBy("section", "show_range", "p_brand")

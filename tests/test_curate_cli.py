@@ -1268,3 +1268,110 @@ def test_cli_full_langid_fill_flag(spark, tmp_path, capsys):
         for r in spark.read.parquet(out_b).select("doc_id").collect()
     }
     assert any(d % 5 == 0 for d in filled_ids)
+
+
+def test_fold_manifest_persists_drift_evidence(spark, tmp_path, capsys):
+    """round 16 (VERDICT r15 #7): every folded day writes
+    <out>/_manifest/<fold>.json — kept count plus, when a frozen model
+    rides along, the per-signal drift TV and the hot list — so a
+    drifting week is visible in the artifact trail. Tripped path: the
+    md5-permuted day must land in the manifest with a non-empty hot
+    list; replaying the fold overwrites its row idempotently."""
+    docs, paths = _days(spark, tmp_path)
+    ref_path = str(tmp_path / "ref.parquet")
+    docs.filter(F.col("doc_id") % 7 == 0).write.parquet(ref_path)
+    mpath = str(tmp_path / "qm.json")
+    _run(capsys, [
+        "full", "--docs", paths["day0"],
+        "--out", str(tmp_path / "full_out"),
+        "--quality-reference", ref_path,
+        "--quality-filter", "both",
+        "--quality-model-out", mpath,
+    ])
+    s = _store_args(tmp_path)
+    _run(capsys, ["init-corpus", "--docs", paths["day0"],
+                  "--corpus", s["corpus"]])
+    _run(capsys, ["build-index", "--docs", s["corpus"],
+                  "--sig", s["sig"], "--key", s["key"]])
+
+    # quiet day: manifest row exists, drift recorded, hot empty
+    out1 = _run(capsys, _inc_argv(s, paths["day1"], "day1")
+                + ["--quality-model", mpath])
+    mf = os.path.join(s["out"], "_manifest", "day1.json")
+    assert os.path.isfile(mf)
+    row = json.load(open(mf))
+    assert row["fold"] == "day1"
+    assert row["kept"] == out1["kept"]
+    assert set(row["quality_drift_tv"]) == {"classifier_logit", "lm_bits"}
+    assert row["quality_drift_hot"] == []
+
+    # shifted day: permuted tokens must trip the guard INTO the manifest
+    from data_pipeline_team5_spark.operators.quality import (
+        _perm_tokens_sql,
+    )
+
+    shifted = spark.read.parquet(paths["day2"]).withColumn(
+        "text",
+        F.array_join(F.expr(_perm_tokens_sql("split(text, ' ')")), " "),
+    )
+    p_shift = str(tmp_path / "shifted.parquet")
+    shifted.write.parquet(p_shift)
+    _run(capsys, _inc_argv(s, p_shift, "day2")
+         + ["--quality-model", mpath])
+    row2 = json.load(open(os.path.join(s["out"], "_manifest",
+                                       "day2.json")))
+    assert row2["quality_drift_hot"], row2
+    # replay converges: same fold id overwrites, no duplicate trail
+    _run(capsys, _inc_argv(s, p_shift, "day2")
+         + ["--quality-model", mpath])
+    files = sorted(os.listdir(os.path.join(s["out"], "_manifest")))
+    assert files == ["day1.json", "day2.json"]
+    assert json.load(open(os.path.join(
+        s["out"], "_manifest", "day2.json"))) == row2
+
+
+def test_stream_writes_fold_manifest(spark, tmp_path, capsys):
+    """The stream loop writes the SAME durable manifest per micro-batch
+    (s0, s1, …) — drift evidence included when a frozen model rides."""
+    docs, paths = _days(spark, tmp_path)
+    ref_path = str(tmp_path / "ref.parquet")
+    docs.filter(F.col("doc_id") % 7 == 0).write.parquet(ref_path)
+    mpath = str(tmp_path / "qm.json")
+    _run(capsys, [
+        "full", "--docs", paths["day0"],
+        "--out", str(tmp_path / "full_out"),
+        "--quality-reference", ref_path,
+        "--quality-filter", "both",
+        "--quality-model-out", mpath,
+    ])
+    s = _store_args(tmp_path)
+    _run(capsys, ["init-corpus", "--docs", paths["day0"],
+                  "--corpus", s["corpus"]])
+    _run(capsys, ["build-index", "--docs", s["corpus"],
+                  "--sig", s["sig"], "--key", s["key"]])
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    for day in ("day1", "day2"):
+        df = spark.read.parquet(paths[day])
+        df.coalesce(1).write.parquet(str(tmp_path / f"mstage_{day}"))
+        part = next(
+            p for p in (tmp_path / f"mstage_{day}").iterdir()
+            if p.name.endswith(".parquet")
+        )
+        part.rename(arrivals / f"{day}.parquet")
+    arrivals = str(arrivals)
+    res = _run(capsys, [
+        "stream", "--arrivals", arrivals, "--corpus", s["corpus"],
+        "--sig", s["sig"], "--key", s["key"], "--out", s["out"],
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--quality-model", mpath,
+    ])
+    mdir = os.path.join(s["out"], "_manifest")
+    files = sorted(os.listdir(mdir))
+    assert files == [f"{b}.json" for b in sorted(res["batches"])]
+    for f in files:
+        row = json.load(open(os.path.join(mdir, f)))
+        assert row["kept"] >= 0
+        assert set(row["quality_drift_tv"]) == {
+            "classifier_logit", "lm_bits"
+        }

@@ -50,6 +50,9 @@ EXPECTED_PINS = {
     # feeding both the banded join and the component vertices)
     "mm_decontaminate": 1,  # same hash-table pin (corpus side decodes
     # once; the benchmark-side pin is released with the returned plan)
+    "mm_audio_dedup": 1,  # round 16: the audio hash-table pin (single
+    # WAV-decode pass feeding both the banded join and the component
+    # vertices — the mm_perceptual_dedup mechanism on audio hashes)
     "lm_perplexity_by_lang": 1,  # score-table pin
     "quality_classifier_by_lang": 1,  # score-table pin
     "scrub_panel": 1,  # the line stage's boilerplate-set pin, inherited
