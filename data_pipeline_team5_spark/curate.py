@@ -206,6 +206,12 @@ def main(argv: list[str] | None = None) -> int:
                              "char-n-gram one-vs-rest logistic fit on "
                              "the labeled slice; declared langs are "
                              "never overwritten)")
+    p_full.add_argument("--langid-model-out", default=None,
+                        help="with --langid-fill: persist the fitted "
+                             "langid models (+ fit provenance) as JSON "
+                             "for the daily loop's incremental/stream "
+                             "--langid-model (the frozen-model "
+                             "hand-off, like --quality-model-out)")
     p_full.add_argument("--quality-per-lang", action="store_true",
                         help="with --quality-reference and a classifier "
                              "filter: fit one classifier PER LANGUAGE "
@@ -323,6 +329,12 @@ def main(argv: list[str] | None = None) -> int:
                             "--quality-model-out): applies the saved "
                             "classifier threshold and LM cutoff to each "
                             "batch — never a per-batch refit/tertile")
+    p_inc.add_argument("--langid-model", default=None,
+                       help="frozen langid-model JSON (from full "
+                            "--langid-fill --langid-model-out): fills "
+                            "the batch's NULL langs under the full "
+                            "run's models BEFORE the allowlist — never "
+                            "a per-batch refit")
     p_inc.add_argument("--decon-n", type=int, default=5,
                        help="see full --decon-n")
     p_inc.add_argument("--decon-bloom-min-grams", type=int, default=None,
@@ -384,6 +396,11 @@ def main(argv: list[str] | None = None) -> int:
                             "--quality-model-out): applies the saved "
                             "classifier threshold and LM cutoff to each "
                             "batch — never a per-batch refit/tertile")
+    p_str.add_argument("--langid-model", default=None,
+                       help="frozen langid-model JSON: fills each "
+                            "micro-batch's NULL langs under the full "
+                            "run's models (see incremental "
+                            "--langid-model)")
     p_str.add_argument("--image-blobs", default=None,
                        help="(doc_id, blob) parquet covering the arrival "
                             "docs' images; requires --perceptual-index. "
@@ -495,6 +512,15 @@ def main(argv: list[str] | None = None) -> int:
             "--quality-model-out requires --quality-reference "
             "(no quality model is fit without a reference corpus)"
         )
+    if getattr(args, "langid_model_out", None) and not getattr(
+        args, "langid_fill", False
+    ):
+        # same failure mode: without the fill no langid model is fit,
+        # so the save would be silently skipped
+        ap.error(
+            "--langid-model-out requires --langid-fill "
+            "(no langid model is fit without the fill stage)"
+        )
     if args.cmd == "build-index" and bool(
         getattr(args, "image_blobs", None)
     ) != bool(getattr(args, "perceptual", None)):
@@ -548,6 +574,13 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         frozen_quality = load_quality_model(args.quality_model)
+    langid_models = None
+    if getattr(args, "langid_model", None):
+        from data_pipeline_team5_spark.operators.langid import (
+            load_langid_model,
+        )
+
+        langid_models, _ = load_langid_model(args.langid_model)
     image_blobs = (
         spark.read.parquet(args.image_blobs)
         if getattr(args, "image_blobs", None)
@@ -581,6 +614,7 @@ def main(argv: list[str] | None = None) -> int:
             ),
             quality_model_out=args.quality_model_out,
             langid_fill=args.langid_fill,
+            langid_model_out=args.langid_model_out,
             image_blobs=image_blobs,
             benchmark_image_blobs=image_bench,
             image_backend=args.image_backend,
@@ -826,6 +860,14 @@ def main(argv: list[str] | None = None) -> int:
 
         def process(batch_df, batch_id: int) -> None:
             fold = f"s{batch_id}"
+            if langid_models is not None:
+                from data_pipeline_team5_spark.operators.langid import (
+                    fill_missing_lang,
+                )
+
+                batch_df = fill_missing_lang(
+                    batch_df, langid_models
+                ).drop("lang_source")
             corpus = spark.read.parquet(args.corpus)
             if "batch_id" in corpus.columns:
                 corpus = corpus.filter(F.col("batch_id") != fold)
@@ -944,6 +986,17 @@ def main(argv: list[str] | None = None) -> int:
             for path, what in roots:
                 _refuse_flat_root(path, what)
         new = spark.read.parquet(args.new)
+        if langid_models is not None:
+            # frozen langid fill (round 16): NULL langs filled under the
+            # FULL run's models before the allowlist — never a refit on
+            # one day's labeled slice
+            from data_pipeline_team5_spark.operators.langid import (
+                fill_missing_lang,
+            )
+
+            new = fill_missing_lang(new, langid_models).drop(
+                "lang_source"
+            )
         corpus = spark.read.parquet(args.corpus)
         if fold is not None and "batch_id" in corpus.columns:
             # replay safety: a crashed day D re-run must not see its own

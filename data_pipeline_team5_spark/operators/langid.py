@@ -323,3 +323,79 @@ def fill_missing_lang(
         .drop("_pl")
     )
     return filled
+
+
+def save_langid_model(
+    path: str,
+    models: dict[str, tuple[list[float], float]],
+    provenance: dict | None = None,
+) -> None:
+    """Persist fitted langid models as JSON — the frozen-model hand-off
+    from the full curation run to the daily loop (the
+    save_quality_model precedent, round 16): a daily batch should fill
+    NULL langs under the SAME models the full run filled with, not a
+    refit on whatever labeled slice the day happens to carry. Doubles
+    survive bit-exactly (shortest-round-trip repr — the literal-plan
+    route); write-to-tmp + atomic rename so a run killed mid-dump never
+    leaves a truncated model."""
+    import json
+    import os
+
+    tmp = f"{path}.{os.getpid()}.tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "models": {
+                        lang: {"weights": w, "bias": b}
+                        for lang, (w, b) in sorted(models.items())
+                    },
+                    "provenance": provenance,
+                },
+                f,
+            )
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_langid_model(
+    path: str,
+) -> tuple[dict[str, tuple[list[float], float]], dict | None]:
+    """(models, provenance) — inverse of :func:`save_langid_model`;
+    weights round-trip bit-exactly."""
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    models = {
+        lang: (m["weights"], m["bias"])
+        for lang, m in d["models"].items()
+    }
+    return models, d.get("provenance")
+
+
+def langid_provenance(
+    labeled: DataFrame,
+    id_col: str = "doc_id",
+    buckets: int = LANGID_BUCKETS,
+    cap: int = LANGID_TRAIN_CAP,
+    lr: float = LANGID_LR,
+    iters: int = LANGID_ITERS,
+) -> dict:
+    """Fingerprint of WHAT the frozen langid model was fit on — the
+    quality model_provenance idiom (row count + order-insensitive id
+    digest + hyperparams) with the langid hyperparameters, plus the
+    feature scale (a scale change silently re-regimes the GD)."""
+    from data_pipeline_team5_spark.operators.quality import (
+        model_provenance,
+    )
+
+    p = model_provenance(
+        labeled, id_col=id_col, buckets=buckets, cap=cap, lr=lr,
+        iters=iters,
+    )
+    p["scale"] = LANGID_SCALE
+    p["ns"] = list(LANGID_NS)
+    return p

@@ -402,6 +402,7 @@ def curate_training_data(
     image_max_hamming: int = 6,
     image_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
     langid_fill: bool = False,
+    langid_model_out: str | None = None,
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
     composed from the engine's tested stages into ONE lazy plan:
@@ -508,7 +509,22 @@ def curate_training_data(
         )
 
         labeled = docs.filter(F.col("lang").isNotNull())
-        docs = fill_missing_lang(docs, fit_langid(labeled)).drop(
+        langid_models = fit_langid(labeled)
+        if langid_model_out:
+            # frozen-model hand-off (the quality_model_out precedent):
+            # the daily loop fills under the SAME models the full run
+            # filled with (`incremental/stream --langid-model`)
+            from data_pipeline_team5_spark.operators.langid import (
+                langid_provenance,
+                save_langid_model,
+            )
+
+            save_langid_model(
+                langid_model_out,
+                langid_models,
+                provenance=langid_provenance(labeled),
+            )
+        docs = fill_missing_lang(docs, langid_models).drop(
             "lang_source"
         )
 

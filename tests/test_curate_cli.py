@@ -1375,3 +1375,66 @@ def test_stream_writes_fold_manifest(spark, tmp_path, capsys):
         assert set(row["quality_drift_tv"]) == {
             "classifier_logit", "lm_bits"
         }
+
+
+def test_cli_frozen_langid_model_daily_loop(spark, tmp_path, capsys):
+    """round 16: the frozen langid hand-off — `full --langid-fill
+    --langid-model-out` persists the models, and `incremental
+    --langid-model` fills a daily batch's NULL langs under the FULL
+    run's models (never a per-batch refit), rescuing docs the allowlist
+    would drop. Also guards the flag dependency at parse time."""
+    from data_pipeline_team5_spark.plans.text_family import (
+        _langid_marked_frame,
+    )
+    from tests.conftest import SF_SMALL
+
+    marked = _langid_marked_frame(spark, SF_SMALL).select(*COLS)
+    paths = {}
+    for name, rem in (("day0", 1), ("day1", 0)):
+        p = str(tmp_path / f"{name}.parquet")
+        marked.filter(F.col("doc_id") % 4 == rem).write.parquet(p)
+        paths[name] = p
+    mpath = str(tmp_path / "langid.json")
+    _run(capsys, [
+        "full", "--docs", paths["day0"],
+        "--out", str(tmp_path / "full_out"),
+        "--langid-fill", "--langid-model-out", mpath,
+    ])
+    assert os.path.isfile(mpath)
+
+    s = _store_args(tmp_path)
+    _run(capsys, ["init-corpus", "--docs", paths["day0"],
+                  "--corpus", s["corpus"]])
+    _run(capsys, ["build-index", "--docs", s["corpus"],
+                  "--sig", s["sig"], "--key", s["key"]])
+    # daily batch with NULL langs on a deterministic slice
+    nulled = spark.read.parquet(paths["day1"]).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    )
+    p_null = str(tmp_path / "nulled_day1.parquet")
+    nulled.write.parquet(p_null)
+    base = _run(capsys, [
+        "incremental", "--new", p_null, "--corpus", s["corpus"],
+        "--sig", s["sig"], "--key", s["key"],
+        "--out", str(tmp_path / "out_a"),
+    ])
+    filled = _run(capsys, [
+        "incremental", "--new", p_null, "--corpus", s["corpus"],
+        "--sig", s["sig"], "--key", s["key"],
+        "--out", str(tmp_path / "out_b"), "--langid-model", mpath,
+    ])
+    assert filled["kept"] > base["kept"]
+    rescued = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out_b")).collect()
+    }
+    assert any(d % 5 == 0 for d in rescued)
+
+    # parse-time guard: model-out without the fill stage is an error
+    with pytest.raises(SystemExit):
+        main(["full", "--docs", paths["day0"],
+              "--out", str(tmp_path / "x"),
+              "--langid-model-out", str(tmp_path / "y.json")])

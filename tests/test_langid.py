@@ -271,3 +271,36 @@ def test_langid_edge_cases(spark):
     assert out[2]["confidence"] is None
     assert out[2]["margin"] is None
     assert out[1]["predicted_lang"] is not None
+
+
+def test_langid_model_save_load_roundtrip_bitwise(spark, tmp_path):
+    """Frozen langid hand-off (round 16): weights/biases survive the
+    JSON round-trip bit-exactly (shortest-round-trip repr — the literal
+    plan route), provenance rides along."""
+    from data_pipeline_team5_spark.operators.langid import (
+        langid_provenance,
+        load_langid_model,
+        save_langid_model,
+    )
+
+    marked = _langid_marked_frame(spark, SF_SMALL)
+    labeled = marked.filter(F.col("doc_id") % PPLX_REF_MOD == 0)
+    models = fit_langid(labeled)
+    path = str(tmp_path / "langid.json")
+    save_langid_model(
+        path, models, provenance=langid_provenance(labeled)
+    )
+    loaded, prov = load_langid_model(path)
+    assert sorted(loaded) == sorted(models)
+    for lang in models:
+        assert loaded[lang][0] == models[lang][0]  # bitwise
+        assert loaded[lang][1] == models[lang][1]
+    assert prov["reference_rows"] == labeled.count()
+    assert prov["scale"] == 64.0 and prov["ns"] == [3, 4, 5]
+    # scoring under the loaded model is bitwise the in-memory model's
+    pool = marked.filter(F.col("doc_id") % PPLX_REF_MOD != 0).limit(50)
+    a = {r["doc_id"]: (r["predicted_lang"], r["confidence"])
+         for r in langid_score_frame(pool, models).collect()}
+    b = {r["doc_id"]: (r["predicted_lang"], r["confidence"])
+         for r in langid_score_frame(pool, loaded).collect()}
+    assert a == b
