@@ -42,6 +42,11 @@ tests/test_incremental_neardup, tests/test_curate_cli):
                the Good-Turing unseen-mass estimate), and optional drift
                vs a baseline snapshot — into one JSON file by running
                the corresponding catalog queries against the corpus dir
+  manifest     observability: print the fold-manifest trail (one row
+               per folded day / micro-batch — kept count, frozen-model
+               drift TV, hot signals; round 16) from an assignments
+               root's ``_manifest/`` directory, optionally hot-only —
+               the weekly drift review in one command, no Spark session
   shard        delivery: deal the curated corpus into N deterministic
                training shards on disk (sources/writers.py:
                write_training_shards — md5-dealt shard + intra-shard
@@ -500,7 +505,42 @@ def main(argv: list[str] | None = None) -> int:
                             "dynamic overwrite — a replayed day "
                             "converges); omit for a full re-deal")
 
+    p_mf = sub.add_parser(
+        "manifest",
+        help="print the maintained assignments root's fold-manifest "
+             "trail (one row per folded day / micro-batch: kept count, "
+             "frozen-model drift TV, hot signals) as one JSON line — "
+             "the weekly drift review in a single command",
+    )
+    p_mf.add_argument("--out", required=True,
+                      help="maintained assignments root (the fold "
+                           "loop's --out; rows come from its "
+                           "_manifest/ directory)")
+    p_mf.add_argument("--hot-only", action="store_true",
+                      help="print only folds whose quality_drift_hot "
+                           "list is non-empty")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "manifest":
+        # pure driver-side artifact read — no Spark session needed
+        d = os.path.join(args.out, "_manifest")
+        rows = []
+        if os.path.isdir(d):
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".json"):
+                    with open(os.path.join(d, fn)) as f:
+                        rows.append(json.load(f))
+        if args.hot_only:
+            rows = [r for r in rows if r.get("quality_drift_hot")]
+        print(json.dumps({
+            "status": "ok", "cmd": "manifest", "out": args.out,
+            "folds": len(rows),
+            "hot_folds": [r["fold"] for r in rows
+                          if r.get("quality_drift_hot")],
+            "rows": rows,
+        }))
+        return 0
 
     if getattr(args, "quality_model_out", None) and not getattr(
         args, "quality_reference", None

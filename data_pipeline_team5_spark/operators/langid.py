@@ -126,7 +126,15 @@ def langid_train_features(
     """Sparse (lang, id, b, c) char-gram bucket counts for the capped
     per-language labeled sample. Collected volume ≤ |langs| × cap ×
     buckets rows at any corpus size; the gram read joins the capped id
-    set BROADCAST (the classifier_train_features discipline)."""
+    set BROADCAST (the classifier_train_features discipline).
+
+    The gram arrays are CHECKPOINT-PINNED before the explode — the
+    measured 110×-class pathology (round 16: 240 s → 3 s at sf0.1):
+    without the barrier, projection collapse re-inlines the
+    norm-regex + char-gram construction INTO the generator's output
+    projection, so every exploded gram re-runs the whole O(len)
+    chain — O(grams²) per document. The pin holds only the capped
+    sample's gram arrays (≤ |langs| × cap rows), never the corpus."""
     capped = capped_ids_by_lang(reference, id_col, lang_col, cap).select(
         id_col
     )
@@ -140,6 +148,7 @@ def langid_train_features(
         .select(
             id_col, lang_col, F.expr(char_ngrams_sql("_s")).alias("_g")
         )
+        .localCheckpoint()
     )
     return (
         base.select(

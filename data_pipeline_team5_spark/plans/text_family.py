@@ -2060,6 +2060,10 @@ def _langid_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _langid_scored_frame(spark, sf_dir)
+    # doc-grain output + order-insensitive rows-only check → no final
+    # global sort (the w1_rank_in_day convention: a range exchange
+    # would SAMPLE the scoring chain — re-running the gram folds — just
+    # to order rows nobody compares in order)
     return scored.select(
         "doc_id",
         "lang",
@@ -2068,7 +2072,7 @@ def langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "confidence",
         "margin",
         (F.col("predicted_lang") == F.col("lang")).alias("agree"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1438,3 +1438,30 @@ def test_cli_frozen_langid_model_daily_loop(spark, tmp_path, capsys):
         main(["full", "--docs", paths["day0"],
               "--out", str(tmp_path / "x"),
               "--langid-model-out", str(tmp_path / "y.json")])
+
+
+def test_cli_manifest_subcommand(tmp_path, capsys):
+    """`curate manifest` aggregates the fold trail without a Spark
+    session: all rows in fold order, hot folds surfaced, --hot-only
+    filters; an absent _manifest dir is an empty trail, not an error."""
+    out_root = tmp_path / "assignments"
+    mdir = out_root / "_manifest"
+    mdir.mkdir(parents=True)
+    rows = {
+        "day1": {"fold": "day1", "kept": 10,
+                 "quality_drift_tv": {"lm_bits": 0.1},
+                 "quality_drift_hot": []},
+        "day2": {"fold": "day2", "kept": 7,
+                 "quality_drift_tv": {"lm_bits": 0.6},
+                 "quality_drift_hot": ["lm_bits"]},
+    }
+    for fold, row in rows.items():
+        (mdir / f"{fold}.json").write_text(json.dumps(row))
+    r = _run(capsys, ["manifest", "--out", str(out_root)])
+    assert r["folds"] == 2
+    assert r["hot_folds"] == ["day2"]
+    assert [x["fold"] for x in r["rows"]] == ["day1", "day2"]
+    r2 = _run(capsys, ["manifest", "--out", str(out_root), "--hot-only"])
+    assert [x["fold"] for x in r2["rows"]] == ["day2"]
+    r3 = _run(capsys, ["manifest", "--out", str(tmp_path / "nope")])
+    assert r3["folds"] == 0 and r3["rows"] == []
