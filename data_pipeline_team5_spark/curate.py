@@ -278,6 +278,12 @@ def main(argv: list[str] | None = None) -> int:
                         help="image decode backend for --image-blobs "
                              "(bmp/png = real stdlib decodes; pil is gated in "
                              "containers without imaging libs)")
+    p_full.add_argument("--audio-blobs", default=None,
+                        help="(doc_id, blob) parquet for corpora with an "
+                             "audio column (round 16): WAV energy-"
+                             "envelope near-dup pairs union into the "
+                             "dedup component graph, same contract as "
+                             "--image-blobs")
     p_full.add_argument("--image-benchmark", default=None,
                         help="(doc_id, blob) parquet of eval-benchmark "
                              "IMAGES; corpus docs whose image is a "
@@ -309,6 +315,13 @@ def main(argv: list[str] | None = None) -> int:
     p_idx.add_argument("--image-backend", default="bmp",
                        choices=["bmp", "png", "fake", "pil"],
                        help="see full --image-backend")
+    p_idx.add_argument("--audio-blobs", default=None,
+                       help="with --audio-index: (doc_id, blob) WAV "
+                            "parquet to hash into the audio index (one "
+                            "decode pass, like --perceptual)")
+    p_idx.add_argument("--audio-index", default=None,
+                       help="audio-hash index path (2 BIGINTs/doc); "
+                            "requires --audio-blobs")
 
     p_inc = sub.add_parser("incremental", help="curate a daily batch")
     p_inc.add_argument("--new", required=True, help="new batch parquet")
@@ -358,6 +371,16 @@ def main(argv: list[str] | None = None) -> int:
                        help="see full --image-benchmark; with "
                             "--image-blobs alone (no --perceptual-index) "
                             "the batch is image-DECONTAMINATED only")
+    p_inc.add_argument("--audio-blobs", default=None,
+                       help="(doc_id, blob) WAV parquet for the NEW "
+                            "batch's audio; requires --audio-index — "
+                            "the batch is audio-deduped against the "
+                            "retained corpus through the stored hash "
+                            "index, never a corpus re-decode")
+    p_inc.add_argument("--audio-index", default=None,
+                       help="audio-hash index root (from build-index "
+                            "--audio-index); with --fold-batch-id the "
+                            "surviving batch's hashes fold in after")
     p_inc.add_argument("--image-backend", default="bmp",
                        choices=["bmp", "png", "fake", "pil"],
                        help="see full --image-backend")
@@ -567,6 +590,20 @@ def main(argv: list[str] | None = None) -> int:
         ap.error(
             "build-index: --image-blobs and --perceptual go together"
         )
+    if args.cmd == "build-index" and bool(
+        getattr(args, "audio_blobs", None)
+    ) != bool(getattr(args, "audio_index", None)):
+        ap.error(
+            "build-index: --audio-blobs and --audio-index go together"
+        )
+    if args.cmd == "incremental" and bool(
+        getattr(args, "audio_blobs", None)
+    ) and not getattr(args, "audio_index", None):
+        ap.error(
+            "incremental: --audio-blobs requires --audio-index (the "
+            "retained corpus's audio is reached only through the "
+            "stored hash index)"
+        )
     if (
         args.cmd in ("incremental", "stream")
         and getattr(args, "image_blobs", None)
@@ -631,6 +668,11 @@ def main(argv: list[str] | None = None) -> int:
         if getattr(args, "image_benchmark", None)
         else None
     )
+    audio_blobs = (
+        spark.read.parquet(args.audio_blobs)
+        if getattr(args, "audio_blobs", None)
+        else None
+    )
     if args.cmd == "full":
         out = curate_training_data(
             spark.read.parquet(args.docs),
@@ -658,6 +700,7 @@ def main(argv: list[str] | None = None) -> int:
             image_blobs=image_blobs,
             benchmark_image_blobs=image_bench,
             image_backend=args.image_backend,
+            audio_blobs=audio_blobs,
             scrub_pii=args.scrub_pii,
             survivor_policy=args.survivor_policy,
             source_priority=(
@@ -687,6 +730,14 @@ def main(argv: list[str] | None = None) -> int:
             build_perceptual_index(
                 image_blobs, args.perceptual,
                 backend=args.image_backend, batch_id=args.batch_id,
+            )
+        if audio_blobs is not None:
+            from data_pipeline_team5_spark.pipeline import (
+                build_audio_index,
+            )
+
+            build_audio_index(
+                audio_blobs, args.audio_index, batch_id=args.batch_id,
             )
         print(json.dumps({"status": "ok", "cmd": "build-index",
                           "sig": args.sig, "key": args.key,
@@ -1023,6 +1074,8 @@ def main(argv: list[str] | None = None) -> int:
                      (args.key, "key"), (args.out, "out")]
             if getattr(args, "perceptual_index", None):
                 roots.append((args.perceptual_index, "perceptual-index"))
+            if getattr(args, "audio_index", None):
+                roots.append((args.audio_index, "audio-index"))
             for path, what in roots:
                 _refuse_flat_root(path, what)
         new = spark.read.parquet(args.new)
@@ -1059,6 +1112,8 @@ def main(argv: list[str] | None = None) -> int:
             perceptual_index_path=getattr(args, "perceptual_index", None),
             benchmark_image_blobs=image_bench,
             image_backend=args.image_backend,
+            new_audio_blobs=audio_blobs,
+            audio_index_path=getattr(args, "audio_index", None),
         )
         if fold is None:
             out.write.mode("overwrite").parquet(args.out)
@@ -1093,6 +1148,20 @@ def main(argv: list[str] | None = None) -> int:
                     image_blobs.join(kept.select("doc_id"), "doc_id"),
                     args.perceptual_index,
                     backend=args.image_backend,
+                    batch_id=fold,
+                )
+            if audio_blobs is not None and getattr(
+                args, "audio_index", None
+            ):
+                # audio twin (round 16): the survivors' audio hashes
+                # fold in — tomorrow probes hashes, never samples
+                from data_pipeline_team5_spark.pipeline import (
+                    build_audio_index,
+                )
+
+                build_audio_index(
+                    audio_blobs.join(kept.select("doc_id"), "doc_id"),
+                    args.audio_index,
                     batch_id=fold,
                 )
             # the corpus grows too — see module docstring (ADVICE r6 #1)

@@ -403,6 +403,10 @@ def curate_training_data(
     image_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
     langid_fill: bool = False,
     langid_model_out: str | None = None,
+    audio_blobs: DataFrame | None = None,
+    audio_backend: str = "wav",
+    audio_max_hamming: int = 6,
+    audio_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
     composed from the engine's tested stages into ONE lazy plan:
@@ -782,6 +786,31 @@ def curate_training_data(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )
         pairs = pairs.unionByName(ipairs)
+
+    # 3c-audio (round 16, VERDICT r15 #5's pipeline leg): same contract
+    # as 3b-image for the AUDIO modality — WAV payloads hash into the
+    # identical (doc_id, dhash, ahash) shape, so the banded pairs union
+    # into the same component graph and every survivor policy applies
+    # to audio near-dups unchanged. Hashing restricted to the curated+
+    # exact-deduped pool; hash table pinned (2 longs/doc, one decode).
+    if audio_blobs is not None:
+        from data_pipeline_team5_spark.operators.multimodal import (
+            audio_hashes,
+            perceptual_pairs,
+        )
+
+        ah = audio_hashes(
+            audio_blobs.join(uniq.select("doc_id"), "doc_id"),
+            backend=audio_backend,
+        ).localCheckpoint()
+        apairs = perceptual_pairs(
+            ah,
+            max_hamming=audio_max_hamming,
+            max_bucket=audio_max_bucket,
+        ).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        pairs = pairs.unionByName(apairs)
     comp = connected_components(
         uniq.select("doc_id"), pairs, id_col="doc_id",
         scratch_dir=scratch_dir,
@@ -917,6 +946,11 @@ def curate_incremental_batch(
     image_backend: str = "bmp",
     image_max_hamming: int = 6,
     image_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
+    new_audio_blobs: DataFrame | None = None,
+    audio_index_path: str | None = None,
+    audio_backend: str = "wav",
+    audio_max_hamming: int = 6,
+    audio_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
 ) -> DataFrame:
     """Daily curation update: run the full curation contract for a NEW
     batch against the already-RETAINED corpus, touching the corpus only
@@ -1130,6 +1164,39 @@ def curate_incremental_batch(
         raw_pairs = raw_pairs.select("doc_a", "doc_b").unionByName(
             ipairs.select("doc_a", "doc_b")
         )
+    # audio twin (round 16): the daily batch's WAVs probe the stored
+    # audio-hash index — the retained corpus's audio is never re-decoded
+    if new_audio_blobs is not None and audio_index_path is None:
+        raise ValueError(
+            "curate_incremental_batch: new_audio_blobs requires "
+            "audio_index_path (build_audio_index) — the daily loop "
+            "never re-decodes the retained corpus's audio"
+        )
+    if new_audio_blobs is not None:
+        from data_pipeline_team5_spark.operators.multimodal import (
+            audio_hashes,
+            perceptual_pairs_against_index,
+        )
+
+        aidx = new_docs.sparkSession.read.parquet(audio_index_path)
+        if (
+            exclude_batch_id is not None
+            and "batch_id" in aidx.columns
+        ):
+            aidx = aidx.filter(F.col("batch_id") != exclude_batch_id)
+        ah = audio_hashes(
+            new_audio_blobs.join(uniq.select("doc_id"), "doc_id"),
+            backend=audio_backend,
+        ).localCheckpoint()
+        apairs = perceptual_pairs_against_index(
+            ah,
+            aidx.select("doc_id", "dhash", "ahash"),
+            max_hamming=audio_max_hamming,
+            max_bucket=audio_max_bucket,
+        )
+        raw_pairs = raw_pairs.select("doc_a", "doc_b").unionByName(
+            apairs.select("doc_a", "doc_b")
+        )
     pairs = raw_pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -1261,6 +1328,35 @@ def build_perceptual_index(
     )
 
     h = perceptual_hashes(image_blobs, backend=backend)
+    if batch_id is not None:
+        (
+            h.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+    else:
+        h.write.mode(mode).parquet(path)
+
+
+def build_audio_index(
+    audio_blobs: DataFrame,
+    path: str,
+    backend: str = "wav",
+    mode: str = "overwrite",
+    batch_id: str | None = None,
+) -> None:
+    """Materialize the corpus's audio-hash table (doc_id, dhash, ahash)
+    — the stored index the incremental audio-dedup path probes daily
+    (round 16; the audio twin of :func:`build_perceptual_index`, and
+    the same 2-BIGINTs/doc economics: the one decode pass is paid at
+    build/fold time, never per day)."""
+    from data_pipeline_team5_spark.operators.multimodal import (
+        audio_hashes,
+    )
+
+    h = audio_hashes(audio_blobs, backend=backend)
     if batch_id is not None:
         (
             h.withColumn("batch_id", F.lit(batch_id))

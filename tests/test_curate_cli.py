@@ -1465,3 +1465,106 @@ def test_cli_manifest_subcommand(tmp_path, capsys):
     assert [x["fold"] for x in r2["rows"]] == ["day2"]
     r3 = _run(capsys, ["manifest", "--out", str(tmp_path / "nope")])
     assert r3["folds"] == 0 and r3["rows"] == []
+
+
+def test_cli_audio_dedup_daily_loop(spark, tmp_path, capsys):
+    """round 16: the CLI loop with AUDIO — build-index --audio-blobs
+    --audio-index hashes the corpus's WAVs once; incremental
+    --audio-blobs --audio-index drops a new doc whose audio duplicates
+    a retained one, folds the survivors' hashes, and the next day
+    probes the FOLDED hashes; a replayed day converges bitwise. The
+    image loop's contract, third modality, same machinery."""
+    from data_pipeline_team5_spark.operators.multimodal import (
+        WAV_SAMPLES,
+        encode_wav,
+    )
+
+    def payload(seed: int) -> bytes:
+        # PRNG word stream: same-length TEMPLATES with different digits
+        # hash identically (the envelope sees |sample| magnitudes, and
+        # digit swaps barely move them) — these streams are pairwise
+        # 20-35 dHash bits apart (measured), so only intended dups match
+        words = []
+        x = seed * 2654435761 % (2**32)
+        for _ in range(40):
+            x = (x * 1103515245 + 12345 + seed) % (2**31)
+            words.append(f"w{x % 99991}")
+        b = " ".join(words).encode()
+        n = WAV_SAMPLES * 2
+        return encode_wav((b * (n // len(b) + 1))[:n])
+
+    def day_docs(ids_):
+        return spark.createDataFrame(
+            [(i, "en", 290,
+              " ".join(f"u{i}w{j}" for j in range(50))) for i in ids_],
+            "doc_id LONG, lang STRING, n_chars LONG, text STRING",
+        )
+
+    ids = {"day0": [1000, 1001], "day1": [2000, 2001],
+           "day2": [3000, 3001]}
+    paths = {}
+    for name, ids_ in ids.items():
+        p = str(tmp_path / f"{name}.parquet")
+        day_docs(ids_).write.parquet(p)
+        paths[name] = p
+    blob_rows = (
+        [(d, payload(i)) for i, d in enumerate(ids["day0"])]
+        + [(ids["day1"][0], payload(0)), (ids["day1"][1], payload(50))]
+        + [(ids["day2"][0], payload(50)), (ids["day2"][1], payload(60))]
+    )
+    all_blobs = spark.createDataFrame(
+        blob_rows, "doc_id LONG, blob BINARY"
+    )
+    blobs = str(tmp_path / "ablobs.parquet")
+    all_blobs.write.parquet(blobs)
+    blobs0 = str(tmp_path / "ablobs_day0.parquet")
+    all_blobs.filter(F.col("doc_id") < 2000).write.parquet(blobs0)
+
+    s = _store_args(tmp_path)
+    ah = str(tmp_path / "ahash")
+    _run(capsys, ["init-corpus", "--docs", paths["day0"],
+                  "--corpus", s["corpus"]])
+    _run(capsys, ["build-index", "--docs", paths["day0"],
+                  "--sig", s["sig"], "--key", s["key"],
+                  "--audio-blobs", blobs0, "--audio-index", ah])
+
+    def inc(day):
+        return _run(capsys, _inc_argv(s, paths[day], day) + [
+            "--audio-blobs", blobs, "--audio-index", ah,
+        ])
+
+    inc("day1")
+    kept1 = {
+        r["doc_id"]
+        for r in spark.read.parquet(s["out"])
+        .filter(F.col("batch_id") == "day1").collect()
+    }
+    assert ids["day1"][0] not in kept1  # audio dup of retained day0
+    assert ids["day1"][1] in kept1      # fresh audio survives
+
+    inc("day2")
+    kept2 = {
+        r["doc_id"]
+        for r in spark.read.parquet(s["out"])
+        .filter(F.col("batch_id") == "day2").collect()
+    }
+    assert ids["day2"][0] not in kept2  # dup of day1's FOLDED audio
+    assert ids["day2"][1] in kept2
+
+    # replay day2: bitwise-idempotent
+    before = sorted(map(tuple, spark.read.parquet(s["out"]).collect()))
+    idx_before = sorted(map(tuple, spark.read.parquet(ah).collect()))
+    inc("day2")
+    assert sorted(
+        map(tuple, spark.read.parquet(s["out"]).collect())
+    ) == before
+    assert sorted(
+        map(tuple, spark.read.parquet(ah).collect())
+    ) == idx_before
+
+    # parse guard: --audio-blobs without --audio-index
+    with pytest.raises(SystemExit):
+        main(["incremental", "--new", paths["day1"],
+              "--corpus", s["corpus"], "--sig", s["sig"],
+              "--key", s["key"], "--out", s["out"],
+              "--audio-blobs", blobs])

@@ -1010,3 +1010,86 @@ def test_curate_langid_fill_rescues_null_lang_docs(spark):
     for d, lang in filled.items():
         if d % 5 != 0:
             assert lang == truth[d]
+
+
+def _wav_payload(kind: str) -> bytes:
+    """A real stdlib-decodable WAV whose samples derive from ``kind``
+    (tiled, the attach_wav_blob convention) — deterministic, so equal
+    kinds are perceptual duplicates and different kinds are not."""
+    from data_pipeline_team5_spark.operators.multimodal import (
+        WAV_SAMPLES,
+        encode_wav,
+    )
+
+    b = kind.encode("utf-8")
+    n = WAV_SAMPLES * 2
+    return encode_wav((b * (n // len(b) + 1))[:n])
+
+
+def test_curate_audio_dedup_collapses_audio_duplicates(spark):
+    """Round 16 (VERDICT r15 #5's pipeline leg): docs whose texts share
+    nothing but whose AUDIO payloads are perceptual duplicates collapse
+    into one component under curate_training_data(audio_blobs=...),
+    min-id surviving — the image contract, third modality."""
+    docs = _dissimilar_docs(spark, [1, 2, 3])
+    base = {r["doc_id"] for r in curate_training_data(docs).collect()}
+    assert base == {1, 2, 3}
+
+    blobs = spark.createDataFrame(
+        [
+            (1, _wav_payload("hum alpha")),
+            (2, _wav_payload("hum alpha")),  # byte-identical to doc 1's
+            (3, _wav_payload("different tone entirely")),
+        ],
+        "doc_id LONG, blob BINARY",
+    )
+    out = {
+        r["doc_id"]
+        for r in curate_training_data(docs, audio_blobs=blobs).collect()
+    }
+    assert out == {1, 3}
+    again = {
+        r["doc_id"]
+        for r in curate_training_data(docs, audio_blobs=blobs).collect()
+    }
+    assert again == out
+
+
+def test_incremental_audio_dedup_probes_stored_index(spark, tmp_path):
+    """The daily loop audio-dedups the new batch against the retained
+    corpus through the stored audio-hash index; fresh audio survives,
+    a retained-duplicate drops, the corpus's WAVs are never passed."""
+    import pytest as _pytest
+
+    from data_pipeline_team5_spark.pipeline import (
+        build_audio_index,
+        curate_incremental_batch,
+    )
+
+    corpus = _dissimilar_docs(spark, [1000, 1001])
+    new = _dissimilar_docs(spark, [2, 3, 4])
+    corpus_blobs = spark.createDataFrame(
+        [(1000, _wav_payload("hum alpha")),
+         (1001, _wav_payload("drone beta"))],
+        "doc_id LONG, blob BINARY",
+    )
+    new_blobs = spark.createDataFrame(
+        [(2, _wav_payload("hum alpha")),
+         (3, _wav_payload("fresh gamma"))],
+        "doc_id LONG, blob BINARY",
+    )  # doc 4 has no audio
+
+    idx = str(tmp_path / "ahash")
+    build_audio_index(corpus_blobs, idx, batch_id="base")
+    out = {
+        r["doc_id"]
+        for r in curate_incremental_batch(
+            new,
+            corpus,
+            new_audio_blobs=new_blobs,
+            audio_index_path=idx,
+        ).collect()
+    }
+    assert out == {3, 4}  # 2's audio duplicates retained 1000
+    with _pytest.raises(ValueError, match="audio_index_path"):
+        curate_incremental_batch(new, corpus, new_audio_blobs=new_blobs)
