@@ -284,6 +284,13 @@ def main(argv: list[str] | None = None) -> int:
                              "envelope near-dup pairs union into the "
                              "dedup component graph, same contract as "
                              "--image-blobs")
+    p_full.add_argument("--audio-benchmark", default=None,
+                        help="(doc_id, blob) WAV parquet of an eval "
+                             "benchmark's audio: docs whose audio is a "
+                             "near-dup of ANY benchmark clip are "
+                             "dropped before dedup (requires "
+                             "--audio-blobs; the audio twin of "
+                             "--image-benchmark)")
     p_full.add_argument("--image-benchmark", default=None,
                         help="(doc_id, blob) parquet of eval-benchmark "
                              "IMAGES; corpus docs whose image is a "
@@ -381,6 +388,10 @@ def main(argv: list[str] | None = None) -> int:
                        help="audio-hash index root (from build-index "
                             "--audio-index); with --fold-batch-id the "
                             "surviving batch's hashes fold in after")
+    p_inc.add_argument("--audio-benchmark", default=None,
+                       help="see full --audio-benchmark; with "
+                            "--audio-blobs alone (no --audio-index) the "
+                            "batch is audio-DECONTAMINATED only")
     p_inc.add_argument("--image-backend", default="bmp",
                        choices=["bmp", "png", "fake", "pil"],
                        help="see full --image-backend")
@@ -444,6 +455,15 @@ def main(argv: list[str] | None = None) -> int:
     p_str.add_argument("--image-backend", default="bmp",
                        choices=["bmp", "png", "fake", "pil"],
                        help="see full --image-backend")
+    p_str.add_argument("--audio-blobs", default=None,
+                       help="(doc_id, blob) WAV parquet covering the "
+                            "arrivals; requires --audio-index and/or "
+                            "--audio-benchmark (see incremental)")
+    p_str.add_argument("--audio-index", default=None,
+                       help="audio-hash index root; each micro-batch "
+                            "probes it and folds its survivors' hashes")
+    p_str.add_argument("--audio-benchmark", default=None,
+                       help="see full --audio-benchmark")
     p_str.add_argument("--decon-n", type=int, default=5,
                        help="see full --decon-n")
     p_str.add_argument("--decon-bloom-min-grams", type=int, default=None,
@@ -596,14 +616,21 @@ def main(argv: list[str] | None = None) -> int:
         ap.error(
             "build-index: --audio-blobs and --audio-index go together"
         )
-    if args.cmd == "incremental" and bool(
-        getattr(args, "audio_blobs", None)
-    ) and not getattr(args, "audio_index", None):
+    if (
+        args.cmd in ("incremental", "stream")
+        and getattr(args, "audio_blobs", None)
+        and not getattr(args, "audio_index", None)
+        and not getattr(args, "audio_benchmark", None)
+    ):
         ap.error(
-            "incremental: --audio-blobs requires --audio-index (the "
+            f"{args.cmd}: --audio-blobs requires --audio-index (the "
             "retained corpus's audio is reached only through the "
-            "stored hash index)"
+            "stored hash index) and/or --audio-benchmark (decon-only)"
         )
+    if args.cmd == "full" and getattr(
+        args, "audio_benchmark", None
+    ) and not getattr(args, "audio_blobs", None):
+        ap.error("full: --audio-benchmark requires --audio-blobs")
     if (
         args.cmd in ("incremental", "stream")
         and getattr(args, "image_blobs", None)
@@ -673,6 +700,11 @@ def main(argv: list[str] | None = None) -> int:
         if getattr(args, "audio_blobs", None)
         else None
     )
+    audio_bench = (
+        spark.read.parquet(args.audio_benchmark)
+        if getattr(args, "audio_benchmark", None)
+        else None
+    )
     if args.cmd == "full":
         out = curate_training_data(
             spark.read.parquet(args.docs),
@@ -701,6 +733,7 @@ def main(argv: list[str] | None = None) -> int:
             benchmark_image_blobs=image_bench,
             image_backend=args.image_backend,
             audio_blobs=audio_blobs,
+            benchmark_audio_blobs=audio_bench,
             scrub_pii=args.scrub_pii,
             survivor_policy=args.survivor_policy,
             source_priority=(
@@ -944,6 +977,8 @@ def main(argv: list[str] | None = None) -> int:
             stream_roots.append(
                 (args.perceptual_index, "perceptual-index")
             )
+        if getattr(args, "audio_index", None):
+            stream_roots.append((args.audio_index, "audio-index"))
         for path, what in stream_roots:
             _refuse_flat_root(path, what)
         schema = spark.read.parquet(args.arrivals).schema
@@ -981,6 +1016,9 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 benchmark_image_blobs=image_bench,
                 image_backend=args.image_backend,
+                new_audio_blobs=audio_blobs,
+                audio_index_path=getattr(args, "audio_index", None),
+                benchmark_audio_blobs=audio_bench,
             )
             off = next_bin_offset(spark, args.out, exclude_batch_id=fold)
             (
@@ -1004,6 +1042,18 @@ def main(argv: list[str] | None = None) -> int:
                     image_blobs.join(kept.select("doc_id"), "doc_id"),
                     args.perceptual_index,
                     backend=args.image_backend,
+                    batch_id=fold,
+                )
+            if audio_blobs is not None and getattr(
+                args, "audio_index", None
+            ):
+                from data_pipeline_team5_spark.pipeline import (
+                    build_audio_index,
+                )
+
+                build_audio_index(
+                    audio_blobs.join(kept.select("doc_id"), "doc_id"),
+                    args.audio_index,
                     batch_id=fold,
                 )
             append_corpus_batch(survivors, args.corpus, fold)
@@ -1114,6 +1164,7 @@ def main(argv: list[str] | None = None) -> int:
             image_backend=args.image_backend,
             new_audio_blobs=audio_blobs,
             audio_index_path=getattr(args, "audio_index", None),
+            benchmark_audio_blobs=audio_bench,
         )
         if fold is None:
             out.write.mode("overwrite").parquet(args.out)

@@ -404,6 +404,7 @@ def curate_training_data(
     langid_fill: bool = False,
     langid_model_out: str | None = None,
     audio_blobs: DataFrame | None = None,
+    benchmark_audio_blobs: DataFrame | None = None,
     audio_backend: str = "wav",
     audio_max_hamming: int = 6,
     audio_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
@@ -575,6 +576,36 @@ def curate_training_data(
             ih_kept, bh, max_hamming=image_max_hamming
         ).select("doc_id")
         kept = kept.join(bad, "doc_id", "left_anti")
+
+    # 1a-audio (round 16): audio-grain decontamination — the audio twin
+    # of the image rule above, at the same early stage (eval audio must
+    # never reach training bins). The hash-table machinery is modality-
+    # blind, so contaminated_image_ids runs on audio hashes verbatim;
+    # the kept pool's one decode pass is pinned and reused by the
+    # audio-dedup stage (3c) below.
+    ah_kept: DataFrame | None = None
+    if benchmark_audio_blobs is not None:
+        if audio_blobs is None:
+            raise ValueError(
+                "curate_training_data: benchmark_audio_blobs requires "
+                "audio_blobs (the corpus side's audio)"
+            )
+        from data_pipeline_team5_spark.operators.multimodal import (
+            audio_hashes,
+            contaminated_image_ids,
+        )
+
+        ah_kept = audio_hashes(
+            audio_blobs.join(kept.select("doc_id"), "doc_id"),
+            backend=audio_backend,
+        ).localCheckpoint()
+        abh = audio_hashes(
+            benchmark_audio_blobs, backend=audio_backend
+        ).localCheckpoint()
+        abad = contaminated_image_ids(
+            ah_kept, abh, max_hamming=audio_max_hamming
+        ).select("doc_id")
+        kept = kept.join(abad, "doc_id", "left_anti")
 
     # 1b. optional MODEL-BASED quality filters (round 14, operators/
     # quality.py — the CCNet two-signal stack), applied to the filtered
@@ -799,10 +830,14 @@ def curate_training_data(
             perceptual_pairs,
         )
 
-        ah = audio_hashes(
-            audio_blobs.join(uniq.select("doc_id"), "doc_id"),
-            backend=audio_backend,
-        ).localCheckpoint()
+        if ah_kept is not None:
+            # reuse the decon stage's decode pass (the ih_kept idiom)
+            ah = ah_kept.join(uniq.select("doc_id"), "doc_id")
+        else:
+            ah = audio_hashes(
+                audio_blobs.join(uniq.select("doc_id"), "doc_id"),
+                backend=audio_backend,
+            ).localCheckpoint()
         apairs = perceptual_pairs(
             ah,
             max_hamming=audio_max_hamming,
@@ -948,6 +983,7 @@ def curate_incremental_batch(
     image_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
     new_audio_blobs: DataFrame | None = None,
     audio_index_path: str | None = None,
+    benchmark_audio_blobs: DataFrame | None = None,
     audio_backend: str = "wav",
     audio_max_hamming: int = 6,
     audio_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
@@ -1087,6 +1123,32 @@ def curate_incremental_batch(
         ).select("doc_id")
         kept = kept.join(bad, "doc_id", "left_anti")
 
+    # 1a-audio (round 16): the audio twin — batch pool decodes once
+    # into a pinned hash table, reused by the audio index probe below.
+    anh_kept: DataFrame | None = None
+    if benchmark_audio_blobs is not None:
+        if new_audio_blobs is None:
+            raise ValueError(
+                "curate_incremental_batch: benchmark_audio_blobs "
+                "requires new_audio_blobs (the batch's audio)"
+            )
+        from data_pipeline_team5_spark.operators.multimodal import (
+            audio_hashes,
+            contaminated_image_ids,
+        )
+
+        anh_kept = audio_hashes(
+            new_audio_blobs.join(kept.select("doc_id"), "doc_id"),
+            backend=audio_backend,
+        ).localCheckpoint()
+        abh = audio_hashes(
+            benchmark_audio_blobs, backend=audio_backend
+        ).localCheckpoint()
+        abad = contaminated_image_ids(
+            anh_kept, abh, max_hamming=audio_max_hamming
+        ).select("doc_id")
+        kept = kept.join(abad, "doc_id", "left_anti")
+
     # 2. exact dedup: within the batch, then anti-join the corpus's keys —
     # probed from the stored key table when available (O(batch) probe)
     # instead of scanning + distinct-ing the whole corpus every run
@@ -1166,13 +1228,18 @@ def curate_incremental_batch(
         )
     # audio twin (round 16): the daily batch's WAVs probe the stored
     # audio-hash index — the retained corpus's audio is never re-decoded
-    if new_audio_blobs is not None and audio_index_path is None:
+    if (
+        new_audio_blobs is not None
+        and audio_index_path is None
+        and benchmark_audio_blobs is None
+    ):
         raise ValueError(
             "curate_incremental_batch: new_audio_blobs requires "
             "audio_index_path (build_audio_index) — the daily loop "
-            "never re-decodes the retained corpus's audio"
+            "never re-decodes the retained corpus's audio — and/or "
+            "benchmark_audio_blobs (decon-only)"
         )
-    if new_audio_blobs is not None:
+    if new_audio_blobs is not None and audio_index_path is not None:
         from data_pipeline_team5_spark.operators.multimodal import (
             audio_hashes,
             perceptual_pairs_against_index,
@@ -1184,10 +1251,13 @@ def curate_incremental_batch(
             and "batch_id" in aidx.columns
         ):
             aidx = aidx.filter(F.col("batch_id") != exclude_batch_id)
-        ah = audio_hashes(
-            new_audio_blobs.join(uniq.select("doc_id"), "doc_id"),
-            backend=audio_backend,
-        ).localCheckpoint()
+        if anh_kept is not None:  # reuse the decon stage's decode
+            ah = anh_kept.join(uniq.select("doc_id"), "doc_id")
+        else:
+            ah = audio_hashes(
+                new_audio_blobs.join(uniq.select("doc_id"), "doc_id"),
+                backend=audio_backend,
+            ).localCheckpoint()
         apairs = perceptual_pairs_against_index(
             ah,
             aidx.select("doc_id", "dhash", "ahash"),

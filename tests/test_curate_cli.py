@@ -1568,3 +1568,59 @@ def test_cli_audio_dedup_daily_loop(spark, tmp_path, capsys):
               "--corpus", s["corpus"], "--sig", s["sig"],
               "--key", s["key"], "--out", s["out"],
               "--audio-blobs", blobs])
+
+
+def test_cli_audio_benchmark_decon_only(spark, tmp_path, capsys):
+    """round 16: `incremental --audio-blobs --audio-benchmark` without
+    an index is the decon-only daily form — benchmark-matching audio
+    drops, everything else passes; the guard rejects --audio-blobs with
+    neither companion."""
+    from data_pipeline_team5_spark.operators.multimodal import (
+        WAV_SAMPLES,
+        encode_wav,
+    )
+
+    def wav(kind):
+        b = kind.encode()
+        n = WAV_SAMPLES * 2
+        return encode_wav((b * (n // len(b) + 1))[:n])
+
+    def day_docs(ids_):
+        return spark.createDataFrame(
+            [(i, "en", 290,
+              " ".join(f"u{i}w{j}" for j in range(50))) for i in ids_],
+            "doc_id LONG, lang STRING, n_chars LONG, text STRING",
+        )
+
+    s = _store_args(tmp_path)
+    day0 = str(tmp_path / "day0.parquet")
+    day_docs([1000]).write.parquet(day0)
+    _run(capsys, ["init-corpus", "--docs", day0, "--corpus", s["corpus"]])
+    _run(capsys, ["build-index", "--docs", day0,
+                  "--sig", s["sig"], "--key", s["key"]])
+    new = str(tmp_path / "new.parquet")
+    day_docs([2000, 2001]).write.parquet(new)
+    blobs = str(tmp_path / "blobs.parquet")
+    spark.createDataFrame(
+        [(2000, wav("hum alpha")), (2001, wav("drone beta"))],
+        "doc_id LONG, blob BINARY",
+    ).write.parquet(blobs)
+    bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(9001, wav("drone beta"))], "doc_id LONG, blob BINARY",
+    ).write.parquet(bench)
+    r = _run(capsys, [
+        "incremental", "--new", new, "--corpus", s["corpus"],
+        "--sig", s["sig"], "--key", s["key"],
+        "--out", str(tmp_path / "out"),
+        "--audio-blobs", blobs, "--audio-benchmark", bench,
+    ])
+    kept = {
+        x["doc_id"]
+        for x in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert kept == {2000}  # 2001's audio matches the benchmark clip
+    with pytest.raises(SystemExit):
+        main(["incremental", "--new", new, "--corpus", s["corpus"],
+              "--sig", s["sig"], "--key", s["key"],
+              "--out", str(tmp_path / "out2"), "--audio-blobs", blobs])

@@ -1093,3 +1093,50 @@ def test_incremental_audio_dedup_probes_stored_index(spark, tmp_path):
     assert out == {3, 4}  # 2's audio duplicates retained 1000
     with _pytest.raises(ValueError, match="audio_index_path"):
         curate_incremental_batch(new, corpus, new_audio_blobs=new_blobs)
+
+
+def test_curate_audio_decontamination(spark):
+    """Round 16: eval-benchmark AUDIO must never reach training bins —
+    the image decon contract on the third modality. A doc whose audio
+    near-dups a benchmark clip drops at stage 1a; the decon decode pass
+    is reused by the audio-dedup stage (one decode, the ih_kept idiom).
+    The incremental path's decon-only form works without the index."""
+    import pytest as _pytest
+
+    from data_pipeline_team5_spark.pipeline import (
+        curate_incremental_batch,
+    )
+
+    docs = _dissimilar_docs(spark, [1, 2, 3])
+    blobs = spark.createDataFrame(
+        [(1, _wav_payload("hum alpha")),
+         (2, _wav_payload("drone beta")),
+         (3, _wav_payload("tone gamma"))],
+        "doc_id LONG, blob BINARY",
+    )
+    bench = spark.createDataFrame(
+        [(9001, _wav_payload("drone beta"))],  # matches doc 2's audio
+        "doc_id LONG, blob BINARY",
+    )
+    out = {
+        r["doc_id"]
+        for r in curate_training_data(
+            docs, audio_blobs=blobs, benchmark_audio_blobs=bench
+        ).collect()
+    }
+    assert out == {1, 3}  # 2 is benchmark-contaminated
+    with _pytest.raises(ValueError, match="requires audio_blobs"):
+        curate_training_data(docs, benchmark_audio_blobs=bench)
+
+    # incremental decon-only (no stored index needed)
+    corpus = _dissimilar_docs(spark, [1000])
+    inc = {
+        r["doc_id"]
+        for r in curate_incremental_batch(
+            docs, corpus,
+            new_audio_blobs=blobs, benchmark_audio_blobs=bench,
+        ).collect()
+    }
+    assert inc == {1, 3}
+    with _pytest.raises(ValueError, match="audio_index_path"):
+        curate_incremental_batch(docs, corpus, new_audio_blobs=blobs)
