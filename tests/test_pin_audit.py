@@ -53,6 +53,12 @@ EXPECTED_PINS = {
     "mm_audio_dedup": 1,  # round 16: the audio hash-table pin (single
     # WAV-decode pass feeding both the banded join and the component
     # vertices — the mm_perceptual_dedup mechanism on audio hashes)
+    "langid_predict": 1,  # round 16: the FIT's construction-time
+    # checkpoint — ≤ |langs|×cap gram-array rows pinned so the
+    # training-feature explode cannot re-inline the norm+gram chain per
+    # exploded gram (the measured O(grams²)-per-doc pathology,
+    # operators/langid.py:langid_train_features); collected once at
+    # construction, never corpus-sized
     "lm_perplexity_by_lang": 1,  # score-table pin
     "quality_classifier_by_lang": 1,  # score-table pin
     "scrub_panel": 1,  # the line stage's boilerplate-set pin, inherited
