@@ -1624,3 +1624,53 @@ def test_cli_audio_benchmark_decon_only(spark, tmp_path, capsys):
         main(["incremental", "--new", new, "--corpus", s["corpus"],
               "--sig", s["sig"], "--key", s["key"],
               "--out", str(tmp_path / "out2"), "--audio-blobs", blobs])
+
+
+def test_cli_stream_langid_model_fill(spark, tmp_path, capsys):
+    """round 16: the stream loop fills each micro-batch's NULL langs
+    under the frozen langid model before the allowlist — NULL-lang
+    arrivals survive into assignments with a predicted lang."""
+    from data_pipeline_team5_spark.plans.text_family import (
+        _langid_marked_frame,
+    )
+    from tests.conftest import SF_SMALL
+
+    marked = _langid_marked_frame(spark, SF_SMALL).select(*COLS)
+    day0 = str(tmp_path / "day0.parquet")
+    marked.filter(F.col("doc_id") % 4 == 1).write.parquet(day0)
+    mpath = str(tmp_path / "langid.json")
+    _run(capsys, [
+        "full", "--docs", day0, "--out", str(tmp_path / "full_out"),
+        "--langid-fill", "--langid-model-out", mpath,
+    ])
+    s = _store_args(tmp_path)
+    _run(capsys, ["init-corpus", "--docs", day0, "--corpus", s["corpus"]])
+    _run(capsys, ["build-index", "--docs", s["corpus"],
+                  "--sig", s["sig"], "--key", s["key"]])
+    nulled = marked.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    )
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    nulled.coalesce(1).write.parquet(str(tmp_path / "lstage"))
+    part = next(
+        p for p in (tmp_path / "lstage").iterdir()
+        if p.name.endswith(".parquet")
+    )
+    part.rename(arrivals / "a0.parquet")
+    _run(capsys, [
+        "stream", "--arrivals", str(arrivals), "--corpus", s["corpus"],
+        "--sig", s["sig"], "--key", s["key"], "--out", s["out"],
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--langid-model", mpath,
+    ])
+    kept = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(s["out"]).collect()
+    }
+    rescued = [d for d in kept if d % 5 == 0]
+    assert rescued  # NULL-lang arrivals survived via the filled lang
+    assert all(kept[d] is not None for d in rescued)
