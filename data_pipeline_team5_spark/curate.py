@@ -524,6 +524,13 @@ def main(argv: list[str] | None = None) -> int:
     p_dc.add_argument("--baseline", default=None,
                       help="optional baseline corpus dir; adds a drift "
                            "section (TV distance per feature)")
+    p_dc.add_argument("--langid-model", default=None,
+                      help="frozen langid-model JSON (from full "
+                           "--langid-fill --langid-model-out): embeds "
+                           "its fit provenance plus a model-coverage "
+                           "audit — corpus languages with no langid "
+                           "class would fill as OTHER languages on a "
+                           "raw corpus (round 16)")
     p_dc.add_argument("--quality-model", default=None,
                       help="optional frozen quality-model JSON; adds a "
                            "quality_model section (fit provenance — "
@@ -886,6 +893,41 @@ def main(argv: list[str] | None = None) -> int:
                     )
                     if frozen_quality.get("score_hist")
                     else None,
+                }
+            if getattr(args, "langid_model", None):
+                # frozen-langid release evidence (round 16): the fit's
+                # provenance plus a coverage audit of THIS corpus's
+                # languages against the model's classes
+                from data_pipeline_team5_spark.operators.langid import (
+                    load_langid_model,
+                )
+
+                li_models, li_prov = load_langid_model(
+                    args.langid_model
+                )
+                lang_counts = {
+                    r["lang"]: r["n"]
+                    for r in spark.read.parquet(
+                        f"{docs_dir}/documents.parquet"
+                    )
+                    .groupBy("lang")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                card["sections"]["langid_model"] = {
+                    "path": args.langid_model,
+                    "provenance": li_prov,
+                    "model_langs": sorted(li_models),
+                    "corpus_lang_counts": {
+                        str(k): v for k, v in sorted(
+                            lang_counts.items(),
+                            key=lambda kv: str(kv[0]),
+                        )
+                    },
+                    "uncovered_langs": sorted(
+                        str(lang) for lang in lang_counts
+                        if lang is not None and lang not in li_models
+                    ),
                 }
             if args.baseline is not None:
                 from data_pipeline_team5_spark.plans.versioning_family import (

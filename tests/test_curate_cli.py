@@ -1674,3 +1674,34 @@ def test_cli_stream_langid_model_fill(spark, tmp_path, capsys):
     rescued = [d for d in kept if d % 5 == 0]
     assert rescued  # NULL-lang arrivals survived via the filled lang
     assert all(kept[d] is not None for d in rescued)
+
+
+def test_datacard_langid_model_section(spark, tmp_path, capsys):
+    """round 16: `datacard --langid-model` embeds the frozen langid
+    model's fit provenance, its class list, the corpus's language
+    counts, and the uncovered-language audit."""
+    from data_pipeline_team5_spark.plans.text_family import (
+        _langid_marked_frame,
+    )
+    from tests.conftest import SF_SMALL
+
+    marked = _langid_marked_frame(spark, SF_SMALL).select(*COLS)
+    day0 = str(tmp_path / "day0.parquet")
+    marked.filter(F.col("doc_id") % 4 == 1).write.parquet(day0)
+    mpath = str(tmp_path / "langid.json")
+    _run(capsys, [
+        "full", "--docs", day0, "--out", str(tmp_path / "full_out"),
+        "--langid-fill", "--langid-model-out", mpath,
+    ])
+    out = str(tmp_path / "card.json")
+    _run(capsys, [
+        "datacard", "--dir", SF_SMALL, "--out", out,
+        "--langid-model", mpath,
+    ])
+    card = json.loads(open(out).read())
+    lm = card["sections"]["langid_model"]
+    assert lm["provenance"]["reference_rows"] > 0
+    assert lm["provenance"]["scale"] == 64.0
+    assert lm["model_langs"] == ["de", "en", "es", "fr", "zh"]
+    assert set(lm["corpus_lang_counts"]) == set(lm["model_langs"])
+    assert lm["uncovered_langs"] == []  # fixture langs all covered
