@@ -101,7 +101,22 @@ def _calib_mt_work(_arg: int) -> None:
         h.update(buf)
 
 
-def _calibrate_mt() -> float:
+def _make_calib_pool():
+    """Create + warm the 8-process fork pool the parallel sentinel
+    times. MUST be called BEFORE get_spark() (ADVICE r16): forking a
+    driver that already runs the JVM/py4j gateway threads inherits any
+    lock a gateway thread holds at fork time LOCKED in the child — an
+    intermittent-deadlock hazard. One pool, forked from the still
+    single-threaded interpreter, is reused for the pre-flight and every
+    interleaved pass; the warm map keeps spawn cost out of the timings."""
+    import multiprocessing as mp
+
+    pool = mp.get_context("fork").Pool(CALIB_MT_PROCS)
+    pool.map(_calib_mt_work, range(CALIB_MT_PROCS))  # warm spawn
+    return pool
+
+
+def _calibrate_mt(pool=None) -> float:
     """Parallel sentinel (round 8; PROCESS-based since round 16): the
     single-thread probe is BLIND to multi-core steal — an external
     tenant taking half the cores leaves a 1-thread sha256 untouched
@@ -117,17 +132,22 @@ def _calibrate_mt() -> float:
     1.9-2.7 (16 threads: 18×). Rounds 14-15 were therefore stamped
     'contended' against a floor the box could never get under — ~3.5 h
     of round-15 quiet-window probes 'never found a dip' because the dip
-    was structurally impossible. The fork pool is warmed (one throwaway
-    map) so process spawn cost never pollutes the timed pass; measured
-    idle ratio with this form: 0.9-1.1."""
-    import multiprocessing as mp
+    was structurally impossible. Measured idle ratio with this form:
+    0.9-1.1.
 
-    ctx = mp.get_context("fork")
-    with ctx.Pool(CALIB_MT_PROCS) as pool:
-        pool.map(_calib_mt_work, range(CALIB_MT_PROCS))  # warm spawn
-        t0 = time.perf_counter()
-        pool.map(_calib_mt_work, range(CALIB_MT_PROCS))
-        return time.perf_counter() - t0
+    ``pool``: the pre-JVM pool from :func:`_make_calib_pool` (bench's
+    own runs always pass it — round 17, ADVICE r16: never fork after
+    the gateway threads exist). The None fallback creates a transient
+    pool for JVM-free callers (tools/bench_quiet.py's probe loop)."""
+    if pool is None:
+        pool = _make_calib_pool()
+        try:
+            return _calibrate_mt(pool)
+        finally:
+            pool.terminate()
+    t0 = time.perf_counter()
+    pool.map(_calib_mt_work, range(CALIB_MT_PROCS))
+    return time.perf_counter() - t0
 
 
 # Pre-flight contention gate (VERDICT r14 #5): every round-14 bench ran
@@ -154,18 +174,14 @@ def main() -> None:
     # an 'sf' elsewhere in the path must not confuse it.
     m = re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
     sf = m.group(1) if m else sf_dir
-    # Console progress writes pages of \r-spam that competes with the JSON
-    # line for the harness's bounded tail capture (VERDICT r7 #1).
-    spark = get_spark(
-        app_name="bench",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
-    )
-
-    # Pre-flight BEFORE any Spark work: sample both sentinels on the
-    # idle-of-Spark machine and warn (stderr — stdout is reserved for
-    # the JSON line) when the window already looks core-stolen.
+    # Pre-flight BEFORE any Spark work — and the sentinel POOL before
+    # the JVM exists (ADVICE r16: forking a py4j-threaded driver risks
+    # inheriting held locks in the children): sample both sentinels on
+    # the idle-of-Spark machine and warn (stderr — stdout is reserved
+    # for the JSON line) when the window already looks core-stolen.
+    calib_pool = _make_calib_pool()
     pre_calib = _calibrate()
-    pre_calib_mt = _calibrate_mt()
+    pre_calib_mt = _calibrate_mt(calib_pool)
     pre_contended = contended(pre_calib, pre_calib_mt)
     if pre_contended:
         print(
@@ -175,6 +191,13 @@ def main() -> None:
             f"slow; the artifact is stamped contended=true",
             file=sys.stderr,
         )
+
+    # Console progress writes pages of \r-spam that competes with the JSON
+    # line for the harness's bounded tail capture (VERDICT r7 #1).
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     headline = {n: q.fn for n, q in QUERIES.items() if q.headline}
     headline.update(EXTRAS)
@@ -197,12 +220,14 @@ def main() -> None:
     calib_mt: list[float] = []
     for _ in range(passes):
         calib.append(_calibrate())  # interleaved: samples the same
-        # machine state the pass's queries see
-        calib_mt.append(_calibrate_mt())
+        # machine state the pass's queries see (the POOL predates the
+        # JVM — the interleaved samples only reuse it, never re-fork)
+        calib_mt.append(_calibrate_mt(calib_pool))
         for name, fn in sorted(headline.items()):
             t0 = time.perf_counter()
             _run(fn(spark, sf_dir))
             raw[name].append(time.perf_counter() - t0)
+    calib_pool.terminate()
     # ms rounding: 3 decimals is the measurement's honest precision and
     # keeps the stdout line bounded (VERDICT r7 #1).
     timings = {n: round(min(raw[n]), 3) for n in sorted(raw)}

@@ -112,11 +112,22 @@ def _write_fold_manifest(out_root: str, fold: str, payload: dict) -> None:
     replays idempotent — a crashed day replayed under its own batch id
     converges to one row, never a duplicate trail. Deliberately no
     wall-clock field: the manifest is a pure function of the fold's
-    inputs, so byte-identical replays stay byte-identical."""
+    inputs, so byte-identical replays stay byte-identical.
+
+    Write-to-tmp + atomic rename (round 17, ADVICE r16 #3 — the
+    save_langid_model idiom): a run killed mid-dump must never leave a
+    truncated ``<fold>.json`` that crashes every later trail reader."""
     d = os.path.join(out_root, "_manifest")
     os.makedirs(d, exist_ok=True)
-    with open(os.path.join(d, f"{fold}.json"), "w") as f:
-        json.dump(payload, f, sort_keys=True)
+    path = os.path.join(d, f"{fold}.json")
+    tmp = f"{path}.{os.getpid()}.tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(payload, f, sort_keys=True)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _quality_drift_probe(
@@ -576,11 +587,18 @@ def main(argv: list[str] | None = None) -> int:
         # pure driver-side artifact read — no Spark session needed
         d = os.path.join(args.out, "_manifest")
         rows = []
+        unreadable = []
         if os.path.isdir(d):
             for fn in sorted(os.listdir(d)):
                 if fn.endswith(".json"):
-                    with open(os.path.join(d, fn)) as f:
-                        rows.append(json.load(f))
+                    # defense in depth beside the atomic write: a fold
+                    # file a foreign writer truncated is FLAGGED in the
+                    # summary, never a crash that hides the whole trail
+                    try:
+                        with open(os.path.join(d, fn)) as f:
+                            rows.append(json.load(f))
+                    except (json.JSONDecodeError, OSError):
+                        unreadable.append(fn)
         if args.hot_only:
             rows = [r for r in rows if r.get("quality_drift_hot")]
         print(json.dumps({
@@ -588,6 +606,7 @@ def main(argv: list[str] | None = None) -> int:
             "folds": len(rows),
             "hot_folds": [r["fold"] for r in rows
                           if r.get("quality_drift_hot")],
+            "unreadable": unreadable,
             "rows": rows,
         }))
         return 0

@@ -84,7 +84,39 @@ LANGID_SCALE = 64.0  # feature scale folded into BOTH the fit features
 # model needs — so this operator normalizes with its own class. Explicit
 # code-point ranges only (à-ö U+00E0-00F6, ø-ÿ U+00F8-00FF — skipping ÷)
 # so Java regex (Spark) and Python re (the mirror) agree by construction.
-LANGID_KEEP_CLASS = "a-z0-9 à-öø-ÿ一-鿿"
+# Round 17 (ADVICE r16 #1): the class covers the MAJOR non-Latin scripts
+# a raw web corpus carries — a script the normalization strips would
+# leave its languages fitting near-feature-less (bias-only) models, and
+# fill_missing_lang would confidently mislabel whole scripts from
+# digit/space grams alone. Ranges are full Unicode blocks (literal
+# endpoint escapes, never properties like \\p{L} — Java and Python
+# disagree on those); lower() maps cased scripts (Greek, Cyrillic)
+# INTO these ranges, and the caseless scripts pass through unchanged.
+LANGID_KEEP_CLASS = (
+    "a-z0-9 \u00e0-\u00f6\u00f8-\u00ff"  # Latin + Latin-1 (skip \u00f7)
+    "\u0370-\u03ff"  # Greek and Coptic
+    "\u0400-\u04ff"  # Cyrillic
+    "\u0590-\u05ff"  # Hebrew
+    "\u0600-\u06ff"  # Arabic (incl. Persian/Urdu extensions)
+    "\u0900-\u097f"  # Devanagari
+    "\u0e00-\u0e7f"  # Thai
+    "\u1100-\u11ff"  # Hangul jamo
+    "\u3040-\u309f"  # hiragana
+    "\u30a0-\u30ff"  # katakana
+    "\u3130-\u318f"  # Hangul compatibility jamo
+    "\u4e00-\u9fff"  # CJK unified
+    "\uac00-\ud7a3"  # Hangul syllables
+)
+
+# Prediction-withhold guard (round 17, ADVICE r16 #1's second half): a
+# doc whose normalization keeps fewer than 1/5 of its raw characters is
+# written mostly in a script OUTSIDE the keep class — whatever grams
+# survive (digits, spaces, loanwords) are not evidence of its language,
+# and an argmax over them would confidently mislabel it. Such docs
+# predict NULL (fill_missing_lang already treats NULL as unscoreable).
+# Integer arithmetic only (kept*DEN < raw*NUM) so the mirror is exact.
+LANGID_MIN_KEPT_NUM = 1
+LANGID_MIN_KEPT_DEN = 5
 
 
 def langid_norm_sql(expr: str) -> str:
@@ -230,10 +262,14 @@ def langid_score_frame(
     lexicographically largest lang (array_sort struct order);
     confidence = winning logit; margin = winner − runner-up (NULL with
     one class). Docs with no gram (or an empty model dict) predict
-    NULL. Sums/divides only — the pure-Python mirror reproduces every
-    double bit-for-bit. ``carry`` columns (e.g. the declared lang for
-    an agreement audit) ride the map-side select chain — never a
-    re-join against the corpus."""
+    NULL — and so do docs whose normalization keeps under
+    ``LANGID_MIN_KEPT_NUM/DEN`` of their raw characters (round 17,
+    ADVICE r16 #1: a doc written mostly in a script outside the keep
+    class carries no real language evidence in its surviving grams;
+    withholding beats a confident mislabel). Sums/divides only — the
+    pure-Python mirror reproduces every double bit-for-bit. ``carry``
+    columns (e.g. the declared lang for an agreement audit) ride the
+    map-side select chain — never a re-join against the corpus."""
     buckets = (
         len(next(iter(models.values()))[0]) if models else LANGID_BUCKETS
     )
@@ -241,12 +277,26 @@ def langid_score_frame(
     base = docs.select(
         F.col(id_col),
         *cc,
+        F.length(
+            F.coalesce(F.col(text_col), F.lit(""))
+        ).alias("_n0"),
         F.expr(langid_norm_sql(f"`{text_col}`")).alias("_s"),
-    ).select(id_col, *cc, F.expr(char_ngrams_sql("_s")).alias("_g"))
+    ).select(
+        id_col,
+        *cc,
+        "_n0",
+        # kept chars = normalized length minus the two pad spaces
+        # (collapsed space runs make this a lower bound — fine: the
+        # guard errs toward withholding)
+        (F.length("_s") - F.lit(2)).alias("_nk"),
+        F.expr(char_ngrams_sql("_s")).alias("_g"),
+    )
     # one md5/bucket pass over the grams, 1-based for element_at
     indexed = base.select(
         id_col,
         *cc,
+        "_n0",
+        "_nk",
         F.expr(
             f"transform(_g, g -> {hashed_bucket_sql('g', buckets)} + 1)"
         ).alias("_bs"),
@@ -279,7 +329,9 @@ def langid_score_frame(
     scored = with_w.withColumn(
         "_sl",
         F.expr(
-            f"CASE WHEN size(_bs) = 0 THEN "
+            f"CASE WHEN size(_bs) = 0 "
+            f"OR _nk * {LANGID_MIN_KEPT_DEN} < _n0 * "
+            f"{LANGID_MIN_KEPT_NUM} THEN "
             f"CAST(NULL AS ARRAY<STRUCT<logit: DOUBLE, lang: STRING>>) "
             f"ELSE array_sort(array({logit_structs})) END"
         ),

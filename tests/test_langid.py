@@ -143,9 +143,21 @@ def _m_fit(rows, cap=LANGID_TRAIN_CAP, lr=LANGID_LR, iters=LANGID_ITERS):
 def _m_score(text: str, models):
     """(n_cgrams, predicted, confidence, margin) — the fold order the
     Spark expression executes: sum, ÷n, ×SCALE, +bias; argmax ties to
-    the lexicographically largest lang."""
+    the lexicographically largest lang. Round 17: the kept-fraction
+    withhold guard (normalization keeps < NUM/DEN of the raw chars →
+    NULL prediction) is part of the spec the mirror replicates."""
+    from data_pipeline_team5_spark.operators.langid import (
+        LANGID_MIN_KEPT_DEN,
+        LANGID_MIN_KEPT_NUM,
+    )
+
     bs = [_m_bucket(g) for g in _m_grams(text)]
-    if not bs or not models:
+    kept = len(_m_norm(text)) - 2
+    if (
+        not bs
+        or not models
+        or kept * LANGID_MIN_KEPT_DEN < len(text) * LANGID_MIN_KEPT_NUM
+    ):
         return len(bs), None, None, None
     logits = []
     for lang in sorted(models):
@@ -271,6 +283,73 @@ def test_langid_edge_cases(spark):
     assert out[2]["confidence"] is None
     assert out[2]["margin"] is None
     assert out[1]["predicted_lang"] is not None
+
+
+def test_langid_keep_class_covers_major_scripts(spark):
+    """Round 17 (ADVICE r16 #1): the normalization must RETAIN the major
+    non-Latin scripts — a stripped script fits a bias-only model and
+    whole languages get confidently mislabeled from digit grams. Java
+    (Spark) and Python (mirror) must agree character for character."""
+    samples = [
+        (1, "Привет мир это русский текст"),          # Cyrillic
+        (2, "Ελληνικά κείμενο εδώ"),                  # Greek
+        (3, "שלום עולם טקסט בעברית"),                 # Hebrew
+        (4, "مرحبا بالعالم نص عربي"),                 # Arabic
+        (5, "नमस्ते दुनिया हिन्दी पाठ"),                 # Devanagari
+        (6, "สวัสดีชาวโลก ข้อความไทย"),                 # Thai
+        (7, "안녕하세요 세계 한국어 텍스트"),          # Hangul
+        (8, "こんにちは世界 ひらがなとカタカナ"),      # kana + CJK
+    ]
+    docs = spark.createDataFrame(samples, "doc_id long, text string")
+    from data_pipeline_team5_spark.operators.langid import (
+        langid_norm_sql,
+    )
+
+    got = {
+        r["doc_id"]: r["_s"]
+        for r in docs.select(
+            "doc_id", F.expr(langid_norm_sql("`text`")).alias("_s")
+        ).collect()
+    }
+    for doc_id, text in samples:
+        mirror = _m_norm(text)
+        assert got[doc_id] == mirror, doc_id  # Java ≡ Python
+        # the script's letters survive: ≥ 80% of raw chars kept
+        assert (len(mirror) - 2) * 5 >= len(text) * 4, (doc_id, mirror)
+
+
+def test_langid_withholds_on_uncovered_script(spark):
+    """The kept-fraction guard: a doc written in a script OUTSIDE the
+    keep class (here Armenian + Georgian) must predict NULL even though
+    stray digits/spaces yield a nonempty gram array — while covered
+    scripts keep predicting."""
+    marked = _langid_marked_frame(spark, SF_SMALL)
+    models = fit_langid(
+        marked.filter(F.col("doc_id") % PPLX_REF_MOD == 0)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "Բարեւ աշխարհ 42 հայերեն տեքստ այստեղ գրված է"),
+            (2, "გამარჯობა მსოფლიო 7 ქართული ტექსტი აქ არის"),
+            (3, "plain english text that stays fully covered"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in langid_score_frame(docs, models).collect()
+    }
+    for bad in (1, 2):
+        assert out[bad]["n_cgrams"] > 0  # grams exist...
+        assert out[bad]["predicted_lang"] is None  # ...but withheld
+        assert out[bad]["confidence"] is None
+    assert out[3]["predicted_lang"] is not None
+    # mirror parity on the guard itself
+    for doc_id, text in [(1, docs.collect()[0]["text"]), (3, "plain english text that stays fully covered")]:
+        n, pred, conf, margin = _m_score(text, models)
+        assert out[doc_id]["n_cgrams"] == n
+        assert out[doc_id]["predicted_lang"] == pred
+        assert out[doc_id]["confidence"] == conf
 
 
 def test_langid_model_save_load_roundtrip_bitwise(spark, tmp_path):
