@@ -168,6 +168,55 @@ def _quality_drift_probe(
     return drift, hot
 
 
+def _read_fold_kept(spark, out_root: str, fold: str, schema):
+    """The just-written fold partition — tolerant of the all-dropped
+    day (found by the round-17 langid drift test): a batch that keeps
+    ZERO docs gives the dynamic partition overwrite nothing to write,
+    and on the loop's very FIRST day the assignments root then does not
+    exist at all, so reading it crashes on schema inference — turning
+    a perfectly valid day (everything deduped away) into a dead fold
+    loop. An empty frame with the written schema keeps the fold's tail
+    (index growth, corpus append, manifest row) a clean no-op."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+    from pyspark.sql import functions as F
+
+    try:
+        return spark.read.parquet(out_root).filter(
+            F.col("batch_id") == fold
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+
+
+def _langid_mixture_probe(
+    filled, fill_hist: dict | None
+) -> tuple[dict, float | None, bool]:
+    """(mixture, tv, hot) for a frozen-langid-filled batch (round 17,
+    VERDICT r16 #2): the batch's lang_source shares + predicted-lang
+    counts, the TV distance of its predicted-lang distribution vs the
+    model's fit-time snapshot (None when either side predicted
+    nothing, or for pre-round-17 model files without a snapshot), and
+    the over-threshold flag. Shared by the incremental and stream
+    paths so the guard cannot diverge between them — the
+    _quality_drift_probe convention for the langid lifecycle."""
+    from data_pipeline_team5_spark.operators.langid import (
+        LANGID_DRIFT_WARN_TV,
+        langid_fill_mixture,
+        langid_mixture_tv,
+    )
+
+    mixture = langid_fill_mixture(filled)
+    tv = (
+        None
+        if fill_hist is None
+        else langid_mixture_tv(
+            fill_hist.get("predicted_lang_counts", {}),
+            mixture["predicted_lang_counts"],
+        )
+    )
+    return mixture, tv, tv is not None and tv > LANGID_DRIFT_WARN_TV
+
+
 def main(argv: list[str] | None = None) -> int:
     from data_pipeline_team5_spark.pipeline import (
         append_corpus_batch,
@@ -308,6 +357,23 @@ def main(argv: list[str] | None = None) -> int:
                              "perceptual near-dup of any benchmark image "
                              "are dropped before dedup (the image twin "
                              "of --benchmark). Requires --image-blobs")
+    p_full.add_argument("--video-blobs", default=None,
+                        help="(doc_id, blob) parquet for corpora with a "
+                             "video column (round 17): frame-sequence "
+                             "containers hash into temporal+content "
+                             "signatures whose near-dup pairs union "
+                             "into the dedup component graph, same "
+                             "contract as --image-blobs/--audio-blobs")
+    p_full.add_argument("--video-benchmark", default=None,
+                        help="(doc_id, blob) video parquet of an eval "
+                             "benchmark: docs whose video is a near-dup "
+                             "of ANY benchmark clip are dropped before "
+                             "dedup (requires --video-blobs)")
+    p_full.add_argument("--video-backend", default="container",
+                        choices=["container", "fake"],
+                        help="video decode backend for --video-blobs "
+                             "(container = the real frame-sequence "
+                             "decode over the stdlib BMP/PNG codecs)")
 
     p_seed = sub.add_parser(
         "init-corpus", help="seed the maintained retained-corpus root"
@@ -340,6 +406,16 @@ def main(argv: list[str] | None = None) -> int:
     p_idx.add_argument("--audio-index", default=None,
                        help="audio-hash index path (2 BIGINTs/doc); "
                             "requires --audio-blobs")
+    p_idx.add_argument("--video-blobs", default=None,
+                       help="with --video-index: (doc_id, blob) video "
+                            "parquet to hash into the video index (one "
+                            "container-decode pass, like --perceptual)")
+    p_idx.add_argument("--video-index", default=None,
+                       help="video-hash index path (2 BIGINTs/doc); "
+                            "requires --video-blobs")
+    p_idx.add_argument("--video-backend", default="container",
+                       choices=["container", "fake"],
+                       help="see full --video-backend")
 
     p_inc = sub.add_parser("incremental", help="curate a daily batch")
     p_inc.add_argument("--new", required=True, help="new batch parquet")
@@ -403,6 +479,23 @@ def main(argv: list[str] | None = None) -> int:
                        help="see full --audio-benchmark; with "
                             "--audio-blobs alone (no --audio-index) the "
                             "batch is audio-DECONTAMINATED only")
+    p_inc.add_argument("--video-blobs", default=None,
+                       help="(doc_id, blob) video parquet for the NEW "
+                            "batch; requires --video-index — the batch "
+                            "is video-deduped against the retained "
+                            "corpus through the stored hash index, "
+                            "never a corpus re-decode")
+    p_inc.add_argument("--video-index", default=None,
+                       help="video-hash index root (from build-index "
+                            "--video-index); with --fold-batch-id the "
+                            "surviving batch's hashes fold in after")
+    p_inc.add_argument("--video-benchmark", default=None,
+                       help="see full --video-benchmark; with "
+                            "--video-blobs alone (no --video-index) the "
+                            "batch is video-DECONTAMINATED only")
+    p_inc.add_argument("--video-backend", default="container",
+                       choices=["container", "fake"],
+                       help="see full --video-backend")
     p_inc.add_argument("--image-backend", default="bmp",
                        choices=["bmp", "png", "fake", "pil"],
                        help="see full --image-backend")
@@ -475,6 +568,18 @@ def main(argv: list[str] | None = None) -> int:
                             "probes it and folds its survivors' hashes")
     p_str.add_argument("--audio-benchmark", default=None,
                        help="see full --audio-benchmark")
+    p_str.add_argument("--video-blobs", default=None,
+                       help="(doc_id, blob) video parquet covering the "
+                            "arrivals; requires --video-index and/or "
+                            "--video-benchmark (see incremental)")
+    p_str.add_argument("--video-index", default=None,
+                       help="video-hash index root; each micro-batch "
+                            "probes it and folds its survivors' hashes")
+    p_str.add_argument("--video-benchmark", default=None,
+                       help="see full --video-benchmark")
+    p_str.add_argument("--video-backend", default="container",
+                       choices=["container", "fake"],
+                       help="see full --video-backend")
     p_str.add_argument("--decon-n", type=int, default=5,
                        help="see full --decon-n")
     p_str.add_argument("--decon-bloom-min-grams", type=int, default=None,
@@ -599,13 +704,19 @@ def main(argv: list[str] | None = None) -> int:
                             rows.append(json.load(f))
                     except (json.JSONDecodeError, OSError):
                         unreadable.append(fn)
+        def _is_hot(r: dict) -> bool:
+            # round 17: a fold is hot if EITHER frozen-model guard
+            # tripped — quality score drift or langid mixture drift
+            return bool(
+                r.get("quality_drift_hot") or r.get("langid_drift_hot")
+            )
+
         if args.hot_only:
-            rows = [r for r in rows if r.get("quality_drift_hot")]
+            rows = [r for r in rows if _is_hot(r)]
         print(json.dumps({
             "status": "ok", "cmd": "manifest", "out": args.out,
             "folds": len(rows),
-            "hot_folds": [r["fold"] for r in rows
-                          if r.get("quality_drift_hot")],
+            "hot_folds": [r["fold"] for r in rows if _is_hot(r)],
             "unreadable": unreadable,
             "rows": rows,
         }))
@@ -642,6 +753,27 @@ def main(argv: list[str] | None = None) -> int:
         ap.error(
             "build-index: --audio-blobs and --audio-index go together"
         )
+    if args.cmd == "build-index" and bool(
+        getattr(args, "video_blobs", None)
+    ) != bool(getattr(args, "video_index", None)):
+        ap.error(
+            "build-index: --video-blobs and --video-index go together"
+        )
+    if (
+        args.cmd in ("incremental", "stream")
+        and getattr(args, "video_blobs", None)
+        and not getattr(args, "video_index", None)
+        and not getattr(args, "video_benchmark", None)
+    ):
+        ap.error(
+            f"{args.cmd}: --video-blobs requires --video-index (the "
+            "retained corpus's video is reached only through the "
+            "stored hash index) and/or --video-benchmark (decon-only)"
+        )
+    if args.cmd == "full" and getattr(
+        args, "video_benchmark", None
+    ) and not getattr(args, "video_blobs", None):
+        ap.error("full: --video-benchmark requires --video-blobs")
     if (
         args.cmd in ("incremental", "stream")
         and getattr(args, "audio_blobs", None)
@@ -705,12 +837,15 @@ def main(argv: list[str] | None = None) -> int:
 
         frozen_quality = load_quality_model(args.quality_model)
     langid_models = None
+    langid_fill_hist = None
     if getattr(args, "langid_model", None):
         from data_pipeline_team5_spark.operators.langid import (
             load_langid_model,
         )
 
-        langid_models, _ = load_langid_model(args.langid_model)
+        langid_models, _, langid_fill_hist = load_langid_model(
+            args.langid_model
+        )
     image_blobs = (
         spark.read.parquet(args.image_blobs)
         if getattr(args, "image_blobs", None)
@@ -729,6 +864,16 @@ def main(argv: list[str] | None = None) -> int:
     audio_bench = (
         spark.read.parquet(args.audio_benchmark)
         if getattr(args, "audio_benchmark", None)
+        else None
+    )
+    video_blobs = (
+        spark.read.parquet(args.video_blobs)
+        if getattr(args, "video_blobs", None)
+        else None
+    )
+    video_bench = (
+        spark.read.parquet(args.video_benchmark)
+        if getattr(args, "video_benchmark", None)
         else None
     )
     if args.cmd == "full":
@@ -760,6 +905,9 @@ def main(argv: list[str] | None = None) -> int:
             image_backend=args.image_backend,
             audio_blobs=audio_blobs,
             benchmark_audio_blobs=audio_bench,
+            video_blobs=video_blobs,
+            benchmark_video_blobs=video_bench,
+            video_backend=args.video_backend,
             scrub_pii=args.scrub_pii,
             survivor_policy=args.survivor_policy,
             source_priority=(
@@ -797,6 +945,15 @@ def main(argv: list[str] | None = None) -> int:
 
             build_audio_index(
                 audio_blobs, args.audio_index, batch_id=args.batch_id,
+            )
+        if video_blobs is not None:
+            from data_pipeline_team5_spark.pipeline import (
+                build_video_index,
+            )
+
+            build_video_index(
+                video_blobs, args.video_index,
+                backend=args.video_backend, batch_id=args.batch_id,
             )
         print(json.dumps({"status": "ok", "cmd": "build-index",
                           "sig": args.sig, "key": args.key,
@@ -921,18 +1078,31 @@ def main(argv: list[str] | None = None) -> int:
                     load_langid_model,
                 )
 
-                li_models, li_prov = load_langid_model(
+                li_models, li_prov, li_hist = load_langid_model(
                     args.langid_model
+                )
+                dc_docs = spark.read.parquet(
+                    f"{docs_dir}/documents.parquet"
                 )
                 lang_counts = {
                     r["lang"]: r["n"]
-                    for r in spark.read.parquet(
-                        f"{docs_dir}/documents.parquet"
-                    )
-                    .groupBy("lang")
+                    for r in dc_docs.groupBy("lang")
                     .agg(F.count(F.lit(1)).alias("n"))
                     .collect()
                 }
+                # round 17 (VERDICT r16 #2): drift of THIS corpus's
+                # predicted-lang mixture vs the model's fill-time
+                # snapshot — the release-time form of the fold guard
+                # (scores only the NULL-lang slice; None when the
+                # corpus is fully labeled or the model predates the
+                # snapshot)
+                from data_pipeline_team5_spark.operators.langid import (
+                    fill_missing_lang as _fml,
+                )
+
+                dc_mixture, dc_tv, dc_hot = _langid_mixture_probe(
+                    _fml(dc_docs, li_models), li_hist
+                )
                 card["sections"]["langid_model"] = {
                     "path": args.langid_model,
                     "provenance": li_prov,
@@ -947,6 +1117,10 @@ def main(argv: list[str] | None = None) -> int:
                         str(lang) for lang in lang_counts
                         if lang is not None and lang not in li_models
                     ),
+                    "fill_hist": li_hist,
+                    "corpus_fill_mixture": dc_mixture,
+                    "fill_mixture_tv": dc_tv,
+                    "fill_mixture_hot": dc_hot,
                 }
             if args.baseline is not None:
                 from data_pipeline_team5_spark.plans.versioning_family import (
@@ -1040,6 +1214,8 @@ def main(argv: list[str] | None = None) -> int:
             )
         if getattr(args, "audio_index", None):
             stream_roots.append((args.audio_index, "audio-index"))
+        if getattr(args, "video_index", None):
+            stream_roots.append((args.video_index, "video-index"))
         for path, what in stream_roots:
             _refuse_flat_root(path, what)
         schema = spark.read.parquet(args.arrivals).schema
@@ -1047,14 +1223,19 @@ def main(argv: list[str] | None = None) -> int:
 
         def process(batch_df, batch_id: int) -> None:
             fold = f"s{batch_id}"
+            langid_probe = None
             if langid_models is not None:
                 from data_pipeline_team5_spark.operators.langid import (
                     fill_missing_lang,
                 )
 
-                batch_df = fill_missing_lang(
-                    batch_df, langid_models
-                ).drop("lang_source")
+                filled = fill_missing_lang(batch_df, langid_models)
+                # round 17 (VERDICT r16 #2): the fold's lang mixture vs
+                # the frozen model's fit-time snapshot — batch-sized
+                langid_probe = _langid_mixture_probe(
+                    filled, langid_fill_hist
+                )
+                batch_df = filled.drop("lang_source")
             corpus = spark.read.parquet(args.corpus)
             if "batch_id" in corpus.columns:
                 corpus = corpus.filter(F.col("batch_id") != fold)
@@ -1080,18 +1261,24 @@ def main(argv: list[str] | None = None) -> int:
                 new_audio_blobs=audio_blobs,
                 audio_index_path=getattr(args, "audio_index", None),
                 benchmark_audio_blobs=audio_bench,
+                new_video_blobs=video_blobs,
+                video_index_path=getattr(args, "video_index", None),
+                benchmark_video_blobs=video_bench,
+                video_backend=args.video_backend,
             )
             off = next_bin_offset(spark, args.out, exclude_batch_id=fold)
-            (
+            written = (
                 out.withColumn("bin_id", F.col("bin_id") + F.lit(off))
                 .withColumn("batch_id", F.lit(fold))
-                .write.mode("overwrite")
+            )
+            (
+                written.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
                 .parquet(args.out)
             )
-            kept = spark.read.parquet(args.out).filter(
-                F.col("batch_id") == fold
+            kept = _read_fold_kept(
+                spark, args.out, fold, written.schema
             )
             survivors = batch_df.join(kept.select("doc_id"), "doc_id")
             build_signature_index(survivors, args.sig, batch_id=fold)
@@ -1117,6 +1304,19 @@ def main(argv: list[str] | None = None) -> int:
                     args.audio_index,
                     batch_id=fold,
                 )
+            if video_blobs is not None and getattr(
+                args, "video_index", None
+            ):
+                from data_pipeline_team5_spark.pipeline import (
+                    build_video_index,
+                )
+
+                build_video_index(
+                    video_blobs.join(kept.select("doc_id"), "doc_id"),
+                    args.video_index,
+                    backend=args.video_backend,
+                    batch_id=fold,
+                )
             append_corpus_batch(survivors, args.corpus, fold)
             if args.shard_root:
                 from data_pipeline_team5_spark.sources.writers import (
@@ -1132,6 +1332,25 @@ def main(argv: list[str] | None = None) -> int:
             # manifest as the daily loop's, so a drifting week is
             # visible in the artifact trail.
             manifest = {"fold": fold, "kept": kept.count()}
+            if langid_probe is not None:
+                import sys as _sys
+
+                from data_pipeline_team5_spark.operators.langid import (
+                    LANGID_DRIFT_WARN_TV,
+                )
+
+                mixture, li_tv, li_hot = langid_probe
+                manifest["langid_mixture"] = mixture
+                manifest["langid_drift_tv"] = li_tv
+                manifest["langid_drift_hot"] = li_hot
+                if li_hot:
+                    print(
+                        "WARNING: frozen langid model looks stale for "
+                        f"micro-batch {fold} — predicted-lang mixture "
+                        f"TV {li_tv:.3f} exceeds {LANGID_DRIFT_WARN_TV}"
+                        " vs the full run's fill snapshot",
+                        file=_sys.stderr,
+                    )
             if frozen_quality is not None and frozen_quality.get(
                 "score_hist"
             ):
@@ -1187,9 +1406,12 @@ def main(argv: list[str] | None = None) -> int:
                 roots.append((args.perceptual_index, "perceptual-index"))
             if getattr(args, "audio_index", None):
                 roots.append((args.audio_index, "audio-index"))
+            if getattr(args, "video_index", None):
+                roots.append((args.video_index, "video-index"))
             for path, what in roots:
                 _refuse_flat_root(path, what)
         new = spark.read.parquet(args.new)
+        langid_probe = None
         if langid_models is not None:
             # frozen langid fill (round 16): NULL langs filled under the
             # FULL run's models before the allowlist — never a refit on
@@ -1198,9 +1420,14 @@ def main(argv: list[str] | None = None) -> int:
                 fill_missing_lang,
             )
 
-            new = fill_missing_lang(new, langid_models).drop(
-                "lang_source"
-            )
+            filled = fill_missing_lang(new, langid_models)
+            if fold is not None:
+                # round 17 (VERDICT r16 #2): the fold's lang mixture vs
+                # the frozen model's fit-time snapshot, for the manifest
+                langid_probe = _langid_mixture_probe(
+                    filled, langid_fill_hist
+                )
+            new = filled.drop("lang_source")
         corpus = spark.read.parquet(args.corpus)
         if fold is not None and "batch_id" in corpus.columns:
             # replay safety: a crashed day D re-run must not see its own
@@ -1226,6 +1453,10 @@ def main(argv: list[str] | None = None) -> int:
             new_audio_blobs=audio_blobs,
             audio_index_path=getattr(args, "audio_index", None),
             benchmark_audio_blobs=audio_bench,
+            new_video_blobs=video_blobs,
+            video_index_path=getattr(args, "video_index", None),
+            benchmark_video_blobs=video_bench,
+            video_backend=getattr(args, "video_backend", "container"),
         )
         if fold is None:
             out.write.mode("overwrite").parquet(args.out)
@@ -1236,16 +1467,18 @@ def main(argv: list[str] | None = None) -> int:
             # OTHER batch's max (excluding this batch id keeps a replay
             # bitwise-idempotent with the partition overwrite)
             off = next_bin_offset(spark, args.out, exclude_batch_id=fold)
-            (
+            written = (
                 out.withColumn("bin_id", F.col("bin_id") + F.lit(off))
                 .withColumn("batch_id", F.lit(fold))
-                .write.mode("overwrite")
+            )
+            (
+                written.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
                 .parquet(args.out)
             )
-            kept = spark.read.parquet(args.out).filter(
-                F.col("batch_id") == fold
+            kept = _read_fold_kept(
+                spark, args.out, fold, written.schema
             )
             n = kept.count()
             survivors = new.join(kept.select("doc_id"), "doc_id")
@@ -1274,6 +1507,21 @@ def main(argv: list[str] | None = None) -> int:
                 build_audio_index(
                     audio_blobs.join(kept.select("doc_id"), "doc_id"),
                     args.audio_index,
+                    batch_id=fold,
+                )
+            if video_blobs is not None and getattr(
+                args, "video_index", None
+            ):
+                # video twin (round 17): the survivors' video hashes
+                # fold in — tomorrow probes hashes, never frames
+                from data_pipeline_team5_spark.pipeline import (
+                    build_video_index,
+                )
+
+                build_video_index(
+                    video_blobs.join(kept.select("doc_id"), "doc_id"),
+                    args.video_index,
+                    backend=getattr(args, "video_backend", "container"),
                     batch_id=fold,
                 )
             # the corpus grows too — see module docstring (ADVICE r6 #1)
@@ -1336,6 +1584,31 @@ def main(argv: list[str] | None = None) -> int:
                 manifest["quality_drift_hot"] = sorted(hot)
             if "drift_tv" in summary:
                 manifest["corpus_drift_tv"] = summary["drift_tv"]
+            if langid_probe is not None:
+                # round 17 (VERDICT r16 #2): the langid mixture row —
+                # manifest symmetry with the quality drift guard
+                import sys as _sys
+
+                from data_pipeline_team5_spark.operators.langid import (
+                    LANGID_DRIFT_WARN_TV,
+                )
+
+                mixture, li_tv, li_hot = langid_probe
+                manifest["langid_mixture"] = mixture
+                manifest["langid_drift_tv"] = li_tv
+                manifest["langid_drift_hot"] = li_hot
+                summary["langid_drift_tv"] = li_tv
+                if li_hot:
+                    print(
+                        "WARNING: frozen langid model looks stale for "
+                        f"this batch — predicted-lang mixture TV "
+                        f"{li_tv:.3f} exceeds {LANGID_DRIFT_WARN_TV} "
+                        "vs the full run's fill snapshot (refit via "
+                        "`full --langid-fill --langid-model-out`, or "
+                        "confirm the batch really is from a shifted "
+                        "source)",
+                        file=_sys.stderr,
+                    )
             _write_fold_manifest(args.out, fold, manifest)
         print(json.dumps(summary))
     return 0

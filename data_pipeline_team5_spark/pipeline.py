@@ -408,6 +408,11 @@ def curate_training_data(
     audio_backend: str = "wav",
     audio_max_hamming: int = 6,
     audio_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
+    video_blobs: DataFrame | None = None,
+    benchmark_video_blobs: DataFrame | None = None,
+    video_backend: str = "container",
+    video_max_hamming: int = 6,
+    video_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
     composed from the engine's tested stages into ONE lazy plan:
@@ -515,11 +520,17 @@ def curate_training_data(
 
         labeled = docs.filter(F.col("lang").isNotNull())
         langid_models = fit_langid(labeled)
+        filled = fill_missing_lang(docs, langid_models)
         if langid_model_out:
             # frozen-model hand-off (the quality_model_out precedent):
             # the daily loop fills under the SAME models the full run
-            # filled with (`incremental/stream --langid-model`)
+            # filled with (`incremental/stream --langid-model`) — and
+            # (round 17, VERDICT r16 #2) carries the run's fill-time
+            # predicted-lang mixture so each fold can measure drift
+            # against it (the quality snapshot's langid twin; one small
+            # groupBy over the filled frame, full-run-only cost)
             from data_pipeline_team5_spark.operators.langid import (
+                langid_fill_mixture,
                 langid_provenance,
                 save_langid_model,
             )
@@ -528,10 +539,9 @@ def curate_training_data(
                 langid_model_out,
                 langid_models,
                 provenance=langid_provenance(labeled),
+                fill_hist=langid_fill_mixture(filled),
             )
-        docs = fill_missing_lang(docs, langid_models).drop(
-            "lang_source"
-        )
+        docs = filled.drop("lang_source")
 
     # 1. filter (+ optional repetition caps / decontamination) — shared
     # stage, single scan, shuffle-free (the anti-join probe is broadcast)
@@ -606,6 +616,35 @@ def curate_training_data(
             ah_kept, abh, max_hamming=audio_max_hamming
         ).select("doc_id")
         kept = kept.join(abad, "doc_id", "left_anti")
+
+    # 1a-video (round 17, VERDICT r16 #1): video-grain decontamination
+    # — same contract, third modality: the hash-table machinery is
+    # modality-blind, so contaminated_image_ids runs on video hashes
+    # verbatim; the kept pool's one container decode pass is pinned and
+    # reused by the video-dedup stage (3d) below.
+    vh_kept: DataFrame | None = None
+    if benchmark_video_blobs is not None:
+        if video_blobs is None:
+            raise ValueError(
+                "curate_training_data: benchmark_video_blobs requires "
+                "video_blobs (the corpus side's video)"
+            )
+        from data_pipeline_team5_spark.operators.multimodal import (
+            contaminated_image_ids,
+            video_hashes,
+        )
+
+        vh_kept = video_hashes(
+            video_blobs.join(kept.select("doc_id"), "doc_id"),
+            backend=video_backend,
+        ).localCheckpoint()
+        vbh = video_hashes(
+            benchmark_video_blobs, backend=video_backend
+        ).localCheckpoint()
+        vbad = contaminated_image_ids(
+            vh_kept, vbh, max_hamming=video_max_hamming
+        ).select("doc_id")
+        kept = kept.join(vbad, "doc_id", "left_anti")
 
     # 1b. optional MODEL-BASED quality filters (round 14, operators/
     # quality.py — the CCNet two-signal stack), applied to the filtered
@@ -846,6 +885,35 @@ def curate_training_data(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )
         pairs = pairs.unionByName(apairs)
+
+    # 3d-video (round 17, VERDICT r16 #1's pipeline leg): the third
+    # modality on the same component graph — container payloads hash
+    # into the identical (doc_id, dhash, ahash) shape, banded pairs
+    # union in, every survivor policy applies to video near-dups
+    # unchanged. Hashing restricted to the curated+exact-deduped pool;
+    # hash table pinned (2 longs/doc, one decode pass).
+    if video_blobs is not None:
+        from data_pipeline_team5_spark.operators.multimodal import (
+            perceptual_pairs,
+            video_hashes,
+        )
+
+        if vh_kept is not None:
+            # reuse the decon stage's decode pass (the ih_kept idiom)
+            vh = vh_kept.join(uniq.select("doc_id"), "doc_id")
+        else:
+            vh = video_hashes(
+                video_blobs.join(uniq.select("doc_id"), "doc_id"),
+                backend=video_backend,
+            ).localCheckpoint()
+        vpairs = perceptual_pairs(
+            vh,
+            max_hamming=video_max_hamming,
+            max_bucket=video_max_bucket,
+        ).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        pairs = pairs.unionByName(vpairs)
     comp = connected_components(
         uniq.select("doc_id"), pairs, id_col="doc_id",
         scratch_dir=scratch_dir,
@@ -987,6 +1055,12 @@ def curate_incremental_batch(
     audio_backend: str = "wav",
     audio_max_hamming: int = 6,
     audio_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
+    new_video_blobs: DataFrame | None = None,
+    video_index_path: str | None = None,
+    benchmark_video_blobs: DataFrame | None = None,
+    video_backend: str = "container",
+    video_max_hamming: int = 6,
+    video_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
 ) -> DataFrame:
     """Daily curation update: run the full curation contract for a NEW
     batch against the already-RETAINED corpus, touching the corpus only
@@ -1149,6 +1223,32 @@ def curate_incremental_batch(
         ).select("doc_id")
         kept = kept.join(abad, "doc_id", "left_anti")
 
+    # 1a-video (round 17): the video twin — batch pool decodes once
+    # into a pinned hash table, reused by the video index probe below.
+    vnh_kept: DataFrame | None = None
+    if benchmark_video_blobs is not None:
+        if new_video_blobs is None:
+            raise ValueError(
+                "curate_incremental_batch: benchmark_video_blobs "
+                "requires new_video_blobs (the batch's video)"
+            )
+        from data_pipeline_team5_spark.operators.multimodal import (
+            contaminated_image_ids,
+            video_hashes,
+        )
+
+        vnh_kept = video_hashes(
+            new_video_blobs.join(kept.select("doc_id"), "doc_id"),
+            backend=video_backend,
+        ).localCheckpoint()
+        vbh = video_hashes(
+            benchmark_video_blobs, backend=video_backend
+        ).localCheckpoint()
+        vbad = contaminated_image_ids(
+            vnh_kept, vbh, max_hamming=video_max_hamming
+        ).select("doc_id")
+        kept = kept.join(vbad, "doc_id", "left_anti")
+
     # 2. exact dedup: within the batch, then anti-join the corpus's keys —
     # probed from the stored key table when available (O(batch) probe)
     # instead of scanning + distinct-ing the whole corpus every run
@@ -1266,6 +1366,47 @@ def curate_incremental_batch(
         )
         raw_pairs = raw_pairs.select("doc_a", "doc_b").unionByName(
             apairs.select("doc_a", "doc_b")
+        )
+    # video twin (round 17): the daily batch's containers probe the
+    # stored video-hash index — retained corpus video never re-decodes
+    if (
+        new_video_blobs is not None
+        and video_index_path is None
+        and benchmark_video_blobs is None
+    ):
+        raise ValueError(
+            "curate_incremental_batch: new_video_blobs requires "
+            "video_index_path (build_video_index) — the daily loop "
+            "never re-decodes the retained corpus's video — and/or "
+            "benchmark_video_blobs (decon-only)"
+        )
+    if new_video_blobs is not None and video_index_path is not None:
+        from data_pipeline_team5_spark.operators.multimodal import (
+            perceptual_pairs_against_index,
+            video_hashes,
+        )
+
+        vidx = new_docs.sparkSession.read.parquet(video_index_path)
+        if (
+            exclude_batch_id is not None
+            and "batch_id" in vidx.columns
+        ):
+            vidx = vidx.filter(F.col("batch_id") != exclude_batch_id)
+        if vnh_kept is not None:  # reuse the decon stage's decode
+            vh = vnh_kept.join(uniq.select("doc_id"), "doc_id")
+        else:
+            vh = video_hashes(
+                new_video_blobs.join(uniq.select("doc_id"), "doc_id"),
+                backend=video_backend,
+            ).localCheckpoint()
+        vpairs = perceptual_pairs_against_index(
+            vh,
+            vidx.select("doc_id", "dhash", "ahash"),
+            max_hamming=video_max_hamming,
+            max_bucket=video_max_bucket,
+        )
+        raw_pairs = raw_pairs.select("doc_a", "doc_b").unionByName(
+            vpairs.select("doc_a", "doc_b")
         )
     pairs = raw_pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -1427,6 +1568,36 @@ def build_audio_index(
     )
 
     h = audio_hashes(audio_blobs, backend=backend)
+    if batch_id is not None:
+        (
+            h.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+    else:
+        h.write.mode(mode).parquet(path)
+
+
+def build_video_index(
+    video_blobs: DataFrame,
+    path: str,
+    backend: str = "container",
+    mode: str = "overwrite",
+    batch_id: str | None = None,
+) -> None:
+    """Materialize the corpus's video-hash table (doc_id, dhash, ahash)
+    — the stored index the incremental video-dedup path probes daily
+    (round 17; the video twin of :func:`build_perceptual_index`, same
+    2-BIGINTs/doc economics: the one container-decode pass — the
+    costliest of the three modalities, every frame decodes — is paid at
+    build/fold time, never per day)."""
+    from data_pipeline_team5_spark.operators.multimodal import (
+        video_hashes,
+    )
+
+    h = video_hashes(video_blobs, backend=backend)
     if batch_id is not None:
         (
             h.withColumn("batch_id", F.lit(batch_id))

@@ -409,6 +409,13 @@ _TAIL = (
     # every CI run.
     "w1_rank_in_day",
     "w2_w6_daily_movement",
+    # Round 17 (VERDICT r16 #1): video dedup end-to-end — frame-sequence
+    # container decode through the stdlib BMP/PNG codecs → temporal
+    # envelope + majority-pooled content hashes → the image modality's
+    # banded join + components verbatim. Rows-only by design (no SQL
+    # form); mirror/cross-codec/brute-force/union-find parity in
+    # tests/test_multimodal.py.
+    "mm_video_dedup",
 )
 
 

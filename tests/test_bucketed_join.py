@@ -94,3 +94,58 @@ def test_snapshot_diff_on_bucketed_versions_has_no_exchange(spark):
     assert got == plain
     # the derivation guarantees every status is exercised
     assert set(got) == {"added", "removed", "changed", "unchanged"}
+
+
+def test_langid_fill_on_bucketed_corpus_has_no_exchange(spark):
+    """fill_missing_lang's 100 TB claim, pinned (round 17, VERDICT r16
+    #7): the fill's left join keys the corpus on doc_id, the one
+    shuffle the langid path still carried. On a corpus stored bucketed
+    by doc_id (the versioning family's layout — sources/writers.py:
+    write_bucketed) BOTH join inputs derive map-side from the same
+    bucketed scan, so the sort-merge join plans with ZERO Exchange on
+    either side — no passthrough flag needed, the layout alone closes
+    the shuffle. Broadcast disabled so co-location is what's proven."""
+    from data_pipeline_team5_spark.operators.langid import (
+        fill_missing_lang,
+        fit_langid,
+    )
+    from data_pipeline_team5_spark.plans.text_family import (
+        PPLX_REF_MOD,
+        _langid_marked_frame,
+    )
+
+    marked = _langid_marked_frame(spark, SF_SMALL)
+    models = fit_langid(
+        marked.filter(F.col("doc_id") % PPLX_REF_MOD == 0)
+    )
+    name = "t_bkt_langid_corpus"
+    write_bucketed(
+        marked.select("doc_id", "lang", "text"), name, "doc_id",
+        buckets=8,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        corpus = spark.table(name).withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+                F.col("lang")
+            ),
+        )
+        filled = fill_missing_lang(corpus, models)
+        plan = filled._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and the bucketed fill fills: the NULL slice gets predictions
+        rows = {r["doc_id"]: r for r in filled.collect()}
+        assert any(
+            r["lang_source"] == "predicted"
+            for d, r in rows.items()
+            if d % 5 == 0
+        )
+        assert all(
+            r["lang_source"] == "declared"
+            for d, r in rows.items()
+            if d % 5 != 0
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -352,6 +352,50 @@ def test_langid_withholds_on_uncovered_script(spark):
         assert out[doc_id]["confidence"] == conf
 
 
+def test_langid_fill_mixture_and_tv(spark):
+    """Round 17 (VERDICT r16 #2): the mixture row is exact integer
+    counts from the filled frame, and the TV arithmetic matches the
+    by-hand value; empty sides yield None (nothing to drift)."""
+    from data_pipeline_team5_spark.operators.langid import (
+        langid_fill_mixture,
+        langid_mixture_tv,
+    )
+
+    marked = _langid_marked_frame(spark, SF_SMALL)
+    models = fit_langid(
+        marked.filter(F.col("doc_id") % PPLX_REF_MOD == 0)
+    )
+    docs = marked.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    )
+    filled = fill_missing_lang(docs, models)
+    m = langid_fill_mixture(filled)
+    rows = filled.collect()
+    want_src: dict = {}
+    want_pred: dict = {}
+    for r in rows:
+        sk = r["lang_source"] or "__null__"
+        want_src[sk] = want_src.get(sk, 0) + 1
+        if r["lang_source"] == "predicted":
+            want_pred[r["lang"]] = want_pred.get(r["lang"], 0) + 1
+    assert m["lang_source_counts"] == want_src
+    assert m["predicted_lang_counts"] == want_pred
+    assert m["total"] == len(rows)
+    # TV arithmetic
+    assert langid_mixture_tv({"en": 2, "fr": 2}, {"en": 2, "fr": 2}) == 0.0
+    assert langid_mixture_tv({"en": 1}, {"fr": 1}) == 1.0
+    assert langid_mixture_tv({"en": 3, "fr": 1}, {"en": 1, "fr": 3}) == 0.5
+    assert langid_mixture_tv({}, {"en": 1}) is None
+    assert langid_mixture_tv({"en": 1}, {}) is None
+    # identical corpus → exactly zero drift
+    assert langid_mixture_tv(
+        m["predicted_lang_counts"], m["predicted_lang_counts"]
+    ) == 0.0
+
+
 def test_langid_model_save_load_roundtrip_bitwise(spark, tmp_path):
     """Frozen langid hand-off (round 16): weights/biases survive the
     JSON round-trip bit-exactly (shortest-round-trip repr — the literal
@@ -369,7 +413,7 @@ def test_langid_model_save_load_roundtrip_bitwise(spark, tmp_path):
     save_langid_model(
         path, models, provenance=langid_provenance(labeled)
     )
-    loaded, prov = load_langid_model(path)
+    loaded, prov, _hist = load_langid_model(path)
     assert sorted(loaded) == sorted(models)
     for lang in models:
         assert loaded[lang][0] == models[lang][0]  # bitwise

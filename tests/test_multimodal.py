@@ -849,4 +849,185 @@ def test_audio_dedup_query_matches_bruteforce_unionfind(spark):
     assert set(got) == set(want)
     for d in ids:
         assert got[d][0] == want[d], d
+
+
+# ---------------------------------------------------------------------------
+# Round 17 (VERDICT r16 #1): video modality. The catalog query is
+# rows-only, so parity is pinned here: every two-channel hash must
+# match an INDEPENDENT pure-Python mirror built straight from the
+# document text via the tiling rule (it never touches the container OR
+# the image codecs, so a decode bug cannot cancel out), a BMP-framed
+# and a PNG-framed copy of the same video must hash identically, the
+# temporal channel must be frame-order-SENSITIVE while the content
+# channel is not, and the end-to-end components must equal union-find
+# on the brute-force pair set.
+
+
+def _mirror_video_hashes(text: str):
+    """(dhash, ahash) from the documented integer spec, straight from
+    the text bytes (attach_video_blob TILES the utf8 bytes to
+    VIDEO_FRAMES 16×16×3 BGR frame buffers; empty text → black)."""
+    from data_pipeline_team5_spark.operators.multimodal import (
+        BMP_H,
+        BMP_W,
+        DHASH_GRID_H,
+        DHASH_GRID_W,
+        ENVELOPE_FRAMES,
+        VIDEO_FRAMES,
+    )
+
+    n = BMP_W * BMP_H * 3
+    total = n * VIDEO_FRAMES
+    b = (text or "").encode("utf-8")
+    body = (b * (total // len(b) + 1))[:total] if b else bytes(total)
+
+    def grid(buf, gw, gh):
+        out = []
+        for gy in range(gh):
+            y0, y1 = gy * BMP_H // gh, (gy + 1) * BMP_H // gh
+            for gx in range(gw):
+                x0, x1 = gx * BMP_W // gw, (gx + 1) * BMP_W // gw
+                tot = 0
+                for y in range(y0, y1):
+                    for x in range(x0, x1):
+                        i = (y * BMP_W + x) * 3
+                        tot += (
+                            77 * buf[i + 2]
+                            + 151 * buf[i + 1]
+                            + 28 * buf[i]
+                        ) >> 8
+                out.append(tot // ((y1 - y0) * (x1 - x0)))
+        return out
+
+    gw, gh = DHASH_GRID_W, DHASH_GRID_H
+    frame_dhashes, samples = [], []
+    for fi in range(VIDEO_FRAMES):
+        buf = body[fi * n : (fi + 1) * n]
+        dg = grid(buf, gw + 1, gh)
+        fd = 0
+        for y in range(gh):
+            for x in range(gw):
+                if dg[y * (gw + 1) + x] > dg[y * (gw + 1) + x + 1]:
+                    fd |= 1 << (y * gw + x)
+        frame_dhashes.append(fd)
+        samples.extend(grid(buf, gw, gh))
+
+    def envelope(frames):
+        m = len(samples)
+        out = []
+        for k in range(frames):
+            s0, s1 = k * m // frames, (k + 1) * m // frames
+            out.append(sum(samples[s0:s1]) // (s1 - s0))
+        return out
+
+    env = envelope(ENVELOPE_FRAMES + 1)
+    dh = 0
+    for k in range(ENVELOPE_FRAMES):
+        if env[k] > env[k + 1]:
+            dh |= 1 << k
+    ah = 0
+    for bit in range(gw * gh):
+        votes = sum((fd >> bit) & 1 for fd in frame_dhashes)
+        if votes * 2 > VIDEO_FRAMES:
+            ah |= 1 << bit
+    return dh, ah
+
+
+def test_video_hashes_match_text_mirror_bitwise(spark):
+    """Container path (MIXED BMP/PNG frames — codec auto-detect on the
+    asserted path) vs the text-built mirror, bit for bit."""
+    from data_pipeline_team5_spark.operators.multimodal import (
+        attach_video_blob,
+        video_hashes,
+    )
+
+    docs = table(spark, SF_SMALL, "documents").limit(64)
+    got = {
+        r.doc_id: (r.dhash % (1 << 64), r.ahash % (1 << 64))
+        for r in video_hashes(
+            attach_video_blob(docs, frame_format="mixed"),
+            backend="container",
+        ).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r.doc_id] == _mirror_video_hashes(r.text), r.doc_id
+
+
+def test_video_container_roundtrip_cross_codec_and_gates():
+    from data_pipeline_team5_spark.operators.multimodal import (
+        BMP_H,
+        BMP_W,
+        _video_frames,
+        _video_hashes,
+        encode_bmp,
+        encode_png,
+        encode_video,
+    )
+
+    n = BMP_W * BMP_H * 3
+    text = b"the quick brown fox jumps over the lazy dog " * 40
+    body = (text * (n * 4 // len(text) + 1))[: n * 4]
+    bmp = [encode_bmp(body[i * n : (i + 1) * n], BMP_W, BMP_H)
+           for i in range(4)]
+    png = [encode_png(body[i * n : (i + 1) * n], BMP_W, BMP_H)
+           for i in range(4)]
+    # round trip: the container returns its frame payloads verbatim
+    assert _video_frames(encode_video(bmp)) == bmp
+    # cross-codec identity: same pixels → identical two-channel hashes
+    h_bmp = _video_hashes(encode_video(bmp))
+    h_png = _video_hashes(encode_video(png))
+    h_mix = _video_hashes(encode_video([bmp[0], png[1], bmp[2], png[3]]))
+    assert h_bmp == h_png == h_mix
+    # ...and equal to the fake backend over the same tiled bytes (the
+    # rule the text mirror replicates)
+    assert h_bmp == _video_hashes(text, backend="fake")
+    # frame order: temporal channel moves, content channel does not
+    h_re = _video_hashes(encode_video([bmp[2], bmp[0], bmp[3], bmp[1]]))
+    assert h_re[1] == h_bmp[1] and h_re[0] != h_bmp[0]
+    # gates
+    with pytest.raises(ValueError, match="at least 2 frames"):
+        encode_video([bmp[0]])
+    with pytest.raises(ValueError, match="not a video-sequence"):
+        _video_hashes(b"nope")
+    with pytest.raises(ValueError, match="truncated video"):
+        _video_frames(encode_video(bmp)[:-5])
+    with pytest.raises(ValueError, match="unsupported video frame"):
+        _video_hashes(encode_video([b"junkframe!", b"junkframe!"]))
+    with pytest.raises(ValueError, match="unknown video decode"):
+        _video_hashes(encode_video(bmp), backend="nope")
+
+
+def test_video_dedup_query_matches_bruteforce_unionfind(spark):
+    """mm_video_dedup end-to-end vs brute force: mirror hashes → all-
+    pairs Hamming ≤ 6 → union-find — exactly the catalog query's
+    components and survivors."""
+    from data_pipeline_team5_spark.plans.catalog import QUERIES
+
+    docs = table(spark, SF_SMALL, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    hashes = {r.doc_id: _mirror_video_hashes(r.text)[0] for r in rows}
+    ids = sorted(hashes)
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(hashes[a] ^ hashes[b]).count("1") <= 6:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+    want = {d: find(d) for d in ids}
+    got = {
+        r.doc_id: (r.component, r.is_survivor)
+        for r in QUERIES["mm_video_dedup"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(want)
+    for d in ids:
+        assert got[d][0] == want[d], d
         assert got[d][1] == (d == want[d]), d

@@ -53,6 +53,10 @@ EXPECTED_PINS = {
     "mm_audio_dedup": 1,  # round 16: the audio hash-table pin (single
     # WAV-decode pass feeding both the banded join and the component
     # vertices — the mm_perceptual_dedup mechanism on audio hashes)
+    "mm_video_dedup": 1,  # round 17: the video hash-table pin (single
+    # container-decode pass — the costliest of the three modalities,
+    # every frame decodes — feeding both the banded join and the
+    # component vertices; the mm_perceptual_dedup mechanism)
     "langid_predict": 1,  # round 16: the FIT's construction-time
     # checkpoint — ≤ |langs|×cap gram-array rows pinned so the
     # training-feature explode cannot re-inline the norm+gram chain per

@@ -129,6 +129,7 @@ def _construction_plans(spark):
     from data_pipeline_team5_spark.plans.multimodal_family import (
         _mm_audio_hash_frame,
         _mm_phash_frame,
+        _mm_video_hash_frame,
     )
     from data_pipeline_team5_spark.plans.text_family import (
         PPLX_REF_MOD,
@@ -178,6 +179,10 @@ def _construction_plans(spark):
         "langid/scored": _langid_scored_frame(spark, SF_SMALL),
         # round 16: the audio-hash decode pass the audio dedup pins
         "mm_audio/hashes": _mm_audio_hash_frame(spark, SF_SMALL),
+        # round 17: the video-hash container-decode pass the video
+        # dedup pins (mixed BMP/PNG frames — codec auto-detect on the
+        # swept path)
+        "mm_video/hashes": _mm_video_hash_frame(spark, SF_SMALL),
     }
 
 
@@ -237,6 +242,10 @@ SCANLESS_RESULT_PLANS = {
     "the small-graph union-find fast path (the mm_perceptual_dedup "
     "mechanism on audio hashes); hash construction swept via "
     "_mm_audio_hash_frame",
+    "mm_video_dedup": "hash-table checkpoint pin + component labels via "
+    "the small-graph union-find fast path (the mm_perceptual_dedup "
+    "mechanism on video hashes); hash construction swept via "
+    "_mm_video_hash_frame",
 }
 
 
