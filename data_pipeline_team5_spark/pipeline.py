@@ -413,6 +413,7 @@ def curate_training_data(
     video_backend: str = "container",
     video_max_hamming: int = 6,
     video_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
+    bpe_merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """The end-to-end training-data curation a 100 TB corpus run ships,
     composed from the engine's tested stages into ONE lazy plan:
@@ -1013,7 +1014,20 @@ def curate_training_data(
     # BPE-ish pretoken count, NOT whitespace (VERDICT r5 #2): zh is in the
     # language allowlist and is not whitespace-segmented — whitespace counts
     # understate zh budgets ~100x and pack_bins would overstuff zh bins.
-    n_tok = bpe_token_count(F.col("text")).alias("n_tok")
+    # Round 17 (VERDICT r16 #3): with ``bpe_merges`` (a fitted merge
+    # table, operators/subword.py:fit_bpe) budgets use the LEARNED
+    # subword count instead — the pretoken counter floors it, so
+    # heuristic budgets systematically understuffed real-tokenizer bins.
+    if bpe_merges is not None:
+        from data_pipeline_team5_spark.operators.subword import (
+            learned_token_count,
+        )
+
+        n_tok = learned_token_count(
+            F.col("text"), bpe_merges
+        ).alias("n_tok")
+    else:
+        n_tok = bpe_token_count(F.col("text")).alias("n_tok")
     sized = split_assign(
         survivors.select("doc_id", "lang", n_tok), "doc_id"
     )
@@ -1061,6 +1075,7 @@ def curate_incremental_batch(
     video_backend: str = "container",
     video_max_hamming: int = 6,
     video_max_bucket: int | None = PERCEPTUAL_MAX_BUCKET,
+    bpe_merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Daily curation update: run the full curation contract for a NEW
     batch against the already-RETAINED corpus, touching the corpus only
@@ -1449,7 +1464,19 @@ def curate_incremental_batch(
     # BPE-ish pretoken count, NOT whitespace (VERDICT r5 #2): zh is in the
     # language allowlist and is not whitespace-segmented — whitespace counts
     # understate zh budgets ~100x and pack_bins would overstuff zh bins.
-    n_tok = bpe_token_count(F.col("text")).alias("n_tok")
+    # ``bpe_merges`` (round 17): the FULL run's fitted merge table — the
+    # frozen-model discipline: a daily batch sizes docs under the same
+    # vocabulary the full run packed with, never a per-batch refit.
+    if bpe_merges is not None:
+        from data_pipeline_team5_spark.operators.subword import (
+            learned_token_count,
+        )
+
+        n_tok = learned_token_count(
+            F.col("text"), bpe_merges
+        ).alias("n_tok")
+    else:
+        n_tok = bpe_token_count(F.col("text")).alias("n_tok")
     sized = split_assign(
         survivors.select("doc_id", "lang", n_tok), "doc_id"
     )

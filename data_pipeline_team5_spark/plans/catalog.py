@@ -416,6 +416,21 @@ _TAIL = (
     # form); mirror/cross-codec/brute-force/union-find parity in
     # tests/test_multimodal.py.
     "mm_video_dedup",
+    # Round 17 (VERDICT r16 #6): the dashboards' top-10 cells are now
+    # driver-graded through dash_movie_panel's 'top10' section (computed
+    # from the SAME pinned 25-row grid — no second fact scan), freeing
+    # the slot that promotes sampling_panel (the inspection draw + the
+    # DSIR fit's sufficient statistics, tail-resident production
+    # curation signals since round 9). The standalone top-10 form keeps
+    # its tail oracle, headline timing, and mini-driver bitwise check.
+    "d3_top10_sales",
+    # Round 17 (VERDICT r16 #3): learned BPE subword vocabulary — the
+    # token budgets' sizing fn upgraded from the pretoken counter to a
+    # fitted merge table. Rows-only by design (driver-side greedy merge
+    # fit + literal replace chain — no SQL form); merge table, per-doc
+    # counts, and budget deltas pinned bit-for-bit vs a pure-Python
+    # mirror in tests/test_subword.py.
+    "bpe_learned_tokens",
 )
 
 

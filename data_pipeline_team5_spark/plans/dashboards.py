@@ -107,7 +107,8 @@ def _brand_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(n AS BIGINT) AS n_points
             FROM m
         )
-        SELECT p.p_brand AS p_brand,
+        SELECT 'brand_panel' AS section,
+               p.p_brand AS p_brand,
                CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
                    AS screens,
                CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
@@ -133,7 +134,23 @@ def _brand_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN cut
         CROSS JOIN corr
         GROUP BY p.p_brand, corr.corr_screens_sales, corr.n_points
-        ORDER BY p_brand
+        UNION ALL
+        SELECT 'top10' AS section, p_brand, screens, sales,
+               CAST(NULL AS DOUBLE) AS audience,
+               CAST(NULL AS DOUBLE) AS avg_ticket_price,
+               CAST(NULL AS DOUBLE) AS sales_1y,
+               CAST(NULL AS DOUBLE) AS audience_1y,
+               CAST(NULL AS BIGINT) AS n_rows_1y,
+               CAST(NULL AS BIGINT) AS n_rows,
+               CAST(NULL AS DOUBLE) AS corr_screens_sales,
+               CAST(NULL AS BIGINT) AS n_points
+        FROM (
+            SELECT p_brand, screens, sales
+            FROM ({_brand_totals_sql()})
+            ORDER BY sales DESC, p_brand
+            LIMIT 10
+        )
+        ORDER BY section, p_brand
     """,
     doc="D1+D2+D4+D7+A6/F9 (README.md:164-172,183-186,198-201) as ONE "
     "per-movie panel — the scatter pairs (screens vs sales, screens vs "
@@ -153,9 +170,15 @@ def _brand_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is localCheckpoint-pinned so the corr branch reuses it instead of "
     "re-scanning the fact table; 25 output rows at any scale. 1-year "
     "columns are NULL for movies absent from the window (SUM over no "
-    "rows), matching the oracle's CASE semantics.",
+    "rows), matching the oracle's CASE semantics. Round 17 (VERDICT "
+    "r16 #6, the windows_panel recipe): the D3/O2 top-10 cells join as "
+    "a section-tagged 'top10' slice computed FROM THE SAME PINNED GRID "
+    "(orderBy sales desc + limit over the 25 checkpointed rows — no "
+    "second fact scan, unlike the standalone query), freeing the "
+    "graded slot that promotes sampling_panel; the standalone "
+    "d3_top10_sales keeps its tail oracle and headline timing.",
     headline=True,
-    tags=("dashboard", "agg", "date", "corr"),
+    tags=("dashboard", "agg", "date", "corr", "topk"),
 )
 def dash_movie_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
@@ -217,11 +240,33 @@ def dash_movie_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corr_screens_sales"),
         F.col("n").cast("bigint").alias("n_points"),
     )
-    return (
+    panel = (
         grid.drop("_xd", "_yd")
         .crossJoin(F.broadcast(corr))
-        .orderBy("p_brand")
+        .select(F.lit("brand_panel").alias("section"), "*")
     )
+    # top10 section (round 17, VERDICT r16 #6): d3's cells from the
+    # SAME pinned 25-row grid — deterministic K boundary via the
+    # (sales desc, p_brand) tie-break, the standalone query's rule
+    top10 = (
+        grid.orderBy(F.desc("sales"), "p_brand")
+        .limit(10)
+        .select(
+            F.lit("top10").alias("section"),
+            "p_brand",
+            "screens",
+            "sales",
+            F.lit(None).cast("double").alias("audience"),
+            F.lit(None).cast("double").alias("avg_ticket_price"),
+            F.lit(None).cast("double").alias("sales_1y"),
+            F.lit(None).cast("double").alias("audience_1y"),
+            F.lit(None).cast("bigint").alias("n_rows_1y"),
+            F.lit(None).cast("bigint").alias("n_rows"),
+            F.lit(None).cast("double").alias("corr_screens_sales"),
+            F.lit(None).cast("bigint").alias("n_points"),
+        )
+    )
+    return panel.unionByName(top10).orderBy("section", "p_brand")
 
 
 @register(

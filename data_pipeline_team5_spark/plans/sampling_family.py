@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_team5_spark.functions.scalars import norm_text_sql
+from data_pipeline_team5_spark.operators.textops import tokens_sql
 from data_pipeline_team5_spark.operators.sampling import (
     BUCKETS,
     inspect_key_sql,
@@ -735,4 +736,160 @@ def pack_emit_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             seq.alias("seq"),
         )
         .orderBy("lang", "bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 17 (VERDICT r16 #6): the sampling family's graded-panel rotation
+# — dsir_importance_weights + inspection_sample have been tail-resident
+# production curation signals since round 9. The panel composes every
+# SQL-EXPRESSIBLE cell of both under one composed oracle: the full
+# inspection draw, plus the DSIR fit's sufficient statistics (per-bucket
+# target/raw counts, their totals, and every pool doc's token size) —
+# everything the weights are a deterministic driver-side ln() away from.
+# The ln() transform itself stays rows-only in the tail (no bitwise SQL
+# form), so this panel puts the ENTIRE Spark-side computation of the
+# DSIR estimator under the driver's hash check.
+
+
+@register(
+    "sampling_panel",
+    oracle=f"""
+        WITH r AS (
+            SELECT source, doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY {inspect_key_sql('doc_id')}, doc_id
+                   ) AS pick_rank
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id,
+                   (doc_id % {DSIR_TARGET_MOD} = 0
+                    AND contains(text, '{DSIR_TARGET_TERM}')) AS tgt,
+                   {tokens_sql('text')} AS t
+            FROM documents
+        ),
+        ex AS (
+            SELECT tgt, u.tok AS tok FROM toks, UNNEST(t) AS u(tok)
+        ),
+        bkt AS (
+            SELECT CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                        % {DSIR_BUCKETS} AS BIGINT) AS b,
+                   CAST(COUNT(CASE WHEN tgt THEN 1 END) AS BIGINT) AS ct,
+                   CAST(COUNT(CASE WHEN NOT tgt THEN 1 END) AS BIGINT)
+                       AS cr
+            FROM ex GROUP BY 1
+        )
+        SELECT 'inspect' AS section, source AS k1,
+               CAST(pick_rank AS BIGINT) AS k2,
+               CAST(doc_id AS BIGINT) AS n1,
+               CAST(n_chars AS BIGINT) AS n2, lang AS k3
+        FROM r WHERE pick_rank <= {INSPECT_K}
+        UNION ALL
+        SELECT 'dsir_bucket', CAST(NULL AS VARCHAR), b, ct, cr,
+               CAST(NULL AS VARCHAR)
+        FROM bkt
+        UNION ALL
+        SELECT 'dsir_total', CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT), CAST(SUM(ct) AS BIGINT),
+               CAST(SUM(cr) AS BIGINT), CAST(NULL AS VARCHAR)
+        FROM bkt
+        UNION ALL
+        SELECT 'dsir_doc', CAST(NULL AS VARCHAR),
+               CAST(doc_id AS BIGINT), CAST(len(t) AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+        FROM toks WHERE NOT tgt
+        ORDER BY section, k1, k2
+    """,
+    doc="⊕ sampling-family panel (round 17, VERDICT r16 #6 — the "
+    "windows_panel recipe, in the slot freed by folding d3_top10_sales "
+    "into dash_movie_panel): every SQL-expressible cell of the two "
+    "tail-resident production curation signals in one section-tagged "
+    "layout. 'inspect' — the full deterministic inspection draw (5 "
+    "smallest salted-digest docs per source, the two-phase top-K-per-"
+    "group operator). 'dsir_bucket'/'dsir_total' — the DSIR fit's "
+    "sufficient statistics: per-md5-bucket target/raw unigram counts "
+    "over one shared scan (exactly the pass-1 aggregation "
+    "dsir_importance_weights collects; a wrong tokenizer, bucket hash, "
+    "target slice, or count here breaks the driver hash). 'dsir_doc' "
+    "— each pool doc's token size, the weights query's n_tokens cell. "
+    "Only the driver-side ln() transform of these statistics stays "
+    "rows-only (tail, mirror-pinned in tests/test_dsir.py). Plan: the "
+    "inspection two-phase draw + one explode-agg over the shared scan "
+    "+ a map-side size projection; the 256-row bucket table is "
+    "checkpoint-pinned for its two consumers (rows + totals). NOT "
+    "headline-timed: both constituents keep their standalone timings "
+    "(never-re-measure rule).",
+    tags=("sampling", "inspection", "dsir", "curation", "panel"),
+)
+def sampling_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.sampling import (
+        inspection_sample as _inspect,
+    )
+    from data_pipeline_team5_spark.operators.textops import tokens_expr
+
+    docs = table(spark, sf_dir, "documents")
+    insp = (
+        _inspect(
+            docs.select("source", "doc_id", "lang", "n_chars"),
+            "source", "doc_id", INSPECT_K,
+        )
+        .select(
+            F.lit("inspect").alias("section"),
+            F.col("source").alias("k1"),
+            F.col("pick_rank").cast("bigint").alias("k2"),
+            F.col("doc_id").cast("bigint").alias("n1"),
+            F.col("n_chars").cast("bigint").alias("n2"),
+            F.col("lang").alias("k3"),
+        )
+    )
+    d = docs.select(
+        "doc_id", "text", tokens_expr("text").alias("_t")
+    )
+    is_target = (F.col("doc_id") % DSIR_TARGET_MOD == 0) & F.col(
+        "text"
+    ).contains(DSIR_TARGET_TERM)
+    ex = d.select(is_target.alias("tgt"), F.explode("_t").alias("tok"))
+    # 256-row sufficient-statistics table, pinned for its two consumers
+    # (bucket rows + the totals row) — the dash_movie_panel grid idiom
+    bkt = (
+        ex.groupBy(F.expr(_dsir_bucket_sql("tok")).alias("b"))
+        .agg(
+            F.count(F.when(F.col("tgt"), F.lit(1))).alias("ct"),
+            F.count(F.when(~F.col("tgt"), F.lit(1))).alias("cr"),
+        )
+        .localCheckpoint()
+    )
+    bucket_rows = bkt.select(
+        F.lit("dsir_bucket").alias("section"),
+        F.lit(None).cast("string").alias("k1"),
+        F.col("b").cast("bigint").alias("k2"),
+        F.col("ct").alias("n1"),
+        F.col("cr").alias("n2"),
+        F.lit(None).cast("string").alias("k3"),
+    )
+    total_row = bkt.agg(
+        F.sum("ct").alias("_st"), F.sum("cr").alias("_sr")
+    ).select(
+        F.lit("dsir_total").alias("section"),
+        F.lit(None).cast("string").alias("k1"),
+        F.lit(None).cast("bigint").alias("k2"),
+        F.col("_st").alias("n1"),
+        F.col("_sr").alias("n2"),
+        F.lit(None).cast("string").alias("k3"),
+    )
+    doc_rows = d.filter(~is_target).select(
+        F.lit("dsir_doc").alias("section"),
+        F.lit(None).cast("string").alias("k1"),
+        F.col("doc_id").cast("bigint").alias("k2"),
+        F.size("_t").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("string").alias("k3"),
+    )
+    return (
+        insp.unionByName(bucket_rows)
+        .unionByName(total_row)
+        .unionByName(doc_rows)
+        .orderBy("section", "k1", "k2")
     )

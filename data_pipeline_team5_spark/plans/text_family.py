@@ -2149,3 +2149,72 @@ def repetition_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kept_token_share").alias("ratio"),
     )
     return d.unionByName(c).orderBy("section", "k1")
+
+
+# ---------------------------------------------------------------------------
+# Learned BPE subword vocabulary (round 17, VERDICT r16 #3): a real
+# merge table behind the token budgets — operators/subword.py.
+
+
+def _bpe_word_counts_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE fit's collected word-frequency plan (capped sample →
+    pinned pretoken arrays → explode → groupBy), exposed for the
+    plan-invariant sweep."""
+    from data_pipeline_team5_spark.operators.subword import (
+        bpe_train_word_counts,
+    )
+
+    return bpe_train_word_counts(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "bpe_learned_tokens",
+    oracle=None,  # driver-side greedy merge fit + a |merges|-deep
+    # literal replace chain — no tractable SQL form; the fit's merge
+    # table, every per-doc learned count, and the budget deltas are
+    # pinned bit-for-bit against an independent pure-Python mirror
+    # (re + str.replace, never the Spark operators) in
+    # tests/test_subword.py.
+    doc="⊕ learned BPE subword vocabulary (round 17 — Sennrich et al. "
+    "2016): the token budgets' sizing fn, upgraded from the pretoken "
+    "counter to a REAL merge table. Fit: driver-side greedy pair "
+    "merging (most frequent pair per round, ties lexicographic) over "
+    "the word-frequency table of a capped corpus sample (96 smallest "
+    "(md5(id), id) docs via the two-pass capped selector — fit cost "
+    "corpus-size-independent). Apply: map-side only — each pretoken "
+    "becomes a space-separated symbol string (leading spaces kept as "
+    "the SentencePiece ▁ marker) and the merge table is bound as a "
+    "chain of 128 literal JVM replace() calls inside one higher-order "
+    "aggregate over the pretoken array; fit and apply share the same "
+    "left-to-right replace rule so the pure-Python mirror reproduces "
+    "every count exactly. Emits the per-doc BUDGET-DELTA REPORT: "
+    "n_tok_heuristic (the pretoken floor the budgets used until now), "
+    "n_tok_learned, and the delta — the measured under-estimate a "
+    "heuristic-budgeted bin packing carries. The learned counter plugs "
+    "into the curation pipeline via curate_training_data("
+    "bpe_merges=...). NOT headline-timed: one map-side scan bounded "
+    "by the already-measured pretoken extraction times the literal "
+    "chain depth.",
+    tags=("text", "tokenize", "packing", "model"),
+)
+def bpe_learned_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.operators.subword import (
+        fit_bpe,
+        learned_token_count,
+    )
+    from data_pipeline_team5_spark.operators.textops import (
+        bpe_token_count,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    merges = fit_bpe(docs)
+    return docs.select(
+        "doc_id",
+        "lang",
+        bpe_token_count("text").alias("n_tok_heuristic"),
+        learned_token_count("text", merges).alias("n_tok_learned"),
+        (
+            learned_token_count("text", merges)
+            - bpe_token_count("text")
+        ).alias("budget_delta"),
+    ).orderBy("doc_id")

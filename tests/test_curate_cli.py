@@ -2088,6 +2088,15 @@ def test_cli_stream_langid_model_fill(spark, tmp_path, capsys):
     rescued = [d for d in kept if d % 5 == 0]
     assert rescued  # NULL-lang arrivals survived via the filled lang
     assert all(kept[d] is not None for d in rescued)
+    # round 17 (VERDICT r16 #2): the stream loop's fold manifest carries
+    # the micro-batch's langid mixture row, same as the daily loop's
+    mf = json.load(open(os.path.join(s["out"], "_manifest", "s0.json")))
+    assert mf["langid_mixture"]["predicted_lang_counts"]
+    assert "langid_drift_tv" in mf and "langid_drift_hot" in mf
+    # day0 was fully labeled → the frozen snapshot predicted nothing →
+    # TV None (nothing to drift against), quiet
+    assert mf["langid_drift_tv"] is None
+    assert mf["langid_drift_hot"] is False
 
 
 def test_datacard_langid_model_section(spark, tmp_path, capsys):

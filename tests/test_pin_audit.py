@@ -57,6 +57,10 @@ EXPECTED_PINS = {
     # container-decode pass — the costliest of the three modalities,
     # every frame decodes — feeding both the banded join and the
     # component vertices; the mm_perceptual_dedup mechanism)
+    "bpe_learned_tokens": 1,  # round 17: the BPE fit's construction
+    # checkpoint — the capped sample's pretoken arrays (≤ cap rows)
+    # pinned so the word-count explode cannot re-inline the full-text
+    # regex extraction per exploded word (the langid fit's mechanism)
     "langid_predict": 1,  # round 16: the FIT's construction-time
     # checkpoint — ≤ |langs|×cap gram-array rows pinned so the
     # training-feature explode cannot re-inline the norm+gram chain per
@@ -65,6 +69,9 @@ EXPECTED_PINS = {
     # construction, never corpus-sized
     "lm_perplexity_by_lang": 1,  # score-table pin
     "quality_classifier_by_lang": 1,  # score-table pin
+    "sampling_panel": 1,  # round 17: the DSIR 256-row sufficient-
+    # statistics table pinned for its two consumers (bucket rows +
+    # totals row — the dash_movie_panel grid idiom)
     "scrub_panel": 1,  # the line stage's boilerplate-set pin, inherited
     "behavior_panel": 1,  # rfm_segments' per-user pin, inherited
 }

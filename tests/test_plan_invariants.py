@@ -134,6 +134,7 @@ def _construction_plans(spark):
     from data_pipeline_team5_spark.plans.text_family import (
         PPLX_REF_MOD,
         _bloom_reference_grams,
+        _bpe_word_counts_frame,
         _langid_marked_frame,
         _langid_scored_frame,
         _lm_lang_scored_frame,
@@ -183,6 +184,8 @@ def _construction_plans(spark):
         # dedup pins (mixed BMP/PNG frames — codec auto-detect on the
         # swept path)
         "mm_video/hashes": _mm_video_hash_frame(spark, SF_SMALL),
+        # round 17: the BPE fit's collected word-frequency plan
+        "bpe/word_counts": _bpe_word_counts_frame(spark, SF_SMALL),
     }
 
 
