@@ -283,6 +283,19 @@ def main(argv: list[str] | None = None) -> int:
                              "on that language's reference docs (CCNet "
                              "practice) instead of one global model; "
                              "per-lang tables land in --quality-model-out")
+    p_full.add_argument("--bpe-fit", action="store_true",
+                        help="fit a learned BPE merge table on the "
+                             "corpus (operators/subword.py — capped "
+                             "sample, greedy pair merges) and size the "
+                             "token budgets with the LEARNED subword "
+                             "counter instead of the pretoken heuristic "
+                             "(which floors it, understuffing bins)")
+    p_full.add_argument("--bpe-merges-out", default=None,
+                        help="with --bpe-fit: persist the fitted merge "
+                             "table (+ fit provenance) as JSON for the "
+                             "daily loop's incremental/stream "
+                             "--bpe-merges (the frozen-table hand-off, "
+                             "like --langid-model-out)")
     p_full.add_argument("--quality-model-out", default=None,
                         help="with --quality-reference: also save the "
                              "fitted model + the run's realized LM keep "
@@ -447,6 +460,11 @@ def main(argv: list[str] | None = None) -> int:
                             "the batch's NULL langs under the full "
                             "run's models BEFORE the allowlist — never "
                             "a per-batch refit")
+    p_inc.add_argument("--bpe-merges", default=None,
+                       help="frozen BPE merge-table JSON (from full "
+                            "--bpe-fit --bpe-merges-out): sizes the "
+                            "batch's bins under the FULL run's learned "
+                            "vocabulary — never a per-batch refit")
     p_inc.add_argument("--decon-n", type=int, default=5,
                        help="see full --decon-n")
     p_inc.add_argument("--decon-bloom-min-grams", type=int, default=None,
@@ -544,6 +562,11 @@ def main(argv: list[str] | None = None) -> int:
                             "micro-batch's NULL langs under the full "
                             "run's models (see incremental "
                             "--langid-model)")
+    p_str.add_argument("--bpe-merges", default=None,
+                       help="frozen BPE merge-table JSON: sizes each "
+                            "micro-batch's bins under the full run's "
+                            "learned vocabulary (see incremental "
+                            "--bpe-merges)")
     p_str.add_argument("--image-blobs", default=None,
                        help="(doc_id, blob) parquet covering the arrival "
                             "docs' images; requires --perceptual-index. "
@@ -653,6 +676,13 @@ def main(argv: list[str] | None = None) -> int:
                            "reference rows, id digest, hyperparams — "
                            "plus per-signal TV drift of THIS corpus's "
                            "scores vs the model's full-run snapshot)")
+    p_dc.add_argument("--bpe-merges", default=None,
+                      help="optional frozen BPE merge-table JSON (from "
+                           "full --bpe-fit --bpe-merges-out); adds a "
+                           "bpe_vocab section: fit provenance, table "
+                           "size, and the corpus-level budget delta "
+                           "(learned vs heuristic token totals — the "
+                           "under-estimate heuristic budgets carried)")
     p_shd = sub.add_parser(
         "shard",
         help="deal the curated corpus into N deterministic training "
@@ -740,6 +770,14 @@ def main(argv: list[str] | None = None) -> int:
         ap.error(
             "--langid-model-out requires --langid-fill "
             "(no langid model is fit without the fill stage)"
+        )
+    if getattr(args, "bpe_merges_out", None) and not getattr(
+        args, "bpe_fit", False
+    ):
+        # same failure mode: without the fit no merge table exists
+        ap.error(
+            "--bpe-merges-out requires --bpe-fit "
+            "(no merge table is fit without the fit stage)"
         )
     if args.cmd == "build-index" and bool(
         getattr(args, "image_blobs", None)
@@ -876,9 +914,36 @@ def main(argv: list[str] | None = None) -> int:
         if getattr(args, "video_benchmark", None)
         else None
     )
+    bpe_merges = None
+    if getattr(args, "bpe_merges", None):
+        # frozen merge table (round 17): the daily loop sizes bins
+        # under the FULL run's learned vocabulary
+        from data_pipeline_team5_spark.operators.subword import (
+            load_bpe_merges,
+        )
+
+        bpe_merges, _ = load_bpe_merges(args.bpe_merges)
     if args.cmd == "full":
+        full_docs = spark.read.parquet(args.docs)
+        if args.bpe_fit:
+            # learned-vocabulary budgets (round 17, VERDICT r16 #3):
+            # fit the merge table here, size THIS run's bins with it,
+            # and optionally freeze it for the daily loop
+            from data_pipeline_team5_spark.operators.subword import (
+                bpe_provenance,
+                fit_bpe,
+                save_bpe_merges,
+            )
+
+            bpe_merges = fit_bpe(full_docs)
+            if args.bpe_merges_out:
+                save_bpe_merges(
+                    args.bpe_merges_out,
+                    bpe_merges,
+                    provenance=bpe_provenance(full_docs),
+                )
         out = curate_training_data(
-            spark.read.parquet(args.docs),
+            full_docs,
             token_budget=args.budget,
             neardup_threshold=args.threshold,
             neardup_method=args.method,
@@ -908,6 +973,7 @@ def main(argv: list[str] | None = None) -> int:
             video_blobs=video_blobs,
             benchmark_video_blobs=video_bench,
             video_backend=args.video_backend,
+            bpe_merges=bpe_merges,
             scrub_pii=args.scrub_pii,
             survivor_policy=args.survivor_policy,
             source_priority=(
@@ -1122,6 +1188,36 @@ def main(argv: list[str] | None = None) -> int:
                     "fill_mixture_tv": dc_tv,
                     "fill_mixture_hot": dc_hot,
                 }
+            if getattr(args, "bpe_merges", None):
+                # frozen-vocabulary release evidence (round 17): what
+                # the merge table was fit on, plus the corpus-level
+                # budget delta — the aggregate form of the
+                # bpe_learned_tokens per-doc report
+                from data_pipeline_team5_spark.operators.subword import (
+                    learned_token_count,
+                    load_bpe_merges,
+                )
+                from data_pipeline_team5_spark.operators.textops import (
+                    bpe_token_count,
+                )
+
+                bm, bprov = load_bpe_merges(args.bpe_merges)
+                tot = spark.read.parquet(
+                    f"{docs_dir}/documents.parquet"
+                ).agg(
+                    F.sum(bpe_token_count("text")).alias("h"),
+                    F.sum(learned_token_count("text", bm)).alias("l"),
+                ).collect()[0]
+                card["sections"]["bpe_vocab"] = {
+                    "path": args.bpe_merges,
+                    "provenance": bprov,
+                    "n_merges": len(bm),
+                    "tokens_heuristic": int(tot["h"] or 0),
+                    "tokens_learned": int(tot["l"] or 0),
+                    "budget_delta": int(
+                        (tot["l"] or 0) - (tot["h"] or 0)
+                    ),
+                }
             if args.baseline is not None:
                 from data_pipeline_team5_spark.plans.versioning_family import (
                     drift_report,
@@ -1265,6 +1361,7 @@ def main(argv: list[str] | None = None) -> int:
                 video_index_path=getattr(args, "video_index", None),
                 benchmark_video_blobs=video_bench,
                 video_backend=args.video_backend,
+                bpe_merges=bpe_merges,
             )
             off = next_bin_offset(spark, args.out, exclude_batch_id=fold)
             written = (
@@ -1457,6 +1554,7 @@ def main(argv: list[str] | None = None) -> int:
             video_index_path=getattr(args, "video_index", None),
             benchmark_video_blobs=video_bench,
             video_backend=getattr(args, "video_backend", "container"),
+            bpe_merges=bpe_merges,
         )
         if fold is None:
             out.write.mode("overwrite").parquet(args.out)

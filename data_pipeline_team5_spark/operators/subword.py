@@ -162,6 +162,77 @@ def fit_bpe(
     return merges
 
 
+def bpe_provenance(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    cap: int = BPE_TRAIN_CAP,
+    n_merges: int = BPE_MERGES,
+) -> dict:
+    """Fingerprint of WHAT the frozen merge table was fit on — the
+    quality/langid model_provenance idiom (row count +
+    order-insensitive id digest + hyperparameters): a daily loop could
+    otherwise silently size budgets under a table fit on a different
+    corpus vintage. One agg job over the id column only."""
+    row = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"bit_xor(xxhash64(cast({id_col} as string)))"
+        ).alias("h"),
+    ).collect()[0]
+    return {
+        "corpus_rows": row["n"],
+        "corpus_ids_digest": (
+            None
+            if row["n"] == 0
+            else f"{row['h'] & (2 ** 64 - 1):016x}"
+        ),
+        "cap": cap,
+        "n_merges": n_merges,
+    }
+
+
+def save_bpe_merges(
+    path: str,
+    merges: list[tuple[str, str]],
+    provenance: dict | None = None,
+) -> None:
+    """Persist a fitted merge table as JSON — the frozen-table hand-off
+    from the full curation run to the daily loop (the save_langid_model
+    precedent): a daily batch must size its bins under the SAME
+    vocabulary the full run packed with, never a per-batch refit.
+    Symbols are plain strings (JSON-exact); write-to-tmp + atomic
+    rename so a killed run never leaves a truncated table."""
+    import json
+    import os
+
+    tmp = f"{path}.{os.getpid()}.tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "merges": [[a, b] for a, b in merges],
+                    "provenance": provenance,
+                },
+                f,
+            )
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_bpe_merges(
+    path: str,
+) -> tuple[list[tuple[str, str]], dict | None]:
+    """(merges, provenance) — inverse of :func:`save_bpe_merges`;
+    symbols round-trip exactly."""
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    return [(a, b) for a, b in d["merges"]], d.get("provenance")
+
+
 def _count_word_tokens(w: Column, merges: list[tuple[str, str]]) -> Column:
     """Token count of ONE pretoken under the merge table — the literal
     replace chain over the padded symbol string. All JVM string ops on

@@ -1519,6 +1519,86 @@ def test_cli_langid_drift_guard_tripped_and_quiet(spark, tmp_path, capsys):
     assert [r["fold"] for r in view["rows"]] == ["hotday"]
 
 
+def test_cli_frozen_bpe_merges_lifecycle(spark, tmp_path, capsys):
+    """round 17 (VERDICT r16 #3): the frozen BPE hand-off — `full
+    --bpe-fit --bpe-merges-out` fits the merge table, sizes the run's
+    own bins with the LEARNED counter, and persists the table; a daily
+    `incremental --bpe-merges` sizes its batch under the FULL run's
+    vocabulary. Learned n_tok >= the heuristic pretoken count by
+    construction, with a strict increase somewhere; the parse guard
+    rejects --bpe-merges-out without --bpe-fit."""
+    from data_pipeline_team5_spark.operators.subword import (
+        load_bpe_merges,
+    )
+    from data_pipeline_team5_spark.operators.textops import (
+        bpe_token_count,
+    )
+
+    docs, paths = _days(spark, tmp_path)
+    mpath = str(tmp_path / "bpe.json")
+    out_full = str(tmp_path / "full_out")
+    _run(capsys, [
+        "full", "--docs", paths["day0"], "--out", out_full,
+        "--bpe-fit", "--bpe-merges-out", mpath,
+    ])
+    merges, prov = load_bpe_merges(mpath)
+    assert merges and prov["corpus_rows"] > 0
+    assert prov["cap"] == 96 and prov["n_merges"] == 128
+
+    # the full run's emitted n_tok is the learned count: >= the
+    # pretoken heuristic everywhere, > somewhere
+    full_rows = spark.read.parquet(out_full).collect()
+    heur = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(paths["day0"])
+        .select("doc_id", bpe_token_count("text").alias("n"))
+        .collect()
+    }
+    assert all(r["n_tok"] >= heur[r["doc_id"]] for r in full_rows)
+    assert any(r["n_tok"] > heur[r["doc_id"]] for r in full_rows)
+
+    # daily loop under the frozen table
+    s = _store_args(tmp_path)
+    _run(capsys, ["init-corpus", "--docs", paths["day0"],
+                  "--corpus", s["corpus"]])
+    _run(capsys, ["build-index", "--docs", paths["day0"],
+                  "--sig", s["sig"], "--key", s["key"]])
+    _run(capsys, _inc_argv(s, paths["day1"], "day1") + [
+        "--bpe-merges", mpath,
+    ])
+    inc_rows = spark.read.parquet(s["out"]).filter(
+        F.col("batch_id") == "day1"
+    ).collect()
+    heur1 = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(paths["day1"])
+        .select("doc_id", bpe_token_count("text").alias("n"))
+        .collect()
+    }
+    assert inc_rows
+    assert all(r["n_tok"] >= heur1[r["doc_id"]] for r in inc_rows)
+
+    with pytest.raises(SystemExit):
+        main(["full", "--docs", paths["day0"],
+              "--out", str(tmp_path / "x"),
+              "--bpe-merges-out", str(tmp_path / "y.json")])
+
+    # datacard embeds the frozen-vocabulary evidence (round 17): fit
+    # provenance + the corpus-level budget delta, learned >= heuristic
+    card_out = str(tmp_path / "card.json")
+    _run(capsys, [
+        "datacard", "--dir", SF_SMALL, "--out", card_out,
+        "--bpe-merges", mpath,
+    ])
+    bv = json.loads(open(card_out).read())["sections"]["bpe_vocab"]
+    assert bv["n_merges"] == len(merges)
+    assert bv["provenance"]["corpus_rows"] == prov["corpus_rows"]
+    assert bv["tokens_learned"] >= bv["tokens_heuristic"] > 0
+    assert bv["budget_delta"] == (
+        bv["tokens_learned"] - bv["tokens_heuristic"]
+    )
+
+
 def test_cli_manifest_subcommand(tmp_path, capsys):
     """`curate manifest` aggregates the fold trail without a Spark
     session: all rows in fold order, hot folds surfaced, --hot-only
