@@ -185,7 +185,11 @@ def _read_fold_kept(spark, out_root: str, fold: str, schema):
             F.col("batch_id") == fold
         )
     except AnalysisException:
-        return spark.createDataFrame([], schema)
+        from data_pipeline_team5_spark.functions.localframe import (
+            local_frame,
+        )
+
+        return local_frame(spark, [], schema)
 
 
 def _langid_mixture_probe(

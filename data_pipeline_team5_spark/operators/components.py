@@ -84,6 +84,8 @@ import uuid
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from data_pipeline_team5_spark.functions.localframe import local_frame
+
 # Session conf consulted when no explicit scratch_dir is passed: on a
 # cluster set this once to a shared-filesystem/object-store path and every
 # components caller (curate_training_data, semantic_dedup, ...) inherits
@@ -271,7 +273,14 @@ def connected_components(
         stars = [
             (x, r) for x in list(parent) if (r := find(x)) != x
         ]
-        cur = spark.createDataFrame(stars, schema=cur.schema)
+        # local_frame (round 17, guide §4): the star list as a JVM
+        # LocalTableScan. The old createDataFrame(list) was a pickled
+        # Python RDD in defaultParallelism slices, and because the labels
+        # join below returns LAZILY, every downstream evaluation re-paid
+        # one Python worker per slice (profiled: 32 tasks × ~0.25 s per
+        # evaluation — 8.5 task-s inside semantic_dedup, more in
+        # curate_incremental_batch where the plan is consumed repeatedly).
+        cur = local_frame(spark, stars, cur.schema)
         converged = True
         local = True
     else:
@@ -318,7 +327,7 @@ def connected_components(
         )
     )
     if local:
-        # Fast path: `cur` is a DRIVER-LOCAL star list (createDataFrame),
+        # Fast path: `cur` is a DRIVER-LOCAL star list (local_frame),
         # not a scratch-file read, so the labels plan has no dependency
         # on the edge files deleted below — return it lazily and skip a
         # whole write+read job (~0.9 s of the semantic_dedup total at

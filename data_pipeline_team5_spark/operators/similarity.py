@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_pipeline_team5_spark.functions.localframe import local_frame
 from data_pipeline_team5_spark.functions.vectors import cosine_expr, dot_expr
 
 
@@ -131,8 +132,11 @@ def hyperplane_df(spark, dim: int, tables: int, bits: int, seed: int = 7):
         for t in range(tables)
         for b in range(bits)
     ]
-    return spark.createDataFrame(
-        rows, "tbl INT, bit INT, plane ARRAY<DOUBLE>"
+    # local_frame (round 17, guide §4): LocalTableScan — the plane table
+    # is broadcast into every probe; as a pickled RDD each evaluation
+    # (corpus bucketing AND query multiprobe) paid 32 Python-worker tasks.
+    return local_frame(
+        spark, rows, "tbl INT, bit INT, plane ARRAY<DOUBLE>"
     )
 
 
@@ -637,7 +641,8 @@ def pq_topk(
     # inherit the id column's exact Spark type — non-integer query ids
     # (string doc ids, UUIDs) work unchanged (ADVICE r9)
     id_type = queries.schema[id_col].dataType
-    qidx = spark.createDataFrame(
+    qidx = local_frame(
+        spark,
         [(qid, i) for i, (qid, _) in enumerate(qrows)],
         T.StructType(
             [
@@ -662,7 +667,8 @@ def pq_topk(
         .filter(F.col("_rn") <= shortlist * k)
         .select("q_id", id_col)
     )
-    qvecs = spark.createDataFrame(
+    qvecs = local_frame(
+        spark,
         [(qid, list(map(float, qv))) for qid, qv in qrows],
         T.StructType(
             [

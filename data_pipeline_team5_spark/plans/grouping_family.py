@@ -450,8 +450,14 @@ def _value_quantile_rows(spark: SparkSession, li: DataFrame) -> DataFrame:
          int((n * p + 99) // 100), int(n))
         for p in QUANTILE_PCTS
     ]
-    return spark.createDataFrame(
-        out, "pct INT, value DOUBLE, at_rank BIGINT, n_rows BIGINT"
+    # local_frame (round 17, guide §4): LocalTableScan instead of a
+    # 32-slice pickled RDD — the panel evaluated each section frame
+    # twice, at 32 Python-worker tasks per evaluation (profiled: 4 × ~7
+    # task-s of zero-input Python time in exact_quantile_panel alone).
+    from data_pipeline_team5_spark.functions.localframe import local_frame
+
+    return local_frame(
+        spark, out, "pct INT, value DOUBLE, at_rank BIGINT, n_rows BIGINT"
     ).orderBy("pct")
 
 
@@ -534,7 +540,10 @@ def _grouped_quantile_rows(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # the .orderBy below decides the OUTPUT order either way (ADVICE
     # r10: a NULL lang must not crash the sort).
     out = sorted(set(out), key=repr)
-    return spark.createDataFrame(
+    from data_pipeline_team5_spark.functions.localframe import local_frame
+
+    return local_frame(
+        spark,
         out,
         "lang STRING, pct INT, value BIGINT, at_rank BIGINT, n_rows BIGINT",
     ).orderBy("lang", "pct")

@@ -128,8 +128,14 @@ def _stack_sql(metrics: list[str], where: str = "") -> str:
     tags=("agg", "pivot", "unpivot", "reference"),
 )
 def daily_metrics_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_team5_spark.functions.localframe import local_frame
+
     computed = _daily_wide(spark, sf_dir)
-    wide = spark.createDataFrame(computed.collect(), computed.schema)
+    # local_frame (round 17, guide §4): the old createDataFrame(list) here
+    # was a pickled Python RDD in 64 slices — each of the two unpivot
+    # sections paid 64 zero-input Python-worker tasks (~15 task-s/section
+    # profiled at sf0.1). The Arrow LocalTableScan form evaluates JVM-side.
+    wide = local_frame(spark, computed.collect(), computed.schema)
     all_days = unpivot(
         wide,
         ["show_range"],

@@ -182,7 +182,13 @@ def ingest_box_office_json(
         raise ValueError(
             "aborting ingest (P8 guard) — " + "; ".join(bad)
         )
-    raw = spark.createDataFrame([(d,) for d in docs], ["raw"])
+    # local_frame (round 17, guide §4): a handful of API documents as a
+    # JVM LocalTableScan — the old createDataFrame(list) evaluated as 32
+    # zero-input Python-worker tasks PER downstream evaluation (profiled:
+    # 2 × ~8 task-s inside ingest_kofic_roundtrip for 3 rows of JSON).
+    from data_pipeline_team5_spark.functions.localframe import local_frame
+
+    raw = local_frame(spark, [(d,) for d in docs], "raw STRING")
 
     parsed = raw.select(
         F.from_json("raw", ENVELOPE_SCHEMA).alias("doc")

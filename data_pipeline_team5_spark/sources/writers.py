@@ -241,7 +241,10 @@ def compact_partitions(
     rows_total = sum(r["count"] for r in count_rows) or 1
     bytes_per_row = total_bytes / rows_total
     target_bytes = target_mb * 1024 * 1024
-    files = spark.createDataFrame(
+    from data_pipeline_team5_spark.functions.localframe import local_frame
+
+    files = local_frame(
+        spark,
         [
             (
                 r[partition_by],
@@ -249,9 +252,7 @@ def compact_partitions(
             )
             for r in count_rows
         ],
-        schema=checkpointed.select(partition_by).schema.add(
-            "_files", "integer"
-        ),
+        checkpointed.select(partition_by).schema.add("_files", "integer"),
     )
     data_cols = [c for c in checkpointed.columns if c != partition_by]
     row_hash = F.hash(*data_cols) if data_cols else F.lit(0)

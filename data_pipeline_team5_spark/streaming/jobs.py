@@ -404,8 +404,14 @@ def neardup_ingest(
         if not os.path.isdir(results) or not any(
             e.startswith("_batch=") for e in os.listdir(results)
         ):
-            return spark.createDataFrame(
-                [], "doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE, _batch INT"
+            from data_pipeline_team5_spark.functions.localframe import (
+                local_frame,
+            )
+
+            return local_frame(
+                spark,
+                [],
+                "doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE, _batch INT",
             )
         # localCheckpoint BEFORE the temp root is deleted — the returned
         # DataFrame must not lazily re-read torn-down files.
