@@ -53,18 +53,26 @@ def local_frame(
     rows = [tuple(r) for r in rows]
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
+    if not rows:
+        # Zero-row frame: even the Arrow path parallelizes an empty
+        # pandas frame into defaultParallelism EMPTY pickled slices, and
+        # every evaluation still launches one Python worker per slice
+        # (profiled: a 32-task, 7-task-second stage per evaluation of an
+        # empty star list). A 0-row Range + typed-null projection is
+        # pure JVM with zero tasks. Nullability relaxes to true — the
+        # same relaxation a DDL-string schema already implies.
+        from pyspark.sql import functions as F
+
+        return spark.range(0).select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
     try:
         import pandas as pd
 
-        names = schema.fieldNames()
-        if rows:
-            pdf = pd.DataFrame(rows, columns=names, dtype=object)
-        else:
-            # Zero-row frame: an object-dtype empty pandas frame becomes
-            # a 0-partition ExistingRDD scan — no tasks at all, vs. one
-            # empty Python task per defaultParallelism slice for
-            # ``createDataFrame([], schema)``.
-            pdf = pd.DataFrame({n: pd.Series(dtype=object) for n in names})
+        pdf = pd.DataFrame(rows, columns=schema.fieldNames(), dtype=object)
         df = spark.createDataFrame(pdf, schema)
     except Exception:
         return spark.createDataFrame(rows, schema)

@@ -1423,9 +1423,19 @@ def curate_incremental_batch(
         raw_pairs = raw_pairs.select("doc_a", "doc_b").unionByName(
             vpairs.select("doc_a", "doc_b")
         )
+    # localCheckpoint (round 17, guide §2.4): the verified pair list is
+    # consumed by corpus_in_pairs (twice — src and dst legs), the
+    # component step's edge materialization, AND — through vertices →
+    # comp → flagged → survivors → pack_bins' two window legs — by every
+    # re-evaluation of the final plan. Without a cut the whole
+    # candidate+verify subtree re-executes up to 8x inside the one
+    # output job (profiled at sf0.1; the r16 executed plan embedded four
+    # copies of the verify tree). Pairs are small by construction
+    # (capped buckets → accepted candidates only), so the pin is
+    # batch-sized, reclaimed with the batch.
     pairs = raw_pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    ).localCheckpoint()
     new_ids = uniq.select("doc_id")
     corpus_in_pairs = (
         pairs.select(F.col("src").alias("doc_id"))
@@ -1477,9 +1487,15 @@ def curate_incremental_batch(
         ).alias("n_tok")
     else:
         n_tok = bpe_token_count(F.col("text")).alias("n_tok")
+    # localCheckpoint (round 17, guide §2.4): pack_bins consumes its
+    # input twice (per-shard cumsum + shard totals) and joins the two —
+    # without a cut each leg re-runs the whole survivors tree (component
+    # labels join + comp_stats + the uniq join). The pinned layer is the
+    # batch's id-grain (doc_id, lang, n_tok, split) — narrow and
+    # batch-sized, reclaimed with the batch like the pair pin above.
     sized = split_assign(
         survivors.select("doc_id", "lang", n_tok), "doc_id"
-    )
+    ).localCheckpoint()
     packed = pack_bins(
         sized,
         order_key="doc_id",
