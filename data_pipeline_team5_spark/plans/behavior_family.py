@@ -278,20 +278,33 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("behavior", "rfm", "segmentation", "window"),
 )
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     per_user = _rfm_per_user(spark, sf_dir).localCheckpoint()
     n = per_user.count()
+    # Overlap the three independent select-k passes from driver threads
+    # (round 17, guide §2.6): each exact_ntile_bucket is its own
+    # range-exchange + count + fetch job chain over the SAME pinned
+    # frame, with no data dependency between the three — submitted
+    # sequentially they serialize ~18 small jobs; concurrent, the next
+    # pass's tasks back-fill the tail of the previous one. Results are
+    # unchanged: each pass embeds its own literal thresholds.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        r_f = pool.submit(
+            exact_ntile_bucket, per_user, ["last_day", "user_id"], 4, n=n
+        )
+        f_f = pool.submit(
+            exact_ntile_bucket, per_user, ["freq", "user_id"], 4, n=n
+        )
+        m_f = pool.submit(
+            exact_ntile_bucket, per_user, ["cents", "user_id"], 4, n=n
+        )
     scored = per_user.select(
         "freq",
         "cents",
-        exact_ntile_bucket(
-            per_user, ["last_day", "user_id"], 4, n=n
-        ).alias("r_q"),
-        exact_ntile_bucket(
-            per_user, ["freq", "user_id"], 4, n=n
-        ).alias("f_q"),
-        exact_ntile_bucket(
-            per_user, ["cents", "user_id"], 4, n=n
-        ).alias("m_q"),
+        r_f.result().alias("r_q"),
+        f_f.result().alias("f_q"),
+        m_f.result().alias("m_q"),
     )
     return _rfm_grid(scored)
 

@@ -583,6 +583,8 @@ def _grouped_quantile_rows(spark: SparkSession, docs: DataFrame) -> DataFrame:
     tags=("grouping", "quantile", "ranks", "text"),
 )
 def exact_quantile_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v"),
         "l_orderkey",
@@ -591,7 +593,16 @@ def exact_quantile_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "lang", "n_chars", "doc_id"
     )
-    global_q = _value_quantile_rows(spark, li).select(
+    # Overlap the two independent sections from driver threads (round
+    # 17, guide §2.6): the global-price select-k (over lineitem) and the
+    # per-lang grouped select-k (over documents) share nothing — run
+    # concurrently, the grouped section's jobs back-fill the tail of the
+    # global section's exchange instead of waiting for it. Results are
+    # unchanged (both sections end in driver-side literal frames).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        g_f = pool.submit(_value_quantile_rows, spark, li)
+        p_f = pool.submit(_grouped_quantile_rows, spark, docs)
+    global_q = g_f.result().select(
         F.lit("global_price").alias("section"),
         F.lit(None).cast("string").alias("lang"),
         "pct",
@@ -599,7 +610,7 @@ def exact_quantile_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "at_rank",
         "n_rows",
     )
-    per_lang = _grouped_quantile_rows(spark, docs).select(
+    per_lang = p_f.result().select(
         F.lit("per_lang_chars").alias("section"),
         "lang",
         "pct",
