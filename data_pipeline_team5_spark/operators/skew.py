@@ -87,3 +87,26 @@ def salted_join(
     )
     out = p.join(b, on=[key, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Guarantee at least core-count partitions under a COMPUTE-dense
+    operator whose input is bytes-tiny (round 17, guide §2.5/§1.2).
+
+    File-source parallelism is sized by bytes (``maxPartitionBytes``), so
+    a scan small enough to fit one split runs any downstream map-side
+    work — a broadcast nested-loop cosine sweep, a literal-centroid
+    argmin — in ONE task regardless of core count (profiled: a serial
+    1.9 s stage inside hard_negative_mining at sf0.1 where per-row work
+    is |queries| × dim flops). When the realized scan width is already at
+    or above ``min_parts`` (default ``sparkContext.defaultParallelism``)
+    this is a NO-OP — at production input sizes the scan is wide and no
+    extra shuffle is added; only the byte-tiny-but-compute-heavy regime
+    pays one round-robin rebalance of its already-tiny input. Results
+    are partitioning-independent by contract of every caller (algebraic
+    aggregates / per-row projections only).
+    """
+    want = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)

@@ -136,7 +136,12 @@ _S = sentiment_sql("t")
     ),
 )
 def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    from data_pipeline_team5_spark.operators.skew import spread_small_scan
+
+    # spread_small_scan (round 17, guide §2.5): the profile is pure
+    # regex/HOF map work per doc, and a one-split corpus ran ALL of it in
+    # one 2.4 s serial task at sf0.1; no-op once the scan is wide.
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
     # Tokens / gram arrays projected once — inlining the normalize+split
     # chain at every use site multiplies codegen compile time (see
     # operators/dedup.py).
