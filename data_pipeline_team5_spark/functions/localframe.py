@@ -58,17 +58,22 @@ def local_frame(
         # pandas frame into defaultParallelism EMPTY pickled slices, and
         # every evaluation still launches one Python worker per slice
         # (profiled: a 32-task, 7-task-second stage per evaluation of an
-        # empty star list). A 0-row Range + typed-null projection is
-        # pure JVM with zero tasks. Nullability relaxes to true — the
-        # same relaxation a DDL-string schema already implies.
-        from pyspark.sql import functions as F
-
-        return spark.range(0).select(
-            *[
-                F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ]
-        )
+        # empty star list). Build the empty LocalRelation directly in
+        # the JVM (the same node createDataFrame(List[Row], schema)
+        # produces): ``LocalTableScan <empty>``, zero tasks, and the
+        # EXACT StructType — nullability flags and field metadata
+        # included, unlike the round-17 typed-null Range projection
+        # which relaxed every field to nullable (ADVICE r17).
+        try:
+            jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(
+                schema.json()
+            )
+            jdf = spark._jsparkSession.createDataFrame(
+                spark._jvm.java.util.ArrayList(), jschema
+            )
+            return DataFrame(jdf, spark)
+        except Exception:
+            return spark.createDataFrame([], schema)
     try:
         import pandas as pd
 

@@ -89,6 +89,35 @@ def salted_join(
     return out.drop("_salt")
 
 
+def _narrow_scan_bytes(df: DataFrame) -> int | None:
+    """File bytes under ``df`` when its optimized logical plan is a narrow
+    Project/Filter chain over ONE file relation; ``None`` for anything
+    else (joins, aggregates, unions, checkpointed RDDs, local frames).
+
+    Round 18 (ADVICE r17): the round-17 width probe was
+    ``df.rdd.getNumPartitions()``, which under AQE materializes every
+    upstream shuffle stage as real jobs at plan-build time — for a
+    join-derived input the join subtree executed TWICE per call. Walking
+    the optimized logical plan costs only analysis (no jobs): file-relation
+    statistics come from the already-resolved file index.
+    """
+    try:
+        node = df._jdf.queryExecution().optimizedPlan()
+        while True:
+            name = node.getClass().getSimpleName()
+            if name in ("Project", "Filter"):
+                children = node.children()
+                if children.size() != 1:
+                    return None
+                node = children.apply(0)
+                continue
+            if name == "LogicalRelation":
+                return int(str(node.stats().sizeInBytes()))
+            return None
+    except Exception:
+        return None
+
+
 def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Guarantee at least core-count partitions under a COMPUTE-dense
     operator whose input is bytes-tiny (round 17, guide §2.5/§1.2).
@@ -98,15 +127,30 @@ def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     work — a broadcast nested-loop cosine sweep, a literal-centroid
     argmin — in ONE task regardless of core count (profiled: a serial
     1.9 s stage inside hard_negative_mining at sf0.1 where per-row work
-    is |queries| × dim flops). When the realized scan width is already at
-    or above ``min_parts`` (default ``sparkContext.defaultParallelism``)
-    this is a NO-OP — at production input sizes the scan is wide and no
-    extra shuffle is added; only the byte-tiny-but-compute-heavy regime
-    pays one round-robin rebalance of its already-tiny input. Results
-    are partitioning-independent by contract of every caller (algebraic
-    aggregates / per-row projections only).
+    is |queries| × dim flops).
+
+    Applies ONLY to raw file scans (``_narrow_scan_bytes``); derived
+    frames pass through untouched — a join/agg output already sits at
+    shuffle-partition width, and probing its width would execute its
+    subtree (ADVICE r17). The width gate mirrors Spark's own
+    ``FilePartition`` split math instead of running it: splits are
+    floored at ``spark.sql.files.openCostInBytes`` per core, so a scan of
+    S bytes realizes ≥ ``min_parts`` tasks exactly when
+    S ≥ min_parts × openCost. At production input sizes the scan is wide
+    and this is a NO-OP — no extra shuffle at scale; only the
+    byte-tiny-but-compute-heavy regime pays one round-robin rebalance of
+    its already-tiny input. Results are partitioning-independent by
+    contract of every caller (algebraic aggregates / per-row projections
+    only).
     """
-    want = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= want:
+    spark = df.sparkSession
+    want = min_parts or spark.sparkContext.defaultParallelism
+    size = _narrow_scan_bytes(df)
+    if size is None:
+        return df
+    open_cost = int(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    )
+    if size >= want * open_cost:
         return df
     return df.repartition(want)

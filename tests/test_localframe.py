@@ -69,6 +69,27 @@ def test_structtype_schema_and_row_inputs(spark):
 def test_empty_rows_keep_schema_and_zero_rows(spark):
     df = local_frame(spark, [], SCHEMA)
     assert df.count() == 0
-    assert [f.name for f in df.schema.fields] == [
-        "d", "v", "s", "i", "l", "arr",
-    ]
+    # Exact StructType — dtypes, nullability flags and metadata included
+    # (ADVICE r17: the round-17 typed-null projection relaxed nullability
+    # and this test only pinned the names).
+    assert df.schema == T.StructType.fromDDL(SCHEMA)
+    # Still a pure-JVM local relation: zero tasks per evaluation.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert "ExistingRDD" not in plan
+
+
+def test_empty_rows_keep_nonnullable_fields_and_metadata(spark):
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), nullable=False),
+            T.StructField("b", T.DoubleType(), nullable=True),
+            T.StructField(
+                "c", T.StringType(), nullable=False, metadata={"k": "v"}
+            ),
+        ]
+    )
+    df = local_frame(spark, [], schema)
+    assert df.schema == schema
+    assert df.schema["c"].metadata == {"k": "v"}
+    assert df.count() == 0
