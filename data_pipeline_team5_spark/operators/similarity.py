@@ -299,10 +299,10 @@ def centroids_by(
     group_col: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
-    """Per-group centroid via per-dimension mean — the IVF list-building
-    step (k-means update at scale is this exact shape iterated).
+    """Per-group centroid via posexplode + per-dimension mean, reassembled
+    into an array — the IVF list-building step (k-means update at scale is
+    this exact shape iterated).
 
     Elements are quantized with ``floor(x·1e7)`` (exact on doubles, no
     rounding ties — engines disagree on decimal tie rounding) and summed as
@@ -310,30 +310,15 @@ def centroids_by(
     the DuckDB oracle. 1e-7 quantization is below float32's own precision,
     so the centroid loses nothing the input ever had.
 
-    ``dim`` (round 18, guide §2.3/§2.4): when the caller knows the vector
-    width (k-means always does — it measured the init vectors), the
-    per-dimension sums aggregate over ``element_at`` slots in ONE
-    ``groupBy(grp)`` with map-side partial combine — no ``posexplode``
-    (which multiplies the row stream ``dim``×) and ONE exchange of
-    k × dim longs instead of two exchanges keyed (grp, pos) then (grp).
-    Arithmetic is identical slot-for-slot (same quantized long sum, same
-    cast-double / 1e7 / count division), so results stay bitwise equal to
-    the exploded form — both are pinned against the pure-Python mirror in
-    tests/test_clustering.py. Default ``None`` keeps the exploded form for
-    callers that cannot know the width (the oracle-pinned
-    ``embedding_centroids`` keeps its proven plan).
+    Round-18 note: a no-explode variant (64 ``element_at`` sum slots in
+    one groupBy — one exchange instead of two) was tried and REVERTED on
+    measurement: inside the k-means loop the per-iteration centroid
+    literals force a whole-stage-codegen recompile of the combined
+    assign+aggregate stage, and the 64-slot aggregate's generated code is
+    large enough that the recompile (~0.4 s/iteration) outweighs the saved
+    exchange at any SF where the update isn't shuffle-bound
+    (OPTIMIZATION_r18.md has the A/B).
     """
-    if dim is not None:
-        vec = f"`{vec_col}`"
-        entries = ", ".join(
-            f"cast(sum(cast(floor(cast(element_at({vec}, {i + 1}) as "
-            "double) * 1.0E7) as bigint)) as double) / 1.0E7 / "
-            f"count(element_at({vec}, {i + 1}))"
-            for i in range(dim)
-        )
-        return vectors.groupBy(F.col(group_col).alias("grp")).agg(
-            F.expr(f"array({entries})").alias("centroid")
-        )
     exploded = vectors.select(
         F.col(group_col).alias("grp"),
         F.posexplode(F.col(vec_col)).alias("pos", "x"),
@@ -486,7 +471,11 @@ def kmeans_fit(
     # kmeans input is corpus-sized, and pq_fit/knn_pq would otherwise
     # retain 4-8 corpus pins per call) — the returned final assignment
     # is built over the caller's original frame, paying one ordinary
-    # scan.
+    # scan. NOT spread: an A/B (OPTIMIZATION_r18.md) measured
+    # spread_small_scan here as a steady-state loss — the serial-looking
+    # first-pass assign stage was codegen compile (the per-iteration
+    # centroid literals force a recompile), not compute, so widening the
+    # pin bought nothing and paid a shuffle.
     pinned, release = _pin(vectors)
     try:
         init = (
@@ -499,14 +488,12 @@ def kmeans_fit(
         if not cents:
             raise ValueError("kmeans_fit: no vectors to cluster")
         k = len(cents)  # k > |vectors| degrades to one cluster per vector
-        dim = len(cents[0])
         for _ in range(iters):
             assigned = kmeans_assign(pinned, cents, vec_col)
             new = {
                 r["grp"]: list(r["centroid"])
                 for r in centroids_by(
-                    assigned, "cluster", id_col=id_col, vec_col=vec_col,
-                    dim=dim,
+                    assigned, "cluster", id_col=id_col, vec_col=vec_col
                 ).collect()
             }
             cents = [new.get(i, cents[i]) for i in range(k)]

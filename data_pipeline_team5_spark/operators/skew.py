@@ -89,17 +89,21 @@ def salted_join(
     return out.drop("_salt")
 
 
-def _narrow_scan_bytes(df: DataFrame) -> int | None:
-    """File bytes under ``df`` when its optimized logical plan is a narrow
-    Project/Filter chain over ONE file relation; ``None`` for anything
-    else (joins, aggregates, unions, checkpointed RDDs, local frames).
+def _narrow_leaf(df: DataFrame) -> tuple[str, int] | None:
+    """Classify ``df`` when its optimized logical plan is a narrow
+    Project/Filter chain over ONE leaf; ``None`` for anything else
+    (joins, aggregates, unions, local frames).
+
+    Returns ``("bytes", n)`` for a file relation (n = relation file
+    bytes, from the already-resolved file index) or ``("parts", n)`` for
+    a checkpointed RDD (n = its realized partition count, read off the
+    LogicalRDD node — the layer ranks._pin's release handle uses).
 
     Round 18 (ADVICE r17): the round-17 width probe was
     ``df.rdd.getNumPartitions()``, which under AQE materializes every
     upstream shuffle stage as real jobs at plan-build time — for a
     join-derived input the join subtree executed TWICE per call. Walking
-    the optimized logical plan costs only analysis (no jobs): file-relation
-    statistics come from the already-resolved file index.
+    the optimized logical plan costs only analysis (no jobs).
     """
     try:
         node = df._jdf.queryExecution().optimizedPlan()
@@ -112,7 +116,9 @@ def _narrow_scan_bytes(df: DataFrame) -> int | None:
                 node = children.apply(0)
                 continue
             if name == "LogicalRelation":
-                return int(str(node.stats().sizeInBytes()))
+                return ("bytes", int(str(node.stats().sizeInBytes())))
+            if name == "LogicalRDD":
+                return ("parts", int(node.rdd().getNumPartitions()))
             return None
     except Exception:
         return None
@@ -129,15 +135,18 @@ def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     1.9 s stage inside hard_negative_mining at sf0.1 where per-row work
     is |queries| × dim flops).
 
-    Applies ONLY to raw file scans (``_narrow_scan_bytes``); derived
-    frames pass through untouched — a join/agg output already sits at
-    shuffle-partition width, and probing its width would execute its
-    subtree (ADVICE r17). The width gate mirrors Spark's own
-    ``FilePartition`` split math instead of running it: splits are
-    floored at ``spark.sql.files.openCostInBytes`` per core, so a scan of
-    S bytes realizes ≥ ``min_parts`` tasks exactly when
-    S ≥ min_parts × openCost. At production input sizes the scan is wide
-    and this is a NO-OP — no extra shuffle at scale; only the
+    Applies ONLY to raw file scans and checkpoint pins (``_narrow_leaf``);
+    other derived frames pass through untouched — a join/agg output
+    already sits at shuffle-partition width, and probing its width would
+    execute its subtree (ADVICE r17). For file relations the width gate
+    mirrors Spark's own ``FilePartition`` split math instead of running
+    it: splits are floored at ``spark.sql.files.openCostInBytes`` per
+    core, so a scan of S bytes realizes ≥ ``min_parts`` tasks exactly
+    when S ≥ min_parts × openCost. For pinned frames (``localCheckpoint``
+    → LogicalRDD — e.g. the exact-dedup survivor layer the curation
+    jaccard pass shingles) the realized partition count is read straight
+    off the plan node. At production input sizes both are wide and this
+    is a NO-OP — no extra shuffle at scale; only the
     byte-tiny-but-compute-heavy regime pays one round-robin rebalance of
     its already-tiny input. Results are partitioning-independent by
     contract of every caller (algebraic aggregates / per-row projections
@@ -145,12 +154,15 @@ def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """
     spark = df.sparkSession
     want = min_parts or spark.sparkContext.defaultParallelism
-    size = _narrow_scan_bytes(df)
-    if size is None:
+    leaf = _narrow_leaf(df)
+    if leaf is None:
         return df
+    kind, n = leaf
+    if kind == "parts":
+        return df if n >= want else df.repartition(want)
     open_cost = int(
         spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
     )
-    if size >= want * open_cost:
+    if n >= want * open_cost:
         return df
     return df.repartition(want)

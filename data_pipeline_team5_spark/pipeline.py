@@ -243,9 +243,16 @@ def neardup_production_pairs(
         cand = lsh_candidate_pairs(
             sig, num_perm=32, bands=8, max_bucket=PRODUCTION_MAX_BUCKET
         ).localCheckpoint()
+        # localCheckpoint (round 18, guide §2.4 — the against_index
+        # convention): the returned verify plan embeds the shingle table
+        # TWICE (doc_a and doc_b legs), and without a cut each leg
+        # re-derives the corpus semi-join — the r17 executed plan carried
+        # two full candidate-docs subtrees with four corpus scans. The
+        # pin holds only candidate docs (bounded by capped buckets),
+        # never the corpus.
         ver = candidate_docs(
             cand, docs.select(id_col, text_col), id_col
-        )
+        ).localCheckpoint()
         return verify_jaccard(
             cand, doc_shingles(ver, id_col, text_col), threshold
         )
@@ -1975,8 +1982,8 @@ def neardup_incremental_against_index(
     # localCheckpoint: ver (the candidate docs — small by construction) is
     # materialized once so (a) the verify join reads a tiny checkpointed
     # input instead of re-deriving the corpus∪new semi-join, and (b) the
-    # coverage guard below costs two counts over checkpointed rows, not
-    # extra corpus scans.
+    # coverage guard below costs one aggregation over checkpointed rows,
+    # not extra corpus scans.
     ver = candidate_docs(
         cand,
         new_docs.select(id_col, text_col).unionByName(
@@ -1990,13 +1997,24 @@ def neardup_incremental_against_index(
     # (e.g. survivors folded into the index while the corpus stayed
     # static); proceeding would silently KEEP near-dups of those docs,
     # because verify_jaccard's inner join drops textless pairs.
-    n_pair_ids = (
+    # ONE aggregation job over the two pinned frames (round 18, guide
+    # §1.2 — the daily path is job-floor-bound: two sequential counts
+    # were two jobs where one union-agg answers both).
+    counts = (
         cand.select(F.col("doc_a").alias(id_col))
         .unionByName(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
-        .count()
+        .withColumn("_src", F.lit("pair"))
+        .unionByName(
+            ver.select(id_col).distinct().withColumn("_src", F.lit("cov"))
+        )
+        .groupBy("_src")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    n_covered = ver.select(id_col).distinct().count()
+    by_src = {r["_src"]: r["n"] for r in counts}
+    n_pair_ids = by_src.get("pair", 0)
+    n_covered = by_src.get("cov", 0)
     if n_covered < n_pair_ids:
         raise ValueError(
             f"signature index at {index_sig_path} yielded candidate pairs "
@@ -2078,13 +2096,18 @@ def neardup_incremental_pairs(
         bands=bands,
         max_bucket=max_bucket,
     ).localCheckpoint()
+    # localCheckpoint (round 18, guide §2.4 — the against_index
+    # convention): the verify plan embeds the shingle table twice (doc_a
+    # and doc_b legs); without a cut each leg re-derives the
+    # corpus∪new semi-join — four corpus scans in the r17 executed plan.
+    # Candidate-docs-sized pin, never corpus-sized.
     ver = candidate_docs(
         cand,
         new_docs.select(id_col, text_col).unionByName(
             index_docs.select(id_col, text_col)
         ),
         id_col,
-    )
+    ).localCheckpoint()
     return verify_jaccard(
         cand, doc_shingles(ver, id_col, text_col), threshold
     )

@@ -277,12 +277,28 @@ def test_verification_shingles_only_candidate_docs(spark):
         "distinguish candidate-linear from corpus-linear"
     )
     assert {r.doc_id for r in restricted.collect()} == pair_ids
+    # The semi-join that enforces candidate-linearity lives in
+    # candidate_docs' plan (round 18: the pipeline pins the candidate-doc
+    # set before verify, so the RETURNED plan no longer embeds the
+    # semi-join — it ran once at pin time).
+    restricted_plan = (
+        restricted._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in restricted_plan, (
+        "candidate_docs no longer semi-joins the corpus to candidate ids "
+        "— verification has regressed to corpus-linear"
+    )
 
     out = neardup_incremental_pairs(new, index, threshold=JACCARD_T)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan, (
-        "verification no longer semi-joins the corpus to candidate ids "
-        "before shingling — it has regressed to corpus-linear"
+    # Round 18: the verify plan reads the PINNED candidate docs (whose
+    # row count is asserted candidate-exact above) and never rescans the
+    # corpus files — stronger than the old in-plan LeftSemi pin: the
+    # corpus is touched exactly once, at pin time, through the semi-join.
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan" not in plan, (
+        "verify plan rescans the corpus — the candidate-docs pin is gone "
+        "and verification has regressed to corpus-linear re-derivation"
     )
 
 

@@ -27,7 +27,11 @@ EXPECTED_PINS = {
     "dash_movie_panel": 1,  # 25-row corr panel pin (round 10)
     "d5_d6_time_panel": 1,  # day-grain panel pin
     "minhash_lsh_neardup": 1,  # signature-table pin (two consumers)
-    "neardup_incremental": 1,  # stored-index probe snapshot
+    "neardup_incremental": 2,  # candidate-pair snapshot + candidate-docs
+    # pin (round 18: the verify plan consumes the candidate-docs
+    # semi-join twice — doc_a and doc_b shingle legs — and re-derived
+    # the corpus∪new scan per leg without the cut; both pins are
+    # candidate-sized, never corpus-sized)
     "tfidf_doc_scores": 2,  # (doc,term) counts + vocab rollup pins
     "decontamination_panel": 1,  # shared exact↔bloom gram snapshot
     "line_boilerplate_scrub": 1,  # boilerplate-set pin

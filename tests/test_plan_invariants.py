@@ -204,6 +204,11 @@ def test_construction_plans_have_no_scale_killers(spark):
 # their invariants via streaming/jobs tests; literal builds (select-k,
 # ingest) have their operators' own plan/parity tests.
 SCANLESS_RESULT_PLANS = {
+    "neardup_incremental": "candidate-pair + candidate-docs checkpoint "
+    "pins (round 18): the corpus∪new scan runs once at pin time through "
+    "the candidate_docs semi-join; the returned verify plan reads only "
+    "the two candidate-sized pins (candidate-linearity pinned in "
+    "tests/test_incremental_neardup.py)",
     "daily_metrics_panel": "local literal frame; _daily_wide swept above",
     "dash_movie_panel": "25-row corr checkpoint pin (round 10)",
     "d5_d6_time_panel": "day-grain checkpoint pin",
