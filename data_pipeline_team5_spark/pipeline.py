@@ -816,9 +816,17 @@ def curate_training_data(
     # vertices, the survivor join) would otherwise each re-run the
     # regex-heavy quality filter — 4 corpus passes instead of 1. A real
     # run materializes this layer anyway (it IS the curated corpus).
-    uniq = uniq.localCheckpoint()
+    # The stop-shingle guard's corpus count rides the SAME pin job via
+    # observe (round 18, guide §1.2 — the components.py fingerprint
+    # recipe): previously a separate count job over the pin.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    uniq = uniq.observe(
+        obs, F.count(F.lit(1)).alias("n")
+    ).localCheckpoint()
     if n_docs is None:
-        n_docs = uniq.count()
+        n_docs = int(obs.get["n"])
 
     # 3. near-dup groups → one representative per component.
     # "jaccard" (inverted index + doc-freq guard) gives exact pairs and is
